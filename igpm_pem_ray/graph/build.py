@@ -1,0 +1,142 @@
+"""pages -> canonical edge / vertex tables (SURVEY.md section 7.1 steps 2-4).
+
+Pipeline shape (all lazy, streaming):
+
+    read_parquet(pages)                       # columns pruned at the read
+      -> map_batches(HtmlExtractor, actor pool)   # html -> text + links
+      -> explode links (vectorized Arrow list flatten)
+      -> url -> vid hashing (blake2b, ids.py)
+      -> optional exact dedup (src,dst) / undirected canonicalization
+
+Reference analogs: the edge tables the reference loads whole into
+NetworkX (/root/reference/patternmatching/gray/query_call.py:91-99,
+load_edgelist.py:6-41); here they stay partitioned Datasets end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from igpm_pem_ray.ids import urls_to_vids
+from igpm_pem_ray.stages.extract import extract_pages
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """(url, links: list<string>, [warc_ts]) -> one row per (src_url, dst_url).
+
+    Vectorized: Arrow ``list_parent_indices`` + ``list_flatten`` — no
+    Python loop over rows.
+    """
+    links = batch["links"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    parents = pc.list_parent_indices(links)
+    flat = pc.list_flatten(links)
+    cols = {
+        "src_url": pc.take(batch["url"], parents) if isinstance(batch["url"], pa.ChunkedArray) else batch["url"].take(parents),
+        "dst_url": flat,
+    }
+    if "warc_ts" in batch.column_names:
+        cols["src_warc_ts"] = pc.take(batch["warc_ts"], parents)
+    return pa.table(cols)
+
+
+def hash_url_edges(batch: pa.Table) -> pa.Table:
+    """(src_url, dst_url[, src_warc_ts]) -> (src, dst: uint64[, ts])."""
+    src = urls_to_vids(batch["src_url"].to_pylist())
+    dst = urls_to_vids(batch["dst_url"].to_pylist())
+    cols: dict = {
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    }
+    if "src_warc_ts" in batch.column_names:
+        cols["ts"] = batch["src_warc_ts"].cast(pa.int64())
+    return pa.table(cols)
+
+
+def pages_to_extracted(pages_ds, *, concurrency=4, batch_size: int = 256):
+    """pages -> (url, text, links, n_links, ...) via the extractor pool."""
+    return extract_pages(pages_ds, concurrency=concurrency, batch_size=batch_size)
+
+
+def extracted_to_edges(extracted_ds, *, keep_urls: bool = False):
+    """extracted -> edge table.  ``keep_urls=True`` retains url columns
+    (needed to build the vertices table); default drops them so the edge
+    table stays narrow (16 bytes/row)."""
+    url_edges = extracted_ds.select_columns(["url", "links"]).map_batches(
+        explode_links, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if keep_urls:
+        def hash_keep(batch: pa.Table) -> pa.Table:
+            t = hash_url_edges(batch)
+            return t.append_column("src_url", batch["src_url"]).append_column(
+                "dst_url", batch["dst_url"])
+        return url_edges.map_batches(hash_keep, batch_format="pyarrow")
+    return url_edges.map_batches(hash_url_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pages_to_edges(pages_ds, *, concurrency=4, batch_size: int = 256):
+    """End-to-end: pages -> (src, dst) edge Dataset (multigraph: parallel
+    edges and self loops preserved; dedup is an explicit operator)."""
+    return extracted_to_edges(pages_to_extracted(
+        pages_ds, concurrency=concurrency, batch_size=batch_size))
+
+
+def vertices_from_edges(edges_with_urls_ds):
+    """Distinct (vid, url) over both endpoints.
+
+    Shuffle: groupby on vid (SURVEY.md section 7.3 "distinct vertices").
+    """
+    from ray.data.aggregate import Min
+
+    # single pass emitting both endpoints (NOT srcs.union(dsts): a union
+    # of two branches of the same lineage executes the upstream
+    # extraction twice and doubles its actor pools); per-batch np.unique
+    # combiner shrinks the shuffle input.
+    def both_endpoints(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                              batch["dst"].to_numpy(zero_copy_only=False)])
+        url = pa.concat_arrays([batch["src_url"].combine_chunks().cast(pa.string()),
+                                batch["dst_url"].combine_chunks().cast(pa.string())]) \
+            if isinstance(batch["src_url"], pa.ChunkedArray) else \
+            pa.concat_arrays([batch["src_url"], batch["dst_url"]])
+        uniq, first_idx = np.unique(vid, return_index=True)
+        return pa.table({"vid": uniq, "url": url.take(first_idx)})
+
+    # vid<->url is 1:1 (vid = hash(url)), so Min("url") is "the" url —
+    # a vectorized hash aggregate, not per-group Python.
+    return edges_with_urls_ds.map_batches(both_endpoints, batch_format="pyarrow",
+                                          zero_copy_batch=True) \
+        .groupby("vid").aggregate(Min("url", alias_name="url"))
+
+
+def dedup_edges(edges_ds, *, undirected: bool = False, drop_self_loops: bool = False):
+    """Exact (src,dst) dedup — the reference's simple-graph collapse
+    ``nx.Graph(multigraph)`` (gray_incremental.py:193; SURVEY.md D6).
+
+    ``undirected=True`` canonicalizes to (min,max) first.
+    Shuffle key: (src,dst) via groupby.
+    """
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        if undirected:
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            src, dst = lo, hi
+        if drop_self_loops:
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    from ray.data.aggregate import Count
+
+    canoned = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct via vectorized hash aggregate (count then drop), not
+    # per-group map_groups (Python once per group = hot-path poison).
+    # Per-batch np.unique inside `canon` would be a further combiner;
+    # groupby already pre-aggregates per block.
+    return canoned.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])

@@ -1,0 +1,113 @@
+"""Exact triangle count (kernel K4) via degree orientation + wedge join.
+
+Reference semantics: ``sum(nx.triangles(nx.Graph(g)).values()) / 3`` on
+the SIMPLE undirected graph — parallel edges and self loops dropped
+first (/root/reference/patternmatching/gray/incremental/
+gray_incremental.py:193,201).  Exact integer equality is the test
+criterion.
+
+Plan (SURVEY.md J6/K4):
+1. canonicalize + dedup edges to simple undirected (min,max) pairs
+   (groupby shuffle on the pair);
+2. degree-orient each edge from the (degree, vid)-smaller endpoint to
+   the larger — every triangle becomes exactly ONE directed wedge
+   u->v->w with a closing oriented edge u->w, and per-vertex wedge
+   work is O(sqrt(E)) even on power-law graphs (the standard hub-skew
+   mitigation for triangle counting);
+3. wedge join: oriented ⋈ oriented on (left.dst = right.src) —
+   Dataset.join hash shuffle;
+4. close: semi-join candidates (u,w) against oriented edges on
+   (src,dst) and count.
+
+Degrees are computed distributed and broadcast (V-bounded array) for
+the orientation step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from igpm_pem_ray.graph.build import dedup_edges
+from igpm_pem_ray.graph.dense import build_dense_graph
+
+
+def _orient(batch: pa.Table, deg_ref) -> pa.Table:
+    deg = ray.get(deg_ref)
+    s = batch["src"].to_numpy(zero_copy_only=False)
+    d = batch["dst"].to_numpy(zero_copy_only=False)
+    # rank = (degree, vid) lexicographic, packed into one int64 key
+    ks = (deg[s].astype(np.int64) << 31) | s
+    kd = (deg[d].astype(np.int64) << 31) | d
+    lo_first = ks < kd
+    a = np.where(lo_first, s, d)
+    b = np.where(lo_first, d, s)
+    return pa.table({"src": a.astype(np.int64), "dst": b.astype(np.int64)})
+
+
+def triangle_count(edges_ds, *, num_partitions: int = 16,
+                   stats: dict | None = None) -> int:
+    """edges Dataset (src,dst raw vids, multigraph OK) -> global triangle count."""
+    t0 = time.perf_counter()
+    simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
+    # dense-index the simple graph; build symmetric=False (edges already
+    # canonical (lo,hi)); degrees = undirected degree = out+in over canon rows
+    g = build_dense_graph(simple)
+    V = g.num_vertices
+    if V == 0 or g.num_edges == 0:
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0, "triangles": 0})
+        return 0
+
+    # undirected degree per vertex over canonical rows: count both endpoints
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                               batch["dst"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": u, "c": c.astype(np.int64)})
+
+    pdf = g.edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True) \
+                 .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas()
+    deg = np.zeros(V, dtype=np.int64)
+    deg[pdf["v"].to_numpy()] = pdf["c"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    oriented = g.edges.map_batches(lambda b: _orient(b, deg_ref),
+                                   batch_format="pyarrow", zero_copy_batch=True) \
+                      .materialize()
+
+    left = oriented.rename_columns(["u", "v"])
+    right = oriented.rename_columns(["v2", "w"])
+    wedges = left.join(right, join_type="inner", num_partitions=num_partitions,
+                       on=("v",), right_on=("v2",))
+    # wedge u->v->w needs u != w (u<v<w in orientation order guarantees it,
+    # but guard anyway) and a closing oriented edge (u,w)
+    cand = wedges.select_columns(["u", "w"]).rename_columns(["src", "dst"])
+    closed = cand.join(oriented, join_type="inner", num_partitions=num_partitions,
+                       on=("src", "dst"))
+    n = closed.count()
+    if stats is not None:
+        stats.update({"wall_sec": time.perf_counter() - t0, "triangles": int(n),
+                      "num_vertices": V, "num_simple_edges": g.num_edges})
+    return int(n)
+
+
+def star_count(edges_ds, *, min_degree: int = 4) -> int:
+    """Vertices with simple-graph degree >= min_degree — the reference's
+    "star" ground-truth invariant (gray_incremental.py:194,202)."""
+    simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                               batch["dst"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": u, "c": c.astype(np.int64)})
+
+    deg = simple.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True) \
+                .groupby("v").aggregate(Sum("c", alias_name="deg"))
+    import pyarrow.compute as pc  # noqa: F401
+    return deg.filter(expr=f"deg >= {int(min_degree)}").count()

@@ -1,0 +1,91 @@
+"""Extraction pipeline: pages -> text + edges, byte-identical invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray import html_extract, ids
+from igpm_pem_ray.graph import build
+from igpm_pem_ray.sources import pages as pages_mod
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return pages_mod.generate_pages(120, seed=42, m=4)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(synth, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    import pyarrow.parquet as pq
+    pq.write_table(synth.table, str(d / "pages.parquet"), row_group_size=32)
+    return rd.read_parquet(str(d))
+
+
+def test_extract_text_unit():
+    html = b'<html><head><script>var x="<b>";</script></head><body><h1>A &amp; B</h1>\n<p>hi   there</p></body></html>'
+    assert html_extract.extract_text(html) == "A & B hi there"
+    assert html_extract.extract_text(b"") == ""
+
+
+def test_extract_hrefs_unit():
+    html = (b'<a href="https://x.example/a#frag">a</a>'
+            b"<a href='b/c'>rel</a>"
+            b'<a href=https://y.example/bare>bare</a>'
+            b'<a href="mailto:z@q">no</a>'
+            b'<a id="noref">none</a>')
+    got = html_extract.extract_hrefs(html, "https://base.example/dir/page")
+    assert got == ["https://x.example/a", "https://base.example/dir/b/c",
+                   "https://y.example/bare"]
+
+
+def test_text_byte_identical_per_url(synth, pages_ds):
+    """Distributed extraction == fixture's independently composed text."""
+    extracted = build.pages_to_extracted(pages_ds, concurrency=2, batch_size=16)
+    got = {r["url"]: r["text"] for r in extracted.select_columns(["url", "text"]).take_all()}
+    expect = {u.as_py(): t.as_py() for u, t in zip(synth.table["url"], synth.table["text"])}
+    assert got == expect  # byte-identical per url
+
+
+def test_edges_match_expected(synth, pages_ds):
+    edges = build.pages_to_edges(pages_ds, concurrency=2, batch_size=16)
+    got = sorted((r["src"], r["dst"]) for r in edges.take_all())
+    exp = sorted(
+        (ids.url_to_vid(s.as_py()), ids.url_to_vid(d.as_py()))
+        for s, d in zip(synth.expected_edges["src_url"], synth.expected_edges["dst_url"])
+    )
+    assert got == exp  # multigraph: duplicates + self-loops preserved
+
+
+def test_vid_no_collisions(synth):
+    urls = synth.table["url"].to_pylist()
+    vids = ids.urls_to_vids(urls)
+    assert len(np.unique(vids)) == len(urls)
+    assert vids[0] == ids.url_to_vid(urls[0])
+
+
+def test_dedup_edges_undirected(synth, pages_ds):
+    edges = build.pages_to_edges(pages_ds, concurrency=2, batch_size=16)
+    simple = build.dedup_edges(edges, undirected=True, drop_self_loops=True)
+    rows = [(r["src"], r["dst"]) for r in simple.take_all()]
+    assert len(rows) == len(set(rows))
+    assert all(s < d for s, d in rows)
+    # expected from fixture
+    exp = set()
+    for s, d in zip(synth.expected_edges["src_url"], synth.expected_edges["dst_url"]):
+        a, b = ids.url_to_vid(s.as_py()), ids.url_to_vid(d.as_py())
+        if a != b:
+            exp.add((min(a, b), max(a, b)))
+    assert set(rows) == exp
+
+
+def test_vertices_from_edges(pages_ds):
+    ewu = build.extracted_to_edges(build.pages_to_extracted(pages_ds, concurrency=2, batch_size=16),
+                                   keep_urls=True)
+    verts = build.vertices_from_edges(ewu)
+    rows = verts.take_all()
+    assert all(ids.url_to_vid(r["url"]) == r["vid"] for r in rows)
+    assert len({r["vid"] for r in rows}) == len(rows)

@@ -1,0 +1,133 @@
+"""Kernel parity vs independent oracles (SURVEY.md section 5 test plan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray.graph import components as cc_mod
+from igpm_pem_ray.graph import degrees as deg_mod
+from igpm_pem_ray.graph import labelprop as lp_mod
+from igpm_pem_ray.graph import pagerank as pr_mod
+from igpm_pem_ray.graph import triangles as tri_mod
+from igpm_pem_ray.sources import pages as pages_mod
+from igpm_pem_ray import ids
+
+from tests import oracles
+
+
+def _fixture_graph(n_pages=120, seed=42):
+    synth = pages_mod.generate_pages(n_pages, seed=seed, m=4)
+    edges = [(ids.url_to_vid(s.as_py()), ids.url_to_vid(d.as_py()))
+             for s, d in zip(synth.expected_edges["src_url"],
+                             synth.expected_edges["dst_url"])]
+    vids = sorted({v for e in edges for v in e})
+    return edges, vids
+
+
+@pytest.fixture(scope="module")
+def graph():
+    edges, vids = _fixture_graph()
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(8)
+    return edges, vids, ds
+
+
+def test_pagerank_matches_oracle(graph):
+    edges, vids, ds = graph
+    stats = {}
+    got = pr_mod.pagerank(ds, damping=0.85, tol=1e-10, stats=stats)
+    exp = oracles.pagerank_oracle(edges, vids, damping=0.85, tol=1e-10)
+    got_map = dict(zip(got["vid"].to_pylist(), got["rank"].to_pylist()))
+    assert set(got_map) == set(exp)
+    for v in vids:
+        assert got_map[v] == pytest.approx(exp[v], abs=1e-6)
+    assert stats["iterations"] > 2
+    assert abs(sum(got_map.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_dangling_mass_conserved():
+    # graph with a dangling sink: 1->2, 3->2 ; vertex 2 has no out-edges
+    ds = rd.from_arrow(pa.table({"src": pa.array([1, 3], type=pa.int64()),
+                                 "dst": pa.array([2, 2], type=pa.int64())}))
+    got = pr_mod.pagerank(ds, tol=1e-12)
+    exp = oracles.pagerank_oracle([(1, 2), (3, 2)], [1, 2, 3], tol=1e-12)
+    for v, r in zip(got["vid"].to_pylist(), got["rank"].to_pylist()):
+        assert r == pytest.approx(exp[v], abs=1e-9)
+
+
+def test_rwr_reference_parity(graph):
+    """Engine RWR == literal transcription of the reference formula
+    (reversed adjacency, column-normalized, restart 0.7, L1 tol)."""
+    edges, vids, ds = graph
+    src = vids[3]
+    got = pr_mod.rwr(ds, restart=0.7, tol=1e-8, source_vid=src)
+    exp = oracles.rwr_oracle(edges, vids, restart=0.7, tol=1e-8, source=src)
+    got_map = dict(zip(got["vid"].to_pylist(), got["score"].to_pylist()))
+    for v in vids:
+        assert got_map[v] == pytest.approx(exp[v], abs=1e-6)
+
+
+def test_connected_components_exact(graph):
+    edges, vids, ds = graph
+    got = cc_mod.connected_components(ds)
+    exp = oracles.components_oracle(edges, vids)
+    got_map = dict(zip(got["vid"].to_pylist(), got["component"].to_pylist()))
+    assert got_map == exp
+
+
+def test_connected_components_two_islands():
+    ds = rd.from_arrow(pa.table({"src": pa.array([1, 2, 10], type=pa.int64()),
+                                 "dst": pa.array([2, 3, 11], type=pa.int64())}))
+    got = cc_mod.connected_components(ds)
+    got_map = dict(zip(got["vid"].to_pylist(), got["component"].to_pylist()))
+    assert got_map == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_label_propagation_matches_oracle(graph):
+    edges, vids, ds = graph
+    got = lp_mod.label_propagation(ds, max_rounds=7)
+    # oracle labels are raw vids throughout; engine returns raw too
+    exp = oracles.labelprop_oracle(edges, vids, max_rounds=7)
+    got_map = dict(zip(got["vid"].to_pylist(), got["label"].to_pylist()))
+    assert got_map == exp
+
+
+def test_triangles_exact(graph):
+    edges, vids, ds = graph
+    got = tri_mod.triangle_count(ds, num_partitions=4)
+    assert got == oracles.triangles_oracle(edges, vids)
+
+
+def test_triangles_tiny():
+    # K4 has 4 triangles; add a parallel edge + self loop (must not count)
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 2), (2, 2)]
+    ds = rd.from_arrow(pa.table({"src": pa.array([a for a, _ in e], type=pa.int64()),
+                                 "dst": pa.array([b for _, b in e], type=pa.int64())}))
+    assert tri_mod.triangle_count(ds, num_partitions=2) == 4
+
+
+def test_star_count():
+    # star center 0 with 5 leaves -> one vertex with degree >= 4
+    e = [(0, i) for i in range(1, 6)]
+    ds = rd.from_arrow(pa.table({"src": pa.array([a for a, _ in e], type=pa.int64()),
+                                 "dst": pa.array([b for _, b in e], type=pa.int64())}))
+    assert tri_mod.star_count(ds, min_degree=4) == 1
+    assert tri_mod.star_count(ds, min_degree=5) == 1
+    assert tri_mod.star_count(ds, min_degree=6) == 0
+
+
+def test_degree_distribution(graph):
+    edges, vids, ds = graph
+    from collections import Counter
+    outdeg = Counter()
+    for s, _ in edges:
+        outdeg[s] += 1
+    dist = Counter(outdeg.values())
+    got = {r["degree"]: r["n_vertices"]
+           for r in deg_mod.degree_distribution(ds, direction="out").take_all()}
+    assert got == dict(dist)
