@@ -1,44 +1,231 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship link-graph pipeline (pages -> extraction ->
+edge table -> PageRank) on a deterministic synthetic pages table.
+``queries()``: one entry per implemented operator/pipeline from
+SURVEY.md section 2 (+ the training-data-pipeline operators), each
+taking ``sf_dir``.  ``oracle_sql()``: DuckDB-equivalent SQL for every
+SQL-expressible query, same column names, floats as per-row scaled
+BIGINTs so value-hashes are reduction-order-robust.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` anywhere in the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_ENTRY_PAGES = 2_000
+_PAGES_CACHE = "/tmp/igpm_pem_ray_pages"
+
+
+def _pages_dir(n_pages: int, seed: int = 42) -> str:
+    """Deterministic synthetic pages parquet (cached per size/seed)."""
+    from igpm_pem_ray.sources.pages import write_pages_parquet
+
+    d = os.path.join(_PAGES_CACHE, f"n{n_pages}_s{seed}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_pages_parquet(d, n_pages=n_pages, seed=seed, rows_per_file=4096)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """pages -> HtmlExtractor actor pool -> edge table -> PageRank to
+    1e-6 L1 residual; returns (vid, rank_e8) as a pyarrow Table."""
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import build
+    from igpm_pem_ray.graph.pagerank import pagerank
+    from igpm_pem_ray.pipelines.common import scale_col
+    import pyarrow as pa
+
+    pages = rd.read_parquet(_pages_dir(_ENTRY_PAGES))
+    edges = build.pages_to_edges(pages, concurrency=4, batch_size=256)
+    t = pagerank(edges, damping=0.85, tol=1e-6)
+    return pa.table({"vid": t["vid"],
+                     "rank_e8": scale_col(t["rank"].to_numpy(), 1e8)})
+
+
+def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
+    """Flagship pipelines over the synthetic pages table (rows-only
+    checks; kernel parity is proven in tests/ against oracles and, for
+    the co-occurrence graph, in the SQL-checked queries below)."""
+    import ray.data as rd
+
+    def _edges_for(sf_dir: str):
+        from igpm_pem_ray.graph import build
+
+        n = {"0.001": 2_000, "0.01": 8_000, "0.1": 30_000}.get(
+            os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"), 2_000)
+        pages = rd.read_parquet(_pages_dir(n))
+        return build.pages_to_edges(pages, concurrency=4, batch_size=256)
+
+    def link_extract_edges(sf_dir: str):
+        return _edges_for(sf_dir)
+
+    def link_pagerank(sf_dir: str):
+        import pyarrow as pa
+        from igpm_pem_ray.graph.pagerank import pagerank
+        from igpm_pem_ray.pipelines.common import scale_col
+
+        t = pagerank(_edges_for(sf_dir), tol=1e-6)
+        return pa.table({"vid": t["vid"], "rank_e8": scale_col(t["rank"].to_numpy(), 1e8)})
+
+    def link_components(sf_dir: str):
+        from igpm_pem_ray.graph.components import connected_components
+
+        return connected_components(_edges_for(sf_dir))
+
+    def link_triangles(sf_dir: str):
+        import pyarrow as pa
+        from igpm_pem_ray.graph.triangles import triangle_count
+
+        return pa.table({"n_triangles": pa.array(
+            [triangle_count(_edges_for(sf_dir))], type="int64")})
+
+    def link_text(sf_dir: str):
+        from igpm_pem_ray.graph import build
+
+        n = 2_000
+        pages = rd.read_parquet(_pages_dir(n))
+        return build.pages_to_extracted(pages, concurrency=4, batch_size=256) \
+            .select_columns(["url", "text", "n_links"])
+
+    return {
+        "link_extract_edges": link_extract_edges,
+        "link_pagerank": link_pagerank,
+        "link_components": link_components,
+        "link_triangles": link_triangles,
+        "link_extract_text": link_text,
+    }
+
+
+def _text_queries() -> dict[str, Callable[[str], Any]]:
+    def near_dup_groups(sf_dir: str):
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.dedup import near_dup_groups as ndg
+
+        return ndg(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def simhash(sf_dir: str):
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.dedup import simhash_table
+
+        return simhash_table(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def lang_id(sf_dir: str):
+        from ray.data.aggregate import Count
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.analysis import LangId
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return docs.map_batches(LangId, batch_format="pandas", concurrency=2) \
+                   .groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+
+    def doc_fingerprint(sf_dir: str):
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.analysis import Fingerprinter
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return docs.map_batches(Fingerprinter, batch_format="pandas", concurrency=2) \
+                   .select_columns(["doc_id", "fp64"])
+
+    def ann_lsh(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from igpm_pem_ray.ann.knn import lsh_topk
+        from igpm_pem_ray.pipelines.common import read_table
+
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "==", 0)])
+        qvec = np.asarray(qtbl["embedding"][0].as_py(), dtype=np.float64)[None, :]
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return lsh_topk(emb, qvec, k=10, nbits=4)
+
+    return {
+        "near_dup_groups": near_dup_groups,
+        "simhash": simhash,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_lsh": ann_lsh,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from igpm_pem_ray.pipelines import graph_queries as g
+    from igpm_pem_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        # graph kernels on the SQL-expressible co-occurrence graph
+        "graph_edges": g.q_graph_edges,
+        "pagerank_fixed": g.q_pagerank_fixed,
+        "pagerank": g.q_pagerank,
+        "rwr": g.q_rwr,
+        "connected_components": g.q_connected_components,
+        "component_sizes": g.q_component_sizes,
+        "label_propagation": g.q_label_propagation,
+        "triangle_count": g.q_triangle_count,
+        "star_count": g.q_star_count,
+        "degree_distribution": g.q_degree_distribution,
+        # relational / streaming / text-table operators
+        "filter_project": r.q_filter_project,
+        "group_agg": r.q_group_agg,
+        "topk_orders": r.q_topk_orders,
+        "join_broadcast": r.q_join_broadcast,
+        "join_hash": r.q_join_hash,
+        "anti_join": r.q_anti_join,
+        "semi_join": r.q_semi_join,
+        "window_events": r.q_window_events,
+        "ts_rebase": r.q_ts_rebase,
+        "ts_window_filter": r.q_ts_window_filter,
+        "distinct_union": r.q_distinct_union,
+        "condition_filter": r.q_condition_filter,
+        "doc_dedup_exact": r.q_doc_dedup_exact,
+        "doc_tokens": r.q_doc_tokens,
+        "doc_quality": r.q_doc_quality,
+        "lang_dist": r.q_lang_dist,
+        "ann_cosine": r.q_ann_cosine,
+    }
+    out.update(_link_graph_queries())
+    out.update(_text_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from igpm_pem_ray.pipelines import graph_queries as g
+    from igpm_pem_ray.pipelines import relational as r
+
+    return {
+        "graph_edges": g.sql_graph_edges(),
+        "pagerank_fixed": g.sql_pagerank_fixed(),
+        "connected_components": g.sql_connected_components(),
+        "component_sizes": g.sql_component_sizes(),
+        "label_propagation": g.sql_label_propagation(),
+        "triangle_count": g.sql_triangle_count(),
+        "star_count": g.sql_star_count(),
+        "degree_distribution": g.sql_degree_distribution(),
+        "filter_project": r.sql_filter_project(),
+        "group_agg": r.sql_group_agg(),
+        "topk_orders": r.sql_topk_orders(),
+        "join_broadcast": r.sql_join_broadcast(),
+        "join_hash": r.sql_join_hash(),
+        "anti_join": r.sql_anti_join(),
+        "semi_join": r.sql_semi_join(),
+        "window_events": r.sql_window_events(),
+        "ts_rebase": r.sql_ts_rebase(),
+        "ts_window_filter": r.sql_ts_window_filter(),
+        "distinct_union": r.sql_distinct_union(),
+        "condition_filter": r.sql_condition_filter(),
+        "doc_dedup_exact": r.sql_doc_dedup_exact(),
+        "doc_tokens": r.sql_doc_tokens(),
+        "doc_quality": r.sql_doc_quality(),
+        "lang_dist": r.sql_lang_dist(),
+        "ann_cosine": r.sql_ann_cosine(),
+    }

@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (one ``ray.put`` of the queries, read per task),
+partial top-k per block, global merge via sort+limit.  Scale path:
+LSH-bucketed variant — random-hyperplane signatures assign each vector
+to a bucket; queries only scan their own bucket (+optional multiprobe),
+turning the all-scan into a partition-local scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(arr[0])
+    return flat.reshape(len(arr), dim)
+
+
+def brute_force_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10,
+                     id_col: str = "vec_id"):
+    """Top-k cosine neighbors for each query vector.
+
+    Returns a Dataset (query_idx, vec_id, sim) of k rows per query,
+    deterministic tie-break by vec_id asc.  Per-block partial top-k
+    keeps the shuffle tiny (k*num_queries rows per block).
+    """
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _batch_matrix(batch)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qm @ m.T                       # (Q, B)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.argsort(np.lexsort((ids, -s)))  # stable: sim desc, id asc
+            top = np.lexsort((ids, -s))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[top])
+            out_s.append(s[top])
+        return pa.table({"query_idx": np.concatenate(out_q),
+                         id_col: np.concatenate(out_id),
+                         "sim": np.concatenate(out_s)})
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # global merge: tiny (k x Q x blocks rows) -> sort + per-query head(k)
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(["query_idx", "sim", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    top = pdf.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+class LshPartitioner:
+    """Random-hyperplane LSH bucketing: embedding -> bucket id
+    (sign bits of nbits projections, seeded).  A stage for the scale
+    path: co-partition vectors and queries by bucket, scan locally."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 11) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        return batch.append_column("bucket", pa.array(self.bucket(m)))
+
+
+def lsh_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10, nbits: int = 6,
+             id_col: str = "vec_id", concurrency=2):
+    """Bucketed ANN: only vectors sharing the query's LSH bucket are
+    scanned (approximate; recall grows as nbits shrinks)."""
+    q = np.asarray(query_vecs, dtype=np.float64)
+    dim = q.shape[1]
+    part = LshPartitioner(dim, nbits=nbits)
+    qbuckets = part.bucket(q)
+    bucketed = emb_ds.map_batches(LshPartitioner, batch_format="pyarrow",
+                                  fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+                                  concurrency=concurrency)
+    wanted = set(int(b) for b in qbuckets)
+    expr = " or ".join(f"bucket == {b}" for b in sorted(wanted)) or "bucket < 0"
+    filtered = bucketed.filter(expr=expr)
+    out = []
+    for qi, qb in enumerate(qbuckets):
+        sub = filtered.filter(expr=f"bucket == {int(qb)}")
+        t = brute_force_topk(sub, q[qi:qi + 1], k=k, id_col=id_col)
+        qidx = pa.array(np.full(len(t), qi, dtype=np.int64))
+        out.append(t.set_column(0, "query_idx", qidx))
+    return pa.concat_tables(out) if out else None

@@ -49,9 +49,17 @@ def _orient(batch: pa.Table, deg_ref) -> pa.Table:
     return pa.table({"src": a.astype(np.int64), "dst": b.astype(np.int64)})
 
 
-def triangle_count(edges_ds, *, num_partitions: int = 16,
+def triangle_count(edges_ds, *, num_partitions: int | None = None,
                    stats: dict | None = None) -> int:
-    """edges Dataset (src,dst raw vids, multigraph OK) -> global triangle count."""
+    """edges Dataset (src,dst raw vids, multigraph OK) -> global triangle count.
+
+    num_partitions defaults to half the cluster CPUs (two hash joins run
+    concurrently in this plan; each spawns num_partitions shuffle
+    aggregators — oversubscribing them past the CPU count starves the
+    pipeline)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
     t0 = time.perf_counter()
     simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
     # dense-index the simple graph; build symmetric=False (edges already

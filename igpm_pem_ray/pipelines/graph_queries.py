@@ -1,0 +1,198 @@
+"""Graph queries for the correctness gate: Ray kernels vs DuckDB oracles.
+
+All run on the deterministic part co-occurrence graph
+(``common.EDGES_SQL``) derived from the testdata ``lineitem`` table,
+so each kernel has an ANSI-SQL oracle the driver can execute
+side-by-side: PageRank as an unrolled fixed-iteration CTE chain,
+connected components as a recursive transitive closure + min, label
+propagation as unrolled argmax-per-round CTEs, triangles as a 3-way
+self-join.  Convergence-based variants (residual stop) are exposed as
+rows-only queries; their correctness is covered by the oracle-parity
+pytest suite instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from igpm_pem_ray.graph import components as cc_mod
+from igpm_pem_ray.graph import labelprop as lp_mod
+from igpm_pem_ray.graph import pagerank as pr_mod
+from igpm_pem_ray.graph import triangles as tri_mod
+from igpm_pem_ray.graph import degrees as deg_mod
+from igpm_pem_ray.graph.dense import build_dense_graph
+from igpm_pem_ray.pipelines.common import EDGES_SQL, cooccurrence_edges, scale_col, sql_scale
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_SCALE = "1e8"
+LP_ROUNDS = 2
+
+
+# ---------- Ray side ----------
+
+def q_graph_edges(sf_dir: str) -> pa.Table:
+    ds = cooccurrence_edges(sf_dir)
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return t.select(["src", "dst"]).sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_pagerank_fixed(sf_dir: str) -> pa.Table:
+    edges = cooccurrence_edges(sf_dir)
+    g = build_dense_graph(edges)
+    rank = pr_mod.pagerank_dense(g, damping=PR_DAMPING, tol=0.0, max_iters=PR_ITERS)
+    return pa.table({"vid": g.vids,
+                     "rank_e8": scale_col(rank, float(PR_SCALE))})
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    """Convergence-based (1e-6 L1 residual) — rows-only check; parity
+    is established by tests/test_kernels.py against dense oracles."""
+    edges = cooccurrence_edges(sf_dir)
+    stats: dict = {}
+    t = pr_mod.pagerank(edges, damping=PR_DAMPING, tol=1e-6, stats=stats)
+    return pa.table({"vid": t["vid"],
+                     "rank_e8": scale_col(t["rank"].to_numpy(), 1e8)})
+
+
+def q_connected_components(sf_dir: str) -> pa.Table:
+    return cc_mod.connected_components(cooccurrence_edges(sf_dir))
+
+
+def q_component_sizes(sf_dir: str) -> pa.Table:
+    comp = cc_mod.connected_components(cooccurrence_edges(sf_dir))
+    import pyarrow.compute as pc
+
+    sizes = comp.group_by("component").aggregate([("vid", "count")])
+    return pa.table({"component": sizes["component"],
+                     "size": sizes["vid_count"].cast(pa.int64())})
+
+
+def q_label_propagation(sf_dir: str) -> pa.Table:
+    return lp_mod.label_propagation(cooccurrence_edges(sf_dir), max_rounds=LP_ROUNDS)
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    n = tri_mod.triangle_count(cooccurrence_edges(sf_dir))
+    return pa.table({"n_triangles": pa.array([n], type=pa.int64())})
+
+
+def q_star_count(sf_dir: str) -> pa.Table:
+    n = tri_mod.star_count(cooccurrence_edges(sf_dir), min_degree=4)
+    return pa.table({"n_stars": pa.array([n], type=pa.int64())})
+
+
+def q_degree_distribution(sf_dir: str) -> pa.Table:
+    dist = deg_mod.degree_distribution(cooccurrence_edges(sf_dir), direction="both")
+    pdf = dist.to_pandas().sort_values("degree")
+    return pa.table({"degree": pdf["degree"].to_numpy().astype("int64"),
+                     "n_vertices": pdf["n_vertices"].to_numpy().astype("int64")})
+
+
+def q_rwr(sf_dir: str) -> pa.Table:
+    """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
+    rows-only; parity covered by test_rwr_reference_parity."""
+    t = pr_mod.rwr(cooccurrence_edges(sf_dir), restart=0.7, tol=1e-3)
+    return pa.table({"vid": t["vid"], "score_e8": scale_col(t["score"].to_numpy(), 1e8)})
+
+
+# ---------- SQL oracles ----------
+
+def _with_edges(body: str) -> str:
+    return f"WITH RECURSIVE edges AS ({EDGES_SQL}), {body}"
+
+
+def sql_graph_edges() -> str:
+    return f"SELECT src, dst FROM ({EDGES_SQL}) ORDER BY src, dst"
+
+
+def sql_pagerank_fixed(n_iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    d = repr(damping)
+    parts = [
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges) u)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "outdeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"dang{k} AS (SELECT COALESCE(sum(r.rank), 0.0) AS mass FROM {p} r "
+            f"LEFT JOIN outdeg o ON r.vid = o.vid WHERE o.vid IS NULL), "
+            f"msg{k} AS (SELECT e.dst AS vid, sum(r.rank / o.od) AS s "
+            f"FROM edges e JOIN {p} r ON e.src = r.vid JOIN outdeg o ON o.vid = e.src "
+            f"GROUP BY e.dst), "
+            f"r{k} AS (SELECT v.vid, (1.0 - {d})/(SELECT n FROM nv) + {d} * "
+            f"(COALESCE(m.s, 0.0) + (SELECT mass FROM dang{k})/(SELECT n FROM nv)) AS rank "
+            f"FROM verts v LEFT JOIN msg{k} m ON v.vid = m.vid)"
+        )
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} SELECT vid, {sql_scale('rank', PR_SCALE)} AS rank_e8 "
+        f"FROM r{n_iters} ORDER BY vid")
+
+
+def sql_connected_components() -> str:
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src) "
+        "SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a ORDER BY vid")
+
+
+def sql_component_sizes() -> str:
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src), "
+        "comp AS (SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a) "
+        "SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp "
+        "GROUP BY component ORDER BY component")
+
+
+def sql_label_propagation(rounds: int = LP_ROUNDS) -> str:
+    parts = [
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u)",
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src)",
+        "lp0 AS (SELECT vid, vid AS label FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"lp{k - 1}"
+        parts.append(
+            f"cnt{k} AS (SELECT e.src AS vid, l.label, count(*) AS c "
+            f"FROM ue e JOIN {p} l ON e.dst = l.vid GROUP BY e.src, l.label), "
+            f"win{k} AS (SELECT vid, label FROM (SELECT vid, label, "
+            f"row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn "
+            f"FROM cnt{k}) WHERE rn = 1), "
+            f"lp{k} AS (SELECT v.vid, COALESCE(w.label, p.label) AS label "
+            f"FROM verts v JOIN {p} p ON v.vid = p.vid "
+            f"LEFT JOIN win{k} w ON v.vid = w.vid)"
+        )
+    body = ", ".join(parts)
+    return _with_edges(f"{body} SELECT vid, label FROM lp{rounds} ORDER BY vid")
+
+
+def sql_triangle_count() -> str:
+    return _with_edges(
+        "t AS (SELECT 1 FROM edges e1 "
+        "JOIN edges e2 ON e1.dst = e2.src "
+        "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t")
+
+
+def sql_star_count(min_degree: int = 4) -> str:
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "deg AS (SELECT src AS vid, count(*) AS degree FROM ue GROUP BY src) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_stars FROM deg WHERE degree >= {min_degree}")
+
+
+def sql_degree_distribution() -> str:
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree FROM ue GROUP BY src) "
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg "
+        "GROUP BY degree ORDER BY degree")

@@ -1,0 +1,431 @@
+"""Relational / streaming / text-table queries with DuckDB oracles.
+
+These wire the reference's operator surface (SURVEY.md section 2:
+filters M2-M9, groupby/orderby/aggregate A1-A2/O1, joins J1-J5, dedup
+D1-D4, window/timestamp ops, text analysis) onto the driver's testdata
+tables so every operator has a side-by-side SQL oracle.
+
+Float convention: every float is scaled to int64 PER ROW
+(``floor(x*s+0.5)``) before any sum — integer aggregates are exact in
+both engines regardless of reduction order, so value-hashes match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from igpm_pem_ray.functions.conditions import compile_condition
+from igpm_pem_ray.pipelines.common import read_table, scale_col
+
+STOP10 = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "are")
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    return batch[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ---------------- M2/M8: filter + project + computed column ----------------
+
+def q_filter_project(sf_dir: str):
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        keep = (qty > 30) & (disc <= 0.05)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        rev = price * (1.0 - disc[keep])
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+            "l_linenumber": batch["l_linenumber"].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+            "revenue_e2": scale_col(rev, 100.0),
+        })
+
+    return li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_filter_project() -> str:
+    return ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(floor(l_extendedprice*(1.0-l_discount)*100.0+0.5) AS BIGINT) AS revenue_e2 "
+            "FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05")
+
+
+# ---------------- A1/A2: grouped aggregates (TPC-H Q1 shape) ----------------
+
+def q_group_agg(sf_dir: str):
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_e2": scale_col(batch["l_quantity"].to_numpy(zero_copy_only=False), 100.0),
+            "price_e2": scale_col(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 100.0),
+            "disc_e6": scale_col(batch["l_discount"].to_numpy(zero_copy_only=False), 1e6),
+        })
+
+    agg = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n_rows"),
+            Sum("qty_e2", alias_name="sum_qty_e2"),
+            Sum("price_e2", alias_name="sum_price_e2"),
+            Sum("disc_e6", alias_name="sum_disc_e6"),
+            Max("price_e2", alias_name="max_price_e2"),
+            Min("qty_e2", alias_name="min_qty_e2"))
+    pdf = agg.to_pandas()
+    pdf["avg_disc_e6"] = (pdf["sum_disc_e6"] // pdf["n_rows"]).astype("int64")
+    pdf["n_rows"] = pdf["n_rows"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def sql_group_agg() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, "
+        "sum(CAST(floor(l_quantity*100.0+0.5) AS BIGINT)) AS sum_qty_e2, "
+        "sum(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS sum_price_e2, "
+        "sum(CAST(floor(l_discount*1e6+0.5) AS BIGINT)) AS sum_disc_e6, "
+        "max(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS max_price_e2, "
+        "min(CAST(floor(l_quantity*100.0+0.5) AS BIGINT)) AS min_qty_e2, "
+        "CAST(sum(CAST(floor(l_discount*1e6+0.5) AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_e6 "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+# ---------------- O1/O2: order-by + top-k ----------------
+
+def q_topk_orders(sf_dir: str):
+    o = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "totalprice_e2": scale_col(
+                             batch["o_totalprice"].to_numpy(zero_copy_only=False), 100.0)})
+
+    top = o.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+           .sort(["totalprice_e2", "o_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+def sql_topk_orders() -> str:
+    return ("SELECT o_orderkey, CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS totalprice_e2 "
+            "FROM orders ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 10")
+
+
+# ---------------- J1: broadcast dimension join ----------------
+
+def q_join_broadcast(sf_dir: str):
+    """customers per region name: broadcast nation+region (small dims,
+    ray.put once) into a map_batches lookup — no shuffle join
+    (SURVEY.md J1 broadcast semi-join pattern)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to_region = {nk: r_name[rk] for nk, rk in
+                    zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())}
+    ref = ray.put(nk_to_region)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pd.Series(nk).map(m).to_numpy()
+        return pa.table({
+            "r_name": pa.array(names, type=pa.string()),
+            "acctbal_e2": scale_col(batch["c_acctbal"].to_numpy(zero_copy_only=False), 100.0),
+        })
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    return cust.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True) \
+               .groupby("r_name").aggregate(Count(alias_name="n_customers"),
+                                            Sum("acctbal_e2", alias_name="sum_acctbal_e2"))
+
+
+def sql_join_broadcast() -> str:
+    return (
+        "SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers, "
+        "sum(CAST(floor(c.c_acctbal*100.0+0.5) AS BIGINT)) AS sum_acctbal_e2 "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name")
+
+
+# ---------------- J2: large-large hash join ----------------
+
+def q_join_hash(sf_dir: str):
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": batch["c_mktsegment"],
+                         "totalprice_e2": scale_col(
+                             batch["o_totalprice"].to_numpy(zero_copy_only=False), 100.0)})
+
+    return j.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("c_mktsegment").aggregate(
+                Count(alias_name="n_orders"),
+                Sum("totalprice_e2", alias_name="sum_totalprice_e2"))
+
+
+def sql_join_hash() -> str:
+    return ("SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "sum(CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT)) AS sum_totalprice_e2 "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment")
+
+
+# ---------------- J-anti / J-semi ----------------
+
+def q_anti_join(sf_dir: str):
+    """Orders that have no lineitems, counted per orderstatus (D4/J
+    anti-join — the reference's separate_exist_nodes difference side,
+    gray_incremental.py:481-490)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    anti = orders.join(li, join_type="left_anti", num_partitions=8,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+    return anti.groupby("o_orderstatus").aggregate(Count(alias_name="n_orders"))
+
+
+def sql_anti_join() -> str:
+    return ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+            "GROUP BY o_orderstatus")
+
+
+def q_semi_join(sf_dir: str):
+    """Customers with at least one order > 200k, counted per nation
+    (semi-join J5 'connectivity lookup' analog)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    big = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 200000")
+    semi = cust.join(big, join_type="left_semi", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
+    out = semi.groupby("c_nationkey").aggregate(Count(alias_name="n_customers")).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sql_semi_join() -> str:
+    return ("SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 200000) GROUP BY c_nationkey")
+
+
+# ---------------- streaming-shaped: windows + timestamp ops ----------------
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1h window per event_type (SURVEY.md 2.9 window model)."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start_us": (us // HOUR_US) * HOUR_US,
+            "value_e2": scale_col(batch["value"].to_numpy(zero_copy_only=False), 100.0),
+        })
+
+    return ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby(["event_type", "window_start_us"]).aggregate(
+                 Count(alias_name="n_events"),
+                 Sum("value_e2", alias_name="sum_value_e2"))
+
+
+def sql_window_events() -> str:
+    return ("SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS sum_value_e2 "
+            "FROM events GROUP BY event_type, window_start_us")
+
+
+def q_ts_rebase(sf_dir: str):
+    """Timestamp re-basing to day indices from the global min — the
+    reference's seconds->days coercion (load_edgelist_timestamp.py:25,
+    load_edgelist_dataverse.py:9-13; M9).  Global min aggregate then a
+    vectorized subtract pass."""
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    mn = ev.min("ts")
+    mn_us = int(pd.Timestamp(mn).value // 1000)  # ns -> us
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        return pa.table({"day_idx": (us - mn_us) // DAY_US})
+
+    return ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("day_idx").aggregate(Count(alias_name="n_events"))
+
+
+def sql_ts_rebase() -> str:
+    return ("SELECT (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 86400000000 "
+            "AS day_idx, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY day_idx")
+
+
+def q_ts_window_filter(sf_dir: str):
+    """Edges-with-add < limit filter analog (M8, load_edgelist.py:63):
+    events in the first 12 hours from the stream start."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    mn_us = int(pd.Timestamp(ev.min("ts")).value // 1000)
+    cut = mn_us + 12 * HOUR_US
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        keep = us < cut
+        return pa.table({"event_type": batch["event_type"].filter(pa.array(keep))})
+
+    return ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("event_type").aggregate(Count(alias_name="n_events"))
+
+
+def sql_ts_window_filter() -> str:
+    return ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "WHERE epoch_us(ts) < (SELECT min(epoch_us(ts)) FROM events) + 43200000000 "
+            "GROUP BY event_type")
+
+
+# ---------------- M11/D2: distinct union of id sets ----------------
+
+def q_distinct_union(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["user_id"]).rename_columns({"user_id": "uid"})
+    oc = read_table(sf_dir, "orders", columns=["o_custkey"]).rename_columns({"o_custkey": "uid"})
+    return ev.union(oc).groupby("uid").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def sql_distinct_union() -> str:
+    return ("SELECT DISTINCT uid FROM (SELECT user_id AS uid FROM events "
+            "UNION ALL SELECT o_custkey FROM orders)")
+
+
+# ---------------- M2: condition-expression language ----------------
+
+COND_EXPR = "l_extendedprice * (1 - l_discount) > 50000 AND NOT l_returnflag == 'A'"
+
+
+def q_condition_filter(sf_dir: str):
+    """Filter via the compiled condition language (reference
+    ConditionParser semantics), then count per returnflag."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount", "l_returnflag"])
+    cond = compile_condition(COND_EXPR)
+    return li.map_batches(lambda df: df[cond(df)], batch_format="pandas") \
+             .groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
+
+
+def sql_condition_filter() -> str:
+    return ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_extendedprice * (1 - l_discount) > 50000 AND NOT l_returnflag = 'A' "
+            "GROUP BY l_returnflag")
+
+
+# ---------------- documents: dedup + text analysis ----------------
+
+def q_doc_dedup_exact(sf_dir: str):
+    from igpm_pem_ray.text.dedup import exact_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(docs).to_pandas()
+    return pa.table({"doc_id": np.sort(out["doc_id"].to_numpy())})
+
+
+def sql_doc_dedup_exact() -> str:
+    # same winner rule: min doc_id per exact (whitespace-normalized) text
+    return ("SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY regexp_replace(trim(text), '\\s+', ' ', 'g') ORDER BY doc_id")
+
+
+def q_doc_tokens(sf_dir: str):
+    from igpm_pem_ray.text.analysis import token_count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens": token_count(df["text"])})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_doc_tokens() -> str:
+    return ("SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens "
+            "FROM documents")
+
+
+def q_doc_quality(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = frozenset(STOP10)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        toks = text.str.split()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": text.str.len().astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_stopwords": toks.map(
+                lambda ws: sum(1 for w in ws if w in stop) if isinstance(ws, list) else 0
+            ).astype("int64"),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_doc_quality() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOP10)
+    return (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        f"CAST(length(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ({stops}))) AS BIGINT) END "
+        "AS n_stopwords FROM documents")
+
+
+def q_lang_dist(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["lang"])
+    return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def sql_lang_dist() -> str:
+    return "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------- embeddings: ANN cosine top-k ----------------
+
+ANN_K = 10
+
+
+def q_ann_cosine(sf_dir: str):
+    from igpm_pem_ray.ann.knn import brute_force_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", 0)])
+    qvec = np.asarray(qtbl["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = brute_force_topk(emb, qvec, k=ANN_K)
+    return pa.table({"vec_id": top["vec_id"],
+                     "sim_e4": scale_col(top["sim"].to_numpy(), 1e4)})
+
+
+def sql_ann_cosine() -> str:
+    # cast to DOUBLE[]: duckdb's float32 cosine would diverge from the
+    # engine's float64 math by ~1e-6 (visible at the 1e4 grid)
+    q = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+    sim = f"list_cosine_similarity(CAST(embedding AS DOUBLE[]), {q})"
+    return (f"SELECT vec_id, CAST(floor({sim}*1e4+0.5) AS BIGINT) AS sim_e4 "
+            f"FROM embeddings ORDER BY {sim} DESC, vec_id LIMIT {ANN_K}")

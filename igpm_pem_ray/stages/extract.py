@@ -54,17 +54,21 @@ class HtmlExtractor:
 
 
 def extract_pages(pages_ds, *, concurrency: int | tuple[int, int] = 4,
-                  batch_size: int = 256):
+                  batch_size: int = 256, num_cpus: float = 0.5):
     """pages Dataset -> extracted Dataset via the actor pool.
 
     ``batch_size`` is deliberately small: rows are MB-wide (html binary),
     so batch_size*row_width must fit the worker heap (SURVEY.md
-    "Memory-aware").  Callers at larger scale tune both knobs.
+    "Memory-aware").  ``num_cpus=0.5`` per actor: a pool that reserves
+    every CPU slot starves the read and shuffle stages of the same
+    pipeline and the streaming executor deadlocks (observed at
+    concurrency == num_cpus).  Callers at larger scale tune all three.
     """
     return pages_ds.map_batches(
         HtmlExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
         zero_copy_batch=True,
     )
