@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from igpm_pem_ray.graph.dense import DenseGraph, aggregate_messages, build_dense_graph
+from igpm_pem_ray.graph.dense import DenseGraph, build_dense_graph, msg_pass
 from igpm_pem_ray.state import checkpoint as ckpt
 
 
@@ -46,10 +46,8 @@ def connected_components_dense(g: DenseGraph, *, max_rounds: int = 10_000,
     t0 = time.perf_counter()
     rounds = start_round
     for k in range(start_round, max_rounds):
-        ref = ray.put(labels)
-        dst, mins = aggregate_messages(g.edges, ref, reduce="min")
-        new = labels.copy()
-        np.minimum.at(new, dst, mins)
+        msgs = msg_pass(g, labels, reduce="min", init=np.iinfo(np.int64).max)
+        new = np.minimum(labels, msgs)
         changed = int((new != labels).sum())
         labels = new
         rounds = k + 1

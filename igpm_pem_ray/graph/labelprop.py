@@ -10,14 +10,17 @@ with deterministic synchronous label propagation:
                      neighbors; ties broken by the SMALLEST label;
                      isolated vertices keep their label.
 
-Fully distributed argmax: messages (dst, src_label) are pre-counted per
-block (np.unique combiner over the (dst,label) pair), merged with
-``groupby(["dst","label"]).sum()``, then reduced to one winner per dst
-by packing (count, -label) into a single int64 max key — a second small
-groupby instead of a driver-side scan, so no O(E) data ever reaches the
-driver.  Convergence: zero label changes, or ``max_rounds`` (sync LP
-can 2-cycle on bipartite structures; the cap + deterministic tie-break
-keeps the output well-defined — tests pin the same spec).
+Execution: messages (dst, src_label) are pre-counted per pinned
+partition (np.unique over packed (dst,label) int64 codes inside raw
+Ray tasks — dense.lp_count_pass), merged on the driver, then reduced
+to one winner per dst by packing (count, -label) into a single int64
+max key (np.maximum.at).  At 10^11+ vertex scale the merge becomes the
+``groupby(["dst","label"]).sum()`` + packed-max shuffle described in
+SURVEY.md K3 — the per-partition combiner output is identical, only
+the merge transport changes.  Convergence: zero label changes, or
+``max_rounds`` (sync LP can 2-cycle on bipartite structures; the cap +
+deterministic tie-break keeps the output well-defined — tests pin the
+same spec).
 """
 
 from __future__ import annotations
@@ -27,7 +30,6 @@ import time
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Max, Sum
 
 from igpm_pem_ray.graph.dense import DenseGraph, build_dense_graph
 from igpm_pem_ray.state import checkpoint as ckpt
@@ -35,38 +37,25 @@ from igpm_pem_ray.state import checkpoint as ckpt
 _LBL_BITS = 31  # dense labels < 2^31 (asserted at graph build)
 
 
-def _lp_round(dense_edges, labels: np.ndarray, V: int) -> np.ndarray:
-    """One synchronous round; returns the new label array."""
-    ref = ray.put(labels)
+def _lp_round(g, labels: np.ndarray) -> np.ndarray:
+    """One synchronous round on the fast path: per-partition packed
+    (dst,label) counts (lp_count_pass), then a vectorized distributed-
+    deterministic argmax — maximize (count, -label) by packing both
+    into one int64 key and np.maximum.at per dst."""
+    from igpm_pem_ray.graph.dense import lp_count_pass
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        l = lab[batch["src"].to_numpy(zero_copy_only=False)]
-        pair = (d.astype(np.int64) << _LBL_BITS) | l
-        u, c = np.unique(pair, return_counts=True)
-        return pa.table({"dst": u >> _LBL_BITS, "label": u & ((1 << _LBL_BITS) - 1),
-                         "cnt": c.astype(np.int64)})
-
-    counts = dense_edges.map_batches(count_partial, batch_format="pyarrow",
-                                     zero_copy_batch=True) \
-                        .groupby(["dst", "label"]).aggregate(Sum("cnt", alias_name="cnt"))
-
-    def pack(batch: pa.Table) -> pa.Table:
-        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
-        lab = batch["label"].to_numpy(zero_copy_only=False)
-        # maximize (cnt, -label): high bits count, low bits bit-flipped label
-        key = (cnt << _LBL_BITS) | (((1 << _LBL_BITS) - 1) - lab)
-        return pa.table({"dst": batch["dst"], "key": key})
-
-    win = counts.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True) \
-                .groupby("dst").aggregate(Max("key", alias_name="key")).to_pandas()
+    mask = (1 << _LBL_BITS) - 1
+    codes, counts = lp_count_pass(g, labels, lbl_bits=_LBL_BITS)
     new = labels.copy()
-    if not len(win):  # no edges -> no label updates
+    if not len(codes):  # no edges -> no label updates
         return new
-    dst = win["dst"].to_numpy()
-    key = win["key"].to_numpy()
-    new[dst] = ((1 << _LBL_BITS) - 1) - (key & ((1 << _LBL_BITS) - 1))
+    dst = (codes >> _LBL_BITS).astype(np.int64)
+    lab = (codes & mask).astype(np.int64)
+    key = (counts << _LBL_BITS) | (mask - lab)
+    best = np.full(len(labels), -1, dtype=np.int64)
+    np.maximum.at(best, dst, key)
+    got = best >= 0
+    new[got] = mask - (best[got] & mask)
     return new
 
 
@@ -86,7 +75,7 @@ def label_propagation_dense(g: DenseGraph, *, max_rounds: int = 20,
     t0 = time.perf_counter()
     rounds = start
     for k in range(start, max_rounds):
-        new = _lp_round(g.edges, labels, V)
+        new = _lp_round(g, labels)
         changed = int((new != labels).sum())
         labels = new
         rounds = k + 1

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from igpm_pem_ray.graph.dense import DenseGraph, aggregate_messages, build_dense_graph
+from igpm_pem_ray.graph.dense import DenseGraph, build_dense_graph, msg_pass
 from igpm_pem_ray.state import checkpoint as ckpt
 
 
@@ -72,10 +72,7 @@ def pagerank_dense(g: DenseGraph, *, damping: float = 0.85, tol: float = 1e-6,
     t0 = time.perf_counter()
     for k in range(start_iter, max_iters):
         contrib = rank * inv_out
-        ref = ray.put(contrib)
-        dst, msg = aggregate_messages(g.edges, ref, reduce="sum")
-        new = np.zeros(V)
-        new[dst] = msg
+        new = msg_pass(g, contrib, reduce="sum", init=0.0)
         if dangling == "redistribute":
             new += rank[~nz].sum() / V
         new = (1.0 - damping) * base + damping * new
