@@ -149,12 +149,51 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         return lsh_topk(emb, qvec, k=10, nbits=4)
 
+    def incremental_steps(sf_dir: str):
+        """Batch-dynamic replay (K7 analog) over the ts-stamped fixture
+        edge stream: one row of metrics per tumbling ts batch."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from igpm_pem_ray.graph.build import extracted_to_edges, pages_to_extracted
+        from igpm_pem_ray.graph.incremental import IncrementalRunner
+        from igpm_pem_ray.sources.pages import generate_pages
+        from igpm_pem_ray import ids as ids_mod
+
+        sp = generate_pages(400, seed=42)
+        e = sp.expected_edges
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(ids_mod.urls_to_vids(e["src_url"].to_pylist())),
+            "dst": pa.array(ids_mod.urls_to_vids(e["dst_url"].to_pylist())),
+            "ts": e["ts"],
+        }))
+        steps = IncrementalRunner(ds, base_steps=2).run()
+        import pandas as pd
+
+        return pd.DataFrame(steps)
+
+    def multimodal_features(sf_dir: str):
+        """Actor-pool decode plumbing over synthetic binary payloads
+        (deterministic fake codec; schema/batching real)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from igpm_pem_ray.multimodal.decode import decode_images
+
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array(list(range(64)), type=pa.int64()),
+            "payload": pa.array([b"img%d" % i for i in range(64)], type=pa.binary()),
+        }))
+        return decode_images(media, concurrency=2, batch_size=16)
+
     return {
         "near_dup_groups": near_dup_groups,
         "simhash": simhash,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "ann_lsh": ann_lsh,
+        "incremental_steps": incremental_steps,
+        "multimodal_features": multimodal_features,
     }
 
 

@@ -40,6 +40,7 @@ from igpm_pem_ray.state import checkpoint as ckpt
 def pagerank_dense(g: DenseGraph, *, damping: float = 0.85, tol: float = 1e-6,
                    max_iters: int = 200, dangling: str = "redistribute",
                    p0: np.ndarray | None = None,
+                   init_rank: np.ndarray | None = None,
                    checkpoint_dir: str | None = None, checkpoint_every: int = 5,
                    resume: bool = False, stats: dict | None = None) -> np.ndarray:
     """Power iteration on an already-materialized DenseGraph.
@@ -56,7 +57,9 @@ def pagerank_dense(g: DenseGraph, *, damping: float = 0.85, tol: float = 1e-6,
               "dangling": dangling, "V": V, "E": g.num_edges,
               "personalized": p0 is not None}
     base = np.full(V, 1.0 / V) if p0 is None else p0
-    rank = base.copy()
+    # warm start (incremental batch-dynamic path, SURVEY.md K7): start
+    # from the previous step's converged vector instead of uniform
+    rank = base.copy() if init_rank is None else np.asarray(init_rank, dtype=np.float64)
     start_iter = 0
     if resume and checkpoint_dir:
         found = ckpt.latest_checkpoint(checkpoint_dir, params)

@@ -92,9 +92,16 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None,
     right = oriented.rename_columns(["v2", "w"])
     wedges = left.join(right, join_type="inner", num_partitions=num_partitions,
                        on=("v",), right_on=("v2",))
-    # wedge u->v->w needs u != w (u<v<w in orientation order guarantees it,
-    # but guard anyway) and a closing oriented edge (u,w)
-    cand = wedges.select_columns(["u", "w"]).rename_columns(["src", "dst"])
+    # wedge u->v->w closes with an oriented edge (u,w).  Projection via
+    # map_batches (select+rename can race with lazy schema resolution on
+    # empty join outputs — observed ValueError on zero-wedge graphs).
+    cand = wedges.map_batches(
+        lambda b: pa.table({"src": b["u"], "dst": b["w"]}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if cand.count() == 0:  # zero wedges -> empty schema would break the join
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0, "triangles": 0})
+        return 0
     closed = cand.join(oriented, join_type="inner", num_partitions=num_partitions,
                        on=("src", "dst"))
     n = closed.count()

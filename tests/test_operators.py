@@ -1,0 +1,195 @@
+"""Sources, post-ops, conditions, partitioning, multimodal, incremental."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray.functions import aggregator as agg_mod
+from igpm_pem_ray.functions.conditions import compile_condition, parse_condition
+from igpm_pem_ray.graph.incremental import IncrementalRunner
+from igpm_pem_ray.multimodal import decode as mm
+from igpm_pem_ray.sources import edgelist, nodelink
+from igpm_pem_ray.stages import partition as part_mod
+
+from tests import oracles
+
+
+# ---------- sources ----------
+
+def test_load_edgelist_row_stamping(tmp_path):
+    p = tmp_path / "e.txt"
+    p.write_text("".join(f"{i} {i + 1}\n" for i in range(10)))
+    ds = edgelist.load_edgelist(str(p), tm_size=3)
+    rows = sorted((r["src"], r["dst"], r["ts"]) for r in ds.take_all())
+    # reference semantics: add = row_index // tm_size (load_edgelist.py:29-33)
+    assert rows == [(i, i + 1, i // 3) for i in range(10)]
+
+
+def test_load_edgelist_timestamp_days(tmp_path):
+    p = tmp_path / "t.txt"
+    day = 86_400
+    p.write_text(f"1 2 {5 * day + 10}\n2 3 {7 * day + 5}\n3 4 {5 * day}\n")
+    ds = edgelist.load_edgelist_timestamp(str(p))
+    rows = sorted((r["src"], r["ts"]) for r in ds.take_all())
+    assert rows == [(1, 0), (2, 2), (3, 0)]  # re-based to min day
+
+
+def test_nodelink_reads_reference_sample():
+    """Parity input: the reference's own shipped fixture."""
+    v, e = nodelink.load_node_link_json("/root/reference/sample/static/test1p.json")
+    vp = v.to_pandas().sort_values("vid")
+    assert list(vp.columns) == ["vid", "label", "score"]
+    assert vp.iloc[0]["label"] == "cyan" and vp.iloc[0]["score"] == 1.0
+    ep = e.to_pandas()
+    assert {"src", "dst", "key", "label", "ts"} == set(ep.columns)
+    assert (ep["ts"] == 0).all()  # static sample: no 'add' attr
+
+
+def test_nodelink_roundtrip(tmp_path):
+    v, e = nodelink.load_node_link_json("/root/reference/sample/dynamic/test1.json")
+    out = tmp_path / "rt.json"
+    nodelink.write_node_link_json(v, e, str(out))
+    v2, e2 = nodelink.load_node_link_json(str(out))
+    assert v.to_pandas().sort_values("vid").reset_index(drop=True).equals(
+        v2.to_pandas().sort_values("vid").reset_index(drop=True))
+    key = ["src", "dst", "key", "label", "ts"]
+    assert e.to_pandas().sort_values(key).reset_index(drop=True).equals(
+        e2.to_pandas().sort_values(key).reset_index(drop=True))
+
+
+# ---------- aggregator / post-ops ----------
+
+def test_aggregator_specs():
+    df = pd.DataFrame({"g": ["a", "a", "b"], "score": ["1", "2", "10"]})
+    ds = rd.from_pandas(df)
+    out = agg_mod.aggregate(ds, ["COUNT", "SUM:x.score", "AVG:x.score",
+                                 "MIN:x.score", "MAX:x.score"]).to_pandas() \
+        if hasattr(agg_mod.aggregate(ds, ["COUNT"]), "to_pandas") else None
+    res = agg_mod.aggregate(rd.from_pandas(df), ["SUM:x.score"], group_by=["g"]).to_pandas()
+    res = res.sort_values("g").reset_index(drop=True)
+    # numeric-string coercion like the reference (aggregator.py:30-33)
+    assert res["sum_score"].tolist() == [3.0, 10.0]
+
+
+def test_order_by_limit():
+    ds = rd.from_pandas(pd.DataFrame({"x": [3, 1, 2], "y": [1, 2, 3]}))
+    out = agg_mod.order_by(ds, ["x"], descending=True, limit=2).to_pandas()
+    assert out["x"].tolist() == [3, 2]
+
+
+# ---------- condition language ----------
+
+def test_condition_parse_and_eval():
+    df = pd.DataFrame({"price": [10.0, 100.0, 60.0], "disc": [0.5, 0.0, 0.1],
+                       "flag": ["A", "B", "B"]})
+    cond = compile_condition("price * (1 - disc) > 50 AND NOT flag == 'A'")
+    assert cond(df).tolist() == [False, True, True]
+
+
+def test_condition_numeric_string_coercion():
+    # the reference coerces digit-strings to float (ConditionParser.py:118-127)
+    df = pd.DataFrame({"score": ["10", "3", "x"]})
+    cond = compile_condition("score >= 5")
+    assert cond(df).tolist() == [True, False, False]
+
+
+def test_condition_parse_errors():
+    with pytest.raises(ValueError):
+        parse_condition("a >")
+    with pytest.raises(ValueError):
+        parse_condition("a ~~ b")
+
+
+# ---------- partitioning / skew ----------
+
+def test_salting_spreads_hubs():
+    e = pd.DataFrame({"dst": [7] * 100 + list(range(100, 120))})
+    ds = rd.from_pandas(e)
+    hubs = part_mod.detect_hubs(ds, key="dst", threshold=50)
+    assert hubs.tolist() == [7]
+    salted = part_mod.salt_keys(ds, "dst", hubs, salt_factor=4).to_pandas()
+    hub_keys = salted.loc[salted["dst"] == 7, "salted_key"].unique()
+    assert len(hub_keys) == 4               # hub spread over 4 sub-keys
+    cold = salted.loc[salted["dst"] != 7, "salted_key"]
+    assert (cold == salted.loc[salted["dst"] != 7, "dst"] * 4).all()  # cold: salt 0
+
+
+def test_greedy_pack_balances():
+    assign = part_mod.greedy_pack({1: 100, 2: 60, 3: 50, 4: 10}, 2)
+    loads = {0: 0, 1: 0}
+    for item, w in assign.items():
+        loads[w] += {1: 100, 2: 60, 3: 50, 4: 10}[item]
+    assert abs(loads[0] - loads[1]) <= 10
+
+
+# ---------- multimodal stubs ----------
+
+def test_multimodal_decode_plumbing():
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([b"abc", b""], type=pa.binary()),
+    }))
+    feats = mm.decode_images(media, concurrency=1, batch_size=2).to_pandas()
+    assert set(feats.columns) == {"media_id", "mean_r", "mean_g", "mean_b"}
+    # deterministic fake: same payload -> same features
+    feats2 = mm.decode_images(media, concurrency=1, batch_size=2).to_pandas()
+    assert feats.sort_values("media_id").equals(feats2.sort_values("media_id"))
+    frames = mm.sample_frames(media, num_frames=3, concurrency=1).to_pandas()
+    assert len(frames) == 6 and set(frames["frame"]) == {0, 1, 2}
+
+
+def test_multimodal_strict_raises():
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([b"x"], type=pa.binary()),
+    }))
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
+        mm.decode_images(media, concurrency=1, strict=True).to_pandas()
+
+
+# ---------- incremental batch-dynamic driver ----------
+
+def test_incremental_runner_invariants():
+    # 3-step growing graph with a known triangle appearing at step 2
+    rows = [(1, 2, 0), (2, 3, 0), (3, 4, 1), (1, 3, 2), (5, 6, 2)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.int64()),
+    }))
+    runner = IncrementalRunner(ds, base_steps=1)
+    steps = runner.run()
+    assert [m["step"] for m in steps] == [0, 1, 2]
+    assert [m["n_edges"] for m in steps] == [2, 3, 5]
+    assert [m["triangles"] for m in steps] == [0, 0, 1]
+    assert steps[2]["n_components"] == 2          # {1..4} + {5,6}
+    assert steps[2]["n_affected"] == 4            # endpoints of batch 2
+    # warm start: later steps converge in fewer iterations than cold base
+    assert steps[2]["pagerank_iterations"] <= steps[0]["pagerank_iterations"] + 5
+
+
+def test_incremental_matches_full_recompute():
+    """Final-step warm-started PageRank == cold full recompute (1e-6)."""
+    from igpm_pem_ray.graph.pagerank import pagerank
+
+    rows = [(1, 2, 0), (2, 3, 0), (3, 1, 1), (3, 4, 1), (4, 5, 2)]
+    tbl = pa.table({
+        "src": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    runner = IncrementalRunner(ds, base_steps=1, invariants=False,
+                               pagerank_tol=1e-10)
+    runner.run()
+    warm = dict(zip(runner._prev_vids.tolist(), runner._prev_rank.tolist()))
+    cold = pagerank(ds.drop_columns(["ts"]), tol=1e-10)
+    cold_map = dict(zip(cold["vid"].to_pylist(), cold["rank"].to_pylist()))
+    for v, r in cold_map.items():
+        assert warm[v] == pytest.approx(r, abs=1e-6)
