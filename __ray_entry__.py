@@ -194,7 +194,23 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
+        "pattern_match": pattern_match,
     }
+
+
+def pattern_match(sf_dir: str):
+    """Subgraph pattern matching (G-Ray analog) on the reference's own
+    sample graph: triangle query with labels + condition post-filter.
+    Rows-only; full golden parity in tests/test_match.py."""
+    import pandas as pd
+
+    from igpm_pem_ray.match.subgraph import match_sets
+    from igpm_pem_ray.sources.nodelink import load_node_link_json
+
+    v, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    sets = match_sets(v, e, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
+    return pd.DataFrame({"match_id": range(len(sets)),
+                         "vids": [",".join(map(str, s)) for s in sets]})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,131 @@
+"""Pattern-matching parity against the reference's golden query cases
+(/root/reference/query_test.py:10-50), asserting full vid-set equality
+(stronger than the reference harness, which only compares counts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from igpm_pem_ray.match.subgraph import match_sets
+from igpm_pem_ray.sources.nodelink import load_node_link_json
+
+REF = "/root/reference/sample/static"
+
+CASES = [
+    ("test1.json",
+     "--vertex a b c d e --edge x:a:b y:b:c z:c:d w:d:e "
+     "--vertexlabel a:cyan b:cyan c:cyan d:cyan e:cyan",
+     [[0, 1, 2, 3, 4], [0, 2, 3, 4, 5]]),
+    ("test1.json",
+     "--vertex a b c --edge x:a:b y:b:c z:c:a "
+     "--vertexlabel a:cyan b:cyan c:cyan",
+     [[0, 1, 3], [2, 4, 5]]),
+    ("test1.json",
+     "--vertex a b c d --edge x:a:b y:b:c z:c:d w:d:a "
+     "--vertexlabel a:cyan b:cyan c:cyan d:cyan",
+     [[0, 2, 3, 4]]),
+    ("test2.json",
+     "--vertex a b c --edge x:a:b y:b:c z:c:a "
+     "--vertexlabel a:cyan b:cyan c:magenta",
+     [[2, 4, 5]]),
+    ("test1p.json",
+     "--vertex a b c --edge x:a:b y:b:c z:c:a",
+     [[0, 1, 3], [0, 3, 4], [2, 3, 4], [2, 4, 5]]),
+    ("test4.json",
+     "--vertex a b --edge x:a:b y:a:b --edgelabel x:yes y:no",
+     [[0, 1], [2, 4]]),
+    ("test1d.json",
+     "--vertex a b c --edge x:a:b y:a:c z:b:c --directed "
+     "--vertexlabel a:cyan b:cyan c:cyan",
+     [[0, 1, 3], [2, 4, 5]]),
+    ("test2d.json",
+     "--vertex a b c --edge x:a:b y:a:c z:b:c --directed "
+     "--vertexlabel a:cyan b:cyan c:magenta",
+     [[2, 4, 5]]),
+    ("test1p.json",
+     "--vertex a b c --edge x:a:b y:a:c z:b:c "
+     "--vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes",
+     [[0, 3, 4]]),
+    ("line.json",
+     "--vertex a b --path x:a:b --vertexlabel a:cyan b:cyan --edgelabel x:yes",
+     [[0, 1], [0, 1, 2], [0, 1, 2, 3], [1, 2], [1, 2, 3], [2, 3]]),
+    ("line.json",
+     "--vertex a b c --path x:a:b --edge y:b:c "
+     "--vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes",
+     [[0, 1, 2], [0, 1, 2, 3], [1, 2, 3]]),
+    ("test0p.json",
+     "--vertex a b c --edge x:a:b y:b:c --path z:a:c "
+     "--vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes",
+     [[0, 1, 2, 3]]),
+    ("test1p.json",
+     "--vertex a b c --edge x:a:b y:b:c --path z:c:a "
+     "--vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes",
+     [[0, 3, 4], [2, 3, 4, 5], [0, 2, 3, 4, 5]]),
+]
+
+
+def brute_force_oracle(v_ds, e_ds, qstr: str) -> list[tuple[int, ...]]:
+    """Exact enumeration by exhaustive assignment (tiny graphs only):
+    the independent ground truth for non-path queries."""
+    from itertools import product
+
+    from igpm_pem_ray.match.query import parse_query_args
+
+    q = parse_query_args(qstr.split())
+    vp = v_ds.to_pandas()
+    ep = e_ds.to_pandas()
+    labels = dict(zip(vp["vid"], vp["label"]))
+    edges = set()
+    for _, r in ep.iterrows():
+        edges.add((int(r["src"]), int(r["dst"]), r["label"]))
+        if not q.directed:
+            edges.add((int(r["dst"]), int(r["src"]), r["label"]))
+
+    def has_edge(u, w, lbl):
+        return any(a == u and b == w and (not lbl or l == lbl)
+                   for a, b, l in edges)
+
+    cands = {s: [v for v in labels
+                 if s not in q.vertex_labels or labels[v] == q.vertex_labels[s]]
+             for s in q.syms}
+    out = set()
+    for combo in product(*(cands[s] for s in q.syms)):
+        if len(set(combo)) != len(combo):
+            continue
+        m = dict(zip(q.syms, combo))
+        if all(has_edge(m[e.a], m[e.b], e.label) for e in q.edges):
+            out.add(tuple(sorted(set(combo))))
+    return sorted(out)
+
+
+# The reference's golden lists reflect its BEST-EFFORT matcher: for the
+# 5-chain on test1.json (case0) G-Ray's seed/argmax heuristic reports 2
+# of the 6 exact matches; for test4.json (case5) its harness counts a
+# degree-mismatched "approximate" result ([2,4] has no 'no'-labeled
+# edge).  This engine enumerates exact matches, so non-path cases are
+# asserted against an independent brute-force oracle, and against the
+# reference goldens wherever the goldens are themselves exact.
+EXACT_DIVERGENT = {0, 5}
+
+
+@pytest.mark.parametrize("gfile,qstr,expected", CASES,
+                         ids=[f"case{i}" for i in range(len(CASES))])
+def test_golden_match_sets(gfile, qstr, expected):
+    v, e = load_node_link_json(f"{REF}/{gfile}")
+    got = match_sets(v, e, qstr.split())
+    idx = CASES.index((gfile, qstr, expected))
+    if "--path" not in qstr:
+        assert got == brute_force_oracle(v, e, qstr), "vs exact oracle"
+    if idx not in EXACT_DIVERGENT:
+        assert got == sorted(tuple(sorted(s)) for s in expected), "vs reference golden"
+
+
+def test_condition_filter_on_matches():
+    """Condition language applied to match results (reference
+    --condition, ConditionParser semantics)."""
+    v, e = load_node_link_json(f"{REF}/test1p.json")
+    got = match_sets(v, e, ("--vertex a b c --edge x:a:b y:b:c z:c:a "
+                            "--condition a.score+b.score+c.score>=7").split())
+    # triangles with total score >= 7 only
+    base = match_sets(v, e, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
+    assert set(got) <= set(base) and len(got) < len(base)
