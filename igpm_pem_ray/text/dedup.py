@@ -171,7 +171,11 @@ def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
         pdf = docs_ds.select_columns(["doc_id"]).to_pandas()
         return pa.table({"doc_id": pdf["doc_id"].to_numpy(),
                          "group": pdf["doc_id"].to_numpy()})
-    edges = verified.select_columns(["doc_a", "doc_b"]).rename_columns(["src", "dst"])
+    # rename inside pandas (Dataset.rename_columns fuses badly after a
+    # pandas-format map in Ray 2.49: Project stage receives a DataFrame)
+    edges = verified.map_batches(
+        lambda df: df.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
+        batch_format="pandas")
     comp = connected_components(edges)  # (vid, component) over dup graph
     comp_map = dict(zip(comp["vid"].to_pylist(), comp["component"].to_pylist()))
     pdf = docs_ds.select_columns(["doc_id"]).to_pandas()

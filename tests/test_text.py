@@ -1,0 +1,97 @@
+"""Dedup suite + text analysis + ANN over a planted-duplicate corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray.ann.knn import brute_force_topk, lsh_topk
+from igpm_pem_ray.text import analysis, dedup
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest to find some food for the long winter")
+    rows = []
+    for i in range(30):
+        rows.append((i, f"document number {i} " + base + f" unique tail {i * 7}"))
+    # planted near-dups of doc 0 (one word changed) and exact dup of doc 1
+    rows.append((100, rows[0][1].replace("quick", "rapid")))
+    rows.append((101, rows[1][1]))
+    rows.append((102, "completely different tiny text"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    ds = rd.from_pandas(corpus)
+    out = dedup.exact_dedup(ds).to_pandas()
+    # exact dup 101 collapses into 1; everything else survives
+    assert len(out) == len(corpus) - 1
+    assert 1 in out["doc_id"].values and 101 not in out["doc_id"].values
+
+
+def test_minhash_near_dup_groups(corpus):
+    ds = rd.from_pandas(corpus)
+    groups = dedup.near_dup_groups(ds, num_perms=64, rows_per_band=4,
+                                   threshold=0.6).to_pandas()
+    g = dict(zip(groups["doc_id"], groups["group"]))
+    assert g[100] == g[0]          # near-dup pair clustered
+    assert g[101] == g[1]          # exact dup clustered
+    assert g[102] == 102           # singleton stays alone
+    # docs 2..29 share the long base text (high overlap by construction);
+    # the planted pairs are what we assert, not their absence
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < dedup.ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+def test_simhash_similarity(corpus):
+    ds = rd.from_pandas(corpus)
+    sh = dedup.simhash_table(ds, concurrency=1).to_pandas()
+    h = dict(zip(sh["doc_id"], sh["simhash"]))
+    dist_near = bin(h[0] ^ h[100]).count("1")
+    dist_far = bin(h[0] ^ h[102]).count("1")
+    assert dist_near < dist_far    # near-dup closer in Hamming space
+    assert dist_near <= 12
+
+
+def test_quality_and_langid(corpus):
+    ds = rd.from_pandas(corpus)
+    q = ds.map_batches(analysis.QualityScorer, batch_format="pandas",
+                       concurrency=1).to_pandas()
+    assert (q["n_tokens"] > 0).all()
+    # the base corpus is stopword-heavy English; doc 102 has none
+    assert (q.loc[q["doc_id"] < 100, "stop_ratio_e6"] > 0).all()
+    lid = ds.map_batches(analysis.LangId, batch_format="pandas",
+                         concurrency=1).to_pandas()
+    assert (lid.loc[lid["doc_id"] < 100, "lang_pred"] == "en").all()
+
+
+def test_fingerprint_normalizes_whitespace():
+    a = analysis.fingerprint64(["hello   world"])
+    b = analysis.fingerprint64([" hello world "])
+    c = analysis.fingerprint64(["hello worlds"])
+    assert a[0] == b[0] != c[0]
+
+
+def test_ann_brute_force_and_lsh():
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((200, 16))
+    vecs[17] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+    tbl = pa.table({"vec_id": pa.array(range(200), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    q = vecs[0:1]
+    top = brute_force_topk(ds, q, k=3).to_pandas()
+    assert top["vec_id"].tolist()[:2] == [0, 17]
+    assert top["sim"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+    lsh = lsh_topk(ds, q, k=3, nbits=3).to_pandas()
+    assert 0 in lsh["vec_id"].tolist()  # bucketed variant finds the identical vector
