@@ -1,0 +1,88 @@
+"""Checkpoint/resume equivalence (FIXTURES.md section 6): kill at
+iteration K, resume, final output identical to the uninterrupted run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray.graph.components import connected_components
+from igpm_pem_ray.graph.pagerank import pagerank
+from igpm_pem_ray.sources.pages import generate_pages
+from igpm_pem_ray import ids
+
+
+@pytest.fixture(scope="module")
+def edges_ds():
+    sp = generate_pages(200, seed=11)
+    e = sp.expected_edges
+    return rd.from_arrow(pa.table({
+        "src": pa.array(ids.urls_to_vids(e["src_url"].to_pylist())),
+        "dst": pa.array(ids.urls_to_vids(e["dst_url"].to_pylist())),
+    }))
+
+
+def test_pagerank_resume_equivalence(edges_ds, tmp_path):
+    ck = str(tmp_path / "pr")
+    full = pagerank(edges_ds, tol=1e-10)
+    # "crash" after 7 iterations (checkpoint every 3 -> iters 3,6 committed)
+    pagerank(edges_ds, tol=1e-10, max_iters=7, checkpoint_dir=ck, checkpoint_every=3)
+    resumed = pagerank(edges_ds, tol=1e-10, checkpoint_dir=ck, checkpoint_every=3,
+                       resume=True)
+    a = np.asarray(full["rank"])
+    b = np.asarray(resumed["rank"])
+    assert np.abs(a - b).max() < 1e-9
+    assert full["vid"].to_pylist() == resumed["vid"].to_pylist()
+
+
+def test_pagerank_resume_rejects_stale_params(edges_ds, tmp_path):
+    ck = str(tmp_path / "pr2")
+    pagerank(edges_ds, tol=1e-8, max_iters=6, checkpoint_dir=ck, checkpoint_every=2)
+    # different damping -> params fingerprint mismatch -> cold start (no crash)
+    stats: dict = {}
+    pagerank(edges_ds, damping=0.5, tol=1e-8, checkpoint_dir=ck, resume=True,
+             stats=stats)
+    assert stats["total_iterations"] == stats["iterations"]  # started from 0
+
+
+def test_cc_resume_equivalence(edges_ds, tmp_path):
+    ck = str(tmp_path / "cc")
+    full = connected_components(edges_ds)
+    connected_components(edges_ds, max_rounds=2, checkpoint_dir=ck)
+    resumed = connected_components(edges_ds, checkpoint_dir=ck, resume=True)
+    assert full.to_pydict() == resumed.to_pydict()
+
+
+def test_manifest_commit_marker(edges_ds, tmp_path):
+    """A checkpoint directory without manifest.json (simulated crash
+    mid-write) is ignored on resume."""
+    import json
+    import os
+
+    ck = str(tmp_path / "pr3")
+    pagerank(edges_ds, tol=1e-8, max_iters=4, checkpoint_dir=ck, checkpoint_every=2)
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    victim = os.path.join(ck, iters[-1], "manifest.json")
+    latest = json.load(open(victim))["iteration"]
+    os.remove(victim)  # simulate crash before commit
+    from igpm_pem_ray.state.checkpoint import latest_checkpoint
+
+    found = latest_checkpoint(ck, json.load(open(os.path.join(ck, iters[0], "manifest.json")))["params"])
+    assert found is not None and found[0] < latest
+
+
+def test_pages_dist_parse_vs_compose(tmp_path):
+    """The distributed generator obeys the same byte-identical
+    invariant as the driver-side one."""
+    from igpm_pem_ray.graph.build import pages_to_extracted
+    from igpm_pem_ray.sources.pages_dist import write_pages_dist
+
+    d = str(tmp_path / "pd")
+    write_pages_dist(d, 300, links_per_page=5, body_tokens=80, concurrency=2)
+    pages = rd.read_parquet(d)
+    ext = pages_to_extracted(pages, concurrency=2, batch_size=64)
+    got = {r["url"]: r["text"] for r in ext.select_columns(["url", "text"]).take_all()}
+    exp = {r["url"]: r["text"] for r in pages.select_columns(["url", "text"]).take_all()}
+    assert got == exp
