@@ -132,8 +132,17 @@ def rwr(edges_ds, *, restart: float = 0.7, tol: float = 1e-3,
     V = g.num_vertices
     p0 = None
     if source_vid is not None:
+        sv = np.atleast_1d(np.asarray(source_vid, dtype=g.vids.dtype))
+        pos = np.searchsorted(g.vids, sv)
+        in_range = pos < V
+        valid = in_range.copy()
+        valid[in_range] = g.vids[pos[in_range]] == sv[in_range]
+        if not valid.all():
+            raise KeyError(
+                f"rwr: source vid(s) not in the edge-derived vertex domain: "
+                f"{sv[~valid][:5].tolist()}")
         p0 = np.zeros(V)
-        p0[np.searchsorted(g.vids, np.asarray(source_vid, dtype=g.vids.dtype))] = 1.0
+        p0[pos] = 1.0
     rank = pagerank_dense(g, damping=1.0 - restart, tol=tol, max_iters=max_iters,
                           dangling="drop", p0=p0, stats=stats)
     return pa.table({"vid": g.vids, "score": rank})

@@ -94,9 +94,9 @@ def q_group_agg(sf_dir: str):
 def sql_group_agg() -> str:
     return (
         "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows, "
-        "sum(CAST(floor(l_quantity*100.0+0.5) AS BIGINT)) AS sum_qty_e2, "
-        "sum(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS sum_price_e2, "
-        "sum(CAST(floor(l_discount*1e6+0.5) AS BIGINT)) AS sum_disc_e6, "
+        "CAST(sum(CAST(floor(l_quantity*100.0+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2, "
+        "CAST(sum(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS sum_price_e2, "
+        "CAST(sum(CAST(floor(l_discount*1e6+0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e6, "
         "max(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS max_price_e2, "
         "min(CAST(floor(l_quantity*100.0+0.5) AS BIGINT)) AS min_qty_e2, "
         "CAST(sum(CAST(floor(l_discount*1e6+0.5) AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_e6 "
@@ -156,7 +156,7 @@ def q_join_broadcast(sf_dir: str):
 def sql_join_broadcast() -> str:
     return (
         "SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers, "
-        "sum(CAST(floor(c.c_acctbal*100.0+0.5) AS BIGINT)) AS sum_acctbal_e2 "
+        "CAST(sum(CAST(floor(c.c_acctbal*100.0+0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_e2 "
         "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name")
 
@@ -182,7 +182,7 @@ def q_join_hash(sf_dir: str):
 
 def sql_join_hash() -> str:
     return ("SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
-            "sum(CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT)) AS sum_totalprice_e2 "
+            "CAST(sum(CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_e2 "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment")
 
@@ -249,7 +249,7 @@ def q_window_events(sf_dir: str):
 def sql_window_events() -> str:
     return ("SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us, "
             "CAST(count(*) AS BIGINT) AS n_events, "
-            "sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS sum_value_e2 "
+            "CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2 "
             "FROM events GROUP BY event_type, window_start_us")
 
 
@@ -342,9 +342,12 @@ def q_doc_dedup_exact(sf_dir: str):
 
 
 def sql_doc_dedup_exact() -> str:
-    # same winner rule: min doc_id per exact (whitespace-normalized) text
+    # same winner rule: min doc_id per exact (whitespace-normalized) text;
+    # explicit ASCII whitespace class matches the engine's fingerprint64
+    # normalization exactly (tabs/newlines included, unicode spaces not)
     return ("SELECT min(doc_id) AS doc_id FROM documents "
-            "GROUP BY regexp_replace(trim(text), '\\s+', ' ', 'g') ORDER BY doc_id")
+            "GROUP BY trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) "
+            "ORDER BY doc_id")
 
 
 def q_doc_tokens(sf_dir: str):

@@ -56,12 +56,16 @@ def detect_hubs(edges_ds, *, key: str = "dst", threshold: int | None = None,
 
 
 def salt_keys(ds, key: str, hubs: np.ndarray, *, salt_factor: int = 8,
-              out_col: str = "salted_key"):
-    """Split hot keys into ``salt_factor`` deterministic sub-keys:
-    ``salted = key * salt_factor + (row_hash % salt_factor)``; cold keys
-    get sub-key 0.  groupby(salted_key) then spreads each hub across
-    salt_factor reducers; a second groupby on ``key`` (cheap — one row
-    per (key, salt)) merges the partials."""
+              out_col: str = "salt"):
+    """Split hot keys into ``salt_factor`` deterministic sub-keys by
+    appending a separate ``salt`` column; cold keys get salt 0.
+    ``groupby([key, salt])`` then spreads each hub across salt_factor
+    reducers; a second groupby on ``key`` alone (cheap — one row per
+    (key, salt)) merges the partials.
+
+    The salt is a SEPARATE column, not ``key*salt_factor+salt``: with
+    63-bit hashed vids (ids.py) the multiply wraps int64 and silently
+    merges distinct groups (ADVICE round 1)."""
     hub_ref = ray.put(np.sort(np.asarray(hubs, dtype=np.int64)))
 
     def salt(batch: pa.Table) -> pa.Table:
@@ -73,8 +77,8 @@ def salt_keys(ds, key: str, hubs: np.ndarray, *, salt_factor: int = 8,
             pos = np.minimum(pos, len(hubs_sorted) - 1)
             is_hub = hubs_sorted[pos] == k
         h = (np.arange(len(k)) + k) % salt_factor  # deterministic spread
-        salted = k * salt_factor + np.where(is_hub, h, 0)
-        return batch.append_column(out_col, pa.array(salted.astype(np.int64)))
+        s = np.where(is_hub, h, 0)
+        return batch.append_column(out_col, pa.array(s.astype(np.int64)))
 
     return ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
 

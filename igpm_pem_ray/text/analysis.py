@@ -17,7 +17,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WS = re.compile(r"\s+")
+# explicit ASCII whitespace class so the DuckDB (RE2) oracle and this
+# engine agree on texts with tabs/newlines/unicode spaces (ADVICE r1):
+# unicode whitespace is NOT collapsed by either engine.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
 _TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")  # BPE-ish: words+punct
 
 STOPWORDS = frozenset(
@@ -107,7 +110,7 @@ def fingerprint64(texts) -> np.ndarray:
     whitespace-normalized text) — the exact-dedup key."""
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        norm = _WS.sub(" ", (t or "").strip())
+        norm = _WS.sub(" ", t or "").strip(" ")
         out[i] = int.from_bytes(
             hashlib.blake2b(norm.encode("utf-8"), digest_size=8).digest(), "big") & ((1 << 63) - 1)
     return out

@@ -8,76 +8,122 @@ the public MinHash/LSH literature, e.g. Broder 1997 / MMDS ch.3).
 Execution shapes:
 - exact: vectorized fingerprint in map_batches -> groupby(fp) min —
   one hash-partition shuffle, no per-group Python;
-- MinHash+LSH: per-batch shingle->minhash (numpy, vectorized over the
-  permutation axis) -> explode to (band, band_hash, doc_id) rows ->
-  groupby bands -> candidate pairs -> n-gram Jaccard verify ->
-  connected components over the dup graph (min-label propagation,
-  reusing the graph kernel) -> representative = min doc_id per group;
-- SimHash: 64-bit hyperplane-free token-hash majority sketch per doc;
-  near-dup candidates = equal bands of the simhash.
+- MinHash+LSH: per-batch shingle->minhash (numpy, vectorized across the
+  whole batch via ``minimum.reduceat`` over doc offsets) -> explode to
+  (band, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
+  n-gram Jaccard verify via two hash joins pairs x documents (no
+  driver-side corpus materialization) -> connected components over the
+  dup graph (min-label propagation, reusing the graph kernel) ->
+  representative assigned by a left join documents x components;
+- SimHash: 64-bit token-hash bit-majority sketch, batch-vectorized.
+
+Hashing: word hashes come from ``pandas.util.hash_array`` (one C call
+per document, stable across processes) mixed into 3-shingle hashes with
+xor-multiply constants — no per-shingle hashlib calls in the hot path.
+The MinHash universal-hash family uses 32-bit shingle hashes and
+``a < 2**29`` so ``a*x + b < 2**62`` fits uint64 exactly before the
+Mersenne-61 reduction (the stated (a*x+b) mod p family is actually the
+implemented one; see ADVICE round 1).
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from igpm_pem_ray.text.analysis import fingerprint64
 
 _MERSENNE = (1 << 61) - 1
+# odd 64-bit mix constants (xxhash primes)
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hashes of word 3-shingles."""
+    """Stable 64-bit hashes of word 3-shingles (vectorized: one
+    ``pd.util.hash_array`` call per doc + numpy trigram mixing)."""
     words = text.split()
-    if len(words) < 3:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-    return out
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = pd.util.hash_array(np.asarray(words, dtype=object))
+    if len(wh) == 1:
+        return (wh * _P1).astype(np.uint64)
+    if len(wh) == 2:
+        return np.asarray([wh[0] * _P1 ^ wh[1] * _P2], dtype=np.uint64)
+    return (wh[:-2] * _P1) ^ (wh[1:-1] * _P2) ^ (wh[2:] * _P3)
+
+
+def _batch_shingles(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenated shingle hashes for a batch.
+
+    Returns (hashes, lens, starts) where ``lens[i]`` is doc i's shingle
+    count and ``starts`` are reduceat offsets for the docs with
+    ``lens > 0`` (in order)."""
+    hs = [_token_hashes(t or "") for t in texts]
+    lens = np.asarray([len(h) for h in hs], dtype=np.int64)
+    nz = [h for h in hs if len(h)]
+    if not nz:
+        return np.empty(0, dtype=np.uint64), lens, np.empty(0, dtype=np.int64)
+    flat = np.concatenate(nz)
+    counts = lens[lens > 0]
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return flat, lens, starts
 
 
 class MinHasher:
     """Actor-pool stage: documents -> (doc_id, band, band_hash) rows.
 
-    num_perms permutations via universal hashing a*x+b mod p (seeded,
-    identical across actors); bands of rows_per_band signature slots.
+    num_perms permutations via universal hashing (a*x+b) mod p with
+    p = 2^61-1, a < 2^29 and 32-bit shingle hashes so the uint64 math
+    never wraps before the reduction; bands of rows_per_band slots.
     """
 
     def __init__(self, num_perms: int = 64, rows_per_band: int = 4, seed: int = 7) -> None:
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.uint64)
+        self.a = rng.randint(1, 1 << 29, size=num_perms, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.uint64)
         self.num_perms = num_perms
         self.rows_per_band = rows_per_band
         self.num_bands = num_perms // rows_per_band
 
+    def signatures(self, texts) -> np.ndarray:
+        """(D, P) minhash signature matrix, vectorized across the batch
+        (one (P, total_shingles) universal-hash matrix + reduceat min
+        over doc offsets)."""
+        flat, lens, starts = _batch_shingles(texts)
+        sigs = np.zeros((len(lens), self.num_perms), dtype=np.uint64)
+        if len(flat):
+            x32 = flat >> np.uint64(32)
+            vals = (self.a[:, None] * x32[None, :] + self.b[:, None]) % _MERSENNE
+            sigs[lens > 0] = np.minimum.reduceat(vals, starts, axis=1).T
+        return sigs
+
     def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text)
-        if len(h) == 0:
-            return np.zeros(self.num_perms, dtype=np.uint64)
-        # (P,N) universal-hash matrix, min over shingles; object->uint64 safe math
-        vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(D, num_bands) int64 band-bucket keys from (D, P) signatures."""
+        grouped = sigs.reshape(len(sigs), self.num_bands, self.rows_per_band)
+        bh = np.zeros((len(sigs), self.num_bands), dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            bh = bh * _P1 ^ grouped[:, :, j]
+        return (bh >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bands, bhash = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text or "")
-            for b in range(self.num_bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                doc_ids.append(doc_id)
-                bands.append(b)
-                bhash.append(int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big") >> 1)
-        return pd.DataFrame({"doc_id": doc_ids, "band": bands, "band_hash": bhash})
+        sigs = self.signatures(list(batch["text"]))
+        bh = self.band_hashes(sigs)
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.repeat(ids, self.num_bands),
+            "band": np.tile(np.arange(self.num_bands, dtype=np.int64), len(ids)),
+            "band_hash": bh.ravel(),
+        })
 
 
 def exact_dedup(docs_ds, *, key: str = "text"):
@@ -128,76 +174,99 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
-def verify_pairs(pairs_ds, docs_ds, *, threshold: float = 0.8, n: int = 3):
+def verify_pairs(pairs_ds, docs_ds, *, threshold: float = 0.8, n: int = 3,
+                 num_partitions: int = 2):
     """Verify candidate pairs with exact n-gram Jaccard.
 
-    Texts for the pair endpoints are fetched via a broadcast dict when
-    the doc table is small; at scale this becomes two hash joins of
-    pairs against documents (noted; same columns out).
-    Returns (doc_a, doc_b, jaccard_e6) for pairs >= threshold.
+    Texts are attached by two hash joins pairs x documents (doc_a then
+    doc_b) — no driver-side corpus dict, no broadcast of texts; the
+    only data movement is the candidate pairs shuffled by doc id (scale
+    path per VERDICT round 1).  Returns (doc_a, doc_b, jaccard_e6) for
+    pairs >= threshold.
     """
-    import ray
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    ta = docs.map_batches(lambda t: t.rename_columns(["doc_a", "text_a"]),
+                          batch_format="pyarrow")
+    tb = docs.map_batches(lambda t: t.rename_columns(["doc_b", "text_b"]),
+                          batch_format="pyarrow")
+    j = pairs_ds.join(ta, join_type="inner", num_partitions=num_partitions,
+                      on=("doc_a",))
+    j = j.join(tb, join_type="inner", num_partitions=num_partitions,
+               on=("doc_b",))
 
-    texts = {r["doc_id"]: r["text"]
-             for r in docs_ds.select_columns(["doc_id", "text"]).iter_rows()}
-    ref = ray.put(texts)
-
-    def check(batch: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(ref)
-        sims = np.array([ngram_jaccard(tx.get(a, ""), tx.get(b, ""), n=n)
-                         for a, b in zip(batch["doc_a"], batch["doc_b"])])
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        sims = np.array([ngram_jaccard(a or "", b or "", n=n)
+                         for a, b in zip(df["text_a"], df["text_b"])], dtype=np.float64)
         keep = sims >= threshold
-        out = batch.loc[keep, ["doc_a", "doc_b"]].copy()
+        out = df.loc[keep, ["doc_a", "doc_b"]].copy()
         out["jaccard_e6"] = np.floor(sims[keep] * 1e6 + 0.5).astype(np.int64)
         return out
 
-    return pairs_ds.map_batches(check, batch_format="pandas")
+    return j.map_batches(check, batch_format="pandas")
+
+
+def _self_groups(docs_ds):
+    """(doc_id, group=doc_id) — the no-dup fallback, streaming."""
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "group": t["doc_id"]}),
+        batch_format="pyarrow")
 
 
 def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
-                    threshold: float = 0.8):
+                    threshold: float = 0.8, num_partitions: int = 2):
     """Full MinHash-LSH dedup: candidates -> verify -> connected
     components over the dup-pair graph -> (doc_id, group) with group =
-    min doc_id of the near-dup cluster."""
+    min doc_id of the near-dup cluster.
+
+    Group assignment is a left join documents x components (docs not in
+    any dup pair keep their own id) — no driver-side component dict.
+    Returns a Dataset."""
     from igpm_pem_ray.graph.components import connected_components
 
     cand = lsh_candidate_pairs(docs_ds, num_perms=num_perms, rows_per_band=rows_per_band)
     if cand.count() == 0:
-        pdf = docs_ds.select_columns(["doc_id"]).to_pandas()
-        return pa.table({"doc_id": pdf["doc_id"].to_numpy(),
-                         "group": pdf["doc_id"].to_numpy()})
-    verified = verify_pairs(cand, docs_ds, threshold=threshold)
+        return _self_groups(docs_ds)
+    verified = verify_pairs(cand, docs_ds, threshold=threshold,
+                            num_partitions=num_partitions)
     if verified.count() == 0:
-        pdf = docs_ds.select_columns(["doc_id"]).to_pandas()
-        return pa.table({"doc_id": pdf["doc_id"].to_numpy(),
-                         "group": pdf["doc_id"].to_numpy()})
+        return _self_groups(docs_ds)
     # rename inside pandas (Dataset.rename_columns fuses badly after a
     # pandas-format map in Ray 2.49: Project stage receives a DataFrame)
     edges = verified.map_batches(
         lambda df: df.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
         batch_format="pandas")
-    comp = connected_components(edges)  # (vid, component) over dup graph
-    comp_map = dict(zip(comp["vid"].to_pylist(), comp["component"].to_pylist()))
-    pdf = docs_ds.select_columns(["doc_id"]).to_pandas()
-    ids = pdf["doc_id"].to_numpy()
-    groups = np.array([comp_map.get(i, i) for i in ids], dtype=np.int64)
-    return pa.table({"doc_id": ids, "group": groups})
+    comp = connected_components(edges)  # pa.Table (vid, component) over dup graph
+    comp_ds = rd.from_arrow(comp.rename_columns(["doc_id", "group"]))
+    joined = docs_ds.select_columns(["doc_id"]).join(
+        comp_ds, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "group": pc.coalesce(t["group"], t["doc_id"]).cast(pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 class SimHasher:
-    """64-bit SimHash per document (token-hash bit-majority sketch)."""
+    """64-bit SimHash per document (token-hash bit-majority sketch),
+    batch-vectorized: one (total_shingles, 64) bit matrix + reduceat."""
+
+    _BITS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            h = _token_hashes(text or "")
-            if len(h) == 0:
-                out[i] = 0
-                continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            maj = (bits.sum(axis=0) * 2 >= len(h)).astype(np.uint64)
-            val = int((maj << np.arange(64, dtype=np.uint64)).sum())
-            out[i] = val & ((1 << 63) - 1)
+        flat, lens, starts = _batch_shingles(list(batch["text"]))
+        out = np.zeros(len(lens), dtype=np.int64)
+        if len(flat):
+            bits = ((flat[:, None] >> self._BITS) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bits, starts, axis=0)       # (D_nz, 64)
+            counts = lens[lens > 0][:, None]
+            maj = (sums * 2 >= counts).astype(np.uint64)
+            vals = (maj << self._BITS).sum(axis=1, dtype=np.uint64)
+            out[lens > 0] = (vals & np.uint64((1 << 63) - 1)).astype(np.int64)
         batch["simhash"] = out
         return batch
 

@@ -114,10 +114,15 @@ def test_salting_spreads_hubs():
     hubs = part_mod.detect_hubs(ds, key="dst", threshold=50)
     assert hubs.tolist() == [7]
     salted = part_mod.salt_keys(ds, "dst", hubs, salt_factor=4).to_pandas()
-    hub_keys = salted.loc[salted["dst"] == 7, "salted_key"].unique()
-    assert len(hub_keys) == 4               # hub spread over 4 sub-keys
-    cold = salted.loc[salted["dst"] != 7, "salted_key"]
-    assert (cold == salted.loc[salted["dst"] != 7, "dst"] * 4).all()  # cold: salt 0
+    hub_salts = salted.loc[salted["dst"] == 7, "salt"].unique()
+    assert len(hub_salts) == 4              # hub spread over 4 sub-keys
+    assert (salted.loc[salted["dst"] != 7, "salt"] == 0).all()  # cold: salt 0
+    # 63-bit hashed vids must not collide/wrap (ADVICE r1): distinct
+    # huge keys stay distinct under (key, salt) grouping
+    big = pd.DataFrame({"dst": [(1 << 62) + 1, (1 << 62) + 1 + (1 << 61)]})
+    sb = part_mod.salt_keys(rd.from_pandas(big), "dst", np.empty(0, dtype=np.int64),
+                            salt_factor=8).to_pandas()
+    assert len(sb.groupby(["dst", "salt"]).size()) == 2
 
 
 def test_greedy_pack_balances():
