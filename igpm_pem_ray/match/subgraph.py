@@ -63,13 +63,17 @@ class SubgraphMatcher:
         self._props = {c: dict(zip(vp["vid"], vp[c]))
                        for c in vp.columns if c not in ("vid", "label")}
         self._vp = vp
+        self._scores: dict | None = None   # lazy global-RWR candidate ranking
+        self._max_candidates = 0           # >0 inside match_best_effort
+        self._npart_override = 0           # joins forced single-partition
 
     # ---- relations ----
 
-    def _edge_rel(self, label: str, directed: bool):
+    def _edge_rel(self, label: str, directed: bool, *, edges=None):
         """(u, v) Dataset for one query edge; empty label = wildcard
-        (reference Condition.py:120-125)."""
-        ds = self.edges
+        (reference Condition.py:120-125).  ``edges`` overrides the full
+        edge relation (incremental delta joins)."""
+        ds = self.edges if edges is None else edges
         if label:
             ds = ds.filter(expr=f"label == '{label}'")
 
@@ -123,9 +127,41 @@ class SubgraphMatcher:
     def _candidates(self, q: Query, sym: str) -> np.ndarray | None:
         lbl = q.vertex_labels.get(sym)
         if lbl is None:
-            return None
-        return np.sort(np.array([v for v, l in self._labels.items() if l == lbl],
-                                dtype=np.int64))
+            cand = None
+        else:
+            cand = np.sort(np.array([v for v, l in self._labels.items() if l == lbl],
+                                    dtype=np.int64))
+        if self._max_candidates:
+            if cand is None:
+                cand = np.sort(self._vp["vid"].to_numpy().astype(np.int64))
+            cand = self._rwr_limit(cand, self._max_candidates)
+        return cand
+
+    def _rwr_scores(self) -> dict:
+        """Global (uniform-restart) RWR score per vid — the best-effort
+        candidate ranking (the reference ranks candidates by per-seed
+        RWR, gray_multiple.py:421-441; this uses the global proximity
+        vector as the scalable analog)."""
+        if self._scores is None:
+            from igpm_pem_ray.graph.pagerank import rwr
+
+            t = rwr(self.edges)
+            self._scores = dict(zip(t["vid"].to_pylist(), t["score"].to_pylist()))
+        return self._scores
+
+    def _rwr_limit(self, cand: np.ndarray, n: int) -> np.ndarray:
+        """Keep the top-n RWR-ranked candidates INCLUDING score ties at
+        the boundary — the reference's argmax tie-set semantics
+        (gray_multiple.py:436-441 keeps every candidate within 1e-5 of
+        the max log-score)."""
+        if len(cand) <= n:
+            return cand
+        sc = self._rwr_scores()
+        s = np.array([sc.get(int(v), 0.0) for v in cand])
+        order = np.lexsort((cand, -s))
+        cut = s[order[n - 1]] - 1e-12
+        keep = order[s[order] >= cut]
+        return np.sort(cand[keep])
 
     # ---- main ----
 
@@ -133,21 +169,100 @@ class SubgraphMatcher:
         """-> one row per distinct match; columns = sym vids + path
         intermediate columns ``_p_{name}_{k}`` (-1 = unused)."""
         order = self._plan(q)
-        bound: list[str] = []
-        inter_cols: list[str] = []
         first = order[0].a if order else (q.syms[0] if q.syms else None)
         if first is None:
             return pd.DataFrame()
         cand = self._candidates(q, first)
         if cand is None:
             cand = np.sort(self._vp["vid"].to_numpy().astype(np.int64))
-        partials = ray.data.from_arrow(pa.table({first: pa.array(cand)}))
+        pdf, inter_cols = self._exec_plan(q, order, first, cand)
+        pdf = self._apply_condition(q, pdf)
+        return self._dedup_sets(pdf, [s for s in pdf.columns if not s.startswith("_p_")],
+                                inter_cols)
+
+    def match_best_effort(self, q: Query, *, time_limit: float = 0.0,
+                          max_candidates: int = 0,
+                          seed_chunk: int = 16) -> pd.DataFrame:
+        """Anytime G-Ray analog (K6 best-effort semantics).
+
+        Seeds (first-symbol candidates) are ranked by global RWR score
+        descending — the reference's SeedFinder ordering
+        (gray_multiple.py:399-417) — and processed in chunks through
+        the exact join plan; when ``time_limit`` (seconds, <=0 =
+        disabled, reference README time_limit) is exhausted the matches
+        found so far are returned (gray_multiple.py:142-144 per-seed
+        timeout).  ``max_candidates`` > 0 additionally limits every
+        bind step to the top-N RWR-ranked candidates with boundary ties
+        kept (argmax tie-set, gray_multiple.py:436-441).  Results are
+        always a SUBSET of ``match(q)`` — exact matches, possibly not
+        all of them.
+        """
+        import time as _time
+
+        order = self._plan(q)
+        first = order[0].a if order else (q.syms[0] if q.syms else None)
+        if first is None:
+            return pd.DataFrame()
+        self._max_candidates = int(max_candidates)
+        self._npart_override = 1
+        try:
+            seeds = self._candidates(q, first)
+            if seeds is None:
+                seeds = np.sort(self._vp["vid"].to_numpy().astype(np.int64))
+            sc = self._rwr_scores()
+            svals = np.array([sc.get(int(v), 0.0) for v in seeds])
+            seeds = seeds[np.lexsort((seeds, -svals))]  # score desc, vid asc
+            t0 = _time.perf_counter()
+            parts: list[pd.DataFrame] = []
+            inter_cols: list[str] = []
+            timed_out = False
+            for i in range(0, len(seeds), seed_chunk):
+                chunk = np.sort(seeds[i:i + seed_chunk])
+                pdf, inter_cols = self._exec_plan(q, order, first, chunk)
+                if len(pdf):
+                    parts.append(pdf)
+                if 0.0 < time_limit < _time.perf_counter() - t0:
+                    timed_out = True
+                    break
+            if not parts:
+                return pd.DataFrame()
+            pdf = pd.concat(parts, ignore_index=True)
+            pdf = self._apply_condition(q, pdf)
+            out = self._dedup_sets(pdf, [s for s in pdf.columns if not s.startswith("_p_")],
+                                   inter_cols)
+            out.attrs["timed_out"] = timed_out
+            return out
+        finally:
+            self._max_candidates = 0
+            self._npart_override = 0
+
+    def _exec_plan(self, q: Query, order, first: str, seed_vids: np.ndarray,
+                   rel_override: dict | None = None):
+        """Run the BFS-join plan from the given seed set for the first
+        symbol.  Returns (pdf of fully-bound rows, deduplicated on
+        exact row equality, pre-condition/pre-set-dedup; inter_cols).
+        ``rel_override`` maps a query-edge name to an edge Dataset
+        (src, dst[, label]) replacing the full edge relation for that
+        slot — the incremental delta-join hook."""
+        bound: list[str] = []
+        inter_cols: list[str] = []
+        # single-partition joins for tiny seed sets: Ray 2.49's hash
+        # join loses the schema of EMPTY partitions (ArrowInvalid), and
+        # a 2-seed chunk leaves most of num_partitions partitions empty
+        npart = self._npart_override or self.num_partitions
+        partials = ray.data.from_arrow(pa.table({first: pa.array(
+            np.asarray(seed_vids, dtype=np.int64))}))
         bound.append(first)
 
         for qe in order:
             a_bound, b_bound = qe.a in bound, qe.b in bound
-            rel = (self._path_rel(qe.label, q.directed) if qe.is_path
-                   else self._edge_rel(qe.label, q.directed))
+            if rel_override and qe.name in rel_override:
+                rel = self._edge_rel(qe.label, q.directed,
+                                     edges=rel_override[qe.name])
+            elif qe.is_path:
+                rel = self._path_rel(qe.label, q.directed)
+            else:
+                rel = self._edge_rel(qe.label, q.directed)
             rel_cols = ["u", "v"] + (["i1", "i2"] if qe.is_path else [])
             suffix = f"_{qe.name}"
             ren = {c: c + suffix for c in rel_cols}
@@ -157,16 +272,16 @@ class SubgraphMatcher:
             u, v = "u" + suffix, "v" + suffix
 
             if partials.count() == 0:
-                return pd.DataFrame(columns=bound + inter_cols)
+                return pd.DataFrame(columns=bound + inter_cols), inter_cols
             if a_bound and b_bound:
                 j = partials.join(rel, join_type="inner",
-                                  num_partitions=self.num_partitions,
+                                  num_partitions=npart,
                                   on=(qe.a, qe.b), right_on=(u, v))
             elif a_bound or b_bound:
                 src_sym, dst_sym = (qe.a, qe.b) if a_bound else (qe.b, qe.a)
                 key = u if a_bound else v
                 j = partials.join(rel, join_type="inner",
-                                  num_partitions=self.num_partitions,
+                                  num_partitions=npart,
                                   on=(src_sym,), right_on=(key,))
                 newcol = v if a_bound else u
                 j = self._bind(j, q, dst_sym, newcol, bound, inter_cols)
@@ -184,10 +299,7 @@ class SubgraphMatcher:
             # parallel edges create duplicate partial rows: collapse
             partials = j.materialize()
 
-        pdf = partials.to_pandas().drop_duplicates()
-        pdf = self._apply_condition(q, pdf)
-        return self._dedup_sets(pdf, [s for s in pdf.columns if not s.startswith("_p_")],
-                                inter_cols)
+        return partials.to_pandas().drop_duplicates(), inter_cols
 
     def _plan(self, q: Query):
         """Edge order: always extend from already-bound syms (the
@@ -280,10 +392,89 @@ class SubgraphMatcher:
             s = {int(row[c]) for c in sym_cols}
             s |= {int(row[c]) for c in inter_cols if int(row[c]) >= 0}
             return tuple(sorted(s))
-        pdf = pdf.copy()
+        # canonical representative per set: lexicographically smallest
+        # binding — distributed join output order is nondeterministic,
+        # and the surviving row must not depend on it
+        pdf = pdf.sort_values(list(sym_cols) + list(inter_cols),
+                              kind="mergesort").copy()
         pdf["_vidset"] = pdf.apply(key, axis=1)
         pdf = pdf.drop_duplicates("_vidset")
         return pdf.reset_index(drop=True)
+
+    # ---- post-ops (M1 --groupby/--orderby/--aggregate) ----
+
+    @staticmethod
+    def _prop_refs(specs: list[str], *, agg: bool = False) -> list[tuple[str, str]]:
+        """"a.score" / "SUM:a.score" -> (sym, prop) pairs."""
+        out = []
+        for spec in specs:
+            target = spec.partition(":")[2] if agg else spec
+            if not target:
+                continue
+            sym, _, prop = target.partition(".")
+            out.append((sym, prop))
+        return out
+
+    def match_post(self, q: Query, *, matches: pd.DataFrame | None = None) -> dict:
+        """Apply ``Query.group_by/order_by/aggregates`` to ``match()``
+        output — the reference's post-processing block
+        (gray/query_call.py:381-403: Grouping.groupBy prints (key,
+        len(group)), Ordering.orderBy sorts results by a node prop,
+        Aggregator evaluates COUNT/MIN/MAX/SUM/AVG over "OP:sym.prop").
+
+        Returns ``{"matches": pdf, "groups": pdf | None, "ordered":
+        pdf | None, "aggregates": dict | None}``.  Prop columns are
+        materialized as ``sym__prop`` and the heavy ops run through
+        ``functions.aggregator`` (one Ray groupby/sort — match results
+        can be huge even when the query is small)."""
+        import ray.data as rd
+
+        from igpm_pem_ray.functions import aggregator as agg_mod
+
+        pdf = self.match(q) if matches is None else matches
+        out: dict = {"matches": pdf, "groups": None, "ordered": None,
+                     "aggregates": None}
+        if not (q.group_by or q.order_by or q.aggregates):
+            return out
+        aug = pdf.drop(columns=["_vidset"], errors="ignore").copy()
+        refs = (self._prop_refs(q.group_by) + self._prop_refs(q.order_by)
+                + self._prop_refs(q.aggregates, agg=True))
+        for sym, prop in refs:
+            col = f"{sym}__{prop}" if prop else sym
+            if col not in aug.columns and prop:
+                mapping = self._labels if prop == "label" else self._props.get(prop, {})
+                aug[col] = pdf[sym].map(mapping)
+        if not len(aug):
+            out["groups"] = pd.DataFrame()
+            out["ordered"] = pd.DataFrame()
+            out["aggregates"] = None  # reference: warns + returns None
+            return out
+        ds = rd.from_pandas(aug)
+        if q.group_by:
+            keys = [f"{s}__{p}" if p else s for s, p in self._prop_refs(q.group_by)]
+            out["groups"] = agg_mod.group_by(ds, keys).to_pandas() \
+                                   .sort_values(keys).reset_index(drop=True)
+        if q.order_by:
+            keys = [f"{s}__{p}" if p else s for s, p in self._prop_refs(q.order_by)]
+            out["ordered"] = agg_mod.order_by(ds, keys).to_pandas().reset_index(drop=True)
+        if q.aggregates:
+            specs = []
+            for spec in q.aggregates:
+                op, _, target = spec.partition(":")
+                if target:
+                    sym, _, prop = target.partition(".")
+                    specs.append(f"{op}:{sym}__{prop}" if prop else f"{op}:{sym}")
+                else:
+                    specs.append(op)
+            res = agg_mod.aggregate(ds, specs)
+            # report under the user's original spec strings
+            ren = {}
+            for orig, rebuilt in zip(q.aggregates, specs):
+                op, _, t = rebuilt.partition(":")
+                key = f"{op.lower()}_{t.split('.')[-1]}" if t else "count"
+                ren[orig] = res.get(key)
+            out["aggregates"] = ren
+        return out
 
 
 def match_sets(vertices_ds, edges_ds, query_args: list[str]) -> list[tuple[int, ...]]:

@@ -120,6 +120,66 @@ def test_golden_match_sets(gfile, qstr, expected):
         assert got == sorted(tuple(sorted(s)) for s in expected), "vs reference golden"
 
 
+def test_match_post_ops():
+    """--groupby/--orderby/--aggregate applied to match output
+    (reference gray/query_call.py:381-403 + aggregator.py semantics),
+    verified against a hand-computed oracle on test1p.json."""
+    from igpm_pem_ray.match.query import parse_query_args
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+
+    v, e = load_node_link_json(f"{REF}/test1p.json")
+    q = parse_query_args(("--vertex a b c --edge x:a:b y:b:c z:c:a "
+                          "--groupby a.label --orderby a.score "
+                          "--aggregate COUNT --aggregate SUM:a.score "
+                          "--aggregate AVG:a.score").split())
+    m = SubgraphMatcher(v, e)
+    post = m.match_post(q)
+    pdf = post["matches"]
+    assert len(pdf) > 0
+    # oracle: recompute from the matches themselves
+    scores = dict(zip(v.to_pandas()["vid"], v.to_pandas()["score"]))
+    labels = dict(zip(v.to_pandas()["vid"], v.to_pandas()["label"]))
+    a_scores = [float(scores[int(r)]) for r in pdf["a"]]
+    assert post["aggregates"]["COUNT"] == len(pdf)
+    assert post["aggregates"]["SUM:a.score"] == pytest.approx(sum(a_scores))
+    assert post["aggregates"]["AVG:a.score"] == pytest.approx(sum(a_scores) / len(pdf))
+    # groups: count of matches per a-label
+    import collections
+    want = collections.Counter(labels[int(r)] for r in pdf["a"])
+    got = dict(zip(post["groups"]["a__label"], post["groups"]["n_rows"]))
+    assert got == dict(want)
+    # ordered: ascending by a.score
+    ordered_scores = [float(s) for s in post["ordered"]["a__score"]]
+    assert ordered_scores == sorted(ordered_scores)
+
+
+@pytest.mark.parametrize("gfile,qstr", [(g, s) for g, s, _ in CASES[:6]],
+                         ids=[f"be{i}" for i in range(6)])
+def test_best_effort_subset_and_anytime(gfile, qstr):
+    """Best-effort mode (time_limit + RWR-ranked candidate limiting,
+    gray_multiple.py:142-144,436-441): results are always a subset of
+    exact; with no budget pressure they equal exact."""
+    from igpm_pem_ray.match.query import parse_query_args
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+
+    v, e = load_node_link_json(f"{REF}/{gfile}")
+    q = parse_query_args(qstr.split())
+    m = SubgraphMatcher(v, e)
+    exact = set(m.match(q)["_vidset"]) if len(m.match(q)) else set()
+    # generous budget -> equals exact
+    full = m.match_best_effort(q, time_limit=0.0)
+    got_full = set(full["_vidset"]) if len(full) else set()
+    assert got_full == exact
+    # tiny budget -> subset (anytime)
+    partial = m.match_best_effort(q, time_limit=1e-9, seed_chunk=2)
+    got_partial = set(partial["_vidset"]) if len(partial) else set()
+    assert got_partial <= exact
+    # candidate limiting -> subset
+    lim = m.match_best_effort(q, max_candidates=2)
+    got_lim = set(lim["_vidset"]) if len(lim) else set()
+    assert got_lim <= exact
+
+
 def test_condition_filter_on_matches():
     """Condition language applied to match results (reference
     --condition, ConditionParser semantics)."""
