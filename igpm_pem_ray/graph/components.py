@@ -32,8 +32,11 @@ def connected_components_dense(g: DenseGraph, *, max_rounds: int = 10_000,
                                checkpoint_every: int = 10,
                                resume: bool = False,
                                stats: dict | None = None) -> np.ndarray:
-    """g must be built with symmetric=True.  Returns per-vertex dense
-    label array holding dense indices; map through g.vids for raw ids."""
+    """Works on either build: a symmetric graph exchanges along stored
+    edges; a directed graph exchanges BOTH ways per round (reverse
+    preps — half the materialized edges, same WCC labels).  Returns the
+    per-vertex dense label array; map through g.vids for raw ids."""
+    directions = "out" if g.symmetric else "both"
     V = g.num_vertices
     labels = np.arange(V, dtype=np.int64)
     params = {"kernel": "wcc", "V": V, "E": g.num_edges}
@@ -46,7 +49,8 @@ def connected_components_dense(g: DenseGraph, *, max_rounds: int = 10_000,
     t0 = time.perf_counter()
     rounds = start_round
     for k in range(start_round, max_rounds):
-        msgs = msg_pass(g, labels, reduce="min", init=np.iinfo(np.int64).max)
+        msgs = msg_pass(g, labels, reduce="min", init=np.iinfo(np.int64).max,
+                        directions=directions)
         new = np.minimum(labels, msgs)
         changed = int((new != labels).sum())
         labels = new
@@ -67,8 +71,11 @@ def connected_components(edges_ds, *, max_rounds: int = 10_000,
                          checkpoint_dir: str | None = None, resume: bool = False,
                          stats: dict | None = None) -> pa.Table:
     """edges (src,dst raw vids) -> (vid, component) with component =
-    min raw vid in the component (deterministic, exact-match testable)."""
-    g = build_dense_graph(edges_ds, symmetric=True)
+    min raw vid in the component (deterministic, exact-match testable).
+
+    Builds the DIRECTED dense graph (half the rows of a symmetrized
+    build) and exchanges both directions per round via reverse preps."""
+    g = build_dense_graph(edges_ds)
     labels = connected_components_dense(g, max_rounds=max_rounds,
                                         checkpoint_dir=checkpoint_dir,
                                         resume=resume, stats=stats)

@@ -301,14 +301,20 @@ class SubgraphMatcher:
 
         return partials.to_pandas().drop_duplicates(), inter_cols
 
-    def _plan(self, q: Query):
+    def _plan(self, q: Query, start_name: str | None = None):
         """Edge order: always extend from already-bound syms (the
         reference picks the next query edge among touched syms,
-        gray_multiple.py:215-258)."""
+        gray_multiple.py:215-258).  ``start_name`` forces a specific
+        query edge first (incremental delta runs start at the slot
+        holding the batch edges so partials stay batch-sized)."""
         remaining = list(q.edges)
         if not remaining:
             return []
-        ordered = [remaining.pop(0)]
+        start_idx = 0
+        if start_name is not None:
+            start_idx = next(i for i, e in enumerate(remaining)
+                             if e.name == start_name)
+        ordered = [remaining.pop(start_idx)]
         bound = {ordered[0].a, ordered[0].b}
         while remaining:
             for i, e in enumerate(remaining):

@@ -131,3 +131,34 @@ def test_degree_distribution(graph):
     got = {r["degree"]: r["n_vertices"]
            for r in deg_mod.degree_distribution(ds, direction="out").take_all()}
     assert got == dict(dist)
+
+
+def test_extend_dense_graph_equivalence():
+    """Incrementally extended graphs run kernels identically to a fresh
+    full build (K7 scale path: no per-step re-sort)."""
+    from igpm_pem_ray.graph import dense as dense_mod
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 400, size=3000).astype(np.int64)
+    dst = rng.randint(0, 400, size=3000).astype(np.int64)
+    cuts = [0, 1000, 2000, 3000]
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({"src": src[lo:hi], "dst": dst[lo:hi]}))
+
+    for symmetric in (False, True):
+        g_inc = dense_mod.build_dense_graph(mk(0, 1000), symmetric=symmetric)
+        for i in range(1, 3):
+            g_inc = dense_mod.extend_dense_graph(g_inc, mk(cuts[i], cuts[i + 1]))
+        g_full = dense_mod.build_dense_graph(mk(0, 3000), symmetric=symmetric)
+        assert np.array_equal(g_inc.vids, g_full.vids)
+        assert g_inc.num_edges == g_full.num_edges
+        assert np.array_equal(g_inc.outdeg, g_full.outdeg)
+        if symmetric:
+            li = cc_mod.connected_components_dense(g_inc)
+            lf = cc_mod.connected_components_dense(g_full)
+            assert np.array_equal(li, lf)
+        else:
+            ri = pr_mod.pagerank_dense(g_inc, tol=1e-10)
+            rf = pr_mod.pagerank_dense(g_full, tol=1e-10)
+            assert np.allclose(ri, rf, atol=1e-9)

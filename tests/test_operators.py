@@ -125,6 +125,37 @@ def test_salting_spreads_hubs():
     assert len(sb.groupby(["dst", "salt"]).size()) == 2
 
 
+def test_incremental_pattern_matching():
+    """Delta-join incremental matcher (K7): per-step new/total pattern
+    counters equal a full-recompute oracle on every cumulative prefix
+    (reference gray_incremental.py:282-315 counters)."""
+    from igpm_pem_ray.match.incremental_match import IncrementalMatcher, \
+        _vertices_from_edges
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+    from igpm_pem_ray.match.query import parse_query_args
+
+    qargs = "--vertex a b c --edge x:a:b y:b:c z:c:a".split()
+    e = pd.DataFrame({"src": [1, 2, 3, 4, 4, 5, 2, 1],
+                      "dst": [2, 3, 1, 5, 6, 6, 4, 4],
+                      "ts":  [0, 0, 0, 0, 1, 1, 2, 2]})
+    ds = rd.from_pandas(e)
+    runner = IncrementalRunner(ds, base_steps=1, invariants=False,
+                               query_args=qargs)
+    got = [(m["patterns_total"], m["patterns_new"]) for m in runner.steps()]
+
+    q = parse_query_args(qargs)
+    oracle = []
+    prev = 0
+    for limit in [0, 1, 2]:
+        cum = ds.filter(expr=f"ts <= {limit}")
+        m = SubgraphMatcher(_vertices_from_edges(cum), cum)
+        n = len(m.match(q))
+        oracle.append((n, n - prev))
+        prev = n
+    assert got == oracle
+    assert [t for t, _ in got] == [1, 2, 3]  # triangles appear one per step
+
+
 def test_greedy_pack_balances():
     assign = part_mod.greedy_pack({1: 100, 2: 60, 3: 50, 4: 10}, 2)
     loads = {0: 0, 1: 0}
@@ -177,6 +208,23 @@ def test_incremental_runner_invariants():
     assert steps[2]["n_affected"] == 4            # endpoints of batch 2
     # warm start: later steps converge in fewer iterations than cold base
     assert steps[2]["pagerank_iterations"] <= steps[0]["pagerank_iterations"] + 5
+
+
+def test_incremental_invariants_match_full_recompute():
+    """IncrementalInvariants (O(batch) per step) equals the full
+    triangle_count/star_count recompute on every cumulative prefix."""
+    from igpm_pem_ray.graph.incremental import IncrementalInvariants
+    from igpm_pem_ray.graph.triangles import star_count, triangle_count
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 40, size=300).astype(np.int64)
+    dst = rng.randint(0, 40, size=300).astype(np.int64)
+    inv = IncrementalInvariants()
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        inv.update(src[lo:hi], dst[lo:hi])
+        cum = rd.from_arrow(pa.table({"src": src[:hi], "dst": dst[:hi]}))
+        assert inv.triangles == triangle_count(cum)
+        assert inv.stars == star_count(cum, min_degree=4)
 
 
 def test_incremental_matches_full_recompute():
