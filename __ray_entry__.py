@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edges": g.q_graph_edges,
         "pagerank_fixed": g.q_pagerank_fixed,
         "pagerank": g.q_pagerank,
+        "pagerank_shuffle": g.q_pagerank_shuffle,
+        "cc_shuffle": g.q_cc_shuffle,
         "rwr": g.q_rwr,
         "connected_components": g.q_connected_components,
         "component_sizes": g.q_component_sizes,
@@ -260,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": g.sql_graph_edges(),
         "pagerank_fixed": g.sql_pagerank_fixed(),
+        "pagerank_shuffle": g.sql_pagerank_fixed(),
+        "cc_shuffle": g.sql_connected_components(),
         "connected_components": g.sql_connected_components(),
         "component_sizes": g.sql_component_sizes(),
         "label_propagation": g.sql_label_propagation(),

@@ -90,6 +90,30 @@ def q_degree_distribution(sf_dir: str) -> pa.Table:
                      "n_vertices": pdf["n_vertices"].to_numpy().astype("int64")})
 
 
+def q_pagerank_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident (shuffle) PageRank, fixed iterations — checked
+    against the SAME unrolled-CTE oracle as the dense fast path, so the
+    10^12-scale execution strategy is itself hash-verified."""
+    from igpm_pem_ray.graph.shuffle_kernels import pagerank_shuffle
+
+    ds = pagerank_shuffle(cooccurrence_edges(sf_dir), damping=PR_DAMPING,
+                          tol=0.0, max_iters=PR_ITERS)
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "rank_e8": scale_col(pdf["rank"].to_numpy(), float(PR_SCALE))})
+
+
+def q_cc_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident (shuffle) WCC — same recursive-closure oracle
+    as the dense variant."""
+    from igpm_pem_ray.graph.shuffle_kernels import connected_components_shuffle
+
+    ds = connected_components_shuffle(cooccurrence_edges(sf_dir))
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "component": pdf["component"].to_numpy().astype("int64")})
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""
