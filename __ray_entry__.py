@@ -173,16 +173,22 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(steps)
 
     def multimodal_features(sf_dir: str):
-        """Actor-pool decode plumbing over synthetic binary payloads
-        (deterministic fake codec; schema/batching real)."""
+        """Actor-pool image decode over REAL deterministic PNG payloads
+        (pure-zlib codec, multimodal/codec.py): binary column in, narrow
+        typed features out, payload dropped at the decode stage."""
+        import numpy as np
         import pyarrow as pa
         import ray.data as rd
 
+        from igpm_pem_ray.multimodal.codec import encode_png
         from igpm_pem_ray.multimodal.decode import decode_images
 
+        rng = np.random.RandomState(13)
+        payloads = [encode_png(rng.randint(0, 256, size=(16, 16, 3))
+                               .astype(np.uint8)) for _ in range(64)]
         media = rd.from_arrow(pa.table({
             "media_id": pa.array(list(range(64)), type=pa.int64()),
-            "payload": pa.array([b"img%d" % i for i in range(64)], type=pa.binary()),
+            "payload": pa.array(payloads, type=pa.binary()),
         }))
         return decode_images(media, concurrency=2, batch_size=16)
 
@@ -195,6 +201,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "pattern_match": pattern_match,
+        "extract_paths": extract_paths,
     }
 
 
@@ -211,6 +218,17 @@ def pattern_match(sf_dir: str):
     sets = match_sets(v, e, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
     return pd.DataFrame({"match_id": range(len(sets)),
                          "vids": [",".join(map(str, s)) for s in sets]})
+
+
+def extract_paths(sf_dir: str):
+    """EXTRACT best-path scoring (K5 path-choice semantics) on the
+    reference's sample graph: RWR-weighted best paths from each label
+    seed.  Rows-only; recurrence parity in tests/test_match.py."""
+    from igpm_pem_ray.match.extract import Extract
+    from igpm_pem_ray.sources.nodelink import load_node_link_json
+
+    _, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    return Extract(e).best_paths([0, 2, 5])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

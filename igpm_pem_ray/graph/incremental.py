@@ -97,7 +97,8 @@ class IncrementalRunner:
     def __init__(self, edges_ds, *, base_steps: int = 1,
                  invariants: bool = True, checkpoint_dir: str | None = None,
                  pagerank_tol: float = 1e-6,
-                 query_args: list[str] | None = None) -> None:
+                 query_args: list[str] | None = None,
+                 pem_policy: bool = False) -> None:
         self.edges = edges_ds.materialize()  # replayed many times
         self.base_steps = base_steps
         self.invariants = invariants
@@ -121,6 +122,14 @@ class IncrementalRunner:
             from igpm_pem_ray.match.incremental_match import IncrementalMatcher
 
             self.matcher = IncrementalMatcher(query_args)
+        # T4/T5 analog: adaptive recompute-scope policy (opt-in; the
+        # heuristic observation/action/reward loop of rl_model.py)
+        self.policy = None
+        self._reset_scope: np.ndarray | None = None
+        if pem_policy:
+            from igpm_pem_ray.state.pem_policy import PemPolicy
+
+            self.policy = PemPolicy(threshold=4)
 
     def _warm_init(self, vids: np.ndarray) -> np.ndarray | None:
         """Map the previous step's ranks onto the new vid domain; new
@@ -132,6 +141,13 @@ class IncrementalRunner:
         pos = np.minimum(pos, len(self._prev_vids) - 1)
         hit = self._prev_vids[pos] == vids
         init[hit] = self._prev_rank[pos[hit]]
+        if self._reset_scope is not None and len(self._reset_scope):
+            # PEM scope: re-seed the policy-chosen region from scratch
+            p = np.searchsorted(vids, self._reset_scope)
+            valid = p < len(vids)
+            p = p[valid]
+            keep = vids[p] == self._reset_scope[valid]
+            init[p[keep]] = 1.0 / max(1, len(vids))
         s = init.sum()
         if s > 0:
             init /= s  # re-normalize mass after adding vertices
@@ -197,6 +213,27 @@ class IncrementalRunner:
             if self.matcher is not None:
                 metrics.update(self.matcher.step(cum, batch))
             metrics["elapsed_sec"] = round(time.perf_counter() - t0, 4)
+            if self.policy is not None:
+                # PEM observation/action loop (rl_model.py:146-189):
+                # obs = (density, affected-community fraction), reward
+                # = 100/elapsed; the chosen threshold scopes the next
+                # step's from-scratch re-seed region
+                import collections
+
+                from igpm_pem_ray.state.pem_policy import recompute_scope
+
+                comp_of = dict(zip(g.vids.tolist(), g.vids[labels].tolist()))
+                sizes = collections.Counter(comp_of.values())
+                touched = {comp_of[int(v)] for v in affected
+                           if int(v) in comp_of}
+                obs = (g.num_edges / max(1, g.num_vertices),
+                       len(touched) / max(1, n_components))
+                action = self.policy.act(obs, metrics["elapsed_sec"])
+                self._reset_scope = recompute_scope(
+                    affected, comp_of, dict(sizes), self.policy.threshold)
+                metrics.update({"pem_action": int(action),
+                                "pem_threshold": int(self.policy.threshold),
+                                "pem_scope": int(len(self._reset_scope))})
             metrics["edges_per_sec"] = round(g.num_edges / max(metrics["elapsed_sec"], 1e-9))
 
             if self.checkpoint_dir:

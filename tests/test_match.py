@@ -189,3 +189,72 @@ def test_condition_filter_on_matches():
     # triangles with total score >= 7 only
     base = match_sets(v, e, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
     assert set(got) <= set(base) and len(got) < len(base)
+
+
+def test_extract_best_paths():
+    """EXTRACT best-path recurrence (K5 path-choice semantics) vs an
+    independent dict-based transcription of the published algorithm
+    (Tong & Faloutsos KDD'06 center-piece EXTRACT, as realized in the
+    reference's computeExtractSingle)."""
+    import numpy as np
+
+    from igpm_pem_ray.match.extract import Extract
+
+    v, e = load_node_link_json(f"{REF}/test1p.json")
+    ex = Extract(e)
+
+    def oracle_paths(i_vid):
+        # straightforward set/dict version, structurally unlike the
+        # numpy/heap implementation under test
+        ep = e.to_pandas()
+        nbrs = {}
+        for s, d_ in zip(ep["src"], ep["dst"]):
+            nbrs.setdefault(int(s), set()).add(int(d_))
+            nbrs.setdefault(int(d_), set()).add(int(s))
+        rwr_vec = ex._rwr(i_vid)
+        rwr = {int(vid): rwr_vec[k] for k, vid in enumerate(ex.vids)}
+        d, l, pre = {i_vid: rwr[i_vid]}, {i_vid: 1}, {i_vid: i_vid}
+        V, X = {i_vid}, set()
+        while V:
+            u, max_d = None, 0.0
+            for u_ in V:
+                if d[u_] > max_d:
+                    u, max_d = u_, d[u_]
+            if u is None:
+                break
+            V.remove(u)
+            X.add(u)
+            if l[u] >= 3:
+                continue
+            for w in nbrs.get(u, ()):
+                if w not in X:
+                    V.add(w)
+                dist = (rwr[w] + d[u] * l[u]) / (l[u] + 1)
+                if w not in d or d[w] < dist:
+                    d[w] = dist
+                    l[w] = l[u] + 1
+                    pre[w] = u
+        out = {}
+        for j in pre:
+            if j == i_vid:
+                continue
+            path, x = [], j
+            ok = True
+            while x != i_vid:
+                path.append(x)
+                if x not in pre:
+                    ok = False
+                    break
+                x = pre[x]
+            if ok and path:
+                out[j] = list(reversed(path))
+        return out
+
+    for src in [0, 2, 5]:
+        assert ex.get_paths(src) == oracle_paths(src)
+    # fan-out table agrees with the per-source API
+    t = ex.best_paths([0, 2]).to_pandas()
+    p0 = ex.get_paths(0)
+    got0 = {int(r.dst): [int(x) for x in r.path.split(",")]
+            for r in t[t["src"] == 0].itertuples()}
+    assert got0 == p0

@@ -164,20 +164,89 @@ def test_greedy_pack_balances():
     assert abs(loads[0] - loads[1]) <= 10
 
 
-# ---------- multimodal stubs ----------
+# ---------- multimodal (real stdlib codecs) ----------
 
-def test_multimodal_decode_plumbing():
+def test_png_codec_roundtrip():
+    """Pure-zlib PNG encoder/decoder round-trips exactly, and the
+    decoder reconstructs every filter type correctly (re-filtered
+    fixture built by hand)."""
+    from igpm_pem_ray.multimodal import codec
+
+    rng = np.random.RandomState(9)
+    for shape in [(5, 7, 3), (4, 4, 1), (3, 6, 4)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(codec.decode_png(codec.encode_png(img)), img)
+    # PPM roundtrip
+    img = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    assert np.array_equal(codec.decode_ppm(codec.encode_ppm(img)), img)
+    # filters 1-4: build a PNG with explicit per-line filters and check
+    # against the spec reconstruction
+    import struct, zlib
+    img = rng.randint(0, 256, size=(4, 3, 3)).astype(np.uint8)
+    lines = []
+    prev = np.zeros(9, dtype=np.int64)
+    for y, ft in enumerate([1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(np.int64)
+        filt = np.zeros(9, dtype=np.int64)
+        for x in range(9):
+            left = cur[x - 3] if x >= 3 else 0
+            ul = prev[x - 3] if x >= 3 else 0
+            if ft == 1:
+                filt[x] = cur[x] - left
+            elif ft == 2:
+                filt[x] = cur[x] - prev[x]
+            elif ft == 3:
+                filt[x] = cur[x] - (left + prev[x]) // 2
+            else:
+                filt[x] = cur[x] - codec._paeth(int(left), int(prev[x]), int(ul))
+        lines.append(bytes([ft]) + bytes((filt % 256).astype(np.uint8)))
+        prev = cur
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(codec.decode_png(png), img)
+
+
+def test_multimodal_decode_real():
+    from igpm_pem_ray.multimodal import codec
+
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8) for _ in range(2)]
     media = rd.from_arrow(pa.table({
-        "media_id": pa.array([1, 2], type=pa.int64()),
-        "payload": pa.array([b"abc", b""], type=pa.binary()),
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([codec.encode_png(imgs[0]),
+                             codec.encode_ppm(imgs[1]),
+                             b"not an image"], type=pa.binary()),
     }))
-    feats = mm.decode_images(media, concurrency=1, batch_size=2).to_pandas()
-    assert set(feats.columns) == {"media_id", "mean_r", "mean_g", "mean_b"}
-    # deterministic fake: same payload -> same features
-    feats2 = mm.decode_images(media, concurrency=1, batch_size=2).to_pandas()
-    assert feats.sort_values("media_id").equals(feats2.sort_values("media_id"))
-    frames = mm.sample_frames(media, num_frames=3, concurrency=1).to_pandas()
-    assert len(frames) == 6 and set(frames["frame"]) == {0, 1, 2}
+    feats = mm.decode_images(media, concurrency=1, batch_size=2).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert feats["media_id"].tolist() == [1, 2]   # bad row skipped
+    for i in range(2):
+        assert feats.loc[i, "mean_r"] == pytest.approx(imgs[i][:, :, 0].mean(), abs=30)
+        assert feats.loc[i, ["width", "height"]].tolist() == [8, 8]
+    # frame sampling: 5-frame container, every 2nd frame decoded
+    frames_payload = codec.encode_frames(
+        [np.full((4, 4, 3), 10 * i, dtype=np.uint8) for i in range(5)])
+    media_v = rd.from_arrow(pa.table({
+        "media_id": pa.array([7], type=pa.int64()),
+        "payload": pa.array([frames_payload], type=pa.binary()),
+    }))
+    fr = mm.sample_frames(media_v, every_k=2, concurrency=1).to_pandas()
+    assert fr["frame"].tolist() == [0, 2, 4]
+    assert fr["mean_intensity"].tolist() == [0.0, 20.0, 40.0]
+    # audio features via stdlib wave
+    t = np.sin(2 * np.pi * 440 * np.arange(1600) / 16000.0)
+    media_a = rd.from_arrow(pa.table({
+        "media_id": pa.array([9], type=pa.int64()),
+        "payload": pa.array([codec.encode_wav(t)], type=pa.binary()),
+    }))
+    au = mm.audio_features(media_a, concurrency=1).to_pandas()
+    assert au["duration_sec"].iloc[0] == pytest.approx(0.1)
+    assert au["rms"].iloc[0] == pytest.approx(1 / np.sqrt(2), abs=1e-2)
 
 
 def test_multimodal_strict_raises():
@@ -185,7 +254,7 @@ def test_multimodal_strict_raises():
         "media_id": pa.array([1], type=pa.int64()),
         "payload": pa.array([b"x"], type=pa.binary()),
     }))
-    with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
+    with pytest.raises(Exception):  # ValueError surfaces via Ray
         mm.decode_images(media, concurrency=1, strict=True).to_pandas()
 
 
@@ -225,6 +294,32 @@ def test_incremental_invariants_match_full_recompute():
         cum = rd.from_arrow(pa.table({"src": src[:hi], "dst": dst[:hi]}))
         assert inv.triangles == triangle_count(cum)
         assert inv.stars == star_count(cum, min_degree=4)
+
+
+def test_pem_policy_loop():
+    """PEM-analog adaptive policy (T4/T5 heuristic stand-in): the
+    observation/action/reward loop runs per step, the threshold adapts
+    within bounds, and the scoped re-seed never breaks exactness —
+    final warm PageRank still equals cold recompute at tol."""
+    from igpm_pem_ray.graph.pagerank import pagerank
+
+    rows = [(1, 2, 0), (2, 3, 0), (3, 1, 1), (3, 4, 1), (4, 5, 2), (6, 7, 2)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.int64()),
+    }))
+    runner = IncrementalRunner(ds, base_steps=1, invariants=False,
+                               pagerank_tol=1e-10, pem_policy=True)
+    steps = runner.run()
+    assert all("pem_action" in m and "pem_threshold" in m for m in steps)
+    assert all(m["pem_action"] in (0, 1, 2) for m in steps)
+    assert all(m["pem_threshold"] >= 1 for m in steps)
+    assert steps[-1]["pem_scope"] >= 1
+    warm = dict(zip(runner._prev_vids.tolist(), runner._prev_rank.tolist()))
+    cold = pagerank(ds.drop_columns(["ts"]), tol=1e-10)
+    for v, r in zip(cold["vid"].to_pylist(), cold["rank"].to_pylist()):
+        assert warm[v] == pytest.approx(r, abs=1e-6)
 
 
 def test_incremental_matches_full_recompute():
