@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_window_filter": r.q_ts_window_filter,
         "distinct_union": r.q_distinct_union,
         "condition_filter": r.q_condition_filter,
+        "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
         "doc_tokens": r.q_doc_tokens,
         "doc_quality": r.q_doc_quality,
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_window_filter": r.sql_ts_window_filter(),
         "distinct_union": r.sql_distinct_union(),
         "condition_filter": r.sql_condition_filter(),
+        "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),
         "doc_tokens": r.sql_doc_tokens(),
         "doc_quality": r.sql_doc_quality(),

@@ -107,6 +107,42 @@ def run_bench() -> dict:
     extras["triangles"] = triangle_count(edges)
     timings["triangle_count"] = time.perf_counter() - t0
 
+    # Dataset-resident (shuffle) PageRank — the 10^12-V strategy, timed
+    # at a fixed 3 iterations so the bench stays bounded
+    from igpm_pem_ray.graph.shuffle_kernels import pagerank_shuffle
+
+    t0 = time.perf_counter()
+    pagerank_shuffle(edges, damping=0.85, tol=0.0, max_iters=3)
+    timings["pagerank_shuffle_3iter"] = time.perf_counter() - t0
+
+    # incremental batch-dynamic replay (graph reuse + O(batch)
+    # invariants + warm starts; fixture-scaled, sf-independent)
+    from igpm_pem_ray.graph.incremental import IncrementalRunner
+    from igpm_pem_ray.sources.pages import generate_pages
+    from igpm_pem_ray import ids as ids_mod
+    import pyarrow as pa
+
+    sp = generate_pages(400, seed=42)
+    e = sp.expected_edges
+    inc_ds = rd.from_arrow(pa.table({
+        "src": pa.array(ids_mod.urls_to_vids(e["src_url"].to_pylist())),
+        "dst": pa.array(ids_mod.urls_to_vids(e["dst_url"].to_pylist())),
+        "ts": e["ts"],
+    }))
+    t0 = time.perf_counter()
+    IncrementalRunner(inc_ds, base_steps=2).run()
+    timings["incremental_steps"] = time.perf_counter() - t0
+
+    # MinHash-LSH near-dup over the documents table (vectorized
+    # hashing, join-based verify/grouping — no driver corpus)
+    from igpm_pem_ray.pipelines.common import read_table
+    from igpm_pem_ray.text.dedup import near_dup_groups
+
+    t0 = time.perf_counter()
+    near_dup_groups(read_table(SF_DIR, "documents",
+                               columns=["doc_id", "text"])).count()
+    timings["near_dup_groups"] = time.perf_counter() - t0
+
     # --- representative operator queries over the sf tables ---
     from igpm_pem_ray.pipelines import relational as r
 

@@ -24,6 +24,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
@@ -54,8 +55,14 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(8, cpus // 4))
     t0 = time.perf_counter()
-    edges = edges_ds.select_columns(["src", "dst"]).materialize()
-    vertices = _vertices_ds(edges, num_partitions)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    # ONE compaction: parquet reads arrive as hundreds of small blocks
+    # and every per-iteration join pays per-block fixed costs
+    edges = edges_ds.select_columns(["src", "dst"]) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(edges, num_partitions) \
+        .repartition(n_blocks).materialize()
     V = vertices.count()
     if V == 0:
         return vertices.map_batches(
@@ -74,29 +81,32 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
         .materialize()
 
     base = (1.0 - damping) / V
-    ranks = vertices.map_batches(
-        lambda b, v=V: pa.table({"vid": b["vid"],
-                                 "rank": np.full(b.num_rows, 1.0 / v)}),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # state = (vid, rank, outdeg): outdeg rides along so each iteration
+    # pays TWO joins (edges|X|contrib, state|X|msgs), not three
+    state = vertices.join(degrees, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=("vid",)).map_batches(
+        lambda b, v=V: pa.table({
+            "vid": b["vid"],
+            "rank": np.full(b.num_rows, 1.0 / v),
+            "outdeg": np.nan_to_num(
+                b["outdeg"].cast(pa.float64()).to_numpy(zero_copy_only=False),
+                nan=0.0),
+        }),
+        batch_format="pyarrow").materialize()
 
     residual = float("inf")
     iters = 0
     for k in range(max_iters):
-        # contrib per vertex (+null outdeg = dangling)
-        with_deg = ranks.join(degrees, join_type="left_outer",
-                              num_partitions=num_partitions,
-                              on=("vid",)).materialize()
-        dangling = with_deg.map_batches(
+        dangling = state.map_batches(
             lambda b: pa.table({"m": np.where(
-                np.isnan(b["outdeg"].cast(pa.float64()).to_numpy(zero_copy_only=False)),
-                _np_col(b, "rank"), 0.0)}),
+                _np_col(b, "outdeg") == 0.0, _np_col(b, "rank"), 0.0)}),
             batch_format="pyarrow").sum("m")
-        contrib = with_deg.map_batches(
+        contrib = state.map_batches(
             lambda b: pa.table({
                 "vid": b["vid"],
-                "w": _np_col(b, "rank") / np.maximum(
-                    np.nan_to_num(b["outdeg"].cast(pa.float64())
-                                  .to_numpy(zero_copy_only=False), nan=1.0), 1.0),
+                "w": _np_col(b, "rank")
+                / np.maximum(_np_col(b, "outdeg"), 1.0),
             }),
             batch_format="pyarrow")
         # messages: edges |X| contrib on src -> groupby dst sum
@@ -107,7 +117,7 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
                          batch_format="pyarrow") \
             .groupby("vid").aggregate(Sum("w", alias_name="msum"))
         add = damping * float(dangling) / V + base
-        stepped = ranks.join(msgs, join_type="left_outer",
+        stepped = state.join(msgs, join_type="left_outer",
                              num_partitions=num_partitions,
                              on=("vid",)).map_batches(
             lambda b, a=add, d=damping: pa.table({
@@ -116,18 +126,24 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
                 "rank": a + d * np.nan_to_num(
                     b["msum"].cast(pa.float64()).to_numpy(zero_copy_only=False),
                     nan=0.0),
+                "outdeg": b["outdeg"],
             }),
             batch_format="pyarrow").materialize()
-        residual = float(stepped.map_batches(
-            lambda b: pa.table({"r": np.abs(_np_col(b, "rank")
-                                            - _np_col(b, "rank_old"))}),
-            batch_format="pyarrow").sum("r"))
-        ranks = stepped.map_batches(
-            lambda b: pa.table({"vid": b["vid"], "rank": b["rank"]}),
-            batch_format="pyarrow").materialize()
+        # stepped IS the next state (extra rank_old column is ignored
+        # by the per-iteration passes); the residual pass is skipped in
+        # fixed-iteration mode (tol <= 0) except for the final stats
+        state = stepped
         iters = k + 1
-        if residual < tol:
-            break
+        if tol > 0 or k == max_iters - 1:
+            residual = float(stepped.map_batches(
+                lambda b: pa.table({"r": np.abs(_np_col(b, "rank")
+                                                - _np_col(b, "rank_old"))}),
+                batch_format="pyarrow").sum("r"))
+            if residual < tol:
+                break
+    ranks = state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "rank": b["rank"]}),
+        batch_format="pyarrow")
     if stats is not None:
         stats.update({"iterations": iters, "residual": residual,
                       "wall_sec": time.perf_counter() - t0,
@@ -151,12 +167,14 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
         return pa.table({"src": np.concatenate([s, d]),
                          "dst": np.concatenate([d, s])})
 
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
     edges = edges_ds.select_columns(["src", "dst"]) \
         .map_batches(sym, batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()
+        .repartition(n_blocks).materialize()
     labels = _vertices_ds(edges, num_partitions).map_batches(
         lambda b: pa.table({"vid": b["vid"], "label": b["vid"]}),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").repartition(n_blocks).materialize()
 
     rounds = 0
     for k in range(max_rounds):
@@ -166,17 +184,16 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
             .map_batches(lambda b: pa.table({"vid": b["dst"], "label": b["label"]}),
                          batch_format="pyarrow") \
             .groupby("vid").aggregate(Min("label", alias_name="mlabel"))
+        # pure-int64 arrow kernels: a float64 round-trip would RAISE on
+        # 63-bit hashed vids (precision loss in the cast)
         stepped = labels.join(msgs, join_type="left_outer",
                               num_partitions=num_partitions,
                               on=("vid",)).map_batches(
             lambda b: pa.table({
                 "vid": b["vid"],
                 "label_old": b["label"],
-                "label": np.minimum(
-                    _np_col(b, "label"),
-                    np.nan_to_num(b["mlabel"].cast(pa.float64())
-                                  .to_numpy(zero_copy_only=False),
-                                  nan=np.inf)).astype(np.int64),
+                "label": pc.min_element_wise(
+                    b["label"], pc.coalesce(b["mlabel"], b["label"])),
             }),
             batch_format="pyarrow").materialize()
         changed = int(stepped.map_batches(

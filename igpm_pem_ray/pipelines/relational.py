@@ -297,6 +297,33 @@ def sql_ts_window_filter() -> str:
             "GROUP BY event_type")
 
 
+# ---------------- O6: seeded deterministic sampling ----------------
+
+# affine-hash sampling constants: identical expression on both engines,
+# so the "seed" is the (A, B, M, T) tuple — deterministic, shuffle-free
+_SAMPLE_A, _SAMPLE_B, _SAMPLE_M, _SAMPLE_T = 2654435761, 97, 1 << 31, (1 << 31) // 20
+
+
+def q_sample(sf_dir: str):
+    """5% deterministic sample of orders (O6 seeded-sampling analog:
+    the reference seeds random.* for reproducible batches,
+    generator.py; here the sample is a pure function of the key, which
+    is also restartable at any scale — no RNG state to checkpoint)."""
+    o = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * _SAMPLE_A + _SAMPLE_B) % _SAMPLE_M
+        return pa.table({"o_orderkey": k[h < _SAMPLE_T]})
+
+    return o.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_sample() -> str:
+    return (f"SELECT o_orderkey FROM orders WHERE "
+            f"(o_orderkey * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_M} < {_SAMPLE_T}")
+
+
 # ---------------- M11/D2: distinct union of id sets ----------------
 
 def q_distinct_union(sf_dir: str):

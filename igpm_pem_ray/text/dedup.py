@@ -137,27 +137,50 @@ def exact_dedup(docs_ds, *, key: str = "text"):
                   .groupby("fp64").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def _default_npart() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(8, cpus // 4))
+
+
 def lsh_candidate_pairs(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
-                        concurrency=2):
+                        concurrency=None, num_partitions: int | None = None):
     """(doc_a, doc_b) candidate near-dup pairs (doc_a < doc_b) sharing
-    >=1 LSH band bucket.  Buckets with one member produce nothing;
-    giant buckets are quadratic — callers cap/limit via verify step."""
+    >=1 LSH band bucket, via a bucket-key SELF-JOIN (vectorized hash
+    shuffle — a per-bucket ``map_groups`` pays Python overhead per
+    bucket and most buckets are tiny).  Buckets with one member produce
+    nothing; giant buckets are quadratic — callers cap via verify."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    if num_partitions is None:
+        num_partitions = _default_npart()
     bands = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perms": num_perms, "rows_per_band": rows_per_band},
-        batch_format="pandas", concurrency=concurrency)
+        batch_format="pandas", concurrency=concurrency).materialize()
+    if bands.count() == 0:
+        return bands
+    left = bands.map_batches(
+        lambda t: t.rename_columns(["doc_a", "band", "band_hash"]),
+        batch_format="pyarrow")
+    right = bands.map_batches(
+        lambda t: t.rename_columns(["doc_b", "band", "band_hash"]),
+        batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("band", "band_hash"))
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"doc_a": a[keep], "doc_b": b[keep]})
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    if cand.count() == 0:
-        return cand
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    cand = j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")) \
+               .drop_columns(["_n"]).materialize()
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -175,7 +198,7 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def verify_pairs(pairs_ds, docs_ds, *, threshold: float = 0.8, n: int = 3,
-                 num_partitions: int = 2):
+                 num_partitions: int | None = None):
     """Verify candidate pairs with exact n-gram Jaccard.
 
     Texts are attached by two hash joins pairs x documents (doc_a then
@@ -184,6 +207,8 @@ def verify_pairs(pairs_ds, docs_ds, *, threshold: float = 0.8, n: int = 3,
     path per VERDICT round 1).  Returns (doc_a, doc_b, jaccard_e6) for
     pairs >= threshold.
     """
+    if num_partitions is None:
+        num_partitions = _default_npart()
     docs = docs_ds.select_columns(["doc_id", "text"])
     ta = docs.map_batches(lambda t: t.rename_columns(["doc_a", "text_a"]),
                           batch_format="pyarrow")
@@ -214,21 +239,28 @@ def _self_groups(docs_ds):
 
 
 def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
-                    threshold: float = 0.8, num_partitions: int = 2):
+                    threshold: float = 0.8, num_partitions: int | None = None):
     """Full MinHash-LSH dedup: candidates -> verify -> connected
     components over the dup-pair graph -> (doc_id, group) with group =
     min doc_id of the near-dup cluster.
 
     Group assignment is a left join documents x components (docs not in
     any dup pair keep their own id) — no driver-side component dict.
-    Returns a Dataset."""
+    Intermediates (narrow docs selection, candidate pairs, verified
+    pairs) are pinned once so count-guards and downstream joins never
+    re-execute the upstream lineage.  Returns a Dataset."""
     from igpm_pem_ray.graph.components import connected_components
 
-    cand = lsh_candidate_pairs(docs_ds, num_perms=num_perms, rows_per_band=rows_per_band)
+    if num_partitions is None:
+        num_partitions = _default_npart()
+    docs_ds = docs_ds.select_columns(["doc_id", "text"]).materialize()
+    cand = lsh_candidate_pairs(docs_ds, num_perms=num_perms,
+                               rows_per_band=rows_per_band,
+                               num_partitions=num_partitions)
     if cand.count() == 0:
         return _self_groups(docs_ds)
     verified = verify_pairs(cand, docs_ds, threshold=threshold,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions).materialize()
     if verified.count() == 0:
         return _self_groups(docs_ds)
     # rename inside pandas (Dataset.rename_columns fuses badly after a

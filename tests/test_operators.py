@@ -164,6 +164,20 @@ def test_greedy_pack_balances():
     assert abs(loads[0] - loads[1]) <= 10
 
 
+def test_edgelist_writer_roundtrip(tmp_path):
+    """S6: space-delimited writer -> loader round-trip."""
+    e = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    out = str(tmp_path / "out")
+    edgelist.write_edgelist(rd.from_pandas(e), out)
+    import glob
+    rows = []
+    for f in sorted(glob.glob(out + "/*")):
+        with open(f) as fh:
+            rows += [ln.split(",") for ln in fh.read().splitlines()[1:] if ln]
+    got = sorted((int(a), int(b)) for a, b in rows)
+    assert got == [(1, 2), (2, 3), (3, 4)]
+
+
 # ---------- multimodal (real stdlib codecs) ----------
 
 def test_png_codec_roundtrip():
