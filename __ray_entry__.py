@@ -149,6 +149,21 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         return lsh_topk(emb, qvec, k=10, nbits=4)
 
+    def ann_ivf(sf_dir: str):
+        """IVF ANN over the embeddings table (coarse k-means quantizer
+        trained on a deterministic sample; nprobe-bucket scan)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from igpm_pem_ray.ann.knn import ivf_topk
+        from igpm_pem_ray.pipelines.common import read_table
+
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "==", 0)])
+        qvec = np.asarray(qtbl["embedding"][0].as_py(), dtype=np.float64)[None, :]
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ivf_topk(emb, qvec, k=10, nlist=8, nprobe=3)
+
     def incremental_steps(sf_dir: str):
         """Batch-dynamic replay (K7 analog) over the ts-stamped fixture
         edge stream: one row of metrics per tumbling ts batch."""
@@ -198,6 +213,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "pattern_match": pattern_match,

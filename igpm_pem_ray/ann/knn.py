@@ -64,6 +64,114 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10,
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def train_ivf_centroids(emb_ds, *, nlist: int = 16, sample: int = 2048,
+                        iters: int = 8, seed: int = 5,
+                        id_col: str = "vec_id") -> np.ndarray:
+    """IVF coarse quantizer: k-means (Lloyd) on a deterministic sample.
+
+    The sample is an affine-hash subset of ids (no RNG state, no
+    shuffle); training runs on the driver over the (sample x d) matrix
+    — at 100 TB the sample is still tiny and the assignment pass below
+    is the distributed part.  Returns (nlist, d) L2-normalized
+    centroids."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * 2654435761 + 17) % (1 << 31) < ((1 << 31) // 8)
+        return batch.filter(pa.array(keep))
+
+    sub = emb_ds.map_batches(pick, batch_format="pyarrow",
+                             zero_copy_batch=True).limit(sample).materialize()
+    parts = [t for t in ray.get(sub.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        raise ValueError("IVF training sample is empty")
+    m = _batch_matrix(pa.concat_tables(parts))
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+class IvfPartitioner:
+    """Assign each vector to its nearest coarse centroid (the IVF
+    bucket column — same stage shape as LshPartitioner)."""
+
+    def __init__(self, centroids: np.ndarray) -> None:
+        self.cent = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        b = (m @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+
+def ivf_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", concurrency=2,
+             centroids: np.ndarray | None = None):
+    """IVF ANN: scan only each query's ``nprobe`` nearest centroid
+    buckets.  Single dataset pass for the whole query batch (same merge
+    as ``lsh_topk``); recall grows with nprobe, nprobe=nlist is exact."""
+    q = np.asarray(query_vecs, dtype=np.float64)
+    cent = centroids if centroids is not None else \
+        train_ivf_centroids(emb_ds, nlist=nlist, id_col=id_col)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    nprobe = min(nprobe, len(cent))
+    qbuckets = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((qn, qbuckets))
+    bucketed = emb_ds.map_batches(IvfPartitioner, batch_format="pyarrow",
+                                  fn_constructor_kwargs={"centroids": cent},
+                                  concurrency=concurrency)
+    wanted = sorted(set(int(b) for b in qbuckets.ravel()))
+    expr = " or ".join(f"bucket == {b}" for b in wanted) or "bucket < 0"
+    filtered = bucketed.filter(expr=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qb = ray.get(q_ref)
+        m = _batch_matrix(batch)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(buckets, qb[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qm[qi]
+            mids = ids[mask]
+            kk = min(k, len(s))
+            top = np.lexsort((mids, -s))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(mids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({"query_idx": np.concatenate(out_q),
+                         id_col: np.concatenate(out_id),
+                         "sim": np.concatenate(out_s)})
+
+    partials = filtered.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"query_idx": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    pdf = pdf.sort_values(["query_idx", "sim", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    top = pdf.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 class LshPartitioner:
     """Random-hyperplane LSH bucketing: embedding -> bucket id
     (sign bits of nbits projections, seeded).  A stage for the scale

@@ -95,3 +95,30 @@ def test_ann_brute_force_and_lsh():
     assert top["sim"].iloc[0] == pytest.approx(1.0, abs=1e-5)
     lsh = lsh_topk(ds, q, k=3, nbits=3).to_pandas()
     assert 0 in lsh["vec_id"].tolist()  # bucketed variant finds the identical vector
+    # multi-query batch: one dataset pass, per-query top-k
+    q2 = vecs[[0, 5]]
+    multi = lsh_topk(ds, q2, k=2, nbits=3).to_pandas()
+    assert set(multi["query_idx"]) <= {0, 1}
+    assert multi.loc[multi["query_idx"] == 0, "vec_id"].iloc[0] == 0
+
+
+def test_ann_ivf():
+    from igpm_pem_ray.ann.knn import ivf_topk, train_ivf_centroids
+
+    rng = np.random.RandomState(8)
+    vecs = rng.standard_normal((300, 12))
+    vecs[42] = vecs[7] + 0.01 * rng.standard_normal(12)  # planted neighbor
+    tbl = pa.table({"vec_id": pa.array(range(300), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    cent = train_ivf_centroids(ds, nlist=8)
+    assert cent.shape[1] == 12
+    # nprobe = nlist -> exhaustive: exact top-k incl. planted neighbor
+    full = ivf_topk(ds, vecs[7:8], k=3, nlist=8, nprobe=8,
+                    centroids=cent).to_pandas()
+    assert full["vec_id"].tolist()[:2] == [7, 42]
+    # small nprobe still finds the identical vector (same bucket)
+    approx = ivf_topk(ds, vecs[7:8], k=3, nlist=8, nprobe=1,
+                      centroids=cent).to_pandas()
+    assert 7 in approx["vec_id"].tolist()
