@@ -48,9 +48,17 @@ def _vertices_ds(edges_ds, num_partitions: int):
 
 def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
                      max_iters: int = 200, num_partitions: int | None = None,
+                     checkpoint_dir: str | None = None,
+                     checkpoint_every: int = 5, resume: bool = False,
                      stats: dict | None = None):
     """edges (src,dst raw vids) -> Dataset (vid, rank); no driver
-    V-arrays anywhere — state joins through the cluster each pass."""
+    V-arrays anywhere — state joins through the cluster each pass.
+
+    Checkpoints stream the STATE TABLE to partitioned parquet
+    (``save_state_ds``: per-file lineage manifest, atomic commit) so a
+    resumed run reloads it lazily — no process ever holds V rows."""
+    from igpm_pem_ray.state import checkpoint as ckpt
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(8, cpus // 4))
@@ -70,34 +78,44 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
                                 "rank": np.empty(0, np.float64)}),
             batch_format="pyarrow")
 
-    # (vid, outdeg) — one count shuffle, reused every iteration
-    def deg_partial(b: pa.Table) -> pa.Table:
-        u, c = np.unique(_np_col(b, "src"), return_counts=True)
-        return pa.table({"vid": u, "outdeg": c.astype(np.int64)})
-
-    degrees = edges.map_batches(deg_partial, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-        .groupby("vid").aggregate(Sum("outdeg", alias_name="outdeg")) \
-        .materialize()
-
     base = (1.0 - damping) / V
-    # state = (vid, rank, outdeg): outdeg rides along so each iteration
-    # pays TWO joins (edges|X|contrib, state|X|msgs), not three
-    state = vertices.join(degrees, join_type="left_outer",
-                          num_partitions=num_partitions,
-                          on=("vid",)).map_batches(
-        lambda b, v=V: pa.table({
-            "vid": b["vid"],
-            "rank": np.full(b.num_rows, 1.0 / v),
-            "outdeg": np.nan_to_num(
-                b["outdeg"].cast(pa.float64()).to_numpy(zero_copy_only=False),
-                nan=0.0),
-        }),
-        batch_format="pyarrow").materialize()
+    params = {"kernel": "pagerank_shuffle", "damping": damping, "tol": tol,
+              "V": V}
+    start_iter = 0
+    state = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_iter, state_ds2, _m = found
+            state = state_ds2.materialize()
+
+    if state is None:
+        # (vid, outdeg) — one count shuffle; state = (vid, rank,
+        # outdeg): outdeg rides along so each iteration pays TWO joins
+        # (edges|X|contrib, state|X|msgs), not three
+        def deg_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(_np_col(b, "src"), return_counts=True)
+            return pa.table({"vid": u, "outdeg": c.astype(np.int64)})
+
+        degrees = edges.map_batches(deg_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .groupby("vid").aggregate(Sum("outdeg", alias_name="outdeg")) \
+            .materialize()
+        state = vertices.join(degrees, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("vid",)).map_batches(
+            lambda b, v=V: pa.table({
+                "vid": b["vid"],
+                "rank": np.full(b.num_rows, 1.0 / v),
+                "outdeg": np.nan_to_num(
+                    b["outdeg"].cast(pa.float64()).to_numpy(zero_copy_only=False),
+                    nan=0.0),
+            }),
+            batch_format="pyarrow").materialize()
 
     residual = float("inf")
-    iters = 0
-    for k in range(max_iters):
+    iters = start_iter
+    for k in range(start_iter, max_iters):
         dangling = state.map_batches(
             lambda b: pa.table({"m": np.where(
                 _np_col(b, "outdeg") == 0.0, _np_col(b, "rank"), 0.0)}),
@@ -134,13 +152,25 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
         # fixed-iteration mode (tol <= 0) except for the final stats
         state = stepped
         iters = k + 1
+        done = False
         if tol > 0 or k == max_iters - 1:
             residual = float(stepped.map_batches(
                 lambda b: pa.table({"r": np.abs(_np_col(b, "rank")
                                                 - _np_col(b, "rank_old"))}),
                 batch_format="pyarrow").sum("r"))
-            if residual < tol:
-                break
+            done = residual < tol
+        if checkpoint_dir and (iters % checkpoint_every == 0 or done
+                               or k == max_iters - 1):
+            ckpt.save_state_ds(
+                checkpoint_dir, iters,
+                state.map_batches(lambda b: pa.table(
+                    {"vid": b["vid"], "rank": b["rank"],
+                     "outdeg": b["outdeg"]}), batch_format="pyarrow"),
+                metric_name="l1_residual",
+                metric_value=residual if np.isfinite(residual) else -1.0,
+                params=params)
+        if done:
+            break
     ranks = state.map_batches(
         lambda b: pa.table({"vid": b["vid"], "rank": b["rank"]}),
         batch_format="pyarrow")
@@ -153,9 +183,15 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
 
 def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
                                  num_partitions: int | None = None,
+                                 checkpoint_dir: str | None = None,
+                                 checkpoint_every: int = 5,
+                                 resume: bool = False,
                                  stats: dict | None = None):
     """edges (src,dst raw vids) -> Dataset (vid, component=min raw vid
-    of the weakly-connected component); Dataset-resident labels."""
+    of the weakly-connected component); Dataset-resident labels with
+    streamed parquet checkpoints (save_state_ds)."""
+    from igpm_pem_ray.state import checkpoint as ckpt
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(8, cpus // 4))
@@ -176,8 +212,16 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
         lambda b: pa.table({"vid": b["vid"], "label": b["vid"]}),
         batch_format="pyarrow").repartition(n_blocks).materialize()
 
-    rounds = 0
-    for k in range(max_rounds):
+    params = {"kernel": "cc_shuffle", "V": labels.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, labels_ds2, _m = found
+            labels = labels_ds2.materialize()
+
+    rounds = start_round
+    for k in range(start_round, max_rounds):
         msgs = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
                           on=("src",), right_on=("vid",)) \
@@ -204,6 +248,10 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
             lambda b: pa.table({"vid": b["vid"], "label": b["label"]}),
             batch_format="pyarrow").materialize()
         rounds = k + 1
+        if checkpoint_dir and (rounds % checkpoint_every == 0 or changed == 0):
+            ckpt.save_state_ds(checkpoint_dir, rounds, labels,
+                               metric_name="changed", metric_value=changed,
+                               params=params)
         if changed == 0:
             break
     if stats is not None:

@@ -77,6 +77,76 @@ def save_vector(base_dir: str, iteration: int, vids: np.ndarray, values: np.ndar
     return d
 
 
+def save_state_ds(base_dir: str, iteration: int, state_ds, *,
+                  metric_name: str, metric_value: float, params: dict) -> str:
+    """Dataset-native checkpoint for the shuffle-resident kernels: the
+    whole point of those kernels is that no process holds a V-array, so
+    the state TABLE streams straight to partitioned parquet (one file
+    per block — resumable, never one giant file) and only per-file
+    lineage (rows, bytes) lands in the manifest."""
+    import shutil
+
+    d = _iter_dir(base_dir, iteration)
+    shutil.rmtree(d, ignore_errors=True)  # write_parquet APPENDS otherwise
+    os.makedirs(d, exist_ok=True)
+    t0 = time.perf_counter()
+    state_ds.write_parquet(d)
+    partitions = []
+    n = 0
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        partitions.append({"file": f, "rows": md.num_rows,
+                           "bytes": os.path.getsize(os.path.join(d, f))})
+        n += md.num_rows
+    manifest = {
+        "iteration": iteration,
+        "metric": {metric_name: float(metric_value)},
+        "params_fingerprint": params_fingerprint(params),
+        "params": params,
+        "num_rows": n,
+        "state_kind": "dataset",
+        "write_sec": round(time.perf_counter() - t0, 6),
+        "partitions": partitions,   # per-partition lineage + metrics
+        "completed": True,
+    }
+    tmp = os.path.join(d, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(d, "manifest.json"))  # atomic commit
+    return d
+
+
+def latest_state_ds(base_dir: str, params: dict):
+    """Most recent committed Dataset checkpoint matching ``params``;
+    returns (iteration, Dataset, manifest) or None.  The state is
+    READ lazily — resuming never materializes it on the driver."""
+    import ray.data as rd
+
+    if not base_dir or not os.path.isdir(base_dir):
+        return None
+    fp = params_fingerprint(params)
+    iters = sorted(
+        (int(name.split("=")[1]) for name in os.listdir(base_dir)
+         if name.startswith("iter=")),
+        reverse=True,
+    )
+    for k in iters:
+        d = _iter_dir(base_dir, k)
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            continue  # uncommitted partial write — ignore
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if not m.get("completed") or m.get("params_fingerprint") != fp \
+                or m.get("state_kind") != "dataset":
+            continue
+        files = [os.path.join(d, p["file"]) for p in m["partitions"]]
+        return k, rd.read_parquet(files), m
+    return None
+
+
 def latest_checkpoint(base_dir: str, params: dict):
     """Most recent committed iteration matching ``params``; None if absent.
 

@@ -86,3 +86,33 @@ def test_pages_dist_parse_vs_compose(tmp_path):
     got = {r["url"]: r["text"] for r in ext.select_columns(["url", "text"]).take_all()}
     exp = {r["url"]: r["text"] for r in pages.select_columns(["url", "text"]).take_all()}
     assert got == exp
+
+
+def test_shuffle_kernels_resume_equivalence(edges_ds, tmp_path):
+    """Dataset-resident kernels: kill-at-K / resume produces the same
+    state as an uninterrupted run; state round-trips through streamed
+    parquet checkpoints (save_state_ds, per-file lineage manifests)."""
+    from igpm_pem_ray.graph.shuffle_kernels import (
+        connected_components_shuffle, pagerank_shuffle)
+
+    ck = str(tmp_path / "prs")
+    full = pagerank_shuffle(edges_ds, tol=0.0, max_iters=5).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    pagerank_shuffle(edges_ds, tol=0.0, max_iters=2, checkpoint_dir=ck,
+                     checkpoint_every=2)
+    resumed = pagerank_shuffle(edges_ds, tol=0.0, max_iters=5,
+                               checkpoint_dir=ck, checkpoint_every=2,
+                               resume=True).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert full["vid"].tolist() == resumed["vid"].tolist()
+    assert np.abs(full["rank"].to_numpy() - resumed["rank"].to_numpy()).max() < 1e-12
+
+    ck2 = str(tmp_path / "ccs")
+    want = connected_components_shuffle(edges_ds).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    connected_components_shuffle(edges_ds, max_rounds=2, checkpoint_dir=ck2,
+                                 checkpoint_every=1)
+    got = connected_components_shuffle(edges_ds, checkpoint_dir=ck2,
+                                       checkpoint_every=1, resume=True) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
