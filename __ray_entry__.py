@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": g.q_pagerank,
         "pagerank_shuffle": g.q_pagerank_shuffle,
         "cc_shuffle": g.q_cc_shuffle,
+        "lp_shuffle": g.q_lp_shuffle,
         "rwr": g.q_rwr,
         "connected_components": g.q_connected_components,
         "component_sizes": g.q_component_sizes,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": g.sql_pagerank_fixed(),
         "pagerank_shuffle": g.sql_pagerank_fixed(),
         "cc_shuffle": g.sql_connected_components(),
+        "lp_shuffle": g.sql_label_propagation(),
         "connected_components": g.sql_connected_components(),
         "component_sizes": g.sql_component_sizes(),
         "label_propagation": g.sql_label_propagation(),

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def _np_col(t: pa.Table, c: str) -> np.ndarray:
@@ -179,6 +179,83 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
                       "wall_sec": time.perf_counter() - t0,
                       "num_vertices": V, "strategy": "shuffle"})
     return ranks
+
+
+def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
+                              num_partitions: int | None = None,
+                              stats: dict | None = None):
+    """Dataset-resident synchronous label propagation (K3 at 10^12-V):
+    label_{t+1}(v) = most frequent neighbor label, smallest label wins
+    ties, isolated vertices keep theirs — identical semantics to the
+    dense fast path (parity-tested).
+
+    The argmax-with-tiebreak is pure aggregates (no driver arrays, no
+    packed-int tricks that 63-bit labels would overflow):
+    count per (vid, label) -> Max(count) per vid -> equi-join back ->
+    Min(label) among the tied maxima."""
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    edges = edges_ds.select_columns(["src", "dst"]) \
+        .map_batches(sym, batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    labels = _vertices_ds(edges, num_partitions).map_batches(
+        lambda b: pa.table({"vid": b["vid"], "label": b["vid"]}),
+        batch_format="pyarrow").repartition(n_blocks).materialize()
+
+    rounds = 0
+    for k in range(max_rounds):
+        counts = edges.join(labels, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"vid": b["dst"],
+                                             "label": b["label"]}),
+                         batch_format="pyarrow") \
+            .groupby(["vid", "label"]).aggregate(Count(alias_name="c")) \
+            .materialize()
+        maxc = counts.groupby("vid").aggregate(Max("c", alias_name="maxc"))
+        winners = counts.join(maxc, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("vid",)) \
+            .map_batches(lambda b: pa.table({
+                "vid": b["vid"], "label": b["label"],
+            }).filter(pc.equal(b["c"], b["maxc"])),
+                         batch_format="pyarrow") \
+            .groupby("vid").aggregate(Min("label", alias_name="wlabel"))
+        stepped = labels.join(winners, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("vid",)).map_batches(
+            lambda b: pa.table({
+                "vid": b["vid"],
+                "label_old": b["label"],
+                "label": pc.coalesce(b["wlabel"], b["label"]),
+            }),
+            batch_format="pyarrow").materialize()
+        changed = int(stepped.map_batches(
+            lambda b: pa.table({"c": (_np_col(b, "label")
+                                      != _np_col(b, "label_old")).astype(np.int64)}),
+            batch_format="pyarrow").sum("c"))
+        labels = stepped.map_batches(
+            lambda b: pa.table({"vid": b["vid"], "label": b["label"]}),
+            batch_format="pyarrow").materialize()
+        rounds = k + 1
+        if changed == 0:
+            break
+    if stats is not None:
+        stats.update({"rounds": rounds, "wall_sec": time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    return labels
 
 
 def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,

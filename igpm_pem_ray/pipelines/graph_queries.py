@@ -114,6 +114,18 @@ def q_cc_shuffle(sf_dir: str) -> pa.Table:
                      "component": pdf["component"].to_numpy().astype("int64")})
 
 
+def q_lp_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident label propagation — same unrolled-CTE oracle
+    as the dense variant (fixed LP_ROUNDS rounds)."""
+    from igpm_pem_ray.graph.shuffle_kernels import label_propagation_shuffle
+
+    ds = label_propagation_shuffle(cooccurrence_edges(sf_dir),
+                                   max_rounds=LP_ROUNDS)
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "label": pdf["label"].to_numpy().astype("int64")})
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""

@@ -202,3 +202,20 @@ def test_triangle_join_strategy_parity():
     n_bcast = tri_mod.triangle_count(ds, strategy="broadcast")
     n_join = tri_mod.triangle_count(ds, strategy="join", num_partitions=3)
     assert n_join == n_bcast > 0
+
+
+def test_lp_shuffle_parity():
+    """Dataset-resident label propagation matches the dense fast path
+    exactly at the same round cap (sync semantics + tie-break pinned)."""
+    from igpm_pem_ray.graph import shuffle_kernels as sk
+
+    rng = np.random.RandomState(31)
+    src = rng.randint(0, 120, size=700).astype(np.int64)
+    dst = rng.randint(0, 120, size=700).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    for rounds in (1, 3):
+        want = lp_mod.label_propagation(ds, max_rounds=rounds)
+        got = sk.label_propagation_shuffle(ds, max_rounds=rounds).to_pandas() \
+            .sort_values("vid").reset_index(drop=True)
+        w = dict(zip(want["vid"].to_pylist(), want["label"].to_pylist()))
+        assert {int(v): int(l) for v, l in zip(got["vid"], got["label"])} == w
