@@ -17,9 +17,10 @@ vertex-sets already seen.  Each run starts its plan at the delta slot,
 so partial-match tables stay proportional to the batch size, not the
 graph — the scalable analog of the reference's affected-seed scoping.
 
-Queries containing ``--path`` slots fall back to a full re-match per
-step (the <=3-hop closure of a delta is not expressible as one slot
-restriction); the cumulative dedup and counters behave identically.
+``--path`` slots delta too: the slot's closure is restricted to <=3-hop
+paths using >=1 batch edge (union over batch-edge positions,
+``SubgraphMatcher._path_rel_delta``), so path queries pay batch-sized
+work per step as well.
 """
 
 from __future__ import annotations
@@ -67,7 +68,6 @@ class IncrementalMatcher:
         self.vertices = vertices_ds
         self.num_partitions = num_partitions
         self.seen: set[tuple] = set()
-        self.has_paths = any(e.is_path for e in self.query.edges)
         self._first = True
 
     def _matcher(self, cum_edges) -> SubgraphMatcher:
@@ -80,30 +80,38 @@ class IncrementalMatcher:
         t0 = time.perf_counter()
         q = self.query
         m = self._matcher(cum_edges)
-        if self._first or self.has_paths or not q.edges:
+        if self._first or not q.edges:
             pdf = m.match(q)
         else:
             # delta-join: one plan run per query-edge slot, that slot
-            # restricted to the batch edges, plan started at the slot
+            # restricted to the batch edges (edge slots) or to the
+            # >=1-batch-edge path closure (path slots), plan started at
+            # the slot so partials stay batch-sized
             batch_edges = batch_edges.materialize()  # reused per slot
             parts: list[pd.DataFrame] = []
-            inter_cols: list[str] = []
-            for qe in q.edges:
-                order = m._plan(q, start_name=qe.name)
-                first = order[0].a
-                cand = m._candidates(q, first)
-                if cand is None:
-                    cand = np.sort(m._vp["vid"].to_numpy().astype(np.int64))
-                run, inter_cols = m._exec_plan(
-                    q, order, first, cand, rel_override={qe.name: batch_edges})
-                if len(run):
-                    parts.append(run)
+            inter_cols_all: list[str] = []
+            m._npart_override = 1  # batch-sized partials: see subgraph.py
+            try:
+                for qe in q.edges:
+                    order = m._plan(q, start_name=qe.name)
+                    first = order[0].a
+                    cand = m._candidates(q, first)
+                    if cand is None:
+                        cand = np.sort(m._vp["vid"].to_numpy().astype(np.int64))
+                    run, inter_cols = m._exec_plan(
+                        q, order, first, cand,
+                        rel_override={qe.name: batch_edges})
+                    inter_cols_all = sorted(set(inter_cols_all) | set(inter_cols))
+                    if len(run):
+                        parts.append(run)
+            finally:
+                m._npart_override = 0
             if parts:
                 pdf = pd.concat(parts, ignore_index=True).drop_duplicates()
                 pdf = m._apply_condition(q, pdf)
                 pdf = m._dedup_sets(
                     pdf, [s for s in pdf.columns if not s.startswith("_p_")],
-                    inter_cols)
+                    inter_cols_all)
             else:
                 pdf = pd.DataFrame()
         self._first = False

@@ -86,41 +86,78 @@ class SubgraphMatcher:
 
         return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _path_rel(self, label: str, directed: bool):
-        """<=3-hop simple-path closure: (u, v, i1, i2), -1 = absent."""
-        e = self._edge_rel(label, directed).materialize()
-
-        def hop1(b: pa.Table) -> pa.Table:
+    @staticmethod
+    def _hop1(e):
+        def f(b: pa.Table) -> pa.Table:
             keep = _np(b, "u") != _np(b, "v")
             return pa.table({"u": _np(b, "u")[keep], "v": _np(b, "v")[keep],
                              "i1": np.full(keep.sum(), -1, dtype=np.int64),
                              "i2": np.full(keep.sum(), -1, dtype=np.int64)})
 
-        p1 = e.map_batches(hop1, batch_format="pyarrow", zero_copy_batch=True)
+        return e.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
-        def extend(p_ds, n_inter: int):
-            right = e.map_batches(
-                lambda b: pa.table({"m_": b["u"], "w_": b["v"]}),
-                batch_format="pyarrow", zero_copy_batch=True)
-            j = p_ds.join(right, join_type="inner",
-                          num_partitions=self.num_partitions,
-                          on=("v",), right_on=("m_",))
+    def _hop_extend(self, p_ds, e, *, npart: int | None = None):
+        """Extend each path one hop via a join with edge relation e,
+        keeping only simple paths."""
+        right = e.map_batches(
+            lambda b: pa.table({"m_": b["u"], "w_": b["v"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j = p_ds.join(right, join_type="inner",
+                      num_partitions=npart or self.num_partitions,
+                      on=("v",), right_on=("m_",))
 
-            def simple(b: pa.Table) -> pa.Table:
-                u, v, w = _np(b, "u"), _np(b, "v"), _np(b, "w_")
-                i1 = _np(b, "i1")
-                keep = (w != u) & (w != v) & (w != i1)
-                new_i1 = np.where(i1[keep] >= 0, i1[keep], v[keep])
-                new_i2 = np.where(i1[keep] >= 0, v[keep], -1)
-                return pa.table({"u": u[keep], "v": w[keep],
-                                 "i1": new_i1.astype(np.int64),
-                                 "i2": new_i2.astype(np.int64)})
+        def simple(b: pa.Table) -> pa.Table:
+            u, v, w = _np(b, "u"), _np(b, "v"), _np(b, "w_")
+            i1 = _np(b, "i1")
+            keep = (w != u) & (w != v) & (w != i1)
+            new_i1 = np.where(i1[keep] >= 0, i1[keep], v[keep])
+            new_i2 = np.where(i1[keep] >= 0, v[keep], -1)
+            return pa.table({"u": u[keep], "v": w[keep],
+                             "i1": new_i1.astype(np.int64),
+                             "i2": new_i2.astype(np.int64)})
 
-            return j.map_batches(simple, batch_format="pyarrow", zero_copy_batch=True)
+        return j.map_batches(simple, batch_format="pyarrow", zero_copy_batch=True)
 
-        p2 = extend(p1, 1).materialize()
-        p3 = extend(p2, 2)
+    def _path_rel(self, label: str, directed: bool):
+        """<=3-hop simple-path closure: (u, v, i1, i2), -1 = absent."""
+        e = self._edge_rel(label, directed).materialize()
+        p1 = self._hop1(e)
+        p2 = self._hop_extend(p1, e).materialize()
+        p3 = self._hop_extend(p2, e)
         return p1.union(p2, p3)
+
+    @staticmethod
+    def _empty_path_rel():
+        z = pa.array([], type=pa.int64())
+        return ray.data.from_arrow(pa.table({"u": z, "v": z, "i1": z, "i2": z}))
+
+    def _path_rel_delta(self, label: str, directed: bool, batch_edges):
+        """<=3-hop closure restricted to paths using >=1 BATCH edge —
+        the path-slot analog of the incremental delta-join rule.  With
+        B = batch 1-hops and C = cumulative 1-hops, the delta is the
+        union over batch-edge positions:
+
+            B  |  B.C  C.B  |  B.C.C  C.B.C  C.C.B
+
+        Joins run single-partition: the B side is batch-sized and Ray's
+        hash join loses empty-partition schemas."""
+        C = self._edge_rel(label, directed).materialize()
+        B = self._edge_rel(label, directed, edges=batch_edges).materialize()
+        if B.count() == 0:
+            return self._empty_path_rel()
+        def ext(p, e):
+            # guard: a join with an empty (schema-less) side raises
+            if p.count() == 0:
+                return self._empty_path_rel()
+            return self._hop_extend(p, e, npart=1).materialize()
+
+        pB = self._hop1(B).materialize()
+        pC = self._hop1(C).materialize()
+        eBC = ext(pB, C)
+        eCB = ext(pC, B)
+        eCC = ext(pC, C)
+        parts = [pB, eBC, eCB, ext(eBC, C), ext(eCB, C), ext(eCC, B)]
+        return parts[0].union(*parts[1:])
 
     # ---- candidate sets ----
 
@@ -257,8 +294,12 @@ class SubgraphMatcher:
         for qe in order:
             a_bound, b_bound = qe.a in bound, qe.b in bound
             if rel_override and qe.name in rel_override:
-                rel = self._edge_rel(qe.label, q.directed,
-                                     edges=rel_override[qe.name])
+                if qe.is_path:
+                    rel = self._path_rel_delta(qe.label, q.directed,
+                                               rel_override[qe.name])
+                else:
+                    rel = self._edge_rel(qe.label, q.directed,
+                                         edges=rel_override[qe.name])
             elif qe.is_path:
                 rel = self._path_rel(qe.label, q.directed)
             else:

@@ -310,6 +310,41 @@ def test_incremental_invariants_match_full_recompute():
         assert inv.stars == star_count(cum, min_degree=4)
 
 
+def test_incremental_path_query_delta():
+    """Path-slot delta (>=1-batch-edge closure): per-step cumulative
+    result SETS equal a full-recompute oracle on every prefix."""
+    from igpm_pem_ray.match.incremental_match import IncrementalMatcher, \
+        _vertices_from_edges
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+    from igpm_pem_ray.match.query import parse_query_args
+
+    qargs = "--vertex a b --path x:a:b --edge y:b:a".split()
+    # growing graph: a line that closes into cycles over 3 ts batches
+    e = pd.DataFrame({"src": [1, 2, 3, 3, 4, 5, 1],
+                      "dst": [2, 3, 4, 1, 5, 1, 4],
+                      "ts":  [0, 0, 0, 1, 1, 2, 2]})
+    ds = rd.from_pandas(e)
+    q = parse_query_args(qargs)
+    im = IncrementalMatcher(qargs)
+    seen_by_step = []
+    prev = None
+    for limit in [0, 1, 2]:
+        cum = ds.filter(expr=f"ts <= {limit}")
+        batch = cum if prev is None else ds.filter(
+            expr=f"ts > {prev} and ts <= {limit}")
+        im.step(cum, batch)
+        seen_by_step.append(set(im.seen))
+        prev = limit
+    # oracle: full matcher on each prefix, cumulative union of vid sets
+    oracle_seen: set = set()
+    for i, limit in enumerate([0, 1, 2]):
+        cum = ds.filter(expr=f"ts <= {limit}")
+        full = SubgraphMatcher(_vertices_from_edges(cum), cum).match(q)
+        oracle_seen |= set(full["_vidset"]) if len(full) else set()
+        assert seen_by_step[i] == oracle_seen, f"step {i}"
+    assert len(seen_by_step[-1]) > len(seen_by_step[0])  # growth observed
+
+
 def test_pem_policy_loop():
     """PEM-analog adaptive policy (T4/T5 heuristic stand-in): the
     observation/action/reward loop runs per step, the threshold adapts
