@@ -19,20 +19,20 @@ Layout
   arrays, broadcast per iteration — never actor memory, so resume
   from a checkpoint is trivial.
 
-Two message-merge strategies (``aggregate_messages``):
-- ``driver`` (default when V is driver-manageable): each partition
-  task pre-aggregates per distinct dst (sort + ``reduceat`` over a
-  block preprocessed ONCE: dst-sorted edge order and segment bounds
-  are computed at build time and pinned, so a per-iteration task is
-  just gather + reduceat) and the driver tree-merges the partials
-  with ``np.add.at``/``minimum.at``.  Measured ~100x faster than a
-  per-iteration Dataset groupby at sandbox scale (PROF: 0.023s vs
-  2.2s per pass on 80k edges / 16 CPUs) because it skips per-iteration
-  plan construction and shuffle machinery.
-- ``shuffle``: the combiner partials flow into ``groupby(dst).agg``
-  — the all-to-all exchange needed when V no longer fits the driver
-  (10^11+ vertices).  Same semantics, selected via ``strategy=`` or
-  automatically by V.
+Message merge on this fast path: each partition task pre-aggregates
+per distinct dst (sort + ``reduceat`` over a block preprocessed ONCE:
+dst-sorted edge order and segment bounds are computed at build time
+and pinned, so a per-iteration task is just gather + reduceat) and the
+driver tree-merges the partials.  Measured ~100x faster than a
+per-iteration Dataset groupby at sandbox scale (PROF: 0.023s vs 2.2s
+per pass on 80k edges / 16 CPUs) because it skips per-iteration plan
+construction and shuffle machinery.
+
+When V no longer fits any single process (10^11+ vertices), use the
+kernels in ``graph/shuffle_kernels.py`` instead: per-vertex state
+lives in a Dataset, iterations are joins + groupby shuffles on RAW
+vids (no dense index at all), and checkpoints stream to parquet.
+They are parity-tested against these fast kernels.
 
 The reference holds its graph in one process for the same reason
 (/root/reference/patternmatching/gray/rwr.py:32,108-129); here the
@@ -429,30 +429,6 @@ def msg_pass(g: DenseGraph, values: np.ndarray, *, reduce: str = "sum",
             view = out[lo:lo + len(seg)]
             view[:] = np_red(view, seg)
     return out
-
-
-def aggregate_messages(dense_edges, values_ref, *, reduce: str = "sum"):
-    """Shuffle-merge message exchange (the 10^12-scale path): per-batch
-    combiner partials -> groupby(dst) aggregate.  Kept API-compatible
-    with the original; kernels use msg_pass when V fits the driver."""
-    np_red, ray_agg = _REDUCERS[reduce]
-
-    def combiner(batch: pa.Table) -> pa.Table:
-        vals = ray.get(values_ref)
-        s = _np_col(batch, "src")
-        d = _np_col(batch, "dst")
-        w = vals[s]
-        order = np.argsort(d, kind="stable")
-        d_s, w_s = d[order], w[order]
-        bounds = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
-        return pa.table({"dst": d_s[bounds], "val": np_red.reduceat(w_s, bounds)})
-
-    agg = dense_edges.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True) \
-                     .groupby("dst").aggregate(ray_agg("val", alias_name="val"))
-    pdf = agg.to_pandas()
-    if not len(pdf):
-        return np.empty(0, dtype=np.int64), np.empty(0)
-    return pdf["dst"].to_numpy(), pdf["val"].to_numpy()
 
 
 def lp_count_pass(g: DenseGraph, labels: np.ndarray, *, lbl_bits: int = 31):
