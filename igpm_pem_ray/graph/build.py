@@ -84,6 +84,52 @@ def pages_to_edges(pages_ds, *, concurrency=4, batch_size: int = 256):
         pages_ds, concurrency=concurrency, batch_size=batch_size))
 
 
+def pages_to_edges_resumable(pages_dir: str, out_dir: str, *,
+                             files_per_shard: int = 8,
+                             concurrency=4, batch_size: int = 256):
+    """Restartable extraction: one OUTPUT DIRECTORY PER INPUT SHARD
+    with a ``_DONE`` marker committed after the shard's parquet lands
+    (driver spec: "write partitioned Parquet ... so a failed run can
+    skip finished partitions; never one giant file").
+
+    A restarted run skips every shard whose marker exists and rewrites
+    any partial shard from scratch (idempotent — markers are the only
+    commit protocol, same scheme as state/checkpoint manifests).  Each
+    shard runs the normal streaming pipeline internally (actor-pool
+    extraction, parallel within the shard), so a crash wastes at most
+    one shard of work.  Returns the edge Dataset over all shards."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_dir}")
+    shards = [files[i:i + files_per_shard]
+              for i in range(0, len(files), files_per_shard)]
+    done = skipped = 0
+    for si, shard in enumerate(shards):
+        sd = os.path.join(out_dir, f"shard={si:05d}")
+        marker = os.path.join(sd, "_DONE")
+        if os.path.exists(marker):
+            skipped += 1
+            continue
+        shutil.rmtree(sd, ignore_errors=True)  # partial from a crash
+        os.makedirs(sd, exist_ok=True)
+        edges = pages_to_edges(rd.read_parquet(shard),
+                               concurrency=concurrency,
+                               batch_size=batch_size)
+        edges.write_parquet(sd)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        done += 1
+    out_files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    ds = rd.read_parquet(out_files)
+    return ds, {"shards": len(shards), "computed": done, "skipped": skipped}
+
+
 def vertices_from_edges(edges_with_urls_ds):
     """Distinct (vid, url) over both endpoints.
 

@@ -89,3 +89,41 @@ def test_vertices_from_edges(pages_ds):
     rows = verts.take_all()
     assert all(ids.url_to_vid(r["url"]) == r["vid"] for r in rows)
     assert len({r["vid"] for r in rows}) == len(rows)
+
+
+def test_resumable_sharded_extraction(tmp_path):
+    """Sharded edge extraction skips _DONE shards on restart and
+    produces the same edge multiset as the direct pipeline."""
+    import collections
+    import os
+
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import build
+    from igpm_pem_ray.sources.pages import write_pages_parquet
+
+    pdir = str(tmp_path / "pages")
+    write_pages_parquet(pdir, n_pages=600, seed=3, rows_per_file=100)
+    out = str(tmp_path / "edges")
+    ds, st = build.pages_to_edges_resumable(pdir, out, files_per_shard=2,
+                                            concurrency=1, batch_size=64)
+    assert st["computed"] == st["shards"] > 1 and st["skipped"] == 0
+    direct = build.pages_to_edges(rd.read_parquet(pdir), concurrency=1,
+                                  batch_size=64).to_pandas()
+    sharded = ds.to_pandas()
+    want = collections.Counter(map(tuple, direct[["src", "dst"]].to_numpy()))
+    got = collections.Counter(map(tuple, sharded[["src", "dst"]].to_numpy()))
+    assert got == want
+    # restart: everything skipped, outputs untouched
+    mtimes = {f: os.path.getmtime(os.path.join(r, f))
+              for r, _, fs in os.walk(out) for f in fs}
+    ds2, st2 = build.pages_to_edges_resumable(pdir, out, files_per_shard=2)
+    assert st2["skipped"] == st2["shards"] and st2["computed"] == 0
+    mtimes2 = {f: os.path.getmtime(os.path.join(r, f))
+               for r, _, fs in os.walk(out) for f in fs}
+    assert mtimes == mtimes2
+    # a shard missing its marker is recomputed, others stay skipped
+    os.remove(os.path.join(out, "shard=00000", "_DONE"))
+    _, st3 = build.pages_to_edges_resumable(pdir, out, files_per_shard=2,
+                                            concurrency=1, batch_size=64)
+    assert st3["computed"] == 1 and st3["skipped"] == st3["shards"] - 1
