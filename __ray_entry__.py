@@ -164,6 +164,16 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         return ivf_topk(emb, qvec, k=10, nlist=8, nprobe=3)
 
+    def embed_near_dup_groups(sf_dir: str):
+        """Cosine-near-dup clusters over the embeddings table (WCC over
+        the pair graph; exact-pairs variant)."""
+        from igpm_pem_ray.ann.embed_dedup import near_dup_groups_embedding
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.pipelines.relational import EMBED_DUP_T
+
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return near_dup_groups_embedding(emb, threshold=EMBED_DUP_T)
+
     def incremental_steps(sf_dir: str):
         """Batch-dynamic replay (K7 analog) over the ts-stamped fixture
         edge stream: one row of metrics per tumbling ts batch."""
@@ -214,6 +224,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "embed_near_dup_groups": embed_near_dup_groups,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "pattern_match": pattern_match,
@@ -285,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": r.q_doc_quality,
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
+        "embed_near_dup": r.q_embed_near_dup,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -325,4 +337,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": r.sql_doc_quality(),
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
+        "embed_near_dup": r.sql_embed_near_dup(),
     }

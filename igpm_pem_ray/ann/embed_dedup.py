@@ -1,0 +1,133 @@
+"""Embedding-cosine near-duplicate detection (driver-spec dedup
+variant: "embedding-cosine near-dup").
+
+Two execution shapes, same semantics:
+- ``cosine_pairs`` (exact): broadcast the L2-normalized matrix once
+  (``ray.put``), each block computes its rows' similarities against it
+  and emits (id_a < id_b) pairs over the threshold — one streaming
+  pass, vectorized matmul, no shuffle.  The broadcast is N x d floats;
+  right while the embedding table fits the object store (the driver's
+  small-side-broadcast pattern).
+- ``cosine_pairs_lsh`` (scale path): random-hyperplane buckets
+  (``LshPartitioner``) + bucket-key self-join + per-pair vectorized
+  cosine — nothing broadcast, recall < 1 like any LSH scheme, pairs
+  verified exactly so precision is 1.
+
+``near_dup_groups_embedding`` closes the pairs into clusters with the
+shared WCC kernel (group = min vec_id), mirroring the text near-dup
+pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from igpm_pem_ray.ann.knn import LshPartitioner, _batch_matrix
+
+
+def _normalized(emb_ds, id_col: str):
+    ids, mats = [], []
+    for t in ray.get(emb_ds.materialize().to_arrow_refs()):
+        if t.num_rows:
+            ids.append(t[id_col].to_numpy(zero_copy_only=False))
+            mats.append(_batch_matrix(t))
+    ids = np.concatenate(ids)
+    m = np.concatenate(mats)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+def cosine_pairs(emb_ds, *, threshold: float = 0.9, id_col: str = "vec_id"):
+    """All (id_a < id_b, sim) pairs with cosine >= threshold.  Exact;
+    one pass of each block against the broadcast normalized matrix."""
+    ids, m = _normalized(emb_ds, id_col)
+    ref = ray.put((ids, m))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        bm = _batch_matrix(batch)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = bm @ all_m.T                      # (B, N)
+        ii, jj = np.nonzero((sims >= threshold)
+                            & (bids[:, None] < all_ids[None, :]))
+        return pa.table({"id_a": bids[ii].astype(np.int64),
+                         "id_b": all_ids[jj].astype(np.int64),
+                         "sim": sims[ii, jj]})
+
+    return emb_ds.map_batches(block, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def cosine_pairs_lsh(emb_ds, *, threshold: float = 0.9, nbits: int = 6,
+                     id_col: str = "vec_id"):
+    """Bucketed variant: only pairs sharing an LSH bucket are scored —
+    no broadcast; pairs verified with the exact cosine.
+
+    The bucket groupby uses ``map_groups``: there are at most 2^nbits
+    groups (not per-key Python overhead at scale — unlike the text LSH
+    banding whose bucket count grows with the corpus), and Arrow's hash
+    join cannot carry ``list<float>`` payload columns at all."""
+    t0 = emb_ds.materialize()
+    first = t0.take(1)
+    dim = len(first[0]["embedding"])
+    bucketed = t0.map_batches(
+        LshPartitioner, batch_format="pyarrow",
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+        concurrency=2)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        order = np.argsort(df[id_col].to_numpy())
+        ids = df[id_col].to_numpy()[order]
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"].to_numpy()[order]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ii].astype(np.int64),
+                             "id_b": ids[jj].astype(np.int64),
+                             "sim": sims[ii, jj]})
+
+    return bucketed.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+
+
+def near_dup_groups_embedding(emb_ds, *, threshold: float = 0.9,
+                              id_col: str = "vec_id",
+                              num_partitions: int = 2):
+    """(vec_id, group) with group = min vec_id of the cosine-near-dup
+    cluster (WCC over the pair graph; singletons keep their id)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.components import connected_components
+
+    emb_ds = emb_ds.materialize()
+    pairs = cosine_pairs(emb_ds, threshold=threshold, id_col=id_col) \
+        .materialize()
+    if pairs.count() == 0:
+        return emb_ds.select_columns([id_col]).map_batches(
+            lambda t: pa.table({id_col: t[id_col], "group": t[id_col]}),
+            batch_format="pyarrow")
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
+        batch_format="pyarrow")
+    comp = connected_components(edges)
+    comp_ds = rd.from_arrow(comp.rename_columns([id_col, "group"]))
+    joined = emb_ds.select_columns([id_col]).join(
+        comp_ds, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,))
+    return joined.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "group": pc.coalesce(t["group"], t[id_col]).cast(pa.int64()),
+        }),
+        batch_format="pyarrow")

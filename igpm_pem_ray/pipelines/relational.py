@@ -452,6 +452,33 @@ def q_ann_cosine(sf_dir: str):
                      "sim_e4": scale_col(top["sim"].to_numpy(), 1e4)})
 
 
+EMBED_DUP_T = 0.4  # testdata embeddings are random (max sim ~0.51)
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (driver-spec dedup variant):
+    exact all-pairs over the threshold, streamed block x broadcast."""
+    from igpm_pem_ray.ann.embed_dedup import cosine_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_pairs(emb, threshold=EMBED_DUP_T).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({"id_a": pairs["id_a"].to_numpy(),
+                     "id_b": pairs["id_b"].to_numpy(),
+                     "sim_e4": scale_col(pairs["sim"].to_numpy(), 1e4)})
+
+
+def sql_embed_near_dup() -> str:
+    # DOUBLE[] cast: float32 cosine would diverge from the engine's
+    # float64 math (same convention as sql_ann_cosine)
+    sim = "list_cosine_similarity(a.e, b.e)"
+    return (
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"CAST(floor({sim}*1e4+0.5) AS BIGINT) AS sim_e4 "
+        f"FROM n a JOIN n b ON a.vec_id < b.vec_id WHERE {sim} >= {EMBED_DUP_T}")
+
+
 def sql_ann_cosine() -> str:
     # cast to DOUBLE[]: duckdb's float32 cosine would diverge from the
     # engine's float64 math by ~1e-6 (visible at the 1e4 grid)

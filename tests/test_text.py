@@ -122,3 +122,40 @@ def test_ann_ivf():
     approx = ivf_topk(ds, vecs[7:8], k=3, nlist=8, nprobe=1,
                       centroids=cent).to_pandas()
     assert 7 in approx["vec_id"].tolist()
+
+
+def test_embedding_near_dup():
+    """Embedding-cosine near-dup: exact pairs vs numpy brute force,
+    LSH-bucketed pairs subset with planted duplicates found, cluster
+    assignment groups the planted pair."""
+    from igpm_pem_ray.ann.embed_dedup import (cosine_pairs,
+                                              cosine_pairs_lsh,
+                                              near_dup_groups_embedding)
+
+    rng = np.random.RandomState(14)
+    vecs = rng.standard_normal((120, 16))
+    vecs[77] = vecs[3] + 0.001 * rng.standard_normal(16)  # planted dup
+    tbl = pa.table({"vec_id": pa.array(range(120), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    thr = 0.95
+    got = cosine_pairs(ds, threshold=thr).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # brute-force oracle (float32 storage -> compute in float64 like engine)
+    m = np.stack([np.asarray(r, dtype=np.float32).astype(np.float64)
+                  for r in tbl["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = sorted((i, j) for i in range(120) for j in range(i + 1, 120)
+                  if sims[i, j] >= thr)
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+    assert (3, 77) in want
+    lsh = cosine_pairs_lsh(ds, threshold=thr, nbits=3).to_pandas()
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    assert lsh_pairs <= set(want)
+    assert (3, 77) in lsh_pairs  # near-identical vectors share buckets
+    groups = near_dup_groups_embedding(ds, threshold=thr).to_pandas()
+    g = dict(zip(groups["vec_id"], groups["group"]))
+    assert g[77] == g[3] == 3
+    assert len(groups) == 120
