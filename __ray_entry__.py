@@ -164,6 +164,32 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         return ivf_topk(emb, qvec, k=10, nlist=8, nprobe=3)
 
+    def doc_winnow(sf_dir: str):
+        """Winnowing rolling-hash fingerprints (SIGMOD'03), one row per
+        selected k-gram — the overlap-detection index."""
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.analysis import WinnowFingerprinter
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return docs.map_batches(WinnowFingerprinter, batch_format="pandas",
+                                concurrency=2)
+
+    def simhash_near_dup(sf_dir: str):
+        """SimHash-band near-dup candidates verified by exact n-gram
+        Jaccard (the second dedup sketch family, same verify stage)."""
+        import pandas as pd
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.dedup import simhash_candidate_pairs, verify_pairs
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .materialize()
+        cand = simhash_candidate_pairs(docs, band_bits=8).materialize()
+        if cand.count() == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jaccard_e6": pd.Series(dtype="int64")})
+        return verify_pairs(cand, docs, threshold=0.8)
+
     def embed_near_dup_groups(sf_dir: str):
         """Cosine-near-dup clusters over the embeddings table (WCC over
         the pair graph; exact-pairs variant)."""
@@ -225,6 +251,8 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "embed_near_dup_groups": embed_near_dup_groups,
+        "doc_winnow": doc_winnow,
+        "simhash_near_dup": simhash_near_dup,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "pattern_match": pattern_match,

@@ -117,8 +117,55 @@ def fingerprint64(texts) -> np.ndarray:
 
 
 class Fingerprinter:
-    """documents(text) -> + fp64 (rolling/content hash fingerprint)."""
+    """documents(text) -> + fp64 (content-hash fingerprint)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["fp64"] = fingerprint64(batch["text"].tolist())
         return batch
+
+
+_WINNOW_BASE = np.uint64(1_000_003)
+
+
+def winnow_fingerprints(text: str, *, k: int = 8, w: int = 16) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): byte-level degree-k polynomial ROLLING hash, then the
+    minimum hash of every window of w consecutive k-grams (rightmost
+    min per window), deduplicated.  Vectorized: the rolling hashes come
+    from two cumulative polynomial prefix products and the windowed
+    minimum from a stride-tricks sliding window."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    # h[i] = data[i:i+k] . BASE^{k-1..0}  (mod 2^64) — the k-gram
+    # rolling-hash values, vectorized as one sliding-window matmul
+    # (k is a small constant, so this IS the rolling recurrence cost)
+    weights = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    h = (win * weights).sum(axis=1, dtype=np.uint64)
+    if n <= w:
+        return np.array([np.int64(h.min() >> np.uint64(1))])
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = hw.min(axis=1)
+    return np.unique((mins >> np.uint64(1)).astype(np.int64))
+
+
+class WinnowFingerprinter:
+    """documents(text) -> (doc_id, fp) rows, one per selected k-gram
+    fingerprint (flat_map shape; the overlap-detection index rows)."""
+
+    def __init__(self, *, k: int = 8, w: int = 16) -> None:
+        self.k = k
+        self.w = w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            f = winnow_fingerprints(text or "", k=self.k, w=self.w)
+            ids.append(np.full(len(f), doc_id, dtype=np.int64))
+            fps.append(f)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "fp": np.concatenate(fps) if fps else np.empty(0, np.int64),
+        })

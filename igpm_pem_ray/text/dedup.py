@@ -308,3 +308,50 @@ def simhash_table(docs_ds, *, concurrency=2):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pandas", concurrency=concurrency) \
         .select_columns(["doc_id", "simhash"])
+
+
+def simhash_candidate_pairs(docs_ds, *, band_bits: int = 8,
+                            num_partitions: int | None = None):
+    """Near-dup candidates by EQUAL SimHash bands: the 63-bit sketch is
+    split into ``63 // band_bits`` bands and docs sharing any band value
+    become a (doc_a < doc_b) candidate — guaranteed to catch every pair
+    with Hamming distance < number of bands (pigeonhole), probabilistic
+    beyond.  Same bucket-key self-join shape as the MinHash banding."""
+    if num_partitions is None:
+        num_partitions = _default_npart()
+    nbands = 63 // band_bits
+    mask = np.int64((1 << band_bits) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bands = np.arange(nbands, dtype=np.int64)
+        vals = (sh[:, None] >> (bands[None, :] * band_bits)) & mask
+        return pa.table({
+            "doc_id": np.repeat(ids, nbands),
+            "band": np.tile(bands, len(ids)),
+            "band_val": vals.ravel(),
+        })
+
+    bands = simhash_table(docs_ds).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if bands.count() == 0:
+        return bands
+    left = bands.map_batches(
+        lambda t: t.rename_columns(["doc_a", "band", "band_val"]),
+        batch_format="pyarrow")
+    right = bands.map_batches(
+        lambda t: t.rename_columns(["doc_b", "band", "band_val"]),
+        batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("band", "band_val"))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"doc_a": a[keep], "doc_b": b[keep]})
+
+    return j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")) \
+            .drop_columns(["_n"])

@@ -159,3 +159,39 @@ def test_embedding_near_dup():
     g = dict(zip(groups["vec_id"], groups["group"]))
     assert g[77] == g[3] == 3
     assert len(groups) == 120
+
+
+def test_winnow_fingerprints():
+    """Winnowing rolling-hash fingerprints: deterministic, shared
+    k-grams produce shared fingerprints, disjoint texts share ~none."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "prefix junk THEN " + a + " suffix tail"
+    c = "zzz completely unrelated material qqq www 123456"
+    fa = analysis.winnow_fingerprints(a)
+    fb = analysis.winnow_fingerprints(b)
+    fc = analysis.winnow_fingerprints(c)
+    assert np.array_equal(fa, analysis.winnow_fingerprints(a))  # deterministic
+    overlap_ab = len(np.intersect1d(fa, fb)) / max(1, len(fa))
+    overlap_ac = len(np.intersect1d(fa, fc)) / max(1, len(fa))
+    assert overlap_ab > 0.5 > overlap_ac
+    assert analysis.winnow_fingerprints("").size == 0
+    assert analysis.winnow_fingerprints("abc", k=8).size == 0  # shorter than k
+    # Ray stage: one row per (doc_id, fp)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": [a, c]}))
+    rows = ds.map_batches(analysis.WinnowFingerprinter, batch_format="pandas",
+                          concurrency=1).to_pandas()
+    assert set(rows["doc_id"]) == {1, 2}
+    assert len(rows[rows["doc_id"] == 1]) == len(fa)
+
+
+def test_simhash_candidate_pairs(corpus):
+    """SimHash band bucketing: exact dups always collide (all bands
+    equal); candidates feed the same Jaccard verify as MinHash-LSH."""
+    ds = rd.from_pandas(corpus)
+    cand = dedup.simhash_candidate_pairs(ds, band_bits=8).to_pandas()
+    pairs = set(map(tuple, cand[["doc_a", "doc_b"]].to_numpy()))
+    assert (1, 101) in pairs          # exact dup: all bands equal
+    ver = dedup.verify_pairs(
+        rd.from_pandas(cand), ds, threshold=0.9).to_pandas()
+    vp = set(map(tuple, ver[["doc_a", "doc_b"]].to_numpy()))
+    assert (1, 101) in vp
