@@ -219,7 +219,8 @@ class DenseGraph:
 def build_dense_graph(edges_ds, *, symmetric: bool = False, reverse: bool = False,
                       drop_self_loops: bool = False,
                       target_blocks: int | None = None,
-                      vids: np.ndarray | None = None) -> DenseGraph:
+                      vids: np.ndarray | None = None,
+                      sort: bool = True) -> DenseGraph:
     """Materialize a dense-indexed edge Dataset.
 
     symmetric: store both directions (undirected kernels — the
@@ -228,6 +229,11 @@ def build_dense_graph(edges_ds, *, symmetric: bool = False, reverse: bool = Fals
     target_blocks: partition count for iteration (default 2/CPU —
     enough for balance, few enough that per-iteration task overhead
     stays trivial).
+    sort=False skips the global dst-sort (the build's only all-to-all):
+    message passes stay correct (per-block preps sort locally and the
+    merge tolerates overlapping ranges) — right for single-pass
+    consumers like triangle counting; iterative kernels keep the sort
+    so per-iteration merges are disjoint slice writes.
     """
     # pin the raw edge table once: this function consumes its input
     # lineage twice (vertex discovery + densify), and without a
@@ -270,8 +276,10 @@ def build_dense_graph(edges_ds, *, symmetric: bool = False, reverse: bool = Fals
     # (SURVEY.md section 7.3).  repartition(n) after sort splits
     # without reordering rows.
     dense = edges_ds.select_columns(["src", "dst"]) \
-        .map_batches(to_dense, batch_format="pyarrow", zero_copy_batch=True) \
-        .sort("dst").repartition(target_blocks).materialize()
+        .map_batches(to_dense, batch_format="pyarrow", zero_copy_batch=True)
+    if sort:
+        dense = dense.sort("dst").repartition(target_blocks)
+    dense = dense.materialize()
 
     g = DenseGraph(vids=vids, edges=dense, outdeg=np.zeros(len(vids), dtype=np.int64),
                    num_edges=0, symmetric=symmetric, reverse=reverse,

@@ -53,15 +53,13 @@ BROADCAST_MAX_EDGES = 50_000_000  # above this the CSR no longer broadcasts
 
 
 @ray.remote
-def _wedge_count_block(block: pa.Table, indptr, indices, packed_edges) -> int:
-    """Count closed wedges for one block of oriented edges against the
+def _wedge_count_span(u, v, indptr, indices, packed_edges) -> int:
+    """Count closed wedges for one span of oriented edges against the
     broadcast oriented CSR + sorted packed edge array.  Fully
     vectorized: segment-gather of successors(v), pack (u,w) into one
     int64, membership via searchsorted."""
-    if block.num_rows == 0 or "src" not in block.column_names:
+    if len(u) == 0:
         return 0
-    u = block["src"].to_numpy(zero_copy_only=False)
-    v = block["dst"].to_numpy(zero_copy_only=False)
     lens = indptr[v + 1] - indptr[v]
     total = int(lens.sum())
     if total == 0:
@@ -94,10 +92,70 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(16, cpus // 2))
     t0 = time.perf_counter()
+    if strategy == "auto":
+        # upper bound on the simple edge count decides the plan before
+        # anything moves (multigraph count >= simple count)
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+
+    if strategy == "broadcast":
+        # E fits one process (same envelope the CSR broadcast needs
+        # anyway), so skip the distributed dedup/deg shuffles entirely:
+        # one per-block canon+unique combiner pass, then driver numpy —
+        # measured 3x faster than the groupby pipeline at sf0.1
+        def canon_unique(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, d)
+            hi = np.maximum(s, d)
+            keep = lo != hi
+            arr = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+            return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+        pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+            canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+            .to_pandas()
+        if not len(pdf):
+            if stats is not None:
+                stats.update({"wall_sec": time.perf_counter() - t0,
+                              "triangles": 0})
+            return 0
+        pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+        vids = np.unique(pairs)
+        V = len(vids)
+        assert V < 2**31, "orientation packing assumes V < 2^31"
+        s = np.searchsorted(vids, pairs[:, 0])
+        d = np.searchsorted(vids, pairs[:, 1])
+        deg = np.bincount(np.concatenate([s, d]), minlength=V)
+        ks = (deg[s].astype(np.int64) << 31) | s
+        kd = (deg[d].astype(np.int64) << 31) | d
+        lo_first = ks < kd
+        a = np.where(lo_first, s, d).astype(np.int64)
+        b = np.where(lo_first, d, s).astype(np.int64)
+        order = np.argsort(a, kind="stable")
+        a_s, b_s = a[order], b[order]
+        indptr = np.zeros(V + 2, dtype=np.int64)
+        np.add.at(indptr, a_s + 1, 1)
+        indptr = np.cumsum(indptr)
+        packed = np.sort((a << 31) | b)
+        ip_ref, ix_ref, pk_ref = ray.put(indptr), ray.put(b_s), ray.put(packed)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        spans = np.array_split(np.arange(len(a)), max(1, min(4 * cpus,
+                                                             len(a) // 1024 + 1)))
+        futs = [_wedge_count_span.remote(a[sp], b[sp], ip_ref, ix_ref, pk_ref)
+                for sp in spans if len(sp)]
+        n = sum(ray.get(futs))
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "triangles": int(n), "num_vertices": V,
+                          "num_simple_edges": len(pairs),
+                          "strategy": "broadcast"})
+        return int(n)
+
+    # join plan (the 10^12-scale path): distributed dedup + dense build
+    # + orient + two chained hash joins — nothing driver-resident
     simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
-    # dense-index the simple graph; build symmetric=False (edges already
-    # canonical (lo,hi)); degrees = undirected degree = out+in over canon rows
-    g = build_dense_graph(simple)
+    g = build_dense_graph(simple, sort=False)
     V = g.num_vertices
     if V == 0 or g.num_edges == 0:
         if stats is not None:
@@ -120,29 +178,6 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None,
     oriented = g.edges.map_batches(lambda b: _orient(b, deg_ref),
                                    batch_format="pyarrow", zero_copy_batch=True) \
                       .materialize()
-
-    if strategy == "auto":
-        strategy = "broadcast" if g.num_edges <= BROADCAST_MAX_EDGES else "join"
-    if strategy == "broadcast":
-        # build the oriented CSR + sorted packed edge array on the
-        # driver (E-bounded, one pass over the materialized blocks)
-        pdf = oriented.to_pandas()
-        s = pdf["src"].to_numpy()
-        d = pdf["dst"].to_numpy()
-        order = np.argsort(s, kind="stable")
-        s_s, d_s = s[order], d[order]
-        indptr = np.zeros(V + 2, dtype=np.int64)
-        np.add.at(indptr, s_s + 1, 1)
-        indptr = np.cumsum(indptr)
-        packed = np.sort((s.astype(np.int64) << 31) | d)
-        ip_ref, ix_ref, pk_ref = ray.put(indptr), ray.put(d_s), ray.put(packed)
-        n = sum(ray.get([_wedge_count_block.remote(b, ip_ref, ix_ref, pk_ref)
-                         for b in oriented.to_arrow_refs()]))
-        if stats is not None:
-            stats.update({"wall_sec": time.perf_counter() - t0, "triangles": int(n),
-                          "num_vertices": V, "num_simple_edges": g.num_edges,
-                          "strategy": "broadcast"})
-        return int(n)
 
     left = oriented.rename_columns(["u", "v"])
     right = oriented.rename_columns(["v2", "w"])
