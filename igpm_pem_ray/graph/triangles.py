@@ -202,9 +202,36 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None,
     return int(n)
 
 
-def star_count(edges_ds, *, min_degree: int = 4) -> int:
+def star_count(edges_ds, *, min_degree: int = 4,
+               strategy: str = "auto") -> int:
     """Vertices with simple-graph degree >= min_degree — the reference's
-    "star" ground-truth invariant (gray_incremental.py:194,202)."""
+    "star" ground-truth invariant (gray_incremental.py:194,202).
+
+    Same two plans as triangle_count: per-block canon+unique combiner +
+    driver bincount while E fits one process, else the distributed
+    dedup + degree groupby."""
+    if strategy == "auto":
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+    if strategy == "broadcast":
+        def canon_unique(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, d)
+            hi = np.maximum(s, d)
+            keep = lo != hi
+            arr = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+            return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+        pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+            canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+            .to_pandas()
+        if not len(pdf):
+            return 0
+        pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+        vids, counts = np.unique(pairs.ravel(), return_counts=True)
+        return int((counts >= min_degree).sum())
+
     simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -215,5 +242,4 @@ def star_count(edges_ds, *, min_degree: int = 4) -> int:
 
     deg = simple.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True) \
                 .groupby("v").aggregate(Sum("c", alias_name="deg"))
-    import pyarrow.compute as pc  # noqa: F401
     return deg.filter(expr=f"deg >= {int(min_degree)}").count()

@@ -219,3 +219,12 @@ def test_lp_shuffle_parity():
             .sort_values("vid").reset_index(drop=True)
         w = dict(zip(want["vid"].to_pylist(), want["label"].to_pylist()))
         assert {int(v): int(l) for v, l in zip(got["vid"], got["label"])} == w
+
+
+def test_star_count_strategies():
+    e = [(0, i) for i in range(1, 6)] + [(1, 2), (0, 1)]  # dup edge + extra
+    ds = rd.from_arrow(pa.table({"src": pa.array([a for a, _ in e], type=pa.int64()),
+                                 "dst": pa.array([b for _, b in e], type=pa.int64())}))
+    for strat in ("broadcast", "join"):
+        assert tri_mod.star_count(ds, min_degree=4, strategy=strat) == 1
+        assert tri_mod.star_count(ds, min_degree=6, strategy=strat) == 0
