@@ -190,6 +190,15 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
                                  "jaccard_e6": pd.Series(dtype="int64")})
         return verify_pairs(cand, docs, threshold=0.8)
 
+    def doc_overlap(sf_dir: str):
+        """Winnowing-fingerprint overlap pairs (MOSS pattern): docs
+        sharing >= 3 selected k-gram fingerprints."""
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.dedup import winnow_overlap_pairs
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return winnow_overlap_pairs(docs, min_shared=3)
+
     def embed_near_dup_groups(sf_dir: str):
         """Cosine-near-dup clusters over the embeddings table (WCC over
         the pair graph; exact-pairs variant)."""
@@ -252,7 +261,9 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "embed_near_dup_groups": embed_near_dup_groups,
         "doc_winnow": doc_winnow,
+        "doc_overlap": doc_overlap,
         "simhash_near_dup": simhash_near_dup,
+        "pattern_match_approx": pattern_match_approx,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "pattern_match": pattern_match,
@@ -284,6 +295,26 @@ def extract_paths(sf_dir: str):
 
     _, e = load_node_link_json("/root/reference/sample/static/test1p.json")
     return Extract(e).best_paths([0, 2, 5])
+
+
+def pattern_match_approx(sf_dir: str):
+    """Approximate (one-edge-missing) pattern matching — the
+    reference's num_approx counter surface (gray_incremental.py:
+    201-202).  Rows-only; oracle in tests/test_match.py."""
+    import pandas as pd
+
+    from igpm_pem_ray.match.query import parse_query_args
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+    from igpm_pem_ray.sources.nodelink import load_node_link_json
+
+    v, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a".split())
+    approx = SubgraphMatcher(v, e).match_approx(q)
+    return pd.DataFrame({
+        "match_id": range(len(approx)),
+        "vids": [",".join(map(str, s)) for s in approx["_vidset"]],
+        "missing": list(approx["_missing"]),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -448,6 +448,46 @@ class SubgraphMatcher:
         pdf = pdf.drop_duplicates("_vidset")
         return pdf.reset_index(drop=True)
 
+    def match_approx(self, q: Query) -> pd.DataFrame:
+        """Approximate (near-miss) matches — the reference's
+        ``num_approx`` counter (gray_incremental.py:201-202 tracks
+        patterns assembled with a missing edge): injective bindings
+        satisfying ALL BUT ONE query edge, minus the exact matches.
+
+        One exact plan run per droppable slot (a slot whose removal
+        leaves the query connected); result rows carry ``_missing`` =
+        the unmatched slot name; vertex-set dedup as in ``match``.
+        """
+        from dataclasses import replace  # noqa: F401
+
+        exact = self.match(q)
+        exact_sets = set(exact["_vidset"]) if len(exact) else set()
+        parts: list[pd.DataFrame] = []
+        touched_all = {s for e in q.edges for s in (e.a, e.b)}
+        for drop in q.edges:
+            rest = [e for e in q.edges if e.name != drop.name]
+            if not rest:
+                continue
+            if {s for e in rest for s in (e.a, e.b)} != touched_all:
+                continue  # dropping would leave an unbound symbol
+            q2 = Query(syms=list(q.syms), vertex_labels=dict(q.vertex_labels),
+                       edges=rest, directed=q.directed, condition=q.condition)
+            try:
+                self._plan(q2)
+            except ValueError:
+                continue  # dropping this slot disconnects the query
+            pdf = self.match(q2)
+            if not len(pdf):
+                continue
+            pdf = pdf[~pdf["_vidset"].isin(exact_sets)].copy()
+            pdf["_missing"] = drop.name
+            parts.append(pdf)
+        if not parts:
+            return pd.DataFrame()
+        out = pd.concat(parts, ignore_index=True)
+        out = out.sort_values(["_vidset", "_missing"]).drop_duplicates("_vidset")
+        return out.reset_index(drop=True)
+
     # ---- post-ops (M1 --groupby/--orderby/--aggregate) ----
 
     @staticmethod

@@ -283,6 +283,42 @@ def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def winnow_overlap_pairs(docs_ds, *, k: int = 8, w: int = 16,
+                         min_shared: int = 3,
+                         num_partitions: int | None = None):
+    """Document-overlap detection via winnowing fingerprints (the MOSS
+    pattern): docs sharing >= min_shared selected k-gram fingerprints
+    become (doc_a < doc_b, n_shared) pairs.  One flat-map to
+    (doc_id, fp) rows, one fp-key self-join, one count groupby — the
+    same distributed shape as the LSH banding."""
+    from igpm_pem_ray.text.analysis import WinnowFingerprinter
+
+    if num_partitions is None:
+        num_partitions = _default_npart()
+    fps = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        WinnowFingerprinter, batch_format="pandas",
+        fn_constructor_kwargs={"k": k, "w": w}, concurrency=2).materialize()
+    if fps.count() == 0:
+        return fps
+    left = fps.map_batches(lambda t: t.rename_columns(["doc_a", "fp"]),
+                           batch_format="pyarrow")
+    right = fps.map_batches(lambda t: t.rename_columns(["doc_b", "fp"]),
+                            batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("fp",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"doc_a": a[keep], "doc_b": b[keep]})
+
+    counted = j.map_batches(ordered, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+    return counted.filter(expr=f"n_shared >= {int(min_shared)}")
+
+
 class SimHasher:
     """64-bit SimHash per document (token-hash bit-majority sketch),
     batch-vectorized: one (total_shingles, 64) bit matrix + reduceat."""

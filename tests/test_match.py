@@ -180,6 +180,39 @@ def test_best_effort_subset_and_anytime(gfile, qstr):
     assert got_lim <= exact
 
 
+def test_match_approx_near_misses():
+    """Approximate matching (reference num_approx analog): triangle
+    query's near-misses are exactly the open wedges — verified against
+    a brute-force oracle on test1p.json."""
+    from itertools import permutations
+
+    from igpm_pem_ray.match.query import parse_query_args
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+
+    v, e = load_node_link_json(f"{REF}/test1p.json")
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a".split())
+    m = SubgraphMatcher(v, e)
+    approx = m.match_approx(q)
+    exact_sets = set(m.match(q)["_vidset"])
+    got = set(approx["_vidset"]) if len(approx) else set()
+    # oracle: vertex triples with >= 2 of the 3 undirected edges but
+    # not all 3 (set-deduped)
+    ep = e.to_pandas()
+    und = {(int(r.src), int(r.dst)) for r in ep.itertuples()} | \
+          {(int(r.dst), int(r.src)) for r in ep.itertuples()}
+    vids = sorted(v.to_pandas()["vid"])
+    want = set()
+    for trip in permutations(vids, 3):
+        a, b, c = trip
+        have = ((a, b) in und) + ((b, c) in und) + ((c, a) in und)
+        if have == 2:
+            want.add(tuple(sorted(trip)))
+    want -= exact_sets
+    assert got == want
+    assert got and got.isdisjoint(exact_sets)
+    assert set(approx["_missing"]) <= {"x", "y", "z"}
+
+
 def test_condition_filter_on_matches():
     """Condition language applied to match results (reference
     --condition, ConditionParser semantics)."""

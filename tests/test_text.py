@@ -195,3 +195,20 @@ def test_simhash_candidate_pairs(corpus):
         rd.from_pandas(cand), ds, threshold=0.9).to_pandas()
     vp = set(map(tuple, ver[["doc_a", "doc_b"]].to_numpy()))
     assert (1, 101) in vp
+
+
+def test_winnow_overlap_pairs():
+    """Overlap detection: a doc containing another doc's text shares
+    fingerprints with it; unrelated docs don't pass min_shared."""
+    a = ("the quick brown fox jumps over the lazy dog while the rain "
+         "falls gently on the quiet town throughout the long night")
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [a, "INTRO " + a + " OUTRO", "totally different words here "
+                 "about unrelated topics entirely xyz"],
+    })
+    ds = rd.from_pandas(rows)
+    pairs = dedup.winnow_overlap_pairs(ds, min_shared=3).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
