@@ -50,6 +50,7 @@ import ray
 from ray.data.aggregate import Max, Min, Sum
 
 DRIVER_MERGE_MAX_V = 50_000_000  # above this, fall back to shuffle merge
+COMPACT_MAX_BLOCKS = 64          # extend_dense_graph re-sorts past this
 
 
 def _np_col(batch: pa.Table, name: str) -> np.ndarray:
@@ -400,6 +401,21 @@ def extend_dense_graph(g: DenseGraph, batch_ds) -> DenseGraph:
                     symmetric=g.symmetric, reverse=g.reverse,
                     drop_self_loops=g.drop_self_loops)
     g2._preps = list(preps_old) + preps_new
+    if len(g2._preps) > COMPACT_MAX_BLOCKS:
+        # amortized compaction: after many appended batches the block
+        # count (and per-pass task count) creeps up — one re-sorted
+        # rebuild restores ~2 blocks/CPU and disjoint dst ranges.
+        # Edges are already dense in vids2, so rebuild with vids=vids2
+        # and no re-densify flags (they were applied on the way in).
+        flat = DenseGraph(vids=vids2, edges=g2.edges, outdeg=outdeg2,
+                          num_edges=num_edges, symmetric=g.symmetric,
+                          reverse=g.reverse,
+                          drop_self_loops=g.drop_self_loops)
+        dense_vids = np.arange(len(vids2), dtype=np.int64)
+        rebuilt = build_dense_graph(g2.edges, vids=dense_vids)
+        flat.edges = rebuilt.edges
+        flat._preps = rebuilt._preps
+        return flat
     return g2
 
 

@@ -62,12 +62,16 @@ class IncrementalMatcher:
     """
 
     def __init__(self, query: Query | list[str], *, vertices_ds=None,
-                 num_partitions: int = 2) -> None:
+                 num_partitions: int = 2, count_approx: bool = False) -> None:
         self.query = (query if isinstance(query, Query)
                       else parse_query_args(list(query)))
         self.vertices = vertices_ds
         self.num_partitions = num_partitions
         self.seen: set[tuple] = set()
+        # reference num_approx counter (gray_incremental.py:201-202):
+        # opt-in — each step pays a full match_approx pass
+        self.count_approx = count_approx
+        self.seen_approx: set[tuple] = set()
         self._first = True
 
     def _matcher(self, cum_edges) -> SubgraphMatcher:
@@ -118,8 +122,15 @@ class IncrementalMatcher:
         new = [vs for vs in (pdf["_vidset"] if len(pdf) else [])
                if vs not in self.seen]
         self.seen.update(new)
-        return {
+        out = {
             "patterns_new": len(new),        # reference newly_found
             "patterns_total": len(self.seen),  # reference num_exact
             "match_elapsed_sec": round(time.perf_counter() - t0, 4),
         }
+        if self.count_approx:
+            ap = m.match_approx(q)
+            sets = set(ap["_vidset"]) if len(ap) else set()
+            # an approx set that later became exact stops counting
+            self.seen_approx = (self.seen_approx | sets) - self.seen
+            out["patterns_approx_total"] = len(self.seen_approx)
+        return out

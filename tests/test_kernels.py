@@ -228,3 +228,28 @@ def test_star_count_strategies():
     for strat in ("broadcast", "join"):
         assert tri_mod.star_count(ds, min_degree=4, strategy=strat) == 1
         assert tri_mod.star_count(ds, min_degree=6, strategy=strat) == 0
+
+
+def test_extend_compaction_equivalence(monkeypatch):
+    """Many small extends trigger the amortized compaction rebuild;
+    kernel results stay identical to a fresh full build."""
+    from igpm_pem_ray.graph import dense as dense_mod
+
+    monkeypatch.setattr(dense_mod, "COMPACT_MAX_BLOCKS", 6)
+    rng = np.random.RandomState(17)
+    src = rng.randint(0, 100, size=1200).astype(np.int64)
+    dst = rng.randint(0, 100, size=1200).astype(np.int64)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({"src": src[lo:hi], "dst": dst[lo:hi]}))
+
+    g = dense_mod.build_dense_graph(mk(0, 200))
+    for i in range(1, 6):
+        g = dense_mod.extend_dense_graph(g, mk(200 * i, 200 * (i + 1)))
+    g_full = dense_mod.build_dense_graph(mk(0, 1200))
+    assert np.array_equal(g.vids, g_full.vids)
+    assert g.num_edges == g_full.num_edges
+    assert np.array_equal(g.outdeg, g_full.outdeg)
+    ri = pr_mod.pagerank_dense(g, tol=1e-10)
+    rf = pr_mod.pagerank_dense(g_full, tol=1e-10)
+    assert np.allclose(ri, rf, atol=1e-9)

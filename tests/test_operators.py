@@ -156,6 +156,23 @@ def test_incremental_pattern_matching():
     assert [t for t, _ in got] == [1, 2, 3]  # triangles appear one per step
 
 
+def test_incremental_approx_counters():
+    """Opt-in num_approx analog: open wedges counted per step, demoted
+    once they close into exact triangles."""
+    from igpm_pem_ray.match.incremental_match import IncrementalMatcher
+
+    qargs = "--vertex a b c --edge x:a:b y:b:c z:c:a".split()
+    # ts0: open wedge 1-2-3; ts1: closes into a triangle
+    e = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1], "ts": [0, 0, 1]})
+    ds = rd.from_pandas(e)
+    im = IncrementalMatcher(qargs, count_approx=True)
+    m0 = im.step(ds.filter(expr="ts <= 0"), ds.filter(expr="ts <= 0"))
+    assert m0["patterns_total"] == 0 and m0["patterns_approx_total"] == 1
+    m1 = im.step(ds.filter(expr="ts <= 1"), ds.filter(expr="ts == 1"))
+    assert m1["patterns_total"] == 1
+    assert m1["patterns_approx_total"] == 0  # wedge became exact
+
+
 def test_greedy_pack_balances():
     assign = part_mod.greedy_pack({1: 100, 2: 60, 3: 50, 4: 10}, 2)
     loads = {0: 0, 1: 0}
