@@ -153,8 +153,12 @@ def test_match_post_ops():
     assert ordered_scores == sorted(ordered_scores)
 
 
-@pytest.mark.parametrize("gfile,qstr", [(g, s) for g, s, _ in CASES[:6]],
-                         ids=[f"be{i}" for i in range(6)])
+# three structurally distinct cases (chain, triangle, labeled pair)
+# keep the suite's wall time bounded; the full 13-case golden grid
+# already exercises the shared exact plan
+@pytest.mark.parametrize("gfile,qstr", [(g, s) for g, s, _
+                                        in (CASES[1], CASES[3], CASES[5])],
+                         ids=["be_tri", "be_lbl", "be_pair"])
 def test_best_effort_subset_and_anytime(gfile, qstr):
     """Best-effort mode (time_limit + RWR-ranked candidate limiting,
     gray_multiple.py:142-144,436-441): results are always a subset of
