@@ -272,15 +272,15 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def pattern_match(sf_dir: str):
-    """Subgraph pattern matching (G-Ray analog) on the reference's own
-    sample graph: triangle query with labels + condition post-filter.
+    """Subgraph pattern matching (G-Ray analog) on the in-repo sample
+    graph (sources/fixtures.py — test1p-equivalent): triangle query.
     Rows-only; full golden parity in tests/test_match.py."""
     import pandas as pd
 
     from igpm_pem_ray.match.subgraph import match_sets
-    from igpm_pem_ray.sources.nodelink import load_node_link_json
+    from igpm_pem_ray.sources.fixtures import load_sample_graph
 
-    v, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    v, e = load_sample_graph()
     sets = match_sets(v, e, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
     return pd.DataFrame({"match_id": range(len(sets)),
                          "vids": [",".join(map(str, s)) for s in sets]})
@@ -291,9 +291,9 @@ def extract_paths(sf_dir: str):
     reference's sample graph: RWR-weighted best paths from each label
     seed.  Rows-only; recurrence parity in tests/test_match.py."""
     from igpm_pem_ray.match.extract import Extract
-    from igpm_pem_ray.sources.nodelink import load_node_link_json
+    from igpm_pem_ray.sources.fixtures import load_sample_graph
 
-    _, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    _, e = load_sample_graph()
     return Extract(e).best_paths([0, 2, 5])
 
 
@@ -305,9 +305,9 @@ def pattern_match_approx(sf_dir: str):
 
     from igpm_pem_ray.match.query import parse_query_args
     from igpm_pem_ray.match.subgraph import SubgraphMatcher
-    from igpm_pem_ray.sources.nodelink import load_node_link_json
+    from igpm_pem_ray.sources.fixtures import load_sample_graph
 
-    v, e = load_node_link_json("/root/reference/sample/static/test1p.json")
+    v, e = load_sample_graph()
     q = parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a".split())
     approx = SubgraphMatcher(v, e).match_approx(q)
     return pd.DataFrame({
