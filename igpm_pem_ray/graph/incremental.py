@@ -36,16 +36,14 @@ from igpm_pem_ray.state import checkpoint as ckpt
 
 
 class IncrementalInvariants:
-    """Exact triangle / star counters maintained incrementally —
-    O(batch x degree) per step instead of a full dedup+rebuild
-    (the reference recomputes ``nx.triangles`` on the whole in-memory
-    graph per step, gray_incremental.py:193-202; this keeps the same
-    in-memory scale envelope but pays only for the delta).
+    """Driver-dict exact triangle / star counters — the direct analog
+    of the reference's in-memory recompute (gray_incremental.py:193-202)
+    kept as the small-scale ORACLE.  O(E) driver memory; the default
+    runner path is :class:`igpm_pem_ray.graph.dist_invariants.
+    DistributedInvariants` (hash-partitioned object-store adjacency,
+    O(batch) driver work — round-2 verdict item #3), parity-tested
+    against this class on random multigraphs.
 
-    State: simple-graph adjacency sets + degree counter (E/V-bounded
-    driver memory — the same envelope as the reference's nx graph; the
-    10^12-scale path is hash-partitioned adjacency with batch edges
-    routed by key, which the partitioned kernels already demonstrate).
     New simple edges are detected by set membership; each one adds
     ``|N(u) & N(v)|`` triangles (processed sequentially so multi-new-
     edge triangles count exactly once).
@@ -113,7 +111,15 @@ class IncrementalRunner:
         # reverse preps (nx.weakly_connected_components semantics,
         # reference rwr.py:26) so no symmetrized copy is maintained
         self._g = None
-        self._inv = IncrementalInvariants() if invariants else None
+        # invariants=True -> distributed counter (partitioned adjacency
+        # in the object store); invariants="driver" -> the dict oracle
+        self._inv = None
+        if invariants == "driver":
+            self._inv = IncrementalInvariants()
+        elif invariants:
+            from igpm_pem_ray.graph.dist_invariants import DistributedInvariants
+
+            self._inv = DistributedInvariants()
         # K7 incremental pattern matching: delta-join matcher with
         # cumulative dedup + new-pattern counters (reference
         # gray_incremental.py:141-202,282-315)
@@ -218,19 +224,21 @@ class IncrementalRunner:
                 # obs = (density, affected-community fraction), reward
                 # = 100/elapsed; the chosen threshold scopes the next
                 # step's from-scratch re-seed region
-                import collections
+                from igpm_pem_ray.state.pem_policy import recompute_scope_arrays
 
-                from igpm_pem_ray.state.pem_policy import recompute_scope
-
-                comp_of = dict(zip(g.vids.tolist(), g.vids[labels].tolist()))
-                sizes = collections.Counter(comp_of.values())
-                touched = {comp_of[int(v)] for v in affected
-                           if int(v) in comp_of}
+                comp = g.vids[labels]  # component id per vids position
+                if len(affected) and len(g.vids):
+                    pos = np.minimum(np.searchsorted(g.vids, affected),
+                                     len(g.vids) - 1)
+                    hit = g.vids[pos] == affected
+                    touched = np.unique(comp[pos[hit]])
+                else:
+                    touched = np.empty(0, dtype=np.int64)
                 obs = (g.num_edges / max(1, g.num_vertices),
                        len(touched) / max(1, n_components))
                 action = self.policy.act(obs, metrics["elapsed_sec"])
-                self._reset_scope = recompute_scope(
-                    affected, comp_of, dict(sizes), self.policy.threshold)
+                self._reset_scope = recompute_scope_arrays(
+                    affected, g.vids, comp, self.policy.threshold)
                 metrics.update({"pem_action": int(action),
                                 "pem_threshold": int(self.policy.threshold),
                                 "pem_scope": int(len(self._reset_scope))})

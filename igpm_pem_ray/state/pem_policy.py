@@ -60,6 +60,27 @@ class PemPolicy:
         return action
 
 
+def recompute_scope_arrays(affected: np.ndarray, vids: np.ndarray,
+                           comp: np.ndarray, threshold: int) -> np.ndarray:
+    """Vectorized :func:`recompute_scope` over the runner's native
+    arrays (``vids`` sorted, ``comp[i]`` = component id of ``vids[i]``)
+    — no V-sized Python dict (round-2 verdict item #8)."""
+    affected = np.asarray(affected, dtype=np.int64)
+    if not len(affected) or not len(vids):
+        return affected
+    pos = np.searchsorted(vids, affected)
+    pos_c = np.minimum(pos, len(vids) - 1)
+    hit = vids[pos_c] == affected
+    touched = np.unique(comp[pos_c[hit]])
+    uniq_c, counts_c = np.unique(comp, return_counts=True)
+    sizes = counts_c[np.searchsorted(uniq_c, touched)]
+    expand = touched[sizes <= threshold]
+    if len(expand):
+        members = vids[np.isin(comp, expand)]
+        return np.union1d(affected, members)
+    return np.unique(affected)
+
+
 def recompute_scope(affected: np.ndarray, component_of: dict | None,
                     component_sizes: dict, threshold: int) -> np.ndarray:
     """Expand the affected vertex set to whole communities of size <=

@@ -327,6 +327,34 @@ def test_incremental_invariants_match_full_recompute():
         assert inv.stars == star_count(cum, min_degree=4)
 
 
+def test_distributed_invariants_parity():
+    """DistributedInvariants (partitioned object-store adjacency, the
+    runner default) equals the driver-dict oracle AND the full
+    recompute across random multigraph batches with self loops and
+    parallel/repeated edges (round-2 verdict item #3)."""
+    from igpm_pem_ray.graph.dist_invariants import DistributedInvariants
+    from igpm_pem_ray.graph.incremental import IncrementalInvariants
+    from igpm_pem_ray.graph.triangles import star_count, triangle_count
+
+    rng = np.random.RandomState(7)
+    dist = DistributedInvariants(num_partitions=5)
+    oracle = IncrementalInvariants()
+    src_all, dst_all = [], []
+    for _ in range(4):
+        n = int(rng.randint(5, 80))
+        src = rng.randint(0, 35, size=n).astype(np.int64)
+        dst = rng.randint(0, 35, size=n).astype(np.int64)
+        dist.update(src, dst)
+        oracle.update(src, dst)
+        src_all.append(src)
+        dst_all.append(dst)
+        assert (dist.triangles, dist.stars) == (oracle.triangles, oracle.stars)
+    cum = rd.from_arrow(pa.table({"src": np.concatenate(src_all),
+                                  "dst": np.concatenate(dst_all)}))
+    assert dist.triangles == triangle_count(cum)
+    assert dist.stars == star_count(cum, min_degree=4)
+
+
 def test_incremental_path_query_delta():
     """Path-slot delta (>=1-batch-edge closure): per-step cumulative
     result SETS equal a full-recompute oracle on every prefix."""
