@@ -100,28 +100,44 @@ def cosine_pairs_lsh(emb_ds, *, threshold: float = 0.9, nbits: int = 6,
                                                  batch_format="pandas")
 
 
+EXACT_BROADCAST_MAX_ROWS = 200_000  # ~d x 8 bytes x N broadcast bound
+
+
 def near_dup_groups_embedding(emb_ds, *, threshold: float = 0.9,
                               id_col: str = "vec_id",
-                              num_partitions: int = 2):
+                              num_partitions: int = 2,
+                              strategy: str = "auto"):
     """(vec_id, group) with group = min vec_id of the cosine-near-dup
-    cluster (WCC over the pair graph; singletons keep their id)."""
-    import pyarrow.compute as pc
-    import ray.data as rd
+    cluster (WCC over the pair graph; singletons keep their id).
 
-    from igpm_pem_ray.graph.components import connected_components
+    strategy: "exact" broadcasts the full normalized matrix (recall 1,
+    right while N x d fits the object store); "lsh" buckets first
+    (nothing broadcast, recall < 1, precision 1); "auto" (default)
+    switches to LSH above ``EXACT_BROADCAST_MAX_ROWS`` rows — the
+    large-N branch never does a full-matrix broadcast (round-2 verdict
+    item #4)."""
+    import pyarrow.compute as pc
+
+    from igpm_pem_ray.graph.components import components_auto
 
     emb_ds = emb_ds.materialize()
-    pairs = cosine_pairs(emb_ds, threshold=threshold, id_col=id_col) \
+    if strategy == "auto":
+        strategy = "exact" if emb_ds.count() <= EXACT_BROADCAST_MAX_ROWS \
+            else "lsh"
+    pair_fn = cosine_pairs if strategy == "exact" else cosine_pairs_lsh
+    pairs = pair_fn(emb_ds, threshold=threshold, id_col=id_col) \
         .materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return emb_ds.select_columns([id_col]).map_batches(
             lambda t: pa.table({id_col: t[id_col], "group": t[id_col]}),
             batch_format="pyarrow")
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
         batch_format="pyarrow")
-    comp = connected_components(edges)
-    comp_ds = rd.from_arrow(comp.rename_columns([id_col, "group"]))
+    comp_ds = components_auto(edges, n_edges=n_pairs).map_batches(
+        lambda t: pa.table({id_col: t["vid"], "group": t["component"]}),
+        batch_format="pyarrow")
     joined = emb_ds.select_columns([id_col]).join(
         comp_ds, join_type="left_outer", num_partitions=num_partitions,
         on=(id_col,))

@@ -82,6 +82,29 @@ def connected_components(edges_ds, *, max_rounds: int = 10_000,
     return pa.table({"vid": g.vids, "component": g.vids[labels]})
 
 
+DENSE_CC_MAX_EDGES = 20_000_000
+
+
+def components_auto(edges_ds, *, n_edges: int | None = None,
+                    stats: dict | None = None):
+    """(vid, component) as a DATASET, strategy chosen by edge count:
+    the dense fast kernel while the graph fits driver V-arrays, the
+    Dataset-resident ``connected_components_shuffle`` above (round-2
+    verdict item #4 — dup-graph closures must not assume the pair
+    graph is small)."""
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.shuffle_kernels import connected_components_shuffle
+
+    if n_edges is None:
+        n_edges = edges_ds.count()
+    if n_edges <= DENSE_CC_MAX_EDGES:
+        if stats is not None:
+            stats["strategy"] = "dense"
+        return rd.from_arrow(connected_components(edges_ds, stats=stats))
+    return connected_components_shuffle(edges_ds, stats=stats)
+
+
 def component_sizes(components: pa.Table) -> pa.Table:
     """(component, size) — reference's WCC-size statistics
     (gray_incremental.py:92-96, rl_model.py:134-140)."""

@@ -249,7 +249,7 @@ def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
     Intermediates (narrow docs selection, candidate pairs, verified
     pairs) are pinned once so count-guards and downstream joins never
     re-execute the upstream lineage.  Returns a Dataset."""
-    from igpm_pem_ray.graph.components import connected_components
+    from igpm_pem_ray.graph.components import components_auto
 
     if num_partitions is None:
         num_partitions = _default_npart()
@@ -261,15 +261,19 @@ def near_dup_groups(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
         return _self_groups(docs_ds)
     verified = verify_pairs(cand, docs_ds, threshold=threshold,
                             num_partitions=num_partitions).materialize()
-    if verified.count() == 0:
+    n_pairs = verified.count()
+    if n_pairs == 0:
         return _self_groups(docs_ds)
     # rename inside pandas (Dataset.rename_columns fuses badly after a
     # pandas-format map in Ray 2.49: Project stage receives a DataFrame)
     edges = verified.map_batches(
         lambda df: df.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
         batch_format="pandas")
-    comp = connected_components(edges)  # pa.Table (vid, component) over dup graph
-    comp_ds = rd.from_arrow(comp.rename_columns(["doc_id", "group"]))
+    # dup-graph closure: dense kernel while the pair graph is small,
+    # cc_shuffle above 20M pairs (no driver V-arrays on the big branch)
+    comp_ds = components_auto(edges, n_edges=n_pairs).map_batches(
+        lambda t: pa.table({"doc_id": t["vid"], "group": t["component"]}),
+        batch_format="pyarrow")
     joined = docs_ds.select_columns(["doc_id"]).join(
         comp_ds, join_type="left_outer", num_partitions=num_partitions,
         on=("doc_id",))

@@ -212,3 +212,28 @@ def test_winnow_overlap_pairs():
     got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_near_dup_lsh_strategy():
+    """The large-N branch (strategy="lsh") groups the planted dup
+    without the full-matrix broadcast; "auto" picks exact below the
+    row threshold (outputs unchanged on small fixtures)."""
+    from igpm_pem_ray.ann.embed_dedup import near_dup_groups_embedding
+
+    rng = np.random.RandomState(21)
+    vecs = rng.standard_normal((90, 16))
+    vecs[55] = vecs[8] + 0.001 * rng.standard_normal(16)
+    tbl = pa.table({"vec_id": pa.array(range(90), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    lsh = near_dup_groups_embedding(ds, threshold=0.95, strategy="lsh") \
+        .to_pandas()
+    g = dict(zip(lsh["vec_id"], lsh["group"]))
+    assert g[55] == g[8] == 8
+    assert len(lsh) == 90
+    auto = near_dup_groups_embedding(ds, threshold=0.95).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    exact = near_dup_groups_embedding(ds, threshold=0.95, strategy="exact") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert auto.equals(exact)
