@@ -145,12 +145,26 @@ def _default_npart() -> int:
 
 
 def lsh_candidate_pairs(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
-                        concurrency=None, num_partitions: int | None = None):
+                        concurrency=None, num_partitions: int | None = None,
+                        max_bucket: int | None = 5000,
+                        stats: dict | None = None):
     """(doc_a, doc_b) candidate near-dup pairs (doc_a < doc_b) sharing
     >=1 LSH band bucket, via a bucket-key SELF-JOIN (vectorized hash
     shuffle — a per-bucket ``map_groups`` pays Python overhead per
     bucket and most buckets are tiny).  Buckets with one member produce
-    nothing; giant buckets are quadratic — callers cap via verify."""
+    nothing.
+
+    Giant buckets are quadratic in the self-join, so buckets larger
+    than ``max_bucket`` members are SKIPPED for candidate generation
+    (standard LSH practice — members of a hot bucket almost always
+    co-occur in other band buckets).  Never silent: the dropped bucket
+    and row counts are logged and reported in ``stats``
+    (``hot_buckets_dropped`` / ``hot_rows_dropped``).  The size scan is
+    one extra count-groupby on the band key; the rebalancing filter
+    join runs only when a hot bucket actually exists.  ``max_bucket=
+    None`` disables the cap (round-2 verdict item #5)."""
+    import logging
+
     import ray
 
     if concurrency is None:
@@ -163,6 +177,30 @@ def lsh_candidate_pairs(docs_ds, *, num_perms: int = 64, rows_per_band: int = 4,
         batch_format="pandas", concurrency=concurrency).materialize()
     if bands.count() == 0:
         return bands
+    if max_bucket is not None:
+        sizes = bands.groupby(["band", "band_hash"]) \
+                     .aggregate(Count(alias_name="sz")).materialize()
+        hot = sizes.filter(expr=f"sz > {int(max_bucket)}").materialize()
+        n_hot = hot.count()
+        if n_hot:
+            hot_rows = int(hot.sum("sz"))
+            logging.getLogger("igpm_pem_ray.dedup").warning(
+                "lsh_candidate_pairs: skipping %d hot bucket(s) "
+                "(> %d members, %d band rows) for candidate generation",
+                n_hot, max_bucket, hot_rows)
+            if stats is not None:
+                stats["hot_buckets_dropped"] = n_hot
+                stats["hot_rows_dropped"] = hot_rows
+            keep = sizes.filter(expr=f"sz <= {int(max_bucket)}") \
+                        .drop_columns(["sz"])
+            bands = bands.join(keep, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("band", "band_hash")) \
+                .select_columns(["doc_id", "band", "band_hash"]) \
+                .materialize()
+        elif stats is not None:
+            stats["hot_buckets_dropped"] = 0
+            stats["hot_rows_dropped"] = 0
     left = bands.map_batches(
         lambda t: t.rename_columns(["doc_a", "band", "band_hash"]),
         batch_format="pyarrow")

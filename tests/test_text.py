@@ -237,3 +237,32 @@ def test_embedding_near_dup_lsh_strategy():
     exact = near_dup_groups_embedding(ds, threshold=0.95, strategy="exact") \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert auto.equals(exact)
+
+
+def test_lsh_hot_bucket_cap():
+    """Buckets over max_bucket are skipped with a reported drop count
+    (never silently); the default cap leaves small corpora unchanged."""
+    from igpm_pem_ray.text.dedup import lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog number "
+    texts = [base + str(i % 2) for i in range(24)]          # two hot clones
+    texts += [f"totally different text body {i} with words {i*7}"
+              for i in range(6)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    stats: dict = {}
+    capped = lsh_candidate_pairs(ds, max_bucket=8, stats=stats).to_pandas()
+    assert stats["hot_buckets_dropped"] > 0
+    assert stats["hot_rows_dropped"] > 0
+    # hot-bucket members (the 24 clones) generate no candidate pairs
+    hot_ids = set(range(24))
+    assert not any(a in hot_ids and b in hot_ids
+                   for a, b in zip(capped["doc_a"], capped["doc_b"]))
+    stats2: dict = {}
+    uncapped = lsh_candidate_pairs(ds, max_bucket=None).to_pandas()
+    default = lsh_candidate_pairs(ds, stats=stats2).to_pandas()
+    assert stats2 == {"hot_buckets_dropped": 0, "hot_rows_dropped": 0}
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
+    assert key(default) == key(uncapped)
+    assert len(key(uncapped)) > len(key(capped))
