@@ -183,6 +183,9 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
 
 def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
                               num_partitions: int | None = None,
+                              checkpoint_dir: str | None = None,
+                              checkpoint_every: int = 5,
+                              resume: bool = False,
                               stats: dict | None = None):
     """Dataset-resident synchronous label propagation (K3 at 10^12-V):
     label_{t+1}(v) = most frequent neighbor label, smallest label wins
@@ -192,8 +195,17 @@ def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
     The argmax-with-tiebreak is pure aggregates (no driver arrays, no
     packed-int tricks that 63-bit labels would overflow):
     count per (vid, label) -> Max(count) per vid -> equi-join back ->
-    Min(label) among the tied maxima."""
+    Min(label) among the tied maxima.
+
+    Checkpoints stream the label table to partitioned parquet
+    (``save_state_ds``) every ``checkpoint_every`` rounds, same
+    protocol as the pagerank/cc siblings; ``resume=True`` restarts
+    from the latest round whose params fingerprint matches.  NOTE:
+    synchronous LP label_{t+1}(v) depends only on labels_t, so
+    resuming at round r reproduces the uncheckpointed run exactly."""
     from ray.data.aggregate import Count
+
+    from igpm_pem_ray.state import checkpoint as ckpt
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -214,8 +226,16 @@ def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
         lambda b: pa.table({"vid": b["vid"], "label": b["vid"]}),
         batch_format="pyarrow").repartition(n_blocks).materialize()
 
-    rounds = 0
-    for k in range(max_rounds):
+    params = {"kernel": "lp_shuffle", "V": labels.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, labels_ds2, _m = found
+            labels = labels_ds2.materialize()
+
+    rounds = start_round
+    for k in range(start_round, max_rounds):
         counts = edges.join(labels, join_type="inner",
                             num_partitions=num_partitions,
                             on=("src",), right_on=("vid",)) \
@@ -250,6 +270,11 @@ def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
             lambda b: pa.table({"vid": b["vid"], "label": b["label"]}),
             batch_format="pyarrow").materialize()
         rounds = k + 1
+        if checkpoint_dir and (rounds % checkpoint_every == 0 or changed == 0
+                               or rounds == max_rounds):
+            ckpt.save_state_ds(checkpoint_dir, rounds, labels,
+                               metric_name="changed", metric_value=changed,
+                               params=params)
         if changed == 0:
             break
     if stats is not None:

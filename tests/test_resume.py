@@ -116,3 +116,23 @@ def test_shuffle_kernels_resume_equivalence(edges_ds, tmp_path):
                                        checkpoint_every=1, resume=True) \
         .to_pandas().sort_values("vid").reset_index(drop=True)
     assert want.equals(got)
+
+
+def test_lp_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """label_propagation_shuffle: interrupt-at-2 / resume equals the
+    uninterrupted run (synchronous rounds -> exact), same save_state_ds
+    protocol as its pagerank/cc siblings (round-2 verdict item #6)."""
+    from igpm_pem_ray.graph.shuffle_kernels import label_propagation_shuffle
+
+    ck = str(tmp_path / "lps")
+    want = label_propagation_shuffle(edges_ds, max_rounds=5).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    label_propagation_shuffle(edges_ds, max_rounds=2, checkpoint_dir=ck,
+                              checkpoint_every=1)
+    stats: dict = {}
+    got = label_propagation_shuffle(edges_ds, max_rounds=5,
+                                    checkpoint_dir=ck, checkpoint_every=1,
+                                    resume=True, stats=stats).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
+    assert stats["rounds"] >= 2  # resumed past the interrupted round
