@@ -121,10 +121,26 @@ class Extract:
     """Reference-shaped facade: build once over an edge Dataset, query
     best paths per (i, j) or fan out all sources as Ray tasks."""
 
+    #: same driver-residency guard as SubgraphMatcher (verdict item
+    #: #7): EXTRACT builds a driver CSR of the edge table; a web-scale
+    #: edge table gets a clean error, not an OOM.
+    MAX_DRIVER_EDGES = 20_000_000
+
     def __init__(self, edges_ds, *, label: str | None = None,
-                 restart: float = 0.7, tol: float = 1e-3) -> None:
+                 restart: float = 0.7, tol: float = 1e-3,
+                 max_driver_edges: int | None = None) -> None:
         cols = [c for c in ("src", "dst", "label")
                 if c in edges_ds.schema().names]
+        edges_ds = edges_ds.materialize()
+        cap = max_driver_edges if max_driver_edges is not None \
+            else self.MAX_DRIVER_EDGES
+        ne = edges_ds.count()
+        if ne > cap:
+            raise ValueError(
+                f"Extract: edge table has {ne} rows > max_driver_edges="
+                f"{cap}; EXTRACT's best-path CSR is driver-resident.  "
+                "Restrict the edge table (label filter / subgraph "
+                "selection) or raise max_driver_edges explicitly.")
         self._edges_pdf = edges_ds.select_columns(cols).to_pandas()
         self.restart = restart
         self.tol = tol

