@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -83,7 +84,12 @@ def train_ivf_centroids(emb_ds, *, nlist: int = 16, sample: int = 2048,
                              zero_copy_batch=True).limit(sample).materialize()
     parts = [t for t in ray.get(sub.to_arrow_refs()) if t.num_rows]
     if not parts:
-        raise ValueError("IVF training sample is empty")
+        # the 1/8 affine-hash pre-filter can select zero rows on small
+        # tables (expected n/8) — fall back to a plain head sample
+        sub = emb_ds.limit(sample).materialize()
+        parts = [t for t in ray.get(sub.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        raise ValueError("IVF training sample is empty (no input rows)")
     m = _batch_matrix(pa.concat_tables(parts))
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     rng = np.random.RandomState(seed)
@@ -97,6 +103,20 @@ def train_ivf_centroids(emb_ds, *, nlist: int = 16, sample: int = 2048,
                 v = m[mask].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-30)
     return cent
+
+
+def _filter_buckets(bucketed_ds, qbuckets: np.ndarray):
+    """Keep rows whose bucket is in the query bucket set — a single
+    vectorized ``is_in`` per block (an ``or``-chained filter expr is
+    O(Q) per row and blows up the expression tree for large query
+    batches)."""
+    wanted = pa.array(np.unique(np.asarray(qbuckets, dtype=np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["bucket"], value_set=wanted))
+
+    return bucketed_ds.map_batches(keep, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
 
 class IvfPartitioner:
@@ -129,9 +149,7 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10, nlist: int = 16,
     bucketed = emb_ds.map_batches(IvfPartitioner, batch_format="pyarrow",
                                   fn_constructor_kwargs={"centroids": cent},
                                   concurrency=concurrency)
-    wanted = sorted(set(int(b) for b in qbuckets.ravel()))
-    expr = " or ".join(f"bucket == {b}" for b in wanted) or "bucket < 0"
-    filtered = bucketed.filter(expr=expr)
+    filtered = _filter_buckets(bucketed, qbuckets.ravel())
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qb = ray.get(q_ref)
@@ -209,9 +227,7 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, *, k: int = 10, nbits: int = 6,
     bucketed = emb_ds.map_batches(LshPartitioner, batch_format="pyarrow",
                                   fn_constructor_kwargs={"dim": dim, "nbits": nbits},
                                   concurrency=concurrency)
-    wanted = sorted(set(int(b) for b in qbuckets))
-    expr = " or ".join(f"bucket == {b}" for b in wanted) or "bucket < 0"
-    filtered = bucketed.filter(expr=expr)
+    filtered = _filter_buckets(bucketed, qbuckets)
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qb = ray.get(q_ref)

@@ -266,3 +266,29 @@ def test_lsh_hot_bucket_cap():
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
     assert key(default) == key(uncapped)
     assert len(key(uncapped)) > len(key(capped))
+
+
+def test_ann_many_query_stress():
+    """Multi-hundred-query batch through lsh_topk / ivf_topk (one
+    dataset pass, is_in bucket filter — no O(Q) expr chain): every
+    query drawn from the table finds itself with sim ~= 1."""
+    from igpm_pem_ray.ann.knn import ivf_topk, lsh_topk
+
+    rng = np.random.RandomState(33)
+    n, d, Q = 2000, 16, 300
+    vecs = rng.standard_normal((n, d))
+    tbl = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(8).materialize()
+    qidx = rng.choice(n, size=Q, replace=False)
+    queries = vecs[qidx]
+
+    for fn, kw in ((lsh_topk, {"nbits": 4}),
+                   (ivf_topk, {"nlist": 8, "nprobe": 8})):
+        out = fn(ds, queries, k=5, **kw).to_pandas()
+        assert out.groupby("query_idx").size().max() <= 5
+        hits = out[np.isclose(out["sim"], 1.0, atol=1e-5)]
+        self_found = {int(q): int(v) for q, v in
+                      zip(hits["query_idx"], hits["vec_id"])}
+        assert all(self_found.get(i) == int(qidx[i]) for i in range(Q)), fn
