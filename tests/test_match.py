@@ -337,3 +337,32 @@ def test_matcher_scale_guard():
     # defaults still admit the reference-scale fixture
     assert SubgraphMatcher(v, e)._labels
     assert len(Extract(e).vids) == 6
+
+
+def test_approx_divergence_vs_reference_semantics():
+    """Names the declared K6-approx divergence (SURVEY §8): the
+    reference's num_approx stashes candidates on a DEGREE-signature
+    mismatch during its assembly order (gray_incremental.py:301-315);
+    this engine defines approx as ONE-EDGE-MISSING.  The test pins our
+    definition: every reported near-miss binding satisfies exactly
+    |E_q|-1 query edges (never all, never fewer), so the counter is
+    assembly-order independent."""
+    from igpm_pem_ray.match.query import parse_query_args
+    from igpm_pem_ray.match.subgraph import SubgraphMatcher
+    from igpm_pem_ray.sources.fixtures import load_sample_graph
+
+    v, e = load_sample_graph()
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a".split())
+    m = SubgraphMatcher(v, e)
+    approx = m.match_approx(q)
+    assert len(approx)
+    ep = e.to_pandas()
+    adj = {(int(r["src"]), int(r["dst"])) for _, r in ep.iterrows()}
+    adj |= {(b, a) for a, b in adj}
+    exact_sets = set(m.match(q)["_vidset"])
+    for _, row in approx.iterrows():
+        va, vb, vc = int(row["a"]), int(row["b"]), int(row["c"])
+        present = sum(((x, y) in adj)
+                      for x, y in ((va, vb), (vb, vc), (vc, va)))
+        assert present == 2, row        # exactly one query edge missing
+        assert row["_vidset"] not in exact_sets
