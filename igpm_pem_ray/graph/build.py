@@ -92,13 +92,21 @@ def pages_to_edges_resumable(pages_dir: str, out_dir: str, *,
     (driver spec: "write partitioned Parquet ... so a failed run can
     skip finished partitions; never one giant file").
 
-    A restarted run skips every shard whose marker exists and rewrites
-    any partial shard from scratch (idempotent — markers are the only
-    commit protocol, same scheme as state/checkpoint manifests).  Each
-    shard runs the normal streaming pipeline internally (actor-pool
-    extraction, parallel within the shard), so a crash wastes at most
-    one shard of work.  Returns the edge Dataset over all shards."""
+    A restarted run skips every shard whose marker exists AND whose
+    recorded manifest (the shard's exact input file list +
+    ``files_per_shard``) still matches — if the pages directory gained
+    or lost files, or ``files_per_shard`` changed, shard boundaries
+    shift and the stale shard is recomputed instead of silently reused
+    (same params-fingerprint discipline as state/checkpoint).  Shard
+    directories beyond the current shard count (leftovers of a larger
+    previous run) are pruned, and only marked current shards feed the
+    returned Dataset.  Partial shards (no marker) are rewritten from
+    scratch — markers are the only commit protocol.  Each shard runs
+    the normal streaming pipeline internally (actor-pool extraction,
+    parallel within the shard), so a crash wastes at most one shard of
+    work.  Returns the edge Dataset over all shards."""
     import glob
+    import json
     import os
     import shutil
 
@@ -109,25 +117,42 @@ def pages_to_edges_resumable(pages_dir: str, out_dir: str, *,
         raise FileNotFoundError(f"no parquet files under {pages_dir}")
     shards = [files[i:i + files_per_shard]
               for i in range(0, len(files), files_per_shard)]
-    done = skipped = 0
+    done = skipped = stale = 0
+    shard_dirs = []
     for si, shard in enumerate(shards):
         sd = os.path.join(out_dir, f"shard={si:05d}")
+        shard_dirs.append(sd)
         marker = os.path.join(sd, "_DONE")
+        manifest = {"files": shard, "files_per_shard": files_per_shard}
         if os.path.exists(marker):
-            skipped += 1
-            continue
-        shutil.rmtree(sd, ignore_errors=True)  # partial from a crash
+            try:
+                with open(marker) as fh:
+                    recorded = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                recorded = None  # legacy/corrupt marker: recompute
+            if recorded == manifest:
+                skipped += 1
+                continue
+            stale += 1
+        shutil.rmtree(sd, ignore_errors=True)  # partial or stale shard
         os.makedirs(sd, exist_ok=True)
         edges = pages_to_edges(rd.read_parquet(shard),
                                concurrency=concurrency,
                                batch_size=batch_size)
         edges.write_parquet(sd)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, marker)  # atomic commit
         done += 1
-    out_files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    for extra in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
+        if extra not in shard_dirs:  # prior larger run's leftovers
+            shutil.rmtree(extra, ignore_errors=True)
+    out_files = sorted(f for sd in shard_dirs
+                       for f in glob.glob(os.path.join(sd, "*.parquet")))
     ds = rd.read_parquet(out_files)
-    return ds, {"shards": len(shards), "computed": done, "skipped": skipped}
+    return ds, {"shards": len(shards), "computed": done, "skipped": skipped,
+                "stale_recomputed": stale}
 
 
 def vertices_from_edges(edges_with_urls_ds):

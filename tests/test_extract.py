@@ -127,3 +127,46 @@ def test_resumable_sharded_extraction(tmp_path):
     _, st3 = build.pages_to_edges_resumable(pdir, out, files_per_shard=2,
                                             concurrency=1, batch_size=64)
     assert st3["computed"] == 1 and st3["skipped"] == st3["shards"] - 1
+
+
+def test_resumable_extraction_manifest_invalidation(tmp_path):
+    """Markers fingerprint the shard's input file list + shard size: a
+    changed pages directory or files_per_shard invalidates shards
+    instead of silently reusing shifted boundaries, and stale shard
+    dirs from a larger prior run are pruned (round-2 ADVICE item)."""
+    import collections
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import build
+    from igpm_pem_ray.sources.pages import write_pages_parquet
+
+    pdir = str(tmp_path / "pages")
+    write_pages_parquet(pdir, n_pages=600, seed=4, rows_per_file=100)
+    out = str(tmp_path / "edges")
+    _, st = build.pages_to_edges_resumable(pdir, out, files_per_shard=1,
+                                           concurrency=1, batch_size=64)
+    n_small = st["shards"]
+    assert n_small == 6
+    # different files_per_shard: every shard recomputed, extras pruned
+    ds2, st2 = build.pages_to_edges_resumable(pdir, out, files_per_shard=3,
+                                              concurrency=1, batch_size=64)
+    assert st2["shards"] == 2 and st2["skipped"] == 0
+    assert st2["stale_recomputed"] == 2  # shard=00000/00001 reused dirs
+    assert len(glob.glob(os.path.join(out, "shard=*"))) == 2
+    direct = build.pages_to_edges(rd.read_parquet(pdir), concurrency=1,
+                                  batch_size=64).to_pandas()
+    got = collections.Counter(map(tuple, ds2.to_pandas()[["src", "dst"]].to_numpy()))
+    assert got == collections.Counter(map(tuple, direct[["src", "dst"]].to_numpy()))
+    # new input file shifts one shard's recorded inputs -> only the
+    # affected shard(s) recompute
+    write_pages_parquet(str(tmp_path / "pages_extra"), n_pages=100, seed=9,
+                        rows_per_file=100)
+    extra = glob.glob(str(tmp_path / "pages_extra" / "*.parquet"))[0]
+    os.rename(extra, os.path.join(pdir, "zz_extra.parquet"))
+    _, st3 = build.pages_to_edges_resumable(pdir, out, files_per_shard=3,
+                                            concurrency=1, batch_size=64)
+    assert st3["shards"] == 3
+    assert st3["skipped"] == 2 and st3["computed"] == 1
