@@ -78,21 +78,38 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon = line
         elif ftype == 2:          # Up
             recon = (line + prev) % 256
-        elif ftype == 1:          # Sub: prefix sum per byte lane
+        elif ftype == 1:          # Sub: per-lane cumulative sum (mod
+            # distributes over addition, so cumsum%256 is exact)
             recon = line.copy()
-            for x in range(bpp, stride):
-                recon[x] = (recon[x] + recon[x - bpp]) % 256
-        elif ftype == 3:          # Average
-            recon = line.copy()
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (recon[x] + (left + prev[x]) // 2) % 256
-        elif ftype == 4:          # Paeth
-            recon = line.copy()
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                recon[x] = (recon[x] + _paeth(int(left), int(prev[x]), int(ul))) % 256
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif ftype in (3, 4):     # Average / Paeth: the left-neighbor
+            # recursion is a sequential scan along the row BY SPEC, but
+            # each step vectorizes across the bpp byte lanes and the
+            # up/upper-left terms come from the known previous row —
+            # O(W) numpy steps per row, not O(W*bpp) Python byte ops
+            lanes = line.reshape(-1, bpp)
+            pl = prev.reshape(-1, bpp)
+            rec = np.zeros_like(lanes)
+            left = np.zeros(bpp, dtype=np.int64)
+            if ftype == 3:        # Average
+                for xi in range(lanes.shape[0]):
+                    left = (lanes[xi] + (left + pl[xi]) // 2) % 256
+                    rec[xi] = left
+            else:                 # Paeth
+                ul = np.zeros(bpp, dtype=np.int64)
+                for xi in range(lanes.shape[0]):
+                    up = pl[xi]
+                    p = left + up - ul
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc_ = np.abs(p - ul)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                    np.where(pb <= pc_, up, ul))
+                    left = (lanes[xi] + pred) % 256
+                    rec[xi] = left
+                    ul = up
+            recon = rec.reshape(-1)
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = recon.astype(np.uint8)

@@ -10,15 +10,22 @@ batch sizes for MB-wide rows, per-actor codec state in ``__init__``,
 and narrow typed outputs that drop the payload at the earliest stage.
 
 ``strict=True`` raises on undecodable payloads (corrupt-input surfacing
-for pipeline debugging); ``strict=False`` skips them and counts rows
-out, the large-corpus default where a bad row must not kill a 100-TB
-job.
+for pipeline debugging); ``strict=False`` skips them, the large-corpus
+default where a bad row must not kill a 100-TB job.  Skips are NEVER
+silent: every stage keeps a cumulative per-actor ``skipped`` counter
+and logs a warning per affected batch (batch size + cumulative count),
+so corpus-scale data loss is observable in the job logs (round-2
+ADVICE item).
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+
+_LOG = logging.getLogger("igpm_pem_ray.multimodal")
 
 from igpm_pem_ray.multimodal import codec
 
@@ -45,9 +52,11 @@ class DecodeImage:
         self.strict = strict
         self.decode = codec.decode_image      # codec bound once per actor
         self.resize = codec.resize_nearest
+        self.skipped = 0                      # cumulative per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ws, hs, r, g, b = [], [], [], [], [], []
+        batch_skipped = 0
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
             try:
@@ -55,7 +64,8 @@ class DecodeImage:
             except ValueError:
                 if self.strict:
                     raise
-                continue                      # skip undecodable rows
+                batch_skipped += 1            # skipped, never silently
+                continue
             h, w = img.shape[:2]
             small = self.resize(img, self.out_hw).reshape(-1, img.shape[2])
             mean = small.mean(axis=0)
@@ -67,6 +77,11 @@ class DecodeImage:
             r.append(float(rgb[0]))
             g.append(float(rgb[1]))
             b.append(float(rgb[2]))
+        if batch_skipped:
+            self.skipped += batch_skipped
+            _LOG.warning("DecodeImage: skipped %d undecodable row(s) in a "
+                         "batch of %d (cumulative %d on this actor)",
+                         batch_skipped, batch.num_rows, self.skipped)
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "width": pa.array(ws, type=pa.int32()),
@@ -87,9 +102,11 @@ class SampleFrames:
         self.every_k = every_k
         self.out_hw = out_hw
         self.strict = strict
+        self.skipped = 0                      # corrupt MEDIA rows, cumulative
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, feats = [], [], []
+        batch_skipped = 0
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
             try:
@@ -97,12 +114,21 @@ class SampleFrames:
                     if i % self.every_k:
                         continue
                     arr = codec.decode_png(png)
+                    # appended per frame, so frames decoded BEFORE a
+                    # corrupt one are kept for the row
                     ids.append(mid)
                     frames.append(i)
                     feats.append(float(arr.mean()))
             except ValueError:
                 if self.strict:
                     raise
+                batch_skipped += 1
+        if batch_skipped:
+            self.skipped += batch_skipped
+            _LOG.warning("SampleFrames: %d media row(s) hit a corrupt frame "
+                         "in a batch of %d (frames before the corruption are "
+                         "kept; cumulative %d on this actor)",
+                         batch_skipped, batch.num_rows, self.skipped)
         return pa.table({"media_id": pa.array(ids, type=pa.int64()),
                          "frame": pa.array(frames, type=pa.int32()),
                          "mean_intensity": pa.array(feats, type=pa.float64())})
@@ -113,9 +139,11 @@ class AudioFeatures:
 
     def __init__(self, *, strict: bool = False) -> None:
         self.strict = strict
+        self.skipped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, dur, rms, peak = [], [], [], []
+        batch_skipped = 0
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
             try:
@@ -123,11 +151,17 @@ class AudioFeatures:
             except Exception:
                 if self.strict:
                     raise
+                batch_skipped += 1
                 continue
             ids.append(mid)
             dur.append(len(x) / rate if rate else 0.0)
             rms.append(float(np.sqrt((x ** 2).mean())) if len(x) else 0.0)
             peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+        if batch_skipped:
+            self.skipped += batch_skipped
+            _LOG.warning("AudioFeatures: skipped %d undecodable clip(s) in a "
+                         "batch of %d (cumulative %d on this actor)",
+                         batch_skipped, batch.num_rows, self.skipped)
         return pa.table({"media_id": pa.array(ids, type=pa.int64()),
                          "duration_sec": pa.array(dur, type=pa.float64()),
                          "rms": pa.array(rms, type=pa.float64()),
