@@ -115,11 +115,14 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
 
     residual = float("inf")
     iters = start_iter
+    # dangling mass for the FIRST loop pass; subsequent passes fold it
+    # into the same aggregate as the residual (one driver-visible
+    # execution per iteration instead of two)
+    dangling = state.map_batches(
+        lambda b: pa.table({"m": np.where(
+            _np_col(b, "outdeg") == 0.0, _np_col(b, "rank"), 0.0)}),
+        batch_format="pyarrow").sum("m")
     for k in range(start_iter, max_iters):
-        dangling = state.map_batches(
-            lambda b: pa.table({"m": np.where(
-                _np_col(b, "outdeg") == 0.0, _np_col(b, "rank"), 0.0)}),
-            batch_format="pyarrow").sum("m")
         contrib = state.map_batches(
             lambda b: pa.table({
                 "vid": b["vid"],
@@ -148,16 +151,25 @@ def pagerank_shuffle(edges_ds, *, damping: float = 0.85, tol: float = 1e-6,
             }),
             batch_format="pyarrow").materialize()
         # stepped IS the next state (extra rank_old column is ignored
-        # by the per-iteration passes); the residual pass is skipped in
-        # fixed-iteration mode (tol <= 0) except for the final stats
+        # by the per-iteration passes).  ONE aggregate computes this
+        # iteration's residual AND the next iteration's dangling mass
+        # (they read the same materialized table); in fixed-iteration
+        # mode (tol <= 0) the residual is only needed for final stats,
+        # but the dangling term is needed every pass anyway
         state = stepped
         iters = k + 1
         done = False
+        agg = stepped.map_batches(
+            lambda b: pa.table({
+                "r": np.abs(_np_col(b, "rank") - _np_col(b, "rank_old")),
+                "m": np.where(_np_col(b, "outdeg") == 0.0,
+                              _np_col(b, "rank"), 0.0),
+            }),
+            batch_format="pyarrow").aggregate(Sum("r", alias_name="r_sum"),
+                                              Sum("m", alias_name="m_sum"))
+        dangling = float(agg["m_sum"])
         if tol > 0 or k == max_iters - 1:
-            residual = float(stepped.map_batches(
-                lambda b: pa.table({"r": np.abs(_np_col(b, "rank")
-                                                - _np_col(b, "rank_old"))}),
-                batch_format="pyarrow").sum("r"))
+            residual = float(agg["r_sum"])
             done = residual < tol
         if checkpoint_dir and (iters % checkpoint_every == 0 or done
                                or k == max_iters - 1):
@@ -266,9 +278,12 @@ def label_propagation_shuffle(edges_ds, *, max_rounds: int = 20,
             lambda b: pa.table({"c": (_np_col(b, "label")
                                       != _np_col(b, "label_old")).astype(np.int64)}),
             batch_format="pyarrow").sum("c"))
+        # lazy projection over the pinned stepped table: consumers
+        # (next round's joins, checkpoints) re-run only this trivial
+        # map, saving one full materialize per round
         labels = stepped.map_batches(
             lambda b: pa.table({"vid": b["vid"], "label": b["label"]}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
         rounds = k + 1
         if checkpoint_dir and (rounds % checkpoint_every == 0 or changed == 0
                                or rounds == max_rounds):
@@ -346,9 +361,12 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
             lambda b: pa.table({"c": (_np_col(b, "label")
                                       != _np_col(b, "label_old")).astype(np.int64)}),
             batch_format="pyarrow").sum("c"))
+        # lazy projection over the pinned stepped table: consumers
+        # (next round's joins, checkpoints) re-run only this trivial
+        # map, saving one full materialize per round
         labels = stepped.map_batches(
             lambda b: pa.table({"vid": b["vid"], "label": b["label"]}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
         rounds = k + 1
         if checkpoint_dir and (rounds % checkpoint_every == 0 or changed == 0):
             ckpt.save_state_ds(checkpoint_dir, rounds, labels,
