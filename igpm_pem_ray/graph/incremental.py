@@ -250,6 +250,12 @@ class IncrementalRunner:
                                  metric_value=pr_stats.get("residual", 0.0),
                                  params={"kernel": "incremental_pagerank",
                                          "tol": self.pagerank_tol})
+                if self.matcher is not None:
+                    # matcher dedup state rides the same step cadence
+                    import os
+
+                    self.matcher.save(
+                        os.path.join(self.checkpoint_dir, "matcher"), step_no)
             self._prev_vids, self._prev_rank = g.vids, rank
             prev_limit = limit
             yield metrics

@@ -62,17 +62,72 @@ class IncrementalMatcher:
     """
 
     def __init__(self, query: Query | list[str], *, vertices_ds=None,
-                 num_partitions: int = 2, count_approx: bool = False) -> None:
+                 num_partitions: int = 2, count_approx: bool = False,
+                 approx_delta: bool = True) -> None:
         self.query = (query if isinstance(query, Query)
                       else parse_query_args(list(query)))
         self.vertices = vertices_ds
         self.num_partitions = num_partitions
         self.seen: set[tuple] = set()
         # reference num_approx counter (gray_incremental.py:201-202):
-        # opt-in — each step pays a full match_approx pass
+        # opt-in.  approx_delta=True (default) applies the same
+        # delta-join rule to the approx pass: an approx (one-edge-
+        # missing) binding that is NEW at step t must map >=1 of its
+        # PRESENT edges onto a batch-t edge, so each (drop-slot,
+        # delta-slot) pair runs batch-restricted — O(batch) per step
+        # instead of the full cumulative match_approx (round-2 ADVICE).
         self.count_approx = count_approx
+        self.approx_delta = approx_delta
         self.seen_approx: set[tuple] = set()
         self._first = True
+
+    # ---- checkpointable dedup state (K7: cross-step state never only
+    # in memory; same manifest protocol as the kernel checkpoints) ----
+
+    def _ckpt_params(self) -> dict:
+        return {"kernel": "incremental_matcher", "query": repr(self.query),
+                "count_approx": self.count_approx}
+
+    def state_table(self):
+        """Seen-set state as one pa.Table (vids: list<int64>, kind)."""
+        import pyarrow as pa
+
+        rows = [(list(map(int, vs)), "exact") for vs in sorted(self.seen)]
+        rows += [(list(map(int, vs)), "approx")
+                 for vs in sorted(self.seen_approx)]
+        return pa.table({
+            "vids": pa.array([r[0] for r in rows], type=pa.list_(pa.int64())),
+            "kind": pa.array([r[1] for r in rows], type=pa.string()),
+        })
+
+    def restore_state(self, table) -> None:
+        kinds = table["kind"].to_pylist()
+        vids = table["vids"].to_pylist()
+        self.seen = {tuple(v) for v, k in zip(vids, kinds) if k == "exact"}
+        self.seen_approx = {tuple(v) for v, k in zip(vids, kinds)
+                            if k == "approx"}
+        self._first = False
+
+    def save(self, checkpoint_dir: str, step: int) -> str:
+        from igpm_pem_ray.state import checkpoint as ckpt
+
+        return ckpt.save_table(checkpoint_dir, step, self.state_table(),
+                               metric_name="patterns_total",
+                               metric_value=float(len(self.seen)),
+                               params=self._ckpt_params())
+
+    def resume(self, checkpoint_dir: str):
+        """Load the latest committed seen-set; returns the resumed step
+        number or None (fresh start — params fingerprint mismatch or no
+        checkpoint)."""
+        from igpm_pem_ray.state import checkpoint as ckpt
+
+        found = ckpt.latest_table(checkpoint_dir, self._ckpt_params())
+        if found is None:
+            return None
+        step, tbl, _m = found
+        self.restore_state(tbl)
+        return step
 
     def _matcher(self, cum_edges) -> SubgraphMatcher:
         v = self.vertices if self.vertices is not None \
@@ -84,6 +139,7 @@ class IncrementalMatcher:
         t0 = time.perf_counter()
         q = self.query
         m = self._matcher(cum_edges)
+        first_step = self._first
         if self._first or not q.edges:
             pdf = m.match(q)
         else:
@@ -128,9 +184,65 @@ class IncrementalMatcher:
             "match_elapsed_sec": round(time.perf_counter() - t0, 4),
         }
         if self.count_approx:
-            ap = m.match_approx(q)
-            sets = set(ap["_vidset"]) if len(ap) else set()
+            if first_step or not self.approx_delta:
+                ap = m.match_approx(q)
+                sets = set(ap["_vidset"]) if len(ap) else set()
+            else:
+                sets = self._approx_delta_sets(m, q, batch_edges)
             # an approx set that later became exact stops counting
             self.seen_approx = (self.seen_approx | sets) - self.seen
             out["patterns_approx_total"] = len(self.seen_approx)
         return out
+
+    def _approx_delta_sets(self, m: SubgraphMatcher, q: Query,
+                           batch_edges) -> set:
+        """One-edge-missing bindings first visible this step: for each
+        droppable slot, run the reduced query's plan once per REMAINING
+        slot with that slot restricted to the batch edges (mirrors the
+        exact delta-join rule; exact bindings are removed by the caller
+        via ``- self.seen``)."""
+        batch_edges = batch_edges.materialize()
+        sets: set = set()
+        touched_all = {s for e in q.edges for s in (e.a, e.b)}
+        m._npart_override = 1
+        try:
+            for drop in q.edges:
+                rest = [e for e in q.edges if e.name != drop.name]
+                if not rest:
+                    continue
+                if {s for e in rest for s in (e.a, e.b)} != touched_all:
+                    continue  # dropping would leave an unbound symbol
+                q2 = Query(syms=list(q.syms),
+                           vertex_labels=dict(q.vertex_labels),
+                           edges=rest, directed=q.directed,
+                           condition=q.condition)
+                try:
+                    m._plan(q2)
+                except ValueError:
+                    continue  # dropping this slot disconnects the query
+                parts: list[pd.DataFrame] = []
+                inter_cols_all: list[str] = []
+                for qe in rest:
+                    order = m._plan(q2, start_name=qe.name)
+                    first = order[0].a
+                    cand = m._candidates(q2, first)
+                    if cand is None:
+                        cand = np.sort(m._vp["vid"].to_numpy().astype(np.int64))
+                    run, inter_cols = m._exec_plan(
+                        q2, order, first, cand,
+                        rel_override={qe.name: batch_edges})
+                    inter_cols_all = sorted(set(inter_cols_all) | set(inter_cols))
+                    if len(run):
+                        parts.append(run)
+                if not parts:
+                    continue
+                pdf = pd.concat(parts, ignore_index=True).drop_duplicates()
+                pdf = m._apply_condition(q2, pdf)
+                pdf = m._dedup_sets(
+                    pdf, [s for s in pdf.columns if not s.startswith("_p_")],
+                    inter_cols_all)
+                if len(pdf):
+                    sets |= set(pdf["_vidset"])
+        finally:
+            m._npart_override = 0
+        return sets

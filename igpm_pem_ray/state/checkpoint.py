@@ -118,6 +118,67 @@ def save_state_ds(base_dir: str, iteration: int, state_ds, *,
     return d
 
 
+def save_table(base_dir: str, iteration: int, table: pa.Table, *,
+               metric_name: str, metric_value: float, params: dict) -> str:
+    """Arbitrary-schema pa.Table state (e.g. the incremental matcher's
+    seen-set), same manifest-commit protocol as ``save_vector``."""
+    d = _iter_dir(base_dir, iteration)
+    os.makedirs(d, exist_ok=True)
+    partitions = []
+    n = table.num_rows
+    nfiles = max(1, (n + _ROWS_PER_FILE - 1) // _ROWS_PER_FILE)
+    t0 = time.perf_counter()
+    for f in range(nfiles):
+        lo, hi = f * _ROWS_PER_FILE, min(n, (f + 1) * _ROWS_PER_FILE)
+        path = os.path.join(d, f"part-{f:05d}.parquet")
+        pq.write_table(table.slice(lo, hi - lo), path)
+        partitions.append({"file": os.path.basename(path), "rows": hi - lo,
+                           "bytes": os.path.getsize(path)})
+    manifest = {
+        "iteration": iteration,
+        "metric": {metric_name: float(metric_value)},
+        "params_fingerprint": params_fingerprint(params),
+        "params": params,
+        "num_rows": n,
+        "state_kind": "table",
+        "write_sec": round(time.perf_counter() - t0, 6),
+        "partitions": partitions,
+        "completed": True,
+    }
+    tmp = os.path.join(d, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(d, "manifest.json"))  # atomic commit
+    return d
+
+
+def latest_table(base_dir: str, params: dict):
+    """Most recent committed ``save_table`` checkpoint matching
+    ``params``; returns (iteration, pa.Table, manifest) or None."""
+    if not base_dir or not os.path.isdir(base_dir):
+        return None
+    fp = params_fingerprint(params)
+    iters = sorted(
+        (int(name.split("=")[1]) for name in os.listdir(base_dir)
+         if name.startswith("iter=")),
+        reverse=True,
+    )
+    for k in iters:
+        d = _iter_dir(base_dir, k)
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if not m.get("completed") or m.get("params_fingerprint") != fp \
+                or m.get("state_kind") != "table":
+            continue
+        parts = sorted(p["file"] for p in m["partitions"])
+        tbl = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in parts])
+        return k, tbl, m
+    return None
+
+
 def latest_state_ds(base_dir: str, params: dict):
     """Most recent committed Dataset checkpoint matching ``params``;
     returns (iteration, Dataset, manifest) or None.  The state is
