@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
         "distinct_union": r.q_distinct_union,
+        "sessionize_events": r.q_sessionize,
+        "latest_events": r.q_latest_events,
         "condition_filter": r.q_condition_filter,
         "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
@@ -389,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
         "distinct_union": r.sql_distinct_union(),
+        "sessionize_events": r.sql_sessionize(),
+        "latest_events": r.sql_latest_events(),
         "condition_filter": r.sql_condition_filter(),
         "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),

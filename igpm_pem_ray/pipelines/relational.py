@@ -337,6 +337,72 @@ def sql_distinct_union() -> str:
             "UNION ALL SELECT o_custkey FROM orders)")
 
 
+# ------------- sessionization (data-dependent windows) -------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions per user (30 min inactivity closes a
+    session): sort + per-block vectorized runs + boundary stitch, no
+    per-group Python (stages/sessionize.py)."""
+    from igpm_pem_ray.stages.sessionize import sessionize
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ev, gap_us=SESSION_GAP_US)
+
+
+def sql_sessionize() -> str:
+    return (
+        "WITH o AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+        "  lag(CAST(epoch_us(ts) AS BIGINT)) OVER "
+        "    (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev "
+        "  FROM events), "
+        "m AS (SELECT user_id, us, CASE WHEN prev IS NULL OR "
+        f"  us - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT user_id, us, sum(new_s) OVER "
+        "  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM m) "
+        "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(max(us) - min(us) AS BIGINT) AS duration_us "
+        "FROM s GROUP BY user_id, sid")
+
+
+# -------- latest-record-per-key (recency dedup, SCD collapse) --------
+
+def q_latest_events(sf_dir: str):
+    """Latest event per user (ts desc, event_id desc tie-break) — the
+    keep-newest dedup every training-data refresh needs.  Plan: max-ts
+    aggregate, semi-join back at (user, ts), max-event_id aggregate —
+    two single-key-ish shuffles, no per-group Python."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                         "us": _ts_us(b),
+                         "event_id": b["event_id"].cast(pa.int64())})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    latest_ts = rows.groupby("user_id").aggregate(
+        Max("us", alias_name="us"))
+    at_max = rows.join(latest_ts, join_type="inner", num_partitions=2,
+                       on=("user_id", "us"))
+    return at_max.groupby("user_id").aggregate(
+        Max("us", alias_name="last_us"),
+        Max("event_id", alias_name="last_event_id"))
+
+
+def sql_latest_events() -> str:
+    return (
+        "SELECT user_id, CAST(max(us) AS BIGINT) AS last_us, "
+        "CAST(max(event_id) AS BIGINT) AS last_event_id FROM ("
+        "  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, "
+        "  rank() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS r"
+        "  FROM events) WHERE r = 1 GROUP BY user_id")
+
+
 # ---------------- M2: condition-expression language ----------------
 
 COND_EXPR = "l_extendedprice * (1 - l_discount) > 50000 AND NOT l_returnflag == 'A'"

@@ -509,3 +509,42 @@ def test_incremental_matcher_checkpoint_resume(tmp_path):
     other = IncrementalMatcher("--vertex a b --edge x:a:b".split(),
                                count_approx=True)
     assert other.resume(ck) is None
+
+
+# ---------- sessionization / recency dedup ----------
+
+def test_sessionize_boundary_stitch():
+    """sessionize equals a pure-numpy oracle on random clickstreams at
+    MANY forced block splits — sessions spanning 2+ sorted blocks are
+    stitched exactly (single-user long-session case included)."""
+    from igpm_pem_ray.stages.sessionize import sessionize
+
+    rng = np.random.RandomState(11)
+    GAP = 100
+
+    def oracle(users, ts):
+        order = np.lexsort((ts, users))
+        u, t = users[order], ts[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(t)] - 1
+        rows = sorted(zip(u[starts], t[starts],
+                          (ends - starts + 1), t[ends] - t[starts]))
+        return rows
+
+    cases = []
+    # dense random stream, few users -> many boundary-crossing sessions
+    n = 3000
+    cases.append((rng.randint(0, 4, size=n).astype(np.int64),
+                  np.sort(rng.randint(0, 50_000, size=n)).astype(np.int64)))
+    # one user, one giant session spanning every block
+    cases.append((np.zeros(500, dtype=np.int64),
+                  (np.arange(500, dtype=np.int64) * 50)))
+    for users, ts in cases:
+        ds = rd.from_arrow(pa.table({"user_id": users, "ts": ts}))
+        for blocks in (1, 7, 23):
+            got = sessionize(ds, gap_us=GAP, target_blocks=blocks) \
+                .to_pandas()
+            rows = sorted(zip(got["user_id"], got["session_start_us"],
+                              got["n_events"], got["duration_us"]))
+            assert rows == oracle(users, ts), blocks
