@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_union": r.q_distinct_union,
         "sessionize_events": r.q_sessionize,
         "latest_events": r.q_latest_events,
+        "topk_per_customer": r.q_topk_per_customer,
         "condition_filter": r.q_condition_filter,
         "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_union": r.sql_distinct_union(),
         "sessionize_events": r.sql_sessionize(),
         "latest_events": r.sql_latest_events(),
+        "topk_per_customer": r.sql_topk_per_customer(),
         "condition_filter": r.sql_condition_filter(),
         "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),

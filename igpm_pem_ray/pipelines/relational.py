@@ -403,6 +403,42 @@ def sql_latest_events() -> str:
         "  FROM events) WHERE r = 1 GROUP BY user_id")
 
 
+# ------------- per-group top-k (partitioned row_number) -------------
+
+def q_topk_per_customer(sf_dir: str):
+    """Top-3 orders per customer by (price desc, orderkey asc) — the
+    windowed row_number operator via sort + block-rank + O(blocks)
+    boundary offsets (stages/ranked.py), no per-group Python."""
+    from igpm_pem_ray.stages.ranked import topk_per_group
+
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+            "price_e2": scale_col(
+                b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+        })
+
+    rows = od.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_per_group(rows, key="o_custkey",
+                          order=["price_e2", "o_orderkey"],
+                          descending=[True, False], k=3)
+
+
+def sql_topk_per_customer() -> str:
+    return (
+        "SELECT o_custkey, price_e2, o_orderkey, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+        "  CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS price_e2, "
+        "  CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+        "  row_number() OVER (PARTITION BY o_custkey ORDER BY "
+        "    floor(o_totalprice*100.0+0.5) DESC, o_orderkey ASC) AS rank "
+        "  FROM orders) WHERE rank <= 3")
+
+
 # ---------------- M2: condition-expression language ----------------
 
 COND_EXPR = "l_extendedprice * (1 - l_discount) > 50000 AND NOT l_returnflag == 'A'"

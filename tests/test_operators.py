@@ -548,3 +548,31 @@ def test_sessionize_boundary_stitch():
             rows = sorted(zip(got["user_id"], got["session_start_us"],
                               got["n_events"], got["duration_us"]))
             assert rows == oracle(users, ts), blocks
+
+
+def test_topk_per_group_boundary_offsets():
+    """topk_per_group equals a pandas oracle at many forced block
+    splits — rank offsets carry across blocks when a key's run spans
+    2+ blocks (hot-key case included)."""
+    from igpm_pem_ray.stages.ranked import topk_per_group
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    df = pd.DataFrame({
+        "g": np.r_[rng.randint(0, 30, size=n - 600),
+                   np.full(600, 7)].astype(np.int64),   # hot key 7
+        "v": rng.randint(0, 10_000, size=n).astype(np.int64),
+        "i": np.arange(n, dtype=np.int64),              # unique tiebreak
+    })
+    want = df.sort_values(["g", "v", "i"], ascending=[True, False, True])
+    want = want.groupby("g").head(5)
+    want_rows = sorted(zip(want["g"], want["v"], want["i"]))
+    ds = rd.from_pandas(df)
+    for blocks in (1, 9, 31):
+        got = topk_per_group(ds, key="g", order=["v", "i"],
+                             descending=[True, False], k=5,
+                             target_blocks=blocks).to_pandas()
+        assert sorted(zip(got["g"], got["v"], got["i"])) == want_rows, blocks
+        # ranks are exactly 1..k per key
+        assert got.groupby("g")["rank"].apply(
+            lambda s: sorted(s) == list(range(1, len(s) + 1))).all()
