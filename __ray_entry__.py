@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": r.q_sessionize,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
+        "sliding_window": r.q_sliding_window,
+        "quantile_events": r.q_quantile_events,
         "condition_filter": r.q_condition_filter,
         "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
@@ -395,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": r.sql_sessionize(),
         "latest_events": r.sql_latest_events(),
         "topk_per_customer": r.sql_topk_per_customer(),
+        "sliding_window": r.sql_sliding_window(),
+        "quantile_events": r.sql_quantile_events(),
         "condition_filter": r.sql_condition_filter(),
         "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),

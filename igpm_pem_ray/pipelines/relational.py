@@ -337,6 +337,120 @@ def sql_distinct_union() -> str:
             "UNION ALL SELECT o_custkey FROM orders)")
 
 
+# ------------- sliding windows (overlapping assignment) -------------
+
+SLIDE_STEP_US = 15 * 60 * 1_000_000   # 15 min hop
+SLIDE_SPAN = 4                        # 4 hops = 1 h window
+
+
+def q_sliding_window(sf_dir: str):
+    """1h windows sliding every 15min per event_type: each event is
+    flat-mapped to its SPAN covering windows (vectorized repeat/tile),
+    then one count/sum groupby — the overlapping-window sibling of
+    ``q_window_events``."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        base = us // SLIDE_STEP_US
+        k = np.tile(np.arange(SLIDE_SPAN, dtype=np.int64), len(us))
+        ws = (np.repeat(base, SLIDE_SPAN) - k) * SLIDE_STEP_US
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = scale_col(batch["value"].to_numpy(zero_copy_only=False), 100.0)
+        return pa.table({
+            "event_type": np.repeat(et, SLIDE_SPAN),
+            "window_start_us": ws,
+            "value_e2": np.repeat(v, SLIDE_SPAN),
+        })
+
+    return ev.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby(["event_type", "window_start_us"]).aggregate(
+                 Count(alias_name="n_events"),
+                 Sum("value_e2", alias_name="sum_value_e2"))
+
+
+def sql_sliding_window() -> str:
+    return (
+        "SELECT event_type, "
+        f"CAST((CAST(epoch_us(ts) AS BIGINT) // {SLIDE_STEP_US} - k) "
+        f"* {SLIDE_STEP_US} AS BIGINT) AS window_start_us, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_e2 "
+        f"FROM events, range({SLIDE_SPAN}) t(k) "
+        "GROUP BY event_type, window_start_us")
+
+
+# ------------- exact per-group quantiles (rank selection) -------------
+
+def q_quantile_events(sf_dir: str):
+    """Exact p50/p90 of value per event_type — rank-selection plan:
+    rank all rows per key (sort + block ranks + boundary offsets),
+    join per-key counts, keep the rows at rank max(1, ceil(q*n))
+    (DuckDB quantile_disc convention, probed), fold to one row per
+    key.  Exact at any group size — no sketchy approximations."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        # event_type hashed to int64 for the sort key; the string rides
+        # along for output
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "etk": codes,
+            "event_type": b["event_type"],
+            "value_e2": scale_col(b["value"].to_numpy(zero_copy_only=False),
+                                  100.0),
+            "event_id": b["event_id"].cast(pa.int64()),
+        })
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ranked = rank_per_group(rows, key="etk",
+                            order=["value_e2", "event_id"],
+                            descending=[False, False]).materialize()
+    counts = rows.groupby("etk").aggregate(Count(alias_name="n"))
+    joined = ranked.join(counts, join_type="inner", num_partitions=2,
+                         on=("etk",))
+
+    def pick(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        rank = b["rank"].to_numpy(zero_copy_only=False)
+        v = b["value_e2"].to_numpy(zero_copy_only=False)
+        t50 = np.maximum(1, np.ceil(0.5 * n).astype(np.int64))
+        t90 = np.maximum(1, np.ceil(0.9 * n).astype(np.int64))
+        is50 = rank == t50
+        is90 = rank == t90
+        keep = is50 | is90
+        big = np.int64(np.iinfo(np.int64).min)
+        return pa.table({
+            "event_type": b["event_type"].take(
+                pa.array(np.flatnonzero(keep))),
+            "p50_e2": np.where(is50[keep], v[keep], big),
+            "p90_e2": np.where(is90[keep], v[keep], big),
+        })
+
+    return joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Max("p50_e2", alias_name="p50_e2"),
+            Max("p90_e2", alias_name="p90_e2"))
+
+
+def sql_quantile_events() -> str:
+    return (
+        "SELECT event_type, "
+        "CAST(quantile_disc(CAST(floor(value*100.0+0.5) AS BIGINT), 0.5) "
+        "AS BIGINT) AS p50_e2, "
+        "CAST(quantile_disc(CAST(floor(value*100.0+0.5) AS BIGINT), 0.9) "
+        "AS BIGINT) AS p90_e2 "
+        "FROM events GROUP BY event_type")
+
+
 # ------------- sessionization (data-dependent windows) -------------
 
 SESSION_GAP_US = 30 * 60 * 1_000_000

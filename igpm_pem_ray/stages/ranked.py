@@ -29,10 +29,11 @@ def _key_bounds(tbl: pa.Table, key: str):
 
 
 @ray.remote
-def _rank_filter(tbl: pa.Table, key: str, k_top: int, offset: int) -> pa.Table:
+def _rank_filter(tbl: pa.Table, key: str, k_top: int | None,
+                 offset: int) -> pa.Table:
     """Rank rows within contiguous key runs (plus ``offset`` for the
-    first run, carried over from preceding blocks) and keep rank <=
-    k_top.  Ranks are 1-based."""
+    first run, carried over from preceding blocks); keep rank <= k_top
+    when set.  Ranks are 1-based."""
     if tbl.num_rows == 0 or key not in tbl.column_names:
         return tbl
     k = tbl[key].to_numpy(zero_copy_only=False)
@@ -41,17 +42,28 @@ def _rank_filter(tbl: pa.Table, key: str, k_top: int, offset: int) -> pa.Table:
     pos = np.arange(len(k)) - np.repeat(starts, np.diff(np.r_[starts, len(k)]))
     rank = pos + 1
     rank[:starts[1] if len(starts) > 1 else len(k)] += offset
-    out = tbl.filter(pa.array(rank <= k_top))
-    return out.append_column("rank", pa.array(rank[rank <= k_top],
-                                              type=pa.int64()))
+    keep = rank <= k_top if k_top is not None \
+        else np.ones(len(k), dtype=bool)
+    out = tbl.filter(pa.array(keep))
+    return out.append_column("rank", pa.array(rank[keep], type=pa.int64()))
+
+
+def rank_per_group(ds, *, key: str, order: list[str],
+                   descending: list[bool],
+                   target_blocks: int | None = None):
+    """All rows + their 1-based ``rank`` within ``key`` (no filter) —
+    the building block for per-group quantiles/medians."""
+    return topk_per_group(ds, key=key, order=order, descending=descending,
+                          k=None, target_blocks=target_blocks)
 
 
 def topk_per_group(ds, *, key: str, order: list[str],
-                   descending: list[bool], k: int,
+                   descending: list[bool], k: int | None,
                    target_blocks: int | None = None):
     """-> input columns + ``rank``, keeping the top-``k`` rows per
-    ``key`` under the (order, descending) sort — deterministic when
-    the order columns are a total order within each key."""
+    ``key`` under the (order, descending) sort (all rows when k is
+    None) — deterministic when the order columns are a total order
+    within each key."""
     srt = ds.sort([key, *order], descending=[False, *descending])
     if target_blocks:
         srt = srt.repartition(target_blocks)  # order-preserving split
