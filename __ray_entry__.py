@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
         "quantile_events": r.q_quantile_events,
+        "train_val_split": r.q_train_val_split,
         "condition_filter": r.q_condition_filter,
         "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_customer": r.sql_topk_per_customer(),
         "sliding_window": r.sql_sliding_window(),
         "quantile_events": r.sql_quantile_events(),
+        "train_val_split": r.sql_train_val_split(),
         "condition_filter": r.sql_condition_filter(),
         "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),

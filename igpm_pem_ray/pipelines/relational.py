@@ -382,6 +382,37 @@ def sql_sliding_window() -> str:
         "GROUP BY event_type, window_start_us")
 
 
+# ------------- deterministic train/val split (affine hash) -------------
+
+SPLIT_A, SPLIT_B, SPLIT_M = 2654435761, 17, 1 << 31
+VAL_PCT = 10  # val = lowest 10% of the hash ring
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic 90/10 train/val document split by affine id hash
+    — reproducible across runs/engines, no RNG state, filterable at
+    the read at scale (the split column is a pure function of the
+    id)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids * SPLIT_A + SPLIT_B) % SPLIT_M
+        return pa.table({
+            "doc_id": ids,
+            "split": np.where(h < SPLIT_M // VAL_PCT, "val", "train"),
+        })
+
+    return docs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_train_val_split() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE WHEN "
+        f"(doc_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_M} < {SPLIT_M // VAL_PCT} "
+        "THEN 'val' ELSE 'train' END AS split FROM documents")
+
+
 # ------------- exact per-group quantiles (rank selection) -------------
 
 def q_quantile_events(sf_dir: str):
