@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": r.q_sliding_window,
         "quantile_events": r.q_quantile_events,
         "train_val_split": r.q_train_val_split,
+        "asof_attrib": r.q_asof_attrib,
+        "range_join_windows": r.q_range_join,
+        "cumsum_orders": r.q_cumsum_orders,
         "condition_filter": r.q_condition_filter,
         "sample_orders": r.q_sample,
         "doc_dedup_exact": r.q_doc_dedup_exact,
@@ -401,6 +404,9 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": r.sql_sliding_window(),
         "quantile_events": r.sql_quantile_events(),
         "train_val_split": r.sql_train_val_split(),
+        "asof_attrib": r.sql_asof_attrib(),
+        "range_join_windows": r.sql_range_join(),
+        "cumsum_orders": r.sql_cumsum_orders(),
         "condition_filter": r.sql_condition_filter(),
         "sample_orders": r.sql_sample(),
         "doc_dedup_exact": r.sql_doc_dedup_exact(),

@@ -733,3 +733,170 @@ def sql_ann_cosine() -> str:
     sim = f"list_cosine_similarity(CAST(embedding AS DOUBLE[]), {q})"
     return (f"SELECT vec_id, CAST(floor({sim}*1e4+0.5) AS BIGINT) AS sim_e4 "
             f"FROM embeddings ORDER BY {sim} DESC, vec_id LIMIT {ANN_K}")
+
+
+# ------------- temporal joins (as-of / range / running total) -------------
+# Custom operators the brief names (as-of join, range join, windowed
+# aggregate) that Ray Data has no built-in for — stages/temporal.py.
+
+ATTRIB_WINDOW_US = HOUR_US  # purchase -> click attribution window
+
+
+def q_asof_attrib(sf_dir: str):
+    """As-of join: every 'click' event joined to the same user's
+    latest 'purchase' at-or-before it (ties at equal ts -> max value).
+    Sort + per-block vectorized forward fill + O(1)/boundary stitch
+    (stages/temporal.asof_join); -1 sentinels for never-purchased."""
+    from ray.data.aggregate import Max
+
+    from igpm_pem_ray.stages.temporal import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+
+    def pre_build(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        b = b.filter(keep)
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "val": scale_col(
+                             b["value"].to_numpy(zero_copy_only=False),
+                             1e6)})
+
+    def pre_probe(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "click")
+        b = b.filter(keep)
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"].cast(pa.int64())})
+
+    build = ev.map_batches(pre_build, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["key", "us"]).aggregate(Max("val", alias_name="val"))
+    probe = ev.map_batches(pre_probe, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = asof_join(build, probe, payload_cols=["event_id"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["key"],
+                         "us": b["us"],
+                         "purch_us": b["asof_us"],
+                         "purch_value_e6": b["asof_val"]})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_asof_attrib() -> str:
+    return (
+        "WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+        "  max(CAST(floor(value*1e6+0.5) AS BIGINT)) AS val FROM events "
+        "  WHERE event_type = 'purchase' GROUP BY 1, 2), "
+        "c AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us "
+        "  FROM events WHERE event_type = 'click'), "
+        "m AS (SELECT c.event_id, c.user_id, c.us, max(p.us) AS purch_us "
+        "  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.us <= c.us "
+        "  GROUP BY 1, 2, 3) "
+        "SELECT m.event_id, m.user_id, m.us, "
+        "COALESCE(m.purch_us, -1) AS purch_us, "
+        "COALESCE(p.val, -1) AS purch_value_e6 "
+        "FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.us = m.purch_us")
+
+
+def q_range_join(sf_dir: str):
+    """Range join: clicks inside [purchase_ts, purchase_ts + 1h) of
+    the same user, aggregated per purchase — bucketed interval join
+    (explode intervals to <= 2 one-hour buckets, hash join on
+    (user, bucket), exact containment filter; stages/temporal.py)."""
+    from igpm_pem_ray.stages.temporal import range_join_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+
+    def pre_iv(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({"iv_id": b["event_id"].cast(pa.int64()),
+                         "key": b["user_id"].cast(pa.int64()),
+                         "start_us": b["ts"].cast(pa.int64())})
+
+    def pre_pt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "val": scale_col(
+                             b["value"].to_numpy(zero_copy_only=False),
+                             1e6)})
+
+    iv = ev.map_batches(pre_iv, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pt = ev.map_batches(pre_pt, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = range_join_agg(iv, pt, width_us=ATTRIB_WINDOW_US)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"purch_id": b["iv_id"],
+                         "user_id": b["key"],
+                         "n_clicks": b["n_points"].cast(pa.int64()),
+                         "sum_click_value_e6": b["sum_val"].cast(pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_range_join() -> str:
+    return (
+        "SELECT p.event_id AS purch_id, p.user_id, "
+        "CAST(count(*) AS BIGINT) AS n_clicks, "
+        "CAST(sum(CAST(floor(c.value*1e6+0.5) AS BIGINT)) AS BIGINT) "
+        "  AS sum_click_value_e6 "
+        "FROM events p JOIN events c ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' "
+        "AND epoch_us(c.ts) >= epoch_us(p.ts) "
+        f"AND epoch_us(c.ts) < epoch_us(p.ts) + {ATTRIB_WINDOW_US} "
+        "WHERE p.event_type = 'purchase' GROUP BY 1, 2")
+
+
+def q_cumsum_orders(sf_dir: str):
+    """Per-customer running order total in (o_orderdate, o_orderkey)
+    order — `sum() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING)`
+    via sort + per-block prefix sums + O(1)/boundary carry
+    (stages/temporal.cumsum_per_key)."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["o_custkey"].cast(pa.int64()),
+                         "us": b["o_orderdate"].cast(pa.int64()),
+                         "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                         "val": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0)})
+
+    rows = od.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = cumsum_per_key(rows, payload_cols=["o_orderkey"],
+                         order_cols=("us", "o_orderkey"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["key"],
+                         "cum_spend_e2": b["cum_val"]})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_cumsum_orders() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)) OVER ("
+        "  PARTITION BY o_custkey "
+        "  ORDER BY epoch_us(o_orderdate), o_orderkey "
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_e2 "
+        "FROM orders")

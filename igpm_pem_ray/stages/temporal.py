@@ -1,0 +1,333 @@
+"""Temporal joins — as-of join, range (interval) join, per-key running
+total.  The custom operators a training-data / event-attribution
+pipeline needs that Ray Data has no built-in for (brief: "as-of join,
+range join, windowed aggregate"), each expressed as a composition of
+``sort`` / ``map_batches`` / hash ``join`` + a tiny O(blocks) driver
+stitch, never per-group Python.
+
+Scale shapes
+------------
+- ``asof_join``: ONE global sort of (build ∪ probe) by (key, ts, side)
+  — the honest all-to-all — then every sorted block forward-fills the
+  last build row vectorized (numpy maximum.accumulate over build row
+  positions, reset per key run).  The only cross-block state is the
+  last build row of each block's LAST key: because the sort is global,
+  a key can only straddle adjacent block boundaries, so the driver
+  carry is O(1) per block (same stitch family as
+  stages/sessionize.py), not O(distinct keys).
+- ``range_join_agg``: the classic bucketed interval join — intervals
+  of width <= W explode to the <= 2 width-W time buckets they touch,
+  points bucket to exactly one, a hash join on (key, bucket) bounds
+  the candidate set, an exact containment filter + groupby finish it.
+  No interval ever meets a point outside its two buckets, and a point
+  joins each interval at most once (its bucket is unique), so no
+  dedup pass is needed.
+- ``cumsum_per_key``: global sort by (key, order cols), per-block
+  vectorized prefix sums, O(1)-per-boundary driver carry of the
+  running sum for the single key that straddles each block boundary.
+
+All three are oracle-checked against DuckDB window/inequality-join SQL
+in pipelines/relational.py (queries ``asof_purchase_attrib``,
+``range_join_windows``, ``cumsum_orders``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+NO_MATCH = np.int64(-1)  # sentinel (COALESCE(-1) in the SQL oracles)
+
+
+# ------------------------------ as-of join ------------------------------
+
+@ray.remote(num_returns=2)
+def _asof_block(tbl: pa.Table, payload_cols: list[str]):
+    """(probe-only output table, summary) for one sorted block.
+
+    Input columns: key, us, side (0=build, 1=probe), val (build rows),
+    plus probe payload columns.  Output: payload + key + us +
+    matched (asof_us, asof_val), NO_MATCH where no build row at-or-
+    before exists **within this block's key run** (the driver patch
+    fills the first run from the carry).
+    """
+    n = tbl.num_rows
+    if n == 0 or "key" not in tbl.column_names:
+        out = pa.table({c: pa.array([], type=pa.int64())
+                        for c in (*payload_cols, "key", "us",
+                                  "asof_us", "asof_val")})
+        return out, None
+    key = tbl["key"].to_numpy(zero_copy_only=False)
+    us = tbl["us"].to_numpy(zero_copy_only=False)
+    side = tbl["side"].to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False)
+    pos = np.arange(n, dtype=np.int64)
+
+    build = side == 0
+    # per-row start of its key run (keys are contiguous after the sort)
+    new_run = np.r_[True, key[1:] != key[:-1]]
+    run_start = np.maximum.accumulate(np.where(new_run, pos, 0))
+    # last build row position at or before each row (sort puts builds
+    # before probes at equal ts, so "at-or-before" is positional)
+    last_build = np.maximum.accumulate(np.where(build, pos, NO_MATCH))
+    matched = last_build >= run_start
+
+    probe = ~build
+    pm = matched[probe]
+    pidx = last_build[probe]
+    asof_us = np.where(pm, us[np.maximum(pidx, 0)], NO_MATCH)
+    asof_val = np.where(pm, val[np.maximum(pidx, 0)], NO_MATCH)
+    cols = {c: tbl[c].filter(pa.array(probe)) for c in payload_cols}
+    cols["key"] = pa.array(key[probe].astype(np.int64))
+    cols["us"] = pa.array(us[probe].astype(np.int64))
+    cols["asof_us"] = pa.array(asof_us.astype(np.int64))
+    cols["asof_val"] = pa.array(asof_val.astype(np.int64))
+
+    # summary: last build row for the block's LAST key (None if that
+    # key has no build row in this block)
+    last_key = int(key[-1])
+    in_last = build & (key == key[-1])
+    if in_last.any():
+        j = int(pos[in_last][-1])
+        last_build_row = (int(us[j]), int(val[j]))
+    else:
+        last_build_row = None
+    summary = {"first_key": int(key[0]), "last_key": last_key,
+               "last_build": last_build_row}
+    return pa.table(cols), summary
+
+
+@ray.remote
+def _asof_patch(tbl: pa.Table, carry_key: int, carry_us: int,
+                carry_val: int) -> pa.Table:
+    """Fill NO_MATCH rows of the carry key (necessarily the block's
+    first run) from the previous blocks' last build row."""
+    key = tbl["key"].to_numpy(zero_copy_only=False)
+    hit = (key == carry_key) & \
+        (tbl["asof_us"].to_numpy(zero_copy_only=False) == NO_MATCH)
+    if not hit.any():
+        return tbl
+    asof_us = tbl["asof_us"].to_numpy(zero_copy_only=False).copy()
+    asof_val = tbl["asof_val"].to_numpy(zero_copy_only=False).copy()
+    asof_us[hit] = carry_us
+    asof_val[hit] = carry_val
+    return tbl.set_column(tbl.column_names.index("asof_us"), "asof_us",
+                          pa.array(asof_us)) \
+              .set_column(tbl.column_names.index("asof_val"), "asof_val",
+                          pa.array(asof_val))
+
+
+def asof_join(build_ds, probe_ds, *, payload_cols: list[str],
+              target_blocks: int | None = None):
+    """For every probe row, the latest build row with the same ``key``
+    and ``us`` at-or-before the probe's ``us``.
+
+    ``build_ds``: columns (key, us, val) — pre-aggregate ties at equal
+    (key, us) yourself if the tie-break matters (the query below uses
+    max(val)).  ``probe_ds``: columns (key, us, *payload_cols).
+    Returns (``*payload_cols``, key, us, asof_us, asof_val) with -1
+    sentinels where no build row precedes the probe (left-join
+    semantics, oracle uses COALESCE(-1)).
+    """
+    null64 = pa.nulls(0, pa.int64())  # schema alignment template
+
+    def tag_build(b: pa.Table) -> pa.Table:
+        cols = {"key": b["key"].cast(pa.int64()),
+                "us": b["us"].cast(pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+                "val": b["val"].cast(pa.int64())}
+        for c in payload_cols:
+            cols[c] = pa.nulls(b.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def tag_probe(b: pa.Table) -> pa.Table:
+        cols = {"key": b["key"].cast(pa.int64()),
+                "us": b["us"].cast(pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+                # constant, NOT null: a null int64 would round-trip
+                # through float64/NaN in the block kernel's to_numpy
+                "val": pa.nulls(b.num_rows, pa.int64()).fill_null(NO_MATCH)}
+        for c in payload_cols:
+            cols[c] = b[c].cast(pa.int64())
+        return pa.table(cols)
+
+    both = build_ds.map_batches(tag_build, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(probe_ds.map_batches(tag_probe, batch_format="pyarrow",
+                                    zero_copy_batch=True)) \
+        .sort(["key", "us", "side"])
+    if target_blocks:
+        both = both.repartition(target_blocks)
+    both = both.materialize()
+    refs = both.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {c: null64 for c in (*payload_cols, "key", "us",
+                                 "asof_us", "asof_val")}))
+    parts = [_asof_block.remote(r, payload_cols) for r in refs]
+    tables = [p[0] for p in parts]
+    summaries = ray.get([p[1] for p in parts])
+
+    # O(1)-per-boundary carry: the last build row of the single key
+    # that straddles each block boundary
+    out_refs = []
+    carry = None  # (key, us, val)
+    for tref, s in zip(tables, summaries):
+        if s is None:
+            out_refs.append(tref)
+            continue
+        if carry is not None and carry[0] == s["first_key"]:
+            tref = _asof_patch.remote(tref, *carry)
+        if s["last_build"] is not None:
+            carry = (s["last_key"], *s["last_build"])
+        elif carry is not None and carry[0] == s["last_key"]:
+            pass  # single-key block with no build: carry persists
+        else:
+            carry = None
+        out_refs.append(tref)
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------- range join ----------------------------
+
+def range_join_agg(intervals_ds, points_ds, *, width_us: int,
+                   num_partitions: int = 4):
+    """Inner interval join + aggregate: for every interval
+    [start_us, start_us + width_us) in ``intervals_ds`` (columns
+    iv_id, key, start_us), the count and int64 sum of ``val`` over
+    points (columns key, us, val) of the same key inside the window.
+    Intervals with zero points are absent (inner-join semantics).
+
+    Bucketing: fixed-width time buckets of ``width_us`` — an interval
+    of exactly that width touches at most 2 buckets, a point exactly
+    one, so the hash join on (key, bucket) sees each candidate pair
+    once and the containment filter finishes exactly.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        iv = b["iv_id"].to_numpy(zero_copy_only=False)
+        k = b["key"].to_numpy(zero_copy_only=False)
+        s = b["start_us"].to_numpy(zero_copy_only=False)
+        b0 = s // width_us
+        b1 = (s + width_us - 1) // width_us
+        two = b1 != b0
+        return pa.table({
+            "iv_id": np.r_[iv, iv[two]].astype(np.int64),
+            "key": np.r_[k, k[two]].astype(np.int64),
+            "start_us": np.r_[s, s[two]].astype(np.int64),
+            "bucket": np.r_[b0, b1[two]].astype(np.int64),
+        })
+
+    def point_bucket(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": b["key"].cast(pa.int64()),
+            "us": pa.array(us.astype(np.int64)),
+            "val": b["val"].cast(pa.int64()),
+            "bucket": pa.array((us // width_us).astype(np.int64)),
+        })
+
+    iv = intervals_ds.map_batches(explode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    pt = points_ds.map_batches(point_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    joined = iv.join(pt, join_type="inner", on=("key", "bucket"),
+                     num_partitions=num_partitions)
+
+    def contain(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        s = b["start_us"].to_numpy(zero_copy_only=False)
+        keep = (us >= s) & (us < s + width_us)
+        return pa.table({"iv_id": b["iv_id"].filter(pa.array(keep)),
+                         "key": b["key"].filter(pa.array(keep)),
+                         "val": b["val"].filter(pa.array(keep))})
+
+    return joined.map_batches(contain, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("iv_id").aggregate(
+            Max("key", alias_name="key"),     # constant per iv_id
+            Count(alias_name="n_points"),
+            Sum("val", alias_name="sum_val"))
+
+
+# ------------------------ per-key running total ------------------------
+
+@ray.remote(num_returns=2)
+def _cumsum_block(tbl: pa.Table, payload_cols: list[str]):
+    n = tbl.num_rows
+    if n == 0 or "key" not in tbl.column_names:
+        out = pa.table({c: pa.array([], type=pa.int64())
+                        for c in (*payload_cols, "key", "us", "cum_val")})
+        return out, None
+    key = tbl["key"].to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False)
+    pos = np.arange(n, dtype=np.int64)
+    new_run = np.r_[True, key[1:] != key[:-1]]
+    csum = np.cumsum(val)
+    # subtract the prefix before each run start (run-id gather, safe
+    # for negative vals where a maximum.accumulate trick would not be)
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    base = (csum[starts] - val[starts])[run_id]
+    cum = csum - base
+    cols = {c: tbl[c] for c in payload_cols}
+    cols["key"] = pa.array(key.astype(np.int64))
+    cols["us"] = tbl["us"]
+    cols["cum_val"] = pa.array(cum.astype(np.int64))
+    last_run_sum = int(cum[-1])
+    summary = {"first_key": int(key[0]), "last_key": int(key[-1]),
+               "first_run_len": int(np.argmax(key != key[0]))
+               if (key != key[0]).any() else n,
+               "last_run_sum": last_run_sum}
+    return pa.table(cols), summary
+
+
+@ray.remote
+def _cumsum_patch(tbl: pa.Table, first_run_len: int,
+                  offset: int) -> pa.Table:
+    cum = tbl["cum_val"].to_numpy(zero_copy_only=False).copy()
+    cum[:first_run_len] += offset
+    return tbl.set_column(tbl.column_names.index("cum_val"), "cum_val",
+                          pa.array(cum))
+
+
+def cumsum_per_key(ds, *, payload_cols: list[str], order_cols=("us",),
+                   target_blocks: int | None = None):
+    """Running total of ``val`` per ``key`` in (key, *order_cols)
+    order — `sum() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`.  Input columns: key, us (int64-castable), val, plus
+    ``payload_cols`` passed through.  Same O(1)-per-boundary driver
+    stitch as :func:`asof_join`.
+    """
+    srt = ds.sort(["key", *order_cols])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {c: pa.nulls(0, pa.int64())
+             for c in (*payload_cols, "key", "us", "cum_val")}))
+    parts = [_cumsum_block.remote(r, payload_cols) for r in refs]
+    tables = [p[0] for p in parts]
+    summaries = ray.get([p[1] for p in parts])
+
+    out_refs = []
+    carry = None  # (key, running_sum)
+    for tref, s in zip(tables, summaries):
+        if s is None:
+            out_refs.append(tref)
+            continue
+        applied = carry is not None and carry[0] == s["first_key"]
+        if applied:
+            tref = _cumsum_patch.remote(tref, s["first_run_len"], carry[1])
+        out_sum = s["last_run_sum"]
+        if applied and s["first_key"] == s["last_key"]:
+            out_sum += carry[1]
+        carry = (s["last_key"], out_sum)
+        out_refs.append(tref)
+    return rd.from_arrow_refs(out_refs)

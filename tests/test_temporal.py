@@ -1,0 +1,150 @@
+"""stages/temporal.py — as-of join, range join, per-key running total.
+
+Every test uses a brute-force numpy/pandas oracle and forces the
+sorted table into many small blocks (``target_blocks``) so key runs
+straddle block boundaries — the driver-stitch paths (carry patching)
+are exercised, not just the single-block fast case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from igpm_pem_ray.stages.temporal import (asof_join, cumsum_per_key,
+                                          range_join_agg)
+
+RNG = np.random.default_rng(42)
+
+
+def _rand_events(n, n_keys, t_max=10_000):
+    return pd.DataFrame({
+        "key": RNG.integers(0, n_keys, n).astype(np.int64),
+        "us": RNG.integers(0, t_max, n).astype(np.int64),
+        "val": RNG.integers(1, 1000, n).astype(np.int64),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+
+
+def _asof_oracle(build: pd.DataFrame, probe: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, p in probe.iterrows():
+        elig = build[(build["key"] == p["key"]) & (build["us"] <= p["us"])]
+        if len(elig):
+            at = elig[elig["us"] == elig["us"].max()]
+            rows.append((p["rid"], p["key"], p["us"],
+                         int(at["us"].iloc[0]), int(at["val"].max())))
+        else:
+            rows.append((p["rid"], p["key"], p["us"], -1, -1))
+    return pd.DataFrame(rows, columns=["rid", "key", "us",
+                                       "asof_us", "asof_val"]) \
+        .sort_values("rid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("target_blocks", [1, 7, 40])
+def test_asof_join_matches_bruteforce(target_blocks):
+    build = _rand_events(120, n_keys=9)
+    # pre-aggregate ties at (key, us) -> max val, as the contract asks
+    build = build.groupby(["key", "us"], as_index=False)["val"].max()
+    probe = _rand_events(200, n_keys=9)
+    got = asof_join(rd.from_pandas(build),
+                    rd.from_pandas(probe[["key", "us", "rid"]]),
+                    payload_cols=["rid"],
+                    target_blocks=target_blocks).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    exp = _asof_oracle(build, probe)
+    pd.testing.assert_frame_equal(
+        got[["rid", "key", "us", "asof_us", "asof_val"]], exp)
+
+
+def test_asof_join_equal_ts_is_inclusive():
+    build = pd.DataFrame({"key": [1], "us": [100], "val": [7]})
+    probe = pd.DataFrame({"key": [1, 1], "us": [100, 99],
+                          "rid": [0, 1]})
+    got = asof_join(rd.from_pandas(build), rd.from_pandas(probe),
+                    payload_cols=["rid"]).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert got["asof_us"].tolist() == [100, -1]
+    assert got["asof_val"].tolist() == [7, -1]
+
+
+def test_asof_carry_across_many_blocks():
+    """One key whose only build row is in the first block; probes all
+    later — the carry must survive 20+ boundary hops."""
+    probe = pd.DataFrame({"key": np.int64(5), "us": np.arange(10, 500, 2,
+                                                              dtype=np.int64)})
+    probe["rid"] = np.arange(len(probe), dtype=np.int64)
+    build = pd.DataFrame({"key": [5], "us": [3], "val": [99]})
+    got = asof_join(rd.from_pandas(build), rd.from_pandas(probe),
+                    payload_cols=["rid"], target_blocks=25).to_pandas()
+    assert (got["asof_us"] == 3).all() and (got["asof_val"] == 99).all()
+
+
+def test_range_join_agg_matches_bruteforce():
+    w = 500
+    iv = pd.DataFrame({
+        "iv_id": np.arange(60, dtype=np.int64),
+        "key": RNG.integers(0, 6, 60).astype(np.int64),
+        "start_us": RNG.integers(0, 8_000, 60).astype(np.int64),
+    })
+    pt = _rand_events(300, n_keys=6, t_max=8_500)
+    got = range_join_agg(rd.from_pandas(iv),
+                         rd.from_pandas(pt[["key", "us", "val"]]),
+                         width_us=w).to_pandas() \
+        .sort_values("iv_id").reset_index(drop=True)
+    rows = []
+    for _, r in iv.iterrows():
+        m = pt[(pt["key"] == r["key"]) & (pt["us"] >= r["start_us"])
+               & (pt["us"] < r["start_us"] + w)]
+        if len(m):
+            rows.append((r["iv_id"], r["key"], len(m), int(m["val"].sum())))
+    exp = pd.DataFrame(rows, columns=["iv_id", "key", "n_points",
+                                      "sum_val"]) \
+        .sort_values("iv_id").reset_index(drop=True)
+    assert got["iv_id"].tolist() == exp["iv_id"].tolist()
+    assert got["key"].tolist() == exp["key"].tolist()
+    assert got["n_points"].astype(int).tolist() == exp["n_points"].tolist()
+    assert got["sum_val"].astype(int).tolist() == exp["sum_val"].tolist()
+
+
+def test_range_join_interval_spanning_two_buckets_counts_once():
+    # interval [750, 1250) straddles buckets 1 and 2 (w=500); the point
+    # at 1000 sits in bucket 2 only -> must be counted exactly once
+    iv = pd.DataFrame({"iv_id": [0], "key": [1], "start_us": [750]})
+    pt = pd.DataFrame({"key": [1, 1], "us": [1000, 1300],
+                       "val": [10, 20]})
+    got = range_join_agg(rd.from_pandas(iv), rd.from_pandas(pt),
+                         width_us=500).to_pandas()
+    assert len(got) == 1
+    assert int(got["n_points"].iloc[0]) == 1
+    assert int(got["sum_val"].iloc[0]) == 10
+
+
+@pytest.mark.parametrize("target_blocks", [1, 9, 50])
+def test_cumsum_per_key_matches_pandas(target_blocks):
+    df = _rand_events(400, n_keys=7)
+    # make (key, us, rid) a deterministic total order
+    got = cumsum_per_key(rd.from_pandas(df),
+                         payload_cols=["rid"],
+                         order_cols=("us", "rid"),
+                         target_blocks=target_blocks).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    df2 = df.sort_values(["key", "us", "rid"]).reset_index(drop=True)
+    df2["cum_val"] = df2.groupby("key")["val"].cumsum()
+    exp = df2.sort_values("rid").reset_index(drop=True)
+    assert got["cum_val"].tolist() == exp["cum_val"].tolist()
+
+
+def test_cumsum_negative_values():
+    """Negative vals break any maximum.accumulate-based prefix trick —
+    pin the run-id gather implementation."""
+    df = pd.DataFrame({"key": [1, 1, 1, 2, 2], "us": [1, 2, 3, 1, 2],
+                       "val": [5, -10, 3, -1, -2],
+                       "rid": np.arange(5, dtype=np.int64)})
+    got = cumsum_per_key(rd.from_pandas(df), payload_cols=["rid"],
+                         order_cols=("us",), target_blocks=3) \
+        .to_pandas().sort_values("rid")
+    assert got["cum_val"].tolist() == [5, -5, -2, -1, -3]
