@@ -318,6 +318,7 @@ def pattern_match_approx(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from igpm_pem_ray.pipelines import analytics as an
     from igpm_pem_ray.pipelines import graph_queries as g
     from igpm_pem_ray.pipelines import relational as r
 
@@ -365,6 +366,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
         "embed_near_dup": r.q_embed_near_dup,
+        # round-3 analytics batch (pipelines/analytics.py)
+        "group_stats": an.q_group_stats,
+        "distinct_parts": an.q_distinct_parts,
+        "histogram_orders": an.q_histogram_orders,
+        "star_join": an.q_star_join,
+        "pivot_status": an.q_pivot_status,
+        "group_agg_salted": an.q_group_agg_salted,
+        "unnest_embed": an.q_unnest_embed,
+        "string_funcs": an.q_string_funcs,
+        "rollup_revenue": an.q_rollup_revenue,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -372,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from igpm_pem_ray.pipelines import analytics as an
     from igpm_pem_ray.pipelines import graph_queries as g
     from igpm_pem_ray.pipelines import relational as r
 
@@ -415,4 +427,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
         "embed_near_dup": r.sql_embed_near_dup(),
+        "group_stats": an.sql_group_stats(),
+        "distinct_parts": an.sql_distinct_parts(),
+        "histogram_orders": an.sql_histogram_orders(),
+        "star_join": an.sql_star_join(),
+        "pivot_status": an.sql_pivot_status(),
+        "group_agg_salted": an.sql_group_agg_salted(),
+        "unnest_embed": an.sql_unnest_embed(),
+        "string_funcs": an.sql_string_funcs(),
+        "rollup_revenue": an.sql_rollup_revenue(),
     }

@@ -1,0 +1,447 @@
+"""Distributed analytics operators with DuckDB oracles — round 3.
+
+Extends the reference's aggregate surface (`gray/aggregator.py:13-52`
+COUNT/MIN/MAX/SUM/AVG, `query/Grouping.py:26-41` groupBy) with the
+aggregation patterns a 100-TB training-data pipeline needs and the
+reference never had: sufficient-statistics moments (variance without a
+second pass), distinct counting, histograms, multi-table star joins,
+pivot/rollup, and an explicitly salted two-stage aggregate for hot
+keys (the north rule's skew requirement, SURVEY.md section 4).
+
+Every operator is paired with ANSI SQL for the driver's side-by-side
+DuckDB gate; float columns use the shared scaled-int convention
+(``pipelines/common.scale_col``) so value-hashes are reduction-order
+independent.
+
+Scale notes (why each plan holds at 1000x):
+- all partials are computed per block with numpy (np.unique/reduceat)
+  BEFORE any shuffle, so shuffled rows are O(groups x blocks), not
+  O(rows);
+- derived statistics (variance) are integer formulas over the tiny
+  post-aggregate table — exact, no float reduction order anywhere;
+- the star join broadcasts only the filtered dimension keys (ray.put
+  once) and ships facts through one hash join on the fact key;
+- the salted aggregate shows the two-stage (key, salt) -> key plan
+  that bounds any single reducer's input at rows/16 per block-source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from igpm_pem_ray.pipelines.common import read_table, scale_col, sql_scale
+
+
+# ---------------- grouped moments: variance via sufficient statistics ----
+
+def q_group_stats(sf_dir: str):
+    """Per-(returnflag, linestatus) count/sum/sum-of-squares of
+    l_quantity in ONE pass, then population variance derived from the
+    sufficient statistics with exact integer math: no second
+    mean-subtraction pass over the data (Welford-by-moments, the
+    standard distributed form).
+
+    var_pop_e4 = (n*ss - s*s) // (n*n) on scaled-e2 quantities — the
+    numerator is >= 0 by Cauchy-Schwarz, so truncating and flooring
+    division agree between numpy/Python and DuckDB.
+    """
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = scale_col(b["l_quantity"].to_numpy(zero_copy_only=False), 100.0)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "q_e2": q, "q_sq_e4": q * q})
+
+    agg = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n_rows"),
+            Sum("q_e2", alias_name="sum_q_e2"),
+            Sum("q_sq_e4", alias_name="sum_q_sq_e4"))
+    pdf = agg.to_pandas()
+    # tiny result (one row per group): exact arbitrary-precision int
+    # math on the driver, immune to int64 overflow at any sf
+    n = pdf["n_rows"].astype(object)
+    s = pdf["sum_q_e2"].astype(object)
+    ss = pdf["sum_q_sq_e4"].astype(object)
+    pdf["var_pop_e4"] = [(int(ni) * int(ssi) - int(si) * int(si))
+                         // (int(ni) * int(ni))
+                         for ni, si, ssi in zip(n, s, ss)]
+    pdf["var_pop_e4"] = pdf["var_pop_e4"].astype("int64")
+    pdf["n_rows"] = pdf["n_rows"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def sql_group_stats() -> str:
+    q = sql_scale("l_quantity", "100.0")
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum({q}) AS BIGINT) AS sum_q_e2, "
+        f"CAST(sum({q}*{q}) AS BIGINT) AS sum_q_sq_e4, "
+        f"CAST((count(*)*sum({q}*{q}) - sum({q})*sum({q})) "
+        "  // (count(*)*count(*)) AS BIGINT) AS var_pop_e4 "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+# ---------------- exact distinct count per group ----------------
+
+def q_distinct_parts(sf_dir: str):
+    """count(DISTINCT l_partkey) per supplier — the two-shuffle exact
+    plan: per-block unique (supp, part) pairs (np.unique collapses
+    duplicates BEFORE the wire), groupby-distinct on the pair, then a
+    count per supplier.  At 100 TB the first shuffle carries only the
+    per-block-distinct pairs; an approximate variant would swap stage
+    one for a per-block HLL sketch merged in the groupby."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pack (supp, part) into one int64 for a single-key unique —
+        # partkeys fit 32 bits in TPC-H-ish data (asserted)
+        assert p.max(initial=0) < (1 << 31) and s.max(initial=0) < (1 << 31)
+        packed = (s << 32) | p
+        u = np.unique(packed)
+        return pa.table({"l_suppkey": (u >> 32), "l_partkey": u & 0x7FFFFFFF})
+
+    return li.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["l_suppkey", "l_partkey"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda b: pa.table({"l_suppkey": b["l_suppkey"]}),
+                     batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Count(alias_name="n_parts")) \
+        .map_batches(lambda b: pa.table({
+            "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+            "n_parts": b["n_parts"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_distinct_parts() -> str:
+    return ("SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem GROUP BY l_suppkey")
+
+
+# ---------------- fixed-width histogram ----------------
+
+BUCKET_E2 = 1_000_000  # $10,000 buckets on e2-scaled totalprice
+
+
+def q_histogram_orders(sf_dir: str):
+    """Order-value histogram: bucket = scaled-price // width, counted
+    with per-block partials (np.unique) so the shuffle carries one row
+    per (block, bucket) — O(buckets) wire traffic regardless of row
+    count.  The standard first step of any quality-score / length
+    distribution over a 100-TB corpus."""
+    od = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e2 = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0)
+        bucket, n = np.unique(e2 // BUCKET_E2, return_counts=True)
+        return pa.table({"bucket": bucket, "n": n.astype(np.int64)})
+
+    return od.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "bucket": b["bucket"], "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_histogram_orders() -> str:
+    e2 = sql_scale("o_totalprice", "100.0")
+    return (f"SELECT {e2} // {BUCKET_E2} AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY 1")
+
+
+# ---------------- 3-table star join + top-k (TPC-H Q3 shape) ----------
+
+def q_star_join(sf_dir: str):
+    """BUILDING-segment customers |> orders |> lineitem, revenue per
+    order, top 10.  Plan: the filtered dimension's keys are broadcast
+    ONCE via ray.put (customer is the small side even at 10^12 docs of
+    fact data), orders filtered by np.isin in map_batches — no shuffle
+    for the dimension hop; the single fact-fact hop (orders x
+    lineitem) is the one hash join; then groupby-sum and a tiny
+    sorted-limit merge.  J1 broadcast + J2 hash-join composition
+    (SURVEY 2.4) in one pipeline."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    key_blocks = [
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in cust.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    ckeys = np.sort(np.concatenate(key_blocks)) if key_blocks \
+        else np.empty(0, np.int64)
+    ckeys_ref = ray.put(ckeys)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        keep = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), keys,
+                       assume_unique=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False)[keep]})
+
+    sel = orders.map_batches(filt_orders, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e2": scale_col(price * (1.0 - disc), 100.0)})
+
+    j = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True) \
+        .join(sel, join_type="inner", num_partitions=8,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.groupby("l_orderkey").aggregate(
+        Sum("rev_e2", alias_name="revenue_e2")) \
+        .sort(["revenue_e2", "l_orderkey"], descending=[True, False]) \
+        .limit(10) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "revenue_e2": b["revenue_e2"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_star_join() -> str:
+    rev = sql_scale("l_extendedprice*(1.0-l_discount)", "100.0")
+    return (
+        "SELECT l_orderkey, "
+        f"CAST(sum({rev}) AS BIGINT) AS revenue_e2 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY l_orderkey "
+        "ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10")
+
+
+# ---------------- pivot (conditional aggregation) ----------------
+
+def q_pivot_status(sf_dir: str):
+    """Linestatus pivoted to columns per returnflag: indicator columns
+    computed vectorized per block, ONE groupby-sum — the
+    `sum(CASE WHEN ...)` plan, which at scale beats a groupby on the
+    (flag, status) pair + driver re-shape because the wide result is
+    produced directly and the shuffle key stays low-cardinality."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        e2 = scale_col(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                       100.0)
+        is_f = pc.equal(b["l_linestatus"], "F").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_o = 1 - is_f
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n_f": is_f, "n_o": is_o,
+                         "rev_f_e2": e2 * is_f, "rev_o_e2": e2 * is_o})
+
+    return li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(
+            Sum("n_f", alias_name="n_f"), Sum("n_o", alias_name="n_o"),
+            Sum("rev_f_e2", alias_name="rev_f_e2"),
+            Sum("rev_o_e2", alias_name="rev_o_e2")) \
+        .map_batches(lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n_f": b["n_f"].cast(pa.int64()),
+            "n_o": b["n_o"].cast(pa.int64()),
+            "rev_f_e2": b["rev_f_e2"].cast(pa.int64()),
+            "rev_o_e2": b["rev_o_e2"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_pivot_status() -> str:
+    e2 = sql_scale("l_extendedprice", "100.0")
+    return (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+        "CAST(sum(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+        f"CAST(sum(CASE WHEN l_linestatus='F' THEN {e2} ELSE 0 END) AS BIGINT) AS rev_f_e2, "
+        f"CAST(sum(CASE WHEN l_linestatus='O' THEN {e2} ELSE 0 END) AS BIGINT) AS rev_o_e2 "
+        "FROM lineitem GROUP BY l_returnflag")
+
+
+# ---------------- salted two-stage aggregate (hot-key plan) ----------
+
+SALT_BITS = 4
+
+
+def q_group_agg_salted(sf_dir: str):
+    """Revenue per returnflag via the EXPLICIT hot-key plan: 600k rows
+    collapse onto 3 keys, so a naive groupby funnels everything into 3
+    reducers.  Stage one groups on (key, salt16) — 48 reducers, each
+    bounded at ~rows/16 — stage two merges the 48 partials on the bare
+    key.  Identical answer, bounded per-reducer input; the salt column
+    is derived from l_orderkey so it needs no extra entropy source
+    (same two-column-salt shape as stages/partition.py).
+    """
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_orderkey",
+                             "l_extendedprice", "l_discount"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "salt": (ok * 2654435761 % (1 << 32)) >> (32 - SALT_BITS),
+            "rev_e2": scale_col(price * (1.0 - disc), 100.0),
+            "n": np.ones(b.num_rows, dtype=np.int64)})
+
+    partial = li.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["l_returnflag", "salt"]).aggregate(
+            Sum("n", alias_name="n"), Sum("rev_e2", alias_name="rev_e2"))
+    return partial.map_batches(
+        lambda b: pa.table({"l_returnflag": b["l_returnflag"],
+                            "n": b["n"], "rev_e2": b["rev_e2"]}),
+        batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("rev_e2", alias_name="revenue_e2")) \
+        .map_batches(lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n_rows": b["n_rows"].cast(pa.int64()),
+            "revenue_e2": b["revenue_e2"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_group_agg_salted() -> str:
+    rev = sql_scale("l_extendedprice*(1.0-l_discount)", "100.0")
+    return ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum({rev}) AS BIGINT) AS revenue_e2 "
+            "FROM lineitem GROUP BY l_returnflag")
+
+
+# ---------------- unnest / explode a list column ----------------
+
+UNNEST_MAX_ID = 50
+
+
+def q_unnest_embed(sf_dir: str):
+    """Explode the embedding list column to (vec_id, pos, val_e6) rows
+    — zero-copy Arrow list flatten (offsets + one values buffer, no
+    Python loop).  The schema step every embedding-level op (per-dim
+    stats, quantization) starts from; bounded here to vec_id <
+    UNNEST_MAX_ID so the oracle result stays hashable."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["vec_id"], UNNEST_MAX_ID)
+        b = b.filter(keep)
+        col = b["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["vec_id"].to_numpy(zero_copy_only=False), lens)
+        # 1-based positions to match SQL generate_subscripts — fully
+        # vectorized: global arange minus each row's start offset
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            if len(lens) else np.empty(0, np.int64)
+        pos = np.arange(len(vals)) - np.repeat(starts, lens) + 1
+        return pa.table({"vec_id": ids.astype(np.int64),
+                         "pos": pos.astype(np.int64),
+                         "val_e6": scale_col(vals, 1e6)})
+
+    return emb.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_unnest_embed() -> str:
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) "
+        "  AS val_e6 "
+        f"FROM embeddings WHERE vec_id < {UNNEST_MAX_ID}")
+
+
+# ---------------- vectorized string kernels ----------------
+
+def q_string_funcs(sf_dir: str):
+    """Per-part string features via Arrow compute kernels (utf8_upper,
+    count_substring, split_pattern) — the all-columnar form of the
+    text-side per-record maps (M12 analog on a structured column); no
+    Python-level string loop anywhere."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        name = b["p_name"]
+        n_tokens = pc.add(pc.count_substring(name, " "), 1)
+        first = pc.list_element(pc.split_pattern(name, " "), 0)
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "name_upper": pc.utf8_upper(name),
+            "name_len": pc.utf8_length(name).cast(pa.int64()),
+            "n_tokens": n_tokens.cast(pa.int64()),
+            "first_tok": first,
+        })
+
+    return part.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_string_funcs() -> str:
+    return (
+        "SELECT p_partkey, upper(p_name) AS name_upper, "
+        "CAST(length(p_name) AS BIGINT) AS name_len, "
+        "CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 "
+        "  AS BIGINT) AS n_tokens, "
+        "split_part(p_name, ' ', 1) AS first_tok "
+        "FROM part")
+
+
+# ---------------- rollup (hierarchy totals) ----------------
+
+def q_rollup_revenue(sf_dir: str):
+    """Revenue by returnflag plus the grand-total row (GROUP BY ROLLUP
+    shape): the total is the exact integer sum of the 3 per-flag
+    partials, computed on the already-aggregated tiny table — no
+    second pass over the facts."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "rev_e2": scale_col(price * (1.0 - disc), 100.0)})
+
+    agg = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(
+            Count(alias_name="n_rows"), Sum("rev_e2", alias_name="revenue_e2"))
+    pdf = agg.to_pandas()
+    total = {"l_returnflag": "ALL",
+             "n_rows": int(pdf["n_rows"].sum()),
+             "revenue_e2": int(pdf["revenue_e2"].sum())}
+    pdf = pdf.astype({"n_rows": "int64", "revenue_e2": "int64"})
+    import pandas as pd
+    pdf = pd.concat([pdf, pd.DataFrame([total])], ignore_index=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def sql_rollup_revenue() -> str:
+    rev = sql_scale("l_extendedprice*(1.0-l_discount)", "100.0")
+    return (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum({rev}) AS BIGINT) AS revenue_e2 "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag)")
