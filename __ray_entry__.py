@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embed": an.q_unnest_embed,
         "string_funcs": an.q_string_funcs,
         "rollup_revenue": an.q_rollup_revenue,
+        "jaccard_pairs": an.q_jaccard_pairs,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -436,4 +437,5 @@ def oracle_sql() -> dict[str, str]:
         "unnest_embed": an.sql_unnest_embed(),
         "string_funcs": an.sql_string_funcs(),
         "rollup_revenue": an.sql_rollup_revenue(),
+        "jaccard_pairs": an.sql_jaccard_pairs(),
     }

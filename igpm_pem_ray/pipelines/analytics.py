@@ -445,3 +445,109 @@ def sql_rollup_revenue() -> str:
         "CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(sum({rev}) AS BIGINT) AS revenue_e2 "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag)")
+
+
+# ---------------- exact n-gram Jaccard near-dup pairs ----------------
+
+JACCARD_E6_MIN = 500_000  # similarity >= 0.5
+JACCARD_N = 3
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-duplicate pairs over the FULL
+    documents table — the inverted-index plan: explode each doc to its
+    distinct grams (one row per doc, so per-doc set() makes the
+    (doc_id, gram) table globally distinct with NO dedup shuffle),
+    self-join on gram, count intersections per ordered pair, then
+    |A∩B| / (|A| + |B| - |A∩B|).
+
+    Same similarity metric as ``text/dedup.ngram_jaccard`` (the
+    MinHash-LSH verify step, `dedup.py:250`), but exact, full-corpus.
+    Scale note: the self-join is Σ_gram df² — fine while grams are
+    rare (hottest gram here touches ~25 docs); at web scale the
+    production route is the LSH prefilter (`near_dup_groups`) +
+    `verify_pairs`, or a document-frequency cut on hot grams before
+    the join.
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids_out, grams_out = [], []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            w = (txt or "").split()
+            if not w:
+                continue
+            if len(w) < JACCARD_N:
+                gset = {" ".join(w)}
+            else:
+                gset = {" ".join(w[i:i + JACCARD_N])
+                        for i in range(len(w) - JACCARD_N + 1)}
+            gset.discard("")
+            ids_out.extend([did] * len(gset))
+            grams_out.extend(gset)
+        return pa.table({"doc_id": np.asarray(ids_out, dtype=np.int64),
+                         "gram": pa.array(grams_out, type=pa.string())})
+
+    gd = docs.map_batches(grams, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    sizes = gd.groupby("doc_id").aggregate(Count(alias_name="n"))
+    ga = gd.map_batches(lambda t: t.rename_columns(["doc_a", "gram"]),
+                        batch_format="pyarrow")
+    gb = gd.map_batches(lambda t: t.rename_columns(["doc_b", "gram_b"]),
+                        batch_format="pyarrow")
+    j = ga.join(gb, join_type="inner", num_partitions=8,
+                on=("gram",), right_on=("gram_b",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        c = t["doc_b"].to_numpy(zero_copy_only=False)
+        keep = a < c
+        return pa.table({"doc_a": a[keep], "doc_b": c[keep]})
+
+    inter = j.map_batches(ordered, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="c"))
+    sa = sizes.map_batches(lambda t: t.rename_columns(["doc_a", "n_a"]),
+                           batch_format="pyarrow")
+    sb = sizes.map_batches(lambda t: t.rename_columns(["doc_b", "n_b"]),
+                           batch_format="pyarrow")
+    out = inter.join(sa, join_type="inner", num_partitions=8, on=("doc_a",)) \
+               .join(sb, join_type="inner", num_partitions=8, on=("doc_b",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.floor(c * 1e6 / (na + nb - c) + 0.5).astype(np.int64)
+        keep = e6 >= JACCARD_E6_MIN
+        return pa.table({
+            "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
+            "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
+            "jaccard_e6": e6[keep]})
+
+    return out.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_jaccard_pairs() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "ix AS (SELECT doc_id, toks, "
+        f"unnest(generate_series(1, greatest(len(toks)-{JACCARD_N - 1}, 1))) "
+        "AS i FROM t), "
+        f"g AS (SELECT doc_id, CASE WHEN len(toks) < {JACCARD_N} "
+        "THEN array_to_string(toks, ' ') "
+        f"ELSE array_to_string(toks[i:i+{JACCARD_N - 1}], ' ') END AS gram "
+        "FROM ix), "
+        "gd AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram <> ''), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS c FROM gd a JOIN gd b ON a.gram = b.gram "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "CAST(floor(i.c*1e6/(sa.n + sb.n - i.c)+0.5) AS BIGINT) AS jaccard_e6 "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a "
+        "JOIN sz sb ON sb.doc_id = i.doc_b "
+        "WHERE CAST(floor(i.c*1e6/(sa.n + sb.n - i.c)+0.5) AS BIGINT) "
+        f">= {JACCARD_E6_MIN}")
