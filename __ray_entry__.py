@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_funcs": an.q_string_funcs,
         "rollup_revenue": an.q_rollup_revenue,
         "jaccard_pairs": an.q_jaccard_pairs,
+        "top_tokens": an.q_top_tokens,
+        "doc_tokens_bpe": an.q_doc_tokens_bpe,
+        "approx_distinct_users": an.q_approx_distinct_users,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -438,4 +441,6 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs": an.sql_string_funcs(),
         "rollup_revenue": an.sql_rollup_revenue(),
         "jaccard_pairs": an.sql_jaccard_pairs(),
+        "top_tokens": an.sql_top_tokens(),
+        "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
     }

@@ -528,6 +528,88 @@ def q_jaccard_pairs(sf_dir: str):
     return out.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TOP_TOKENS_K = 20
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus vocabulary top-k: most frequent whitespace tokens over
+    all documents.  Per-block partial counts (np.unique over the
+    block's concatenated token stream) mean the shuffle carries one
+    row per (block, distinct-token) — O(vocab) wire traffic — then one
+    groupby-sum and a tiny sorted-limit merge.  Deterministic
+    tie-break (count desc, token asc)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = []
+        for txt in b["text"].to_pylist():
+            toks.extend((txt or "").split())
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(list(u), type=pa.string()),
+                         "n": c.astype(np.int64)})
+
+    return docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "token": b["token"], "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .sort(["n", "token"], descending=[True, False]).limit(TOP_TOKENS_K)
+
+
+def sql_top_tokens() -> str:
+    return (
+        r"WITH tok AS (SELECT unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok "
+        "GROUP BY token ORDER BY n DESC, token "
+        f"LIMIT {TOP_TOKENS_K}")
+
+
+def q_doc_tokens_bpe(sf_dir: str):
+    """BPE-ish regex token count per document (words incl. simple
+    contractions + individual punctuation, `text/analysis._TOKEN`) —
+    the driver-brief 'whitespace + BPE-ish regex' token-counting pair
+    with `doc_tokens`.  Regex compiled once at module import; pandas
+    str.findall is the vectorized hot path."""
+    import pandas as pd
+
+    from igpm_pem_ray.text.analysis import bpe_ish_token_count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens_bpe": bpe_ish_token_count(df["text"])})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_doc_tokens_bpe() -> str:
+    from igpm_pem_ray.text.analysis import _TOKEN
+
+    pat = _TOKEN.pattern.replace("'", "''")  # same RE2-compatible regex
+    return ("SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            f"'{pat}')) AS BIGINT) AS n_tokens_bpe FROM documents")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type — mergeable HLL
+    sketch (`text/sketch.py`): per-block register partials, one
+    Max-merge groupby, driver estimate over groups x 1024 rows.  No
+    SQL oracle (DuckDB's approx_count_distinct uses a different
+    sketch); accuracy is pytest-bounded against the exact count
+    (tests/test_text.py)."""
+    from igpm_pem_ray.text.sketch import approx_distinct_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ev, "event_type", "user_id")
+
+
 def sql_jaccard_pairs() -> str:
     return (
         r"WITH t AS (SELECT doc_id, "

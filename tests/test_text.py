@@ -292,3 +292,30 @@ def test_ann_many_query_stress():
         self_found = {int(q): int(v) for q, v in
                       zip(hits["query_idx"], hits["vec_id"])}
         assert all(self_found.get(i) == int(qidx[i]) for i in range(Q)), fn
+
+
+def test_hll_approx_distinct_error_bound():
+    """HLL sketch estimate within 5x standard error (1.04/sqrt(1024)
+    ~= 3.25%) of the exact distinct count, across group cardinalities
+    spanning the linear-counting and raw-estimate regimes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.text.sketch import approx_distinct_per_group
+
+    rng = np.random.RandomState(7)
+    groups, values = [], []
+    truth = {"small": 50, "mid": 5_000, "big": 40_000}
+    for g, n_distinct in truth.items():
+        vals = rng.choice(n_distinct * 10, size=n_distinct, replace=False)
+        reps = np.concatenate([vals, rng.choice(vals, size=n_distinct)])
+        groups.extend([g] * len(reps))
+        values.extend(reps.tolist())
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(groups, type=pa.string()),
+        "v": pa.array(values, type=pa.int64())})).repartition(8)
+    out = approx_distinct_per_group(ds, "g", "v").set_index("g")
+    for g, n_distinct in truth.items():
+        est = int(out.loc[g, "approx_distinct"])
+        rel = abs(est - n_distinct) / n_distinct
+        assert rel < 0.17, (g, est, n_distinct, rel)
