@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": g.q_label_propagation,
         "triangle_count": g.q_triangle_count,
         "star_count": g.q_star_count,
+        "clustering_coeff": g.q_clustering_coeff,
+        "kcore": g.q_kcore,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -402,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": g.sql_label_propagation(),
         "triangle_count": g.sql_triangle_count(),
         "star_count": g.sql_star_count(),
+        "clustering_coeff": g.sql_clustering_coeff(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

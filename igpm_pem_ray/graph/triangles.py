@@ -202,6 +202,179 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None,
     return int(n)
 
 
+@ray.remote
+def _wedge_match_span(u, v, indptr, indices, packed_edges):
+    """Like _wedge_count_span but returns the matched (u, v, w)
+    triangle triples for the span (per-vertex counting needs the
+    vertices, not just the count)."""
+    empty = (np.empty(0, np.int64),) * 3
+    if len(u) == 0:
+        return empty
+    lens = indptr[v + 1] - indptr[v]
+    total = int(lens.sum())
+    if total == 0:
+        return empty
+    seg_starts = np.cumsum(lens) - lens
+    seg = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    w = indices[np.repeat(indptr[v], lens) + seg]
+    u_rep = np.repeat(u, lens)
+    v_rep = np.repeat(v, lens)
+    packed = (u_rep.astype(np.int64) << 31) | w
+    pos = np.searchsorted(packed_edges, packed)
+    pos = np.minimum(pos, len(packed_edges) - 1)
+    hit = packed_edges[pos] == packed
+    return u_rep[hit], v_rep[hit], w[hit]
+
+
+def per_vertex_triangles(edges_ds, *, num_partitions: int | None = None,
+                         strategy: str = "auto"):
+    """edges Dataset -> Dataset (vid, degree, n_triangles) over the
+    simple undirected graph: every vertex of the edge set, its simple
+    degree, and the number of triangles through it (the nx.triangles
+    per-vertex map the reference sums at gray_incremental.py:193).
+
+    Same two strategies as triangle_count; the join path keeps the
+    wedge midpoint through the closing join and explodes each found
+    triangle to its 3 vertices before ONE count shuffle."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    if strategy == "auto":
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+
+    if strategy == "broadcast":
+        def canon_unique(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, d)
+            hi = np.maximum(s, d)
+            keep = lo != hi
+            arr = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+            return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+        pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+            canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+            .to_pandas()
+        import ray.data as rd
+        if not len(pdf):
+            return rd.from_arrow(pa.table({
+                "vid": pa.array([], type=pa.int64()),
+                "degree": pa.array([], type=pa.int64()),
+                "n_triangles": pa.array([], type=pa.int64())}))
+        pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+        vids = np.unique(pairs)
+        V = len(vids)
+        assert V < 2**31, "orientation packing assumes V < 2^31"
+        s = np.searchsorted(vids, pairs[:, 0])
+        d = np.searchsorted(vids, pairs[:, 1])
+        deg = np.bincount(np.concatenate([s, d]), minlength=V)
+        ks = (deg[s].astype(np.int64) << 31) | s
+        kd = (deg[d].astype(np.int64) << 31) | d
+        lo_first = ks < kd
+        a = np.where(lo_first, s, d).astype(np.int64)
+        b = np.where(lo_first, d, s).astype(np.int64)
+        order = np.argsort(a, kind="stable")
+        a_s, b_s = a[order], b[order]
+        indptr = np.zeros(V + 2, dtype=np.int64)
+        np.add.at(indptr, a_s + 1, 1)
+        indptr = np.cumsum(indptr)
+        packed = np.sort((a << 31) | b)
+        ip_ref, ix_ref, pk_ref = ray.put(indptr), ray.put(b_s), ray.put(packed)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        spans = np.array_split(np.arange(len(a)),
+                               max(1, min(4 * cpus, len(a) // 1024 + 1)))
+        futs = [_wedge_match_span.remote(a[sp], b[sp], ip_ref, ix_ref, pk_ref)
+                for sp in spans if len(sp)]
+        tcount = np.zeros(V, dtype=np.int64)
+        for uu, vv, ww in ray.get(futs):
+            for arr in (uu, vv, ww):
+                np.add.at(tcount, arr, 1)
+        return rd.from_arrow(pa.table({
+            "vid": vids.astype(np.int64),
+            "degree": deg.astype(np.int64),
+            "n_triangles": tcount}))
+
+    # join plan: wedge join keeping the midpoint, close, explode, count
+    simple = dedup_edges(edges_ds, undirected=True, drop_self_loops=True)
+    g = build_dense_graph(simple, sort=False)
+    V = g.num_vertices
+    import ray.data as rd
+    empty = rd.from_arrow(pa.table({
+        "vid": pa.array([], type=pa.int64()),
+        "degree": pa.array([], type=pa.int64()),
+        "n_triangles": pa.array([], type=pa.int64())}))
+    if V == 0 or g.num_edges == 0:
+        return empty
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                               batch["dst"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": u, "c": c.astype(np.int64)})
+
+    pdf = g.edges.map_batches(deg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas()
+    deg = np.zeros(V, dtype=np.int64)
+    deg[pdf["v"].to_numpy()] = pdf["c"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    oriented = g.edges.map_batches(lambda b: _orient(b, deg_ref),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    left = oriented.rename_columns(["u", "v"])
+    right = oriented.rename_columns(["v2", "w"])
+    wedges = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("v",), right_on=("v2",))
+    cand = wedges.map_batches(
+        lambda b: pa.table({"src": b["u"], "mid": b["v"], "dst": b["w"]}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    vid_map_ref = ray.put(g.vids)
+    if cand.count() == 0:
+        tri_counts = None
+    else:
+        closed = cand.join(oriented, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("src", "dst"))
+
+        def explode(b: pa.Table) -> pa.Table:
+            tri = np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["mid"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])
+            u, c = np.unique(tri, return_counts=True)
+            return pa.table({"v": u, "t": c.astype(np.int64)})
+
+        tri_counts = closed.map_batches(explode, batch_format="pyarrow",
+                                        zero_copy_batch=True) \
+            .groupby("v").aggregate(Sum("t", alias_name="n_triangles"))
+
+    # dense index -> raw vid, attach degree; left join for tri-less verts
+    deg_ds = rd.from_arrow(pa.table({
+        "v": np.arange(V, dtype=np.int64), "degree": deg}))
+    if tri_counts is None:
+        joined = deg_ds.map_batches(
+            lambda b: b.append_column(
+                "n_triangles", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    else:
+        joined = deg_ds.join(tri_counts, join_type="left_outer",
+                             num_partitions=num_partitions, on=("v",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vmap = ray.get(vid_map_ref)
+        t = pc.fill_null(b["n_triangles"].cast(pa.int64()), 0)
+        return pa.table({
+            "vid": vmap[b["v"].to_numpy(zero_copy_only=False)],
+            "degree": b["degree"].cast(pa.int64()),
+            "n_triangles": t})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def star_count(edges_ds, *, min_degree: int = 4,
                strategy: str = "auto") -> int:
     """Vertices with simple-graph degree >= min_degree — the reference's

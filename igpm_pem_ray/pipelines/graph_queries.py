@@ -21,6 +21,7 @@ from igpm_pem_ray.graph import labelprop as lp_mod
 from igpm_pem_ray.graph import pagerank as pr_mod
 from igpm_pem_ray.graph import triangles as tri_mod
 from igpm_pem_ray.graph import degrees as deg_mod
+from igpm_pem_ray.graph import kcore as kcore_mod
 from igpm_pem_ray.graph.dense import build_dense_graph
 from igpm_pem_ray.pipelines.common import EDGES_SQL, cooccurrence_edges, scale_col, sql_scale
 
@@ -126,6 +127,40 @@ def q_lp_shuffle(sf_dir: str) -> pa.Table:
                      "label": pdf["label"].to_numpy().astype("int64")})
 
 
+def q_clustering_coeff(sf_dir: str) -> pa.Table:
+    """Per-vertex local clustering coefficient over the co-occurrence
+    graph: cc(v) = 2*t(v) / (deg(v)*(deg(v)-1)), from the degree-
+    oriented wedge plan's per-vertex triangle map
+    (`graph/triangles.per_vertex_triangles` — the nx.triangles map the
+    reference sums globally at gray_incremental.py:193).  Scaled e6
+    with half-up rounding, 0 for degree < 2."""
+    t = tri_mod.per_vertex_triangles(cooccurrence_edges(sf_dir))
+    pdf = t.to_pandas().sort_values("vid")
+    deg = pdf["degree"].to_numpy().astype(np.float64)
+    tri = pdf["n_triangles"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where(deg >= 2.0,
+                      np.floor(2.0 * tri * 1e6 / (deg * (deg - 1.0)) + 0.5),
+                      0.0)
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "degree": pdf["degree"].to_numpy().astype("int64"),
+                     "n_triangles": pdf["n_triangles"].to_numpy().astype("int64"),
+                     "cc_e6": cc.astype(np.int64)})
+
+
+def q_kcore(sf_dir: str) -> pa.Table:
+    """Core number per vertex of the co-occurrence graph (vectorized
+    cascade peel, `graph/kcore.core_numbers`).  Rows-only: k-core is
+    an iterative deletion fixed point SQL can't express; the kernel is
+    pinned to an independent set-based peeling oracle and to the
+    Dataset-resident `kcore_membership` strategy in
+    tests/test_kernels.py."""
+    t = kcore_mod.core_numbers(cooccurrence_edges(sf_dir))
+    pdf = t.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "core": pdf["core"].to_numpy().astype("int64")})
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""
@@ -217,6 +252,25 @@ def sql_triangle_count() -> str:
         "JOIN edges e2 ON e1.dst = e2.src "
         "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t")
+
+
+def sql_clustering_coeff() -> str:
+    return _with_edges(
+        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM edges e1 JOIN edges e2 ON e1.dst = e2.src "
+        "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst), "
+        "pert AS (SELECT a AS vid FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+        "tc AS (SELECT vid, count(*) AS t FROM pert GROUP BY vid), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "deg AS (SELECT src AS vid, count(*) AS degree FROM ue GROUP BY src) "
+        "SELECT deg.vid, CAST(degree AS BIGINT) AS degree, "
+        "CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles, "
+        "CAST(CASE WHEN degree >= 2 THEN "
+        "floor(2.0*COALESCE(t, 0)*1e6/(degree*(degree-1.0))+0.5) "
+        "ELSE 0 END AS BIGINT) AS cc_e6 "
+        "FROM deg LEFT JOIN tc ON tc.vid = deg.vid")
 
 
 def sql_star_count(min_degree: int = 4) -> str:

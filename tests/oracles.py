@@ -145,3 +145,47 @@ def triangles_oracle(edges, vids) -> int:
                 if w in adj[u]:
                     count += 1
     return count
+
+
+def per_vertex_triangles_oracle(edges, vids) -> dict[int, int]:
+    """nx.triangles-style per-vertex triangle map on the simple
+    undirected graph."""
+    adj: dict[int, set[int]] = {v: set() for v in vids}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    count = {v: 0 for v in vids}
+    for v in sorted(vids):
+        hi = sorted(u for u in adj[v] if u > v)
+        for i, u in enumerate(hi):
+            for w in hi[i + 1:]:
+                if w in adj[u]:
+                    count[v] += 1
+                    count[u] += 1
+                    count[w] += 1
+    return count
+
+
+def kcore_oracle(edges, vids) -> dict[int, int]:
+    """Core number per vertex by naive repeated peeling (independent
+    of the kernel's cascade formulation)."""
+    adj: dict[int, set[int]] = {v: set() for v in vids}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    core = {v: 0 for v in vids}
+    alive = {v: set(n) for v, n in adj.items()}
+    k = 0
+    while alive:
+        removed = [v for v, n in alive.items() if len(n) <= k]
+        if not removed:
+            k += 1
+            continue
+        for v in removed:
+            core[v] = k
+            for u in alive[v]:
+                alive[u].discard(v)
+            del alive[v]
+    return core

@@ -253,3 +253,58 @@ def test_extend_compaction_equivalence(monkeypatch):
     ri = pr_mod.pagerank_dense(g, tol=1e-10)
     rf = pr_mod.pagerank_dense(g_full, tol=1e-10)
     assert np.allclose(ri, rf, atol=1e-9)
+
+
+def test_per_vertex_triangles_both_strategies(graph):
+    edges, vids, ds = graph
+    exp = oracles.per_vertex_triangles_oracle(edges, vids)
+    # kernel semantics: vertices of the SIMPLE graph — a vertex whose
+    # only edges are self loops has no simple edge and is excluded
+    simple_vids = {v for a, b in edges if a != b for v in (a, b)}
+    exp = {v: c for v, c in exp.items() if v in simple_vids}
+    for strat in ("broadcast", "join"):
+        got = tri_mod.per_vertex_triangles(ds, strategy=strat,
+                                           num_partitions=4).to_pandas()
+        got_map = dict(zip(got["vid"], got["n_triangles"]))
+        assert got_map == exp, strat
+        # degree column matches the simple undirected degree
+        assert int(got["degree"].sum()) == 2 * len(
+            {(min(a, b), max(a, b)) for a, b in edges if a != b})
+
+
+def test_kcore_matches_oracle(graph):
+    from igpm_pem_ray.graph import kcore as kcore_mod
+
+    edges, vids, ds = graph
+    exp = oracles.kcore_oracle(edges, vids)
+    simple_vids = {v for a, b in edges if a != b for v in (a, b)}
+    exp = {v: c for v, c in exp.items() if v in simple_vids}
+    got = kcore_mod.core_numbers(ds).to_pandas()
+    assert dict(zip(got["vid"], got["core"])) == exp
+
+
+def test_kcore_membership_parity(graph):
+    """Dataset-resident peel == dense core>=k membership, several k."""
+    from igpm_pem_ray.graph import kcore as kcore_mod
+
+    edges, vids, ds = graph
+    core = oracles.kcore_oracle(edges, vids)
+    max_core = max(core.values())
+    for k in (2, max(3, max_core // 2), max_core):
+        surv = kcore_mod.kcore_membership(ds, k, num_partitions=2)
+        got = set(surv.to_pandas()["vid"])
+        assert got == {v for v, c in core.items() if c >= k}, k
+
+
+def test_kcore_tiny_multigraph():
+    """K4 + pendant + parallel edge + self loop: K4 is the 3-core."""
+    from igpm_pem_ray.graph import kcore as kcore_mod
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (1, 2), (3, 3)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], type=pa.int64()),
+        "dst": pa.array([b for _, b in e], type=pa.int64())}))
+    got = dict(zip(*[kcore_mod.core_numbers(ds).to_pandas()[c]
+                     for c in ("vid", "core")]))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
