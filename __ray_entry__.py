@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_count": g.q_star_count,
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
+        "link_predict": g.q_link_predict,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": g.sql_triangle_count(),
         "star_count": g.sql_star_count(),
         "clustering_coeff": g.sql_clustering_coeff(),
+        "link_predict": g.sql_link_predict(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

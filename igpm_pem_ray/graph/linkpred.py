@@ -1,0 +1,231 @@
+"""Common-neighbor link prediction: top-k NON-adjacent vertex pairs
+ranked by shared-neighbor count.
+
+Reference context: the reference ranks candidate vertices by RWR
+proximity when growing matches (/root/reference/patternmatching/gray/
+gray_multiple.py:421-441); this operator is the batch-analytics analog
+over the whole graph — exact integer shared-neighbor counts (no
+log-weighted Adamic-Adar: libm rounding isn't bit-stable across
+engines) so a DuckDB oracle can pin it bit-for-bit, with a
+deterministic (count desc, src, dst) order.
+
+Two strategies, same shape as triangles.py (K4):
+
+- ``broadcast`` (default while the simple graph < BROADCAST_MAX_EDGES):
+  symmetrized CSR broadcast once via ``ray.put``; span tasks enumerate
+  wedges a-v-w (a<w) with the same vectorized ragged gather as the
+  triangle counter, drop adjacent pairs via searchsorted on the packed
+  canonical edge set, and pre-aggregate with ``np.unique`` BEFORE
+  anything moves — only (pair, count) partials return to the driver,
+  which reduces them with one sort + ``reduceat`` and selects top-k by
+  partition + lexsort.  No shuffle at all.
+
+- ``join``: the Dataset-native plan (symmetrize -> hash self-join on
+  the middle vertex -> groupby count -> left_anti vs the edge set ->
+  sort/limit) for graphs whose CSR does not fit one process.  Every
+  stage is a streaming Dataset op; the only driver residue is the
+  k-row result.
+
+Hub caveat (inherent to every exact common-neighbor plan, both
+strategies): work is sum(deg^2) over vertices — a 10^6-degree hub is
+quadratic.  At web scale, cap or sample hub neighborhoods upstream
+(see stages/partition.py salting notes); semantics here are exact, so
+no cap is applied.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+BROADCAST_MAX_EDGES = 50_000_000  # above this the CSR no longer broadcasts
+
+_EMPTY = pa.table({"src": pa.array([], pa.int64()),
+                   "dst": pa.array([], pa.int64()),
+                   "n_common": pa.array([], pa.int64())})
+
+
+@ray.remote
+def _pair_count_span(a, v, indptr, indices, packed_edges):
+    """Partial common-neighbor counts for one span of directed
+    symmetric edges (a -> v): segment-gather N(v), emit pairs (a, w)
+    with a < w, drop pairs already adjacent, np.unique-count within
+    the span.  Each (pair, middle-vertex) wedge is produced exactly
+    once globally: the mirror edge (w -> v) generates (w, a) which the
+    a < w filter discards."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(a) == 0:
+        return empty
+    lens = indptr[v + 1] - indptr[v]
+    total = int(lens.sum())
+    if total == 0:
+        return empty
+    seg_starts = np.cumsum(lens) - lens
+    seg = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    w = indices[np.repeat(indptr[v], lens) + seg]
+    u = np.repeat(a, lens)
+    keep = u < w
+    u, w = u[keep], w[keep]
+    if not len(u):
+        return empty
+    packed = (u << 31) | w
+    if len(packed_edges):
+        pos = np.minimum(np.searchsorted(packed_edges, packed),
+                         len(packed_edges) - 1)
+        packed = packed[packed_edges[pos] != packed]
+    pairs, counts = np.unique(packed, return_counts=True)
+    return pairs, counts.astype(np.int64)
+
+
+def _topk_table(upacked: np.ndarray, counts: np.ndarray, vids: np.ndarray,
+                k: int) -> pa.Table:
+    """Exact (count desc, src, dst) top-k over reduced pair counts:
+    np.partition to the k-th count, keep the >= tie set, lexsort the
+    small survivor set only."""
+    if len(upacked) > k:
+        cstar = np.partition(counts, len(counts) - k)[len(counts) - k]
+        m = counts >= cstar
+        upacked, counts = upacked[m], counts[m]
+    aa = (upacked >> 31).astype(np.int64)
+    bb = (upacked & ((1 << 31) - 1)).astype(np.int64)
+    sel = np.lexsort((bb, aa, -counts))[:k]
+    return pa.table({"src": vids[aa[sel]], "dst": vids[bb[sel]],
+                     "n_common": counts[sel]})
+
+
+def common_neighbors_topk(edges_ds, k: int = 20, *,
+                          strategy: str = "auto",
+                          num_partitions: int | None = None,
+                          stats: dict | None = None) -> pa.Table:
+    """edges Dataset (src, dst raw vids; multigraph OK) -> top-k
+    non-adjacent pairs by common-neighbor count on the SIMPLE
+    undirected graph.  Returns a k-row Arrow table
+    (src, dst, n_common), src < dst."""
+    t0 = time.perf_counter()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    # one upstream execution: the auto-strategy count() and the real
+    # pass both read the materialized blocks (an un-materialized input
+    # would re-run its whole lineage twice)
+    edges_ds = edges_ds.select_columns(["src", "dst"]).materialize()
+    if strategy == "auto":
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+
+    if strategy == "broadcast":
+        def canon_unique(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, d)
+            hi = np.maximum(s, d)
+            kp = lo != hi
+            arr = np.unique(np.stack([lo[kp], hi[kp]], axis=1), axis=0)
+            return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+        pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+            canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+            .to_pandas()
+        if not len(pdf):
+            if stats is not None:
+                stats.update({"wall_sec": time.perf_counter() - t0,
+                              "strategy": "broadcast", "pairs": 0})
+            return _EMPTY
+        pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+        vids = np.unique(pairs)
+        V = len(vids)
+        assert V < 2**31, "pair packing assumes V < 2^31"
+        s = np.searchsorted(vids, pairs[:, 0]).astype(np.int64)
+        d = np.searchsorted(vids, pairs[:, 1]).astype(np.int64)
+        x = np.concatenate([s, d])
+        y = np.concatenate([d, s])
+        order = np.argsort(x, kind="stable")
+        x_s, y_s = x[order], y[order]
+        indptr = np.zeros(V + 2, dtype=np.int64)
+        np.add.at(indptr, x_s + 1, 1)
+        indptr = np.cumsum(indptr)
+        packed_edges = np.sort((s << 31) | d)
+        ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
+                                  ray.put(packed_edges))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        spans = np.array_split(np.arange(len(x_s)),
+                               max(1, min(4 * cpus, len(x_s) // 1024 + 1)))
+        futs = [_pair_count_span.remote(x_s[sp], y_s[sp], ip_ref, ix_ref,
+                                        pk_ref)
+                for sp in spans if len(sp)]
+        parts = ray.get(futs)
+        allp = np.concatenate([p for p, _ in parts]) if parts \
+            else np.empty(0, np.int64)
+        if not len(allp):
+            if stats is not None:
+                stats.update({"wall_sec": time.perf_counter() - t0,
+                              "strategy": "broadcast", "pairs": 0})
+            return _EMPTY
+        allc = np.concatenate([c for _, c in parts])
+        o = np.argsort(allp, kind="stable")
+        allp, allc = allp[o], allc[o]
+        bounds = np.flatnonzero(np.r_[True, allp[1:] != allp[:-1]])
+        out = _topk_table(allp[bounds], np.add.reduceat(allc, bounds),
+                          vids, k)
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "strategy": "broadcast", "num_vertices": V,
+                          "num_simple_edges": len(pairs),
+                          "pairs": len(bounds)})
+        return out
+
+    # join plan: everything Dataset-resident, nothing broadcast
+    from ray.data.aggregate import Count as CountAgg
+
+    def canon(batch: pa.Table) -> pa.Table:
+        sc = batch["src"].to_numpy(zero_copy_only=False)
+        dc = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(sc, dc)
+        hi = np.maximum(sc, dc)
+        kp = lo != hi
+        return pa.table({"src": lo[kp], "dst": hi[kp]})
+
+    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(CountAgg(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        sc = b["src"].to_numpy(zero_copy_only=False)
+        dc = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": np.concatenate([sc, dc]),
+                         "y": np.concatenate([dc, sc])})
+
+    ue = edges.map_batches(sym, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    left = ue.map_batches(lambda b: pa.table({"a": b["x"], "v": b["y"]}),
+                          batch_format="pyarrow")
+    right = ue.map_batches(lambda b: pa.table({"v2": b["x"], "b": b["y"]}),
+                           batch_format="pyarrow")
+    wedge = left.join(right, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("v",), right_on=("v2",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["b"].to_numpy(zero_copy_only=False)
+        kp = a < c
+        return pa.table({"a": a[kp], "b": c[kp]})
+
+    cand = wedge.map_batches(ordered, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["a", "b"]).aggregate(CountAgg(alias_name="n_common"))
+    non_adj = cand.join(edges, join_type="left_anti",
+                        num_partitions=num_partitions,
+                        on=("a", "b"), right_on=("src", "dst"))
+    top = non_adj.sort(["n_common", "a", "b"],
+                       descending=[True, False, False]).limit(k).to_pandas()
+    if stats is not None:
+        stats.update({"wall_sec": time.perf_counter() - t0,
+                      "strategy": "join"})
+    return pa.table({"src": top["a"].to_numpy().astype("int64"),
+                     "dst": top["b"].to_numpy().astype("int64"),
+                     "n_common": top["n_common"].to_numpy().astype("int64")})

@@ -161,6 +161,34 @@ def q_kcore(sf_dir: str) -> pa.Table:
                      "core": pdf["core"].to_numpy().astype("int64")})
 
 
+LINK_PREDICT_K = 20
+
+
+def q_link_predict(sf_dir: str) -> pa.Table:
+    """Common-neighbor link prediction: top-k NON-adjacent vertex
+    pairs ranked by shared-neighbor count — broadcast-CSR wedge plan
+    with a Dataset join fallback (graph/linkpred.py).  Exact integer
+    scores, deterministic (count desc, src, dst) order."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    return lpred_mod.common_neighbors_topk(cooccurrence_edges(sf_dir),
+                                           k=LINK_PREDICT_K)
+
+
+def sql_link_predict() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "w AS (SELECT e1.x AS a, e2.y AS b, count(*) AS cn "
+        "FROM ue e1 JOIN ue e2 ON e1.y = e2.x AND e1.x < e2.y "
+        "GROUP BY 1, 2) "
+        "SELECT a AS src, b AS dst, CAST(cn AS BIGINT) AS n_common FROM w "
+        "WHERE NOT EXISTS (SELECT 1 FROM edges e "
+        "WHERE e.src = w.a AND e.dst = w.b) "
+        "ORDER BY n_common DESC, src, dst "
+        f"LIMIT {LINK_PREDICT_K}")
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""

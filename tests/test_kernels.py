@@ -308,3 +308,51 @@ def test_kcore_tiny_multigraph():
     got = dict(zip(*[kcore_mod.core_numbers(ds).to_pandas()[c]
                      for c in ("vid", "core")]))
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
+
+
+def test_link_predict_strategies_vs_bruteforce():
+    """common_neighbors_topk: broadcast-CSR plan == Dataset join plan
+    == O(V^2) numpy oracle (counts, pairs, AND deterministic
+    (count desc, src, dst) order), non-adjacency enforced."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    rng = np.random.RandomState(41)
+    src = rng.randint(0, 80, size=600).astype(np.int64)
+    dst = rng.randint(0, 80, size=600).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    # brute-force oracle on the simple undirected graph
+    V = 80
+    adj = np.zeros((V, V), dtype=bool)
+    keep = src != dst
+    adj[src[keep], dst[keep]] = True
+    adj[dst[keep], src[keep]] = True
+    common = (adj.astype(np.int64) @ adj.astype(np.int64))
+    rows = []
+    for a in range(V):
+        for b in range(a + 1, V):
+            if not adj[a, b] and common[a, b] > 0:
+                rows.append((int(common[a, b]), a, b))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    k = 15
+    want = [(a, b, c) for c, a, b in rows[:k]]
+
+    for strat in ("broadcast", "join"):
+        got = lpred_mod.common_neighbors_topk(ds, k=k, strategy=strat,
+                                              num_partitions=3)
+        triples = list(zip(got["src"].to_pylist(), got["dst"].to_pylist(),
+                           got["n_common"].to_pylist()))
+        assert triples == want, strat
+
+
+def test_link_predict_empty_and_tiny():
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert lpred_mod.common_neighbors_topk(empty, k=5).num_rows == 0
+    # path graph 1-2-3: only (1,3) shares a neighbor and isn't adjacent
+    path = rd.from_arrow(pa.table({"src": pa.array([1, 2], pa.int64()),
+                                   "dst": pa.array([2, 3], pa.int64())}))
+    t = lpred_mod.common_neighbors_topk(path, k=5)
+    assert t.to_pydict() == {"src": [1], "dst": [3], "n_common": [1]}
