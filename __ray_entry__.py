@@ -339,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
         "link_predict": g.q_link_predict,
+        "bfs_levels": g.q_bfs_levels,
+        "hits": g.q_hits,
+        "brand_graph": g.q_brand_graph,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -407,6 +410,9 @@ def oracle_sql() -> dict[str, str]:
         "star_count": g.sql_star_count(),
         "clustering_coeff": g.sql_clustering_coeff(),
         "link_predict": g.sql_link_predict(),
+        "bfs_levels": g.sql_bfs_levels(),
+        "hits": g.sql_hits(),
+        "brand_graph": g.sql_brand_graph(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

@@ -107,6 +107,24 @@ def run_bench() -> dict:
     extras["triangles"] = triangle_count(edges)
     timings["triangle_count"] = time.perf_counter() - t0
 
+    from igpm_pem_ray.graph.bfs import bfs_levels
+    from igpm_pem_ray.graph.hits import hits
+    from igpm_pem_ray.graph.linkpred import common_neighbors_topk
+
+    t0 = time.perf_counter()
+    bfs_stats: dict = {}
+    bfs_levels(edges, max_depth=32, stats=bfs_stats)
+    timings["bfs_levels"] = time.perf_counter() - t0
+    extras["bfs_rounds"] = bfs_stats.get("rounds")
+
+    t0 = time.perf_counter()
+    hits(edges, n_iters=5)
+    timings["hits_5iter"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    common_neighbors_topk(edges, k=100)
+    timings["link_predict_top100"] = time.perf_counter() - t0
+
     # Dataset-resident (shuffle) PageRank — the 10^12-V strategy, timed
     # at a fixed 3 iterations so the bench stays bounded
     from igpm_pem_ray.graph.shuffle_kernels import pagerank_shuffle

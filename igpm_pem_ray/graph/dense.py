@@ -428,9 +428,11 @@ def msg_pass(g: DenseGraph, values: np.ndarray, *, reduce: str = "sum",
     gather+reduceat tasks over pinned blocks, driver merge.
 
     directions="out": reduce over in-edges of values[src] (the normal
-    src->dst flow).  directions="both": additionally flow dst->src
-    (reverse preps) — undirected exchange WITHOUT materializing a
-    symmetrized edge set (WCC on the directed graph).
+    src->dst flow).  directions="in": ONLY the reversed flow
+    (dst->src messages over the reverse preps — the A·x product HITS
+    needs for hub updates).  directions="both": both flows into one
+    output — undirected exchange WITHOUT materializing a symmetrized
+    edge set (WCC on the directed graph).
 
     Returns a dense V-array with ``init`` where no message arrived.
     """
@@ -440,8 +442,11 @@ def msg_pass(g: DenseGraph, values: np.ndarray, *, reduce: str = "sum",
     if V == 0 or g.num_edges == 0:
         return out
     vref = ray.put(values)
-    futs = [_pass_reduce.remote(p, vref, reduce, init) for p in g.partitions()]
-    if directions == "both":
+    futs = []
+    if directions in ("out", "both"):
+        futs += [_pass_reduce.remote(p, vref, reduce, init)
+                 for p in g.partitions()]
+    if directions in ("in", "both"):
         futs += [_pass_reduce_rev.remote(p, vref, reduce, init)
                  for p in g.partitions_rev()]
     parts = ray.get(futs)

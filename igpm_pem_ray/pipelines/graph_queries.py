@@ -189,6 +189,115 @@ def sql_link_predict() -> str:
         f"LIMIT {LINK_PREDICT_K}")
 
 
+BFS_MAX_DEPTH = 8
+HITS_ITERS = 5
+HITS_SCALE = "1e8"
+
+
+def q_bfs_levels(sf_dir: str) -> pa.Table:
+    """Hop distance from the smallest vid, undirected, capped at
+    BFS_MAX_DEPTH (graph/bfs.py dense msg_pass(min) plan)."""
+    from igpm_pem_ray.graph import bfs as bfs_mod
+
+    t = bfs_mod.bfs_levels(cooccurrence_edges(sf_dir),
+                           max_depth=BFS_MAX_DEPTH)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_bfs_levels() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "lv(v, d) AS (SELECT (SELECT MIN(src) FROM edges), 0 "
+        "UNION SELECT e.y, lv.d + 1 FROM lv JOIN ue e ON e.x = lv.v "
+        f"WHERE lv.d < {BFS_MAX_DEPTH}) "
+        "SELECT v AS vid, CAST(MIN(d) AS BIGINT) AS level FROM lv "
+        "GROUP BY v ORDER BY vid")
+
+
+def q_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities, fixed HITS_ITERS L1-normalized
+    iterations (graph/hits.py), e8 fixed-point."""
+    from igpm_pem_ray.graph import hits as hits_mod
+
+    t = hits_mod.hits(cooccurrence_edges(sf_dir), n_iters=HITS_ITERS)
+    return pa.table({"vid": t["vid"],
+                     "hub_e8": scale_col(t["hub"].to_numpy(),
+                                         float(HITS_SCALE)),
+                     "auth_e8": scale_col(t["auth"].to_numpy(),
+                                          float(HITS_SCALE))})
+
+
+def sql_hits(n_iters: int = HITS_ITERS) -> str:
+    # edges/verts are referenced 2x per unrolled iteration; MATERIALIZED
+    # stops DuckDB inlining the lineitem self-join into every reference
+    # (unmaterialized, the 5-iter chain opens dozens of parquet scans and
+    # can exhaust the process fd limit).
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nv) AS h "
+        "FROM verts)",
+    ]
+    # every intermediate is MATERIALIZED: a{k}/h{k} are each referenced
+    # more than once downstream, and unmaterialized CTE inlining makes
+    # the unrolled chain expand exponentially with n_iters
+    for k in range(1, n_iters + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f"araw{k} AS MATERIALIZED (SELECT e.dst AS vid, sum(h.h) AS s "
+            f"FROM edges e JOIN {p} h ON e.src = h.vid GROUP BY e.dst), "
+            f"az{k} AS MATERIALIZED (SELECT sum(s) AS z FROM araw{k}), "
+            f"a{k} AS MATERIALIZED (SELECT v.vid, "
+            f"COALESCE(r.s, 0.0)/(SELECT z FROM az{k}) AS a "
+            f"FROM verts v LEFT JOIN araw{k} r ON v.vid = r.vid), "
+            f"hraw{k} AS MATERIALIZED (SELECT e.src AS vid, sum(a.a) AS s "
+            f"FROM edges e JOIN a{k} a ON e.dst = a.vid GROUP BY e.src), "
+            f"hz{k} AS MATERIALIZED (SELECT sum(s) AS z FROM hraw{k}), "
+            f"h{k} AS MATERIALIZED (SELECT v.vid, "
+            f"COALESCE(r.s, 0.0)/(SELECT z FROM hz{k}) AS h "
+            f"FROM verts v LEFT JOIN hraw{k} r ON v.vid = r.vid)"
+        )
+    body = ", ".join(parts)
+    return (
+        f"WITH {body} "
+        f"SELECT h.vid, {sql_scale('h.h', HITS_SCALE)} AS hub_e8, "
+        f"{sql_scale('a.a', HITS_SCALE)} AS auth_e8 "
+        f"FROM h{n_iters} h JOIN a{n_iters} a ON h.vid = a.vid ORDER BY h.vid")
+
+
+def q_brand_graph(sf_dir: str) -> pa.Table:
+    """Graph contraction: collapse the part co-occurrence graph to a
+    brand-level quotient graph (graph/contract.py broadcast-mapping
+    translate + one groupby-count)."""
+    from igpm_pem_ray.graph import contract as contract_mod
+    from igpm_pem_ray.pipelines.common import read_table
+
+    edges = cooccurrence_edges(sf_dir)
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pdf = contract_mod.contract(edges, parts, vid_col="p_partkey",
+                                group_col="p_brand").to_pandas() \
+        .sort_values(["src_group", "dst_group"]).reset_index(drop=True)
+    return pa.table({"src_group": pdf["src_group"],
+                     "dst_group": pdf["dst_group"],
+                     "n_edges": pdf["n_edges"].to_numpy().astype("int64")})
+
+
+def sql_brand_graph() -> str:
+    return _with_edges(
+        "ce AS (SELECT CASE WHEN pa.p_brand <= pb.p_brand THEN pa.p_brand "
+        "ELSE pb.p_brand END AS src_group, "
+        "CASE WHEN pa.p_brand <= pb.p_brand THEN pb.p_brand "
+        "ELSE pa.p_brand END AS dst_group "
+        "FROM edges e JOIN part pa ON e.src = pa.p_partkey "
+        "JOIN part pb ON e.dst = pb.p_partkey) "
+        "SELECT src_group, dst_group, CAST(count(*) AS BIGINT) AS n_edges "
+        "FROM ce GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""

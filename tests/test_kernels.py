@@ -356,3 +356,129 @@ def test_link_predict_empty_and_tiny():
                                    "dst": pa.array([2, 3], pa.int64())}))
     t = lpred_mod.common_neighbors_topk(path, k=5)
     assert t.to_pydict() == {"src": [1], "dst": [3], "n_common": [1]}
+
+
+def test_bfs_levels_vs_oracle():
+    """bfs_levels == numpy frontier BFS on the undirected simple
+    graph; unreached vertices absent; max_depth cap honored."""
+    from igpm_pem_ray.graph import bfs as bfs_mod
+
+    rng = np.random.RandomState(53)
+    src = rng.randint(0, 120, size=300).astype(np.int64)
+    dst = rng.randint(0, 120, size=300).astype(np.int64)
+    # two extra vertices in a far component: 200-201
+    src = np.concatenate([src, [200]])
+    dst = np.concatenate([dst, [201]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    # oracle
+    V = 202
+    adj = [[] for _ in range(V)]
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+    source = int(min(np.concatenate([src, dst])))
+    INF = -1
+    lvl = [INF] * V
+    lvl[source] = 0
+    frontier = [source]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in adj[v]:
+                if lvl[w] == INF:
+                    lvl[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    want = {v: l for v, l in enumerate(lvl) if l >= 0}
+
+    got = bfs_mod.bfs_levels(ds)
+    gmap = dict(zip(got["vid"].to_pylist(), got["level"].to_pylist()))
+    assert gmap == want
+    # 200/201 unreachable from the main component's min vid
+    assert 200 not in gmap and 201 not in gmap
+
+    capped = bfs_mod.bfs_levels(ds, max_depth=1)
+    cmap = dict(zip(capped["vid"].to_pylist(), capped["level"].to_pylist()))
+    assert cmap == {v: l for v, l in want.items() if l <= 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bfs_mod.bfs_levels(ds, source=9999)
+
+
+def test_hits_vs_dense_oracle():
+    """hits() == explicit numpy matrix HITS (L1-normalized) to 1e-12;
+    pure-source and pure-sink vertices land on the right side."""
+    from igpm_pem_ray.graph import hits as hits_mod
+
+    rng = np.random.RandomState(67)
+    src = rng.randint(0, 60, size=400).astype(np.int64)
+    dst = rng.randint(0, 60, size=400).astype(np.int64)
+    # vertex 100: pure hub (only out-edges); 101: pure authority
+    src = np.concatenate([src, [100, 100, 0, 1]])
+    dst = np.concatenate([dst, [0, 1, 101, 101]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    t = hits_mod.hits(ds, n_iters=7)
+    vids = np.array(t["vid"].to_pylist())
+    V = len(vids)
+    pos = {v: i for i, v in enumerate(vids)}
+    A = np.zeros((V, V))
+    for a, b in zip(src, dst):
+        A[pos[a], pos[b]] += 1.0
+    h = np.full(V, 1.0 / V)
+    for _ in range(7):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    assert np.allclose(np.array(t["hub"].to_pylist()), h, atol=1e-12)
+    assert np.allclose(np.array(t["auth"].to_pylist()), a, atol=1e-12)
+    assert t["auth"].to_pylist()[pos[100]] == 0.0  # pure hub: no in-edges
+    assert t["hub"].to_pylist()[pos[101]] == 0.0   # pure sink: no out-edges
+
+
+def test_contract_strategies_vs_oracle():
+    """Graph contraction: broadcast translate == join plan == Python
+    oracle, with string group ids, canonical undirected pairs, and
+    unmapped-endpoint drops (inner-join semantics)."""
+    from collections import Counter
+
+    from igpm_pem_ray.graph import contract as contract_mod
+
+    rng = np.random.RandomState(71)
+    src = rng.randint(0, 50, size=400).astype(np.int64)
+    dst = rng.randint(0, 50, size=400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    # vertices 45-49 deliberately unmapped
+    mapping = rd.from_arrow(pa.table({
+        "vid": pa.array(np.arange(45, dtype=np.int64)),
+        "group": pa.array([f"g{v % 7}" for v in range(45)]),
+    }))
+
+    want = Counter()
+    for a, b in zip(src, dst):
+        if a < 45 and b < 45:
+            ga, gb = f"g{a % 7}", f"g{b % 7}"
+            want[(min(ga, gb), max(ga, gb))] += 1
+
+    for strat in ("broadcast", "join"):
+        out = contract_mod.contract(ds, mapping, strategy=strat,
+                                    num_partitions=3).to_pandas()
+        got = {(r.src_group, r.dst_group): r.n_edges
+               for r in out.itertuples()}
+        assert got == dict(want), strat
+
+    # directed variant keeps orientation
+    out = contract_mod.contract(ds, mapping, strategy="broadcast",
+                                directed=True).to_pandas()
+    want_dir = Counter()
+    for a, b in zip(src, dst):
+        if a < 45 and b < 45:
+            want_dir[(f"g{a % 7}", f"g{b % 7}")] += 1
+    got = {(r.src_group, r.dst_group): r.n_edges for r in out.itertuples()}
+    assert got == dict(want_dir)
