@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
         "link_predict": g.q_link_predict,
+        "link_predict_jaccard": g.q_link_predict_jaccard,
         "bfs_levels": g.q_bfs_levels,
         "hits": g.q_hits,
         "brand_graph": g.q_brand_graph,
@@ -410,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "star_count": g.sql_star_count(),
         "clustering_coeff": g.sql_clustering_coeff(),
         "link_predict": g.sql_link_predict(),
+        "link_predict_jaccard": g.sql_link_predict_jaccard(),
         "bfs_levels": g.sql_bfs_levels(),
         "hits": g.sql_hits(),
         "brand_graph": g.sql_brand_graph(),

@@ -7,7 +7,9 @@ gray_multiple.py:421-441); this operator is the batch-analytics analog
 over the whole graph — exact integer shared-neighbor counts (no
 log-weighted Adamic-Adar: libm rounding isn't bit-stable across
 engines) so a DuckDB oracle can pin it bit-for-bit, with a
-deterministic (count desc, src, dst) order.
+deterministic (count desc, src, dst) order.  :func:`jaccard_topk`
+adds the ratio-weighted variant with the same bit-stability: integer
+numerator/denominator, one IEEE division for ranking.
 
 Two strategies, same shape as triangles.py (K4):
 
@@ -94,6 +96,202 @@ def _topk_table(upacked: np.ndarray, counts: np.ndarray, vids: np.ndarray,
     sel = np.lexsort((bb, aa, -counts))[:k]
     return pa.table({"src": vids[aa[sel]], "dst": vids[bb[sel]],
                      "n_common": counts[sel]})
+
+
+def jaccard_topk(edges_ds, k: int = 20, *,
+                 strategy: str = "auto",
+                 num_partitions: int | None = None,
+                 stats: dict | None = None) -> pa.Table:
+    """Jaccard-coefficient link prediction: top-k NON-adjacent pairs by
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| on the simple undirected graph.
+
+    Bit-stable across engines where Adamic-Adar is not (see module
+    docstring): the score's numerator/denominator are exact integers
+    (n_common, n_union = deg_a + deg_b - n_common) and only ONE IEEE
+    double division ranks them — division is correctly rounded and
+    deterministic in both numpy and any ANSI-SQL engine, unlike libm
+    ln().  Output columns are pure int64 (src, dst, n_common, n_union);
+    order is (jaccard desc, src, dst).
+
+    Same two strategies as :func:`common_neighbors_topk`:
+    ``broadcast`` (CSR via ``ray.put``, wedge spans, degrees read off
+    ``indptr``) under BROADCAST_MAX_EDGES, else ``join`` (the
+    common-neighbor Dataset plan plus two hash joins against the
+    degree table).  Partitioning assumption of the join plan: wedge
+    join keyed on the middle vertex — hub vertices fan out
+    quadratically, cap/sample hubs upstream at web scale."""
+    t0 = time.perf_counter()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    edges_ds = edges_ds.select_columns(["src", "dst"]).materialize()
+    if strategy == "auto":
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+
+    if strategy == "broadcast":
+        pairs, counts, vids, indptr = _broadcast_pair_counts(edges_ds)
+        if pairs is None:
+            if stats is not None:
+                stats.update({"wall_sec": time.perf_counter() - t0,
+                              "strategy": "broadcast", "pairs": 0})
+            return _EMPTY_J
+        deg = (indptr[1:len(vids) + 1] - indptr[:len(vids)]).astype(np.int64)
+        aa = (pairs >> 31).astype(np.int64)
+        bb = (pairs & ((1 << 31) - 1)).astype(np.int64)
+        union = deg[aa] + deg[bb] - counts
+        jac = counts / union
+        if len(pairs) > k:
+            jstar = np.partition(jac, len(jac) - k)[len(jac) - k]
+            m = jac >= jstar
+            aa, bb, counts, union, jac = (aa[m], bb[m], counts[m],
+                                          union[m], jac[m])
+        sel = np.lexsort((bb, aa, -jac))[:k]
+        out = pa.table({"src": vids[aa[sel]], "dst": vids[bb[sel]],
+                        "n_common": counts[sel], "n_union": union[sel]})
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "strategy": "broadcast", "pairs": len(pairs)})
+        return out
+
+    # join plan: common-neighbor candidates + two degree joins, all
+    # Dataset-resident until the k-row result
+    from ray.data.aggregate import Count as CountAgg
+
+    edges, ue = _canonical_and_symmetric(edges_ds)
+    deg = ue.groupby("x").aggregate(CountAgg(alias_name="deg")) \
+        .rename_columns({"x": "v"}).materialize()
+    left = ue.map_batches(lambda b: pa.table({"a": b["x"], "v": b["y"]}),
+                          batch_format="pyarrow")
+    right = ue.map_batches(lambda b: pa.table({"v2": b["x"], "b": b["y"]}),
+                           batch_format="pyarrow")
+    wedge = left.join(right, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("v",), right_on=("v2",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["b"].to_numpy(zero_copy_only=False)
+        kp = a < c
+        return pa.table({"a": a[kp], "b": c[kp]})
+
+    cand = wedge.map_batches(ordered, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["a", "b"]).aggregate(CountAgg(alias_name="n_common"))
+    non_adj = cand.join(edges, join_type="left_anti",
+                        num_partitions=num_partitions,
+                        on=("a", "b"), right_on=("src", "dst"))
+    with_da = non_adj.join(deg, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("a",), right_on=("v",))
+    with_db = with_da.rename_columns({"deg": "deg_a"}) \
+        .join(deg, join_type="inner", num_partitions=num_partitions,
+              on=("b",), right_on=("v",))
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        un = (t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+              + t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+              - cn)
+        return pa.table({"a": t["a"], "b": t["b"], "n_common": cn,
+                         "n_union": un, "jac": cn / un})
+
+    top = with_db.map_batches(score, batch_format="pyarrow") \
+        .sort(["jac", "a", "b"], descending=[True, False, False]) \
+        .limit(k).to_pandas()
+    if stats is not None:
+        stats.update({"wall_sec": time.perf_counter() - t0,
+                      "strategy": "join"})
+    return pa.table({"src": top["a"].to_numpy().astype("int64"),
+                     "dst": top["b"].to_numpy().astype("int64"),
+                     "n_common": top["n_common"].to_numpy().astype("int64"),
+                     "n_union": top["n_union"].to_numpy().astype("int64")})
+
+
+_EMPTY_J = pa.table({"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64()),
+                     "n_common": pa.array([], pa.int64()),
+                     "n_union": pa.array([], pa.int64())})
+
+
+def _canonical_and_symmetric(edges_ds):
+    """(canonical deduped simple edges, symmetrized ue) Datasets —
+    the shared front of the join plans."""
+    from ray.data.aggregate import Count as CountAgg
+
+    def canon(batch: pa.Table) -> pa.Table:
+        sc = batch["src"].to_numpy(zero_copy_only=False)
+        dc = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(sc, dc)
+        hi = np.maximum(sc, dc)
+        kp = lo != hi
+        return pa.table({"src": lo[kp], "dst": hi[kp]})
+
+    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(CountAgg(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        sc = b["src"].to_numpy(zero_copy_only=False)
+        dc = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": np.concatenate([sc, dc]),
+                         "y": np.concatenate([dc, sc])})
+
+    ue = edges.map_batches(sym, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    return edges, ue
+
+
+def _broadcast_pair_counts(edges_ds):
+    """Shared broadcast-CSR front: returns (packed_pairs, counts, vids,
+    indptr) reduced across all wedge spans, or (None,)*4 when the graph
+    has no simple edges or no wedges."""
+    def canon_unique(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        kp = lo != hi
+        arr = np.unique(np.stack([lo[kp], hi[kp]], axis=1), axis=0)
+        return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+    pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    if not len(pdf):
+        return None, None, None, None
+    pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+    vids = np.unique(pairs)
+    V = len(vids)
+    assert V < 2**31, "pair packing assumes V < 2^31"
+    s = np.searchsorted(vids, pairs[:, 0]).astype(np.int64)
+    d = np.searchsorted(vids, pairs[:, 1]).astype(np.int64)
+    x = np.concatenate([s, d])
+    y = np.concatenate([d, s])
+    order = np.argsort(x, kind="stable")
+    x_s, y_s = x[order], y[order]
+    indptr = np.zeros(V + 2, dtype=np.int64)
+    np.add.at(indptr, x_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    packed_edges = np.sort((s << 31) | d)
+    ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
+                              ray.put(packed_edges))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    spans = np.array_split(np.arange(len(x_s)),
+                           max(1, min(4 * cpus, len(x_s) // 1024 + 1)))
+    futs = [_pair_count_span.remote(x_s[sp], y_s[sp], ip_ref, ix_ref, pk_ref)
+            for sp in spans if len(sp)]
+    parts = ray.get(futs)
+    allp = np.concatenate([p for p, _ in parts]) if parts \
+        else np.empty(0, np.int64)
+    if not len(allp):
+        return None, None, None, None
+    allc = np.concatenate([c for _, c in parts])
+    o = np.argsort(allp, kind="stable")
+    allp, allc = allp[o], allc[o]
+    bounds = np.flatnonzero(np.r_[True, allp[1:] != allp[:-1]])
+    return allp[bounds], np.add.reduceat(allc, bounds), vids, indptr
 
 
 def common_neighbors_topk(edges_ds, k: int = 20, *,

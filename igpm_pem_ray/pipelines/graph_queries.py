@@ -189,6 +189,35 @@ def sql_link_predict() -> str:
         f"LIMIT {LINK_PREDICT_K}")
 
 
+def q_link_predict_jaccard(sf_dir: str) -> pa.Table:
+    """Jaccard-coefficient link prediction: top-k non-adjacent pairs by
+    |N∩|/|N∪| — integer-exact numerator/denominator columns so the
+    oracle hashes bit-for-bit; ranking is one IEEE double division
+    (deterministic in both engines, unlike Adamic-Adar's ln)."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    return lpred_mod.jaccard_topk(cooccurrence_edges(sf_dir),
+                                  k=LINK_PREDICT_K)
+
+
+def sql_link_predict_jaccard() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "deg AS (SELECT x AS v, count(*) AS d FROM ue GROUP BY x), "
+        "w AS (SELECT e1.x AS a, e2.y AS b, count(*) AS cn "
+        "FROM ue e1 JOIN ue e2 ON e1.y = e2.x AND e1.x < e2.y "
+        "GROUP BY 1, 2), "
+        "nj AS (SELECT a, b, cn FROM w "
+        "WHERE NOT EXISTS (SELECT 1 FROM edges e "
+        "WHERE e.src = w.a AND e.dst = w.b)) "
+        "SELECT a AS src, b AS dst, CAST(cn AS BIGINT) AS n_common, "
+        "CAST(da.d + db.d - cn AS BIGINT) AS n_union "
+        "FROM nj JOIN deg da ON da.v = nj.a JOIN deg db ON db.v = nj.b "
+        "ORDER BY CAST(cn AS DOUBLE) / (da.d + db.d - cn) DESC, src, dst "
+        f"LIMIT {LINK_PREDICT_K}")
+
+
 BFS_MAX_DEPTH = 8
 HITS_ITERS = 5
 HITS_SCALE = "1e8"

@@ -358,6 +358,58 @@ def test_link_predict_empty_and_tiny():
     assert t.to_pydict() == {"src": [1], "dst": [3], "n_common": [1]}
 
 
+def test_jaccard_topk_strategies_vs_bruteforce():
+    """jaccard_topk: broadcast plan == join plan == O(V^2) numpy
+    oracle, ranked by cn/(deg_a+deg_b-cn) with (src, dst) tie-break,
+    integer n_common/n_union columns, non-adjacency enforced."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    rng = np.random.RandomState(47)
+    src = rng.randint(0, 70, size=500).astype(np.int64)
+    dst = rng.randint(0, 70, size=500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    V = 70
+    adj = np.zeros((V, V), dtype=bool)
+    keep = src != dst
+    adj[src[keep], dst[keep]] = True
+    adj[dst[keep], src[keep]] = True
+    deg = adj.sum(axis=1).astype(np.int64)
+    common = adj.astype(np.int64) @ adj.astype(np.int64)
+    rows = []
+    for a in range(V):
+        for b in range(a + 1, V):
+            if not adj[a, b] and common[a, b] > 0:
+                un = int(deg[a] + deg[b] - common[a, b])
+                rows.append((int(common[a, b]) / un, a, b,
+                             int(common[a, b]), un))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    k = 15
+    want = [(a, b, cn, un) for _, a, b, cn, un in rows[:k]]
+
+    for strat in ("broadcast", "join"):
+        got = lpred_mod.jaccard_topk(ds, k=k, strategy=strat,
+                                     num_partitions=3)
+        quads = list(zip(got["src"].to_pylist(), got["dst"].to_pylist(),
+                         got["n_common"].to_pylist(),
+                         got["n_union"].to_pylist()))
+        assert quads == want, strat
+
+
+def test_jaccard_topk_empty_and_tiny():
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert lpred_mod.jaccard_topk(empty, k=5).num_rows == 0
+    # path 1-2-3: pair (1,3), n_common=1, union = 1+1-1 = 1 -> jac 1.0
+    path = rd.from_arrow(pa.table({"src": pa.array([1, 2], pa.int64()),
+                                   "dst": pa.array([2, 3], pa.int64())}))
+    t = lpred_mod.jaccard_topk(path, k=5)
+    assert t.to_pydict() == {"src": [1], "dst": [3],
+                             "n_common": [1], "n_union": [1]}
+
+
 def test_bfs_levels_vs_oracle():
     """bfs_levels == numpy frontier BFS on the undirected simple
     graph; unreached vertices absent; max_depth cap honored."""
