@@ -17,10 +17,16 @@ Two strategies, same shape as triangles.py (K4):
   symmetrized CSR broadcast once via ``ray.put``; span tasks enumerate
   wedges a-v-w (a<w) with the same vectorized ragged gather as the
   triangle counter, drop adjacent pairs via searchsorted on the packed
-  canonical edge set, and pre-aggregate with ``np.unique`` BEFORE
-  anything moves — only (pair, count) partials return to the driver,
-  which reduces them with one sort + ``reduceat`` and selects top-k by
-  partition + lexsort.  No shuffle at all.
+  canonical edge set, pre-aggregate with ``np.unique``, and HASH-
+  PARTITION the (pair, count) partials into ``_REDUCE_BUCKETS``
+  separate return objects (``num_returns``) so each candidate pair's
+  partial counts land with exactly one reducer.  Bucket reducer TASKS
+  sum counts and keep only their local top-k; the driver merges
+  R x k rows — it never touches the O(sum deg^2) candidate set.
+  (The earlier design reduced all candidates driver-side: ~11M rows
+  at a 400k-edge graph, measured 141 s of driver wall on a slow-DRAM
+  box vs ~4 s for the span phase — and O(candidates) driver memory
+  is exactly the anti-pattern the 100-TB story forbids.)
 
 - ``join``: the Dataset-native plan (symmetrize -> hash self-join on
   the middle vertex -> groupby count -> left_anti vs the edge set ->
@@ -44,10 +50,23 @@ import pyarrow as pa
 import ray
 
 BROADCAST_MAX_EDGES = 50_000_000  # above this the CSR no longer broadcasts
+_REDUCE_BUCKETS = 16              # pair-hash reducer fan-out (power of two)
 
 _EMPTY = pa.table({"src": pa.array([], pa.int64()),
                    "dst": pa.array([], pa.int64()),
                    "n_common": pa.array([], pa.int64())})
+
+_EMPTY_J = pa.table({"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64()),
+                     "n_common": pa.array([], pa.int64()),
+                     "n_union": pa.array([], pa.int64())})
+
+
+def _bucket_of(packed: np.ndarray) -> np.ndarray:
+    """Multiplicative hash -> top log2(R) bits: pairs sharing a hub
+    endpoint still spread across reducers (low-bit modulo would not)."""
+    h = packed.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (h >> np.uint64(64 - _REDUCE_BUCKETS.bit_length() + 1)).astype(np.int64)
 
 
 @ray.remote
@@ -55,10 +74,13 @@ def _pair_count_span(a, v, indptr, indices, packed_edges):
     """Partial common-neighbor counts for one span of directed
     symmetric edges (a -> v): segment-gather N(v), emit pairs (a, w)
     with a < w, drop pairs already adjacent, np.unique-count within
-    the span.  Each (pair, middle-vertex) wedge is produced exactly
-    once globally: the mirror edge (w -> v) generates (w, a) which the
-    a < w filter discards."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    the span, then hash-partition into _REDUCE_BUCKETS (pairs, counts)
+    return objects.  Each (pair, middle-vertex) wedge is produced
+    exactly once globally: the mirror edge (w -> v) generates (w, a)
+    which the a < w filter discards."""
+    R = _REDUCE_BUCKETS
+    e64 = np.empty(0, np.int64)
+    empty = [(e64, e64)] * R
     if len(a) == 0:
         return empty
     lens = indptr[v + 1] - indptr[v]
@@ -79,23 +101,138 @@ def _pair_count_span(a, v, indptr, indices, packed_edges):
                          len(packed_edges) - 1)
         packed = packed[packed_edges[pos] != packed]
     pairs, counts = np.unique(packed, return_counts=True)
-    return pairs, counts.astype(np.int64)
+    counts = counts.astype(np.int64)
+    b = _bucket_of(pairs)
+    order = np.argsort(b, kind="stable")
+    pairs, counts, b = pairs[order], counts[order], b[order]
+    cuts = np.searchsorted(b, np.arange(R + 1))
+    return [(pairs[cuts[i]:cuts[i + 1]], counts[cuts[i]:cuts[i + 1]])
+            for i in range(R)]
 
 
-def _topk_table(upacked: np.ndarray, counts: np.ndarray, vids: np.ndarray,
-                k: int) -> pa.Table:
-    """Exact (count desc, src, dst) top-k over reduced pair counts:
-    np.partition to the k-th count, keep the >= tie set, lexsort the
-    small survivor set only."""
-    if len(upacked) > k:
-        cstar = np.partition(counts, len(counts) - k)[len(counts) - k]
-        m = counts >= cstar
-        upacked, counts = upacked[m], counts[m]
-    aa = (upacked >> 31).astype(np.int64)
-    bb = (upacked & ((1 << 31) - 1)).astype(np.int64)
-    sel = np.lexsort((bb, aa, -counts))[:k]
-    return pa.table({"src": vids[aa[sel]], "dst": vids[bb[sel]],
-                     "n_common": counts[sel]})
+def _select_topk_packed(up, uc, key, k):
+    """Deterministic top-k over (packed pair, count, rank key):
+    np.partition to the k-th key, lexsort the survivor tie-set by
+    (key desc, packed asc) — packed asc == (src asc, dst asc) because
+    the 31-bit packing is order-preserving."""
+    if len(up) > k:
+        kstar = np.partition(key, len(key) - k)[len(key) - k]
+        m = key >= kstar
+        up, uc, key = up[m], uc[m], key[m]
+    sel = np.lexsort((up, -key))[:k]
+    return up[sel], uc[sel], key[sel]
+
+
+@ray.remote
+def _reduce_bucket_topk(k, mode, indptr, *parts):
+    """Sum per-pair partial counts for ONE hash bucket (every pair's
+    partials land here and only here) and return the bucket-local
+    top-k — the union of bucket top-k's contains the global top-k.
+    mode 'common' ranks by count; 'jaccard' by count / (deg_a + deg_b
+    - count) with degrees read off the broadcast CSR indptr."""
+    ps = [p for p, _ in parts if len(p)]
+    e64 = np.empty(0, np.int64)
+    if not ps:
+        return e64, e64, np.empty(0, np.float64), 0
+    allp = np.concatenate(ps)
+    allc = np.concatenate([c for _, c in parts if len(c)])
+    o = np.argsort(allp, kind="stable")
+    allp, allc = allp[o], allc[o]
+    bounds = np.flatnonzero(np.r_[True, allp[1:] != allp[:-1]])
+    up, uc = allp[bounds], np.add.reduceat(allc, bounds)
+    if mode == "jaccard":
+        nv = len(indptr) - 2
+        deg = (indptr[1:nv + 1] - indptr[:nv]).astype(np.int64)
+        aa = (up >> 31).astype(np.int64)
+        bb = (up & ((1 << 31) - 1)).astype(np.int64)
+        key = uc / (deg[aa] + deg[bb] - uc)
+    else:
+        key = uc
+    up, uc, key = _select_topk_packed(up, uc, key, k)
+    return up, uc, key.astype(np.float64), len(bounds)
+
+
+def _broadcast_topk(edges_ds, k: int, mode: str, stats: dict | None,
+                    t0: float) -> pa.Table:
+    """Shared broadcast-CSR plan: driver builds the CSR once (O(E)),
+    span tasks enumerate + pre-aggregate + hash-partition wedge pairs,
+    bucket reducers each own a disjoint pair subset and return local
+    top-k; the driver merges R x k rows only."""
+    empty = _EMPTY if mode == "common" else _EMPTY_J
+
+    def canon_unique(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        kp = lo != hi
+        arr = np.unique(np.stack([lo[kp], hi[kp]], axis=1), axis=0)
+        return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+    pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    if not len(pdf):
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "strategy": "broadcast", "pairs": 0})
+        return empty
+    pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
+    vids = np.unique(pairs)
+    V = len(vids)
+    assert V < 2**31, "pair packing assumes V < 2^31"
+    s = np.searchsorted(vids, pairs[:, 0]).astype(np.int64)
+    d = np.searchsorted(vids, pairs[:, 1]).astype(np.int64)
+    x = np.concatenate([s, d])
+    y = np.concatenate([d, s])
+    order = np.argsort(x, kind="stable")
+    x_s, y_s = x[order], y[order]
+    indptr = np.zeros(V + 2, dtype=np.int64)
+    np.add.at(indptr, x_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    packed_edges = np.sort((s << 31) | d)
+    ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
+                              ray.put(packed_edges))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    R = _REDUCE_BUCKETS
+    spans = np.array_split(np.arange(len(x_s)),
+                           max(1, min(2 * cpus, len(x_s) // 1024 + 1)))
+    span_refs = [_pair_count_span.options(num_returns=R)
+                 .remote(x_s[sp], y_s[sp], ip_ref, ix_ref, pk_ref)
+                 for sp in spans if len(sp)]
+    if not span_refs:
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "strategy": "broadcast", "pairs": 0})
+        return empty
+    red = [_reduce_bucket_topk.remote(k, mode, ip_ref,
+                                      *[sr[b] for sr in span_refs])
+           for b in range(R)]
+    tops = ray.get(red)
+    up = np.concatenate([t[0] for t in tops])
+    uc = np.concatenate([t[1] for t in tops])
+    key = np.concatenate([t[2] for t in tops])
+    n_pairs = int(sum(t[3] for t in tops))
+    if not len(up):
+        if stats is not None:
+            stats.update({"wall_sec": time.perf_counter() - t0,
+                          "strategy": "broadcast", "num_vertices": V,
+                          "num_simple_edges": len(pairs), "pairs": 0})
+        return empty
+    up, uc, key = _select_topk_packed(up, uc, key, k)
+    aa = (up >> 31).astype(np.int64)
+    bb = (up & ((1 << 31) - 1)).astype(np.int64)
+    if mode == "jaccard":
+        deg = (indptr[1:V + 1] - indptr[:V]).astype(np.int64)
+        out = pa.table({"src": vids[aa], "dst": vids[bb], "n_common": uc,
+                        "n_union": deg[aa] + deg[bb] - uc})
+    else:
+        out = pa.table({"src": vids[aa], "dst": vids[bb], "n_common": uc})
+    if stats is not None:
+        stats.update({"wall_sec": time.perf_counter() - t0,
+                      "strategy": "broadcast", "num_vertices": V,
+                      "num_simple_edges": len(pairs), "pairs": n_pairs})
+    return out
 
 
 def jaccard_topk(edges_ds, k: int = 20, *,
@@ -114,12 +251,12 @@ def jaccard_topk(edges_ds, k: int = 20, *,
     order is (jaccard desc, src, dst).
 
     Same two strategies as :func:`common_neighbors_topk`:
-    ``broadcast`` (CSR via ``ray.put``, wedge spans, degrees read off
-    ``indptr``) under BROADCAST_MAX_EDGES, else ``join`` (the
-    common-neighbor Dataset plan plus two hash joins against the
-    degree table).  Partitioning assumption of the join plan: wedge
-    join keyed on the middle vertex — hub vertices fan out
-    quadratically, cap/sample hubs upstream at web scale."""
+    ``broadcast`` (CSR via ``ray.put``, wedge spans, bucketed reducer
+    top-k, degrees read off ``indptr``) under BROADCAST_MAX_EDGES,
+    else ``join`` (the common-neighbor Dataset plan plus two hash
+    joins against the degree table).  Partitioning assumption of the
+    join plan: wedge join keyed on the middle vertex — hub vertices
+    fan out quadratically, cap/sample hubs upstream at web scale."""
     t0 = time.perf_counter()
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -130,29 +267,7 @@ def jaccard_topk(edges_ds, k: int = 20, *,
             else "join"
 
     if strategy == "broadcast":
-        pairs, counts, vids, indptr = _broadcast_pair_counts(edges_ds)
-        if pairs is None:
-            if stats is not None:
-                stats.update({"wall_sec": time.perf_counter() - t0,
-                              "strategy": "broadcast", "pairs": 0})
-            return _EMPTY_J
-        deg = (indptr[1:len(vids) + 1] - indptr[:len(vids)]).astype(np.int64)
-        aa = (pairs >> 31).astype(np.int64)
-        bb = (pairs & ((1 << 31) - 1)).astype(np.int64)
-        union = deg[aa] + deg[bb] - counts
-        jac = counts / union
-        if len(pairs) > k:
-            jstar = np.partition(jac, len(jac) - k)[len(jac) - k]
-            m = jac >= jstar
-            aa, bb, counts, union, jac = (aa[m], bb[m], counts[m],
-                                          union[m], jac[m])
-        sel = np.lexsort((bb, aa, -jac))[:k]
-        out = pa.table({"src": vids[aa[sel]], "dst": vids[bb[sel]],
-                        "n_common": counts[sel], "n_union": union[sel]})
-        if stats is not None:
-            stats.update({"wall_sec": time.perf_counter() - t0,
-                          "strategy": "broadcast", "pairs": len(pairs)})
-        return out
+        return _broadcast_topk(edges_ds, k, "jaccard", stats, t0)
 
     # join plan: common-neighbor candidates + two degree joins, all
     # Dataset-resident until the k-row result
@@ -208,12 +323,6 @@ def jaccard_topk(edges_ds, k: int = 20, *,
                      "n_union": top["n_union"].to_numpy().astype("int64")})
 
 
-_EMPTY_J = pa.table({"src": pa.array([], pa.int64()),
-                     "dst": pa.array([], pa.int64()),
-                     "n_common": pa.array([], pa.int64()),
-                     "n_union": pa.array([], pa.int64())})
-
-
 def _canonical_and_symmetric(edges_ds):
     """(canonical deduped simple edges, symmetrized ue) Datasets —
     the shared front of the join plans."""
@@ -243,57 +352,6 @@ def _canonical_and_symmetric(edges_ds):
     return edges, ue
 
 
-def _broadcast_pair_counts(edges_ds):
-    """Shared broadcast-CSR front: returns (packed_pairs, counts, vids,
-    indptr) reduced across all wedge spans, or (None,)*4 when the graph
-    has no simple edges or no wedges."""
-    def canon_unique(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
-        kp = lo != hi
-        arr = np.unique(np.stack([lo[kp], hi[kp]], axis=1), axis=0)
-        return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
-
-    pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
-        canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
-        .to_pandas()
-    if not len(pdf):
-        return None, None, None, None
-    pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
-    vids = np.unique(pairs)
-    V = len(vids)
-    assert V < 2**31, "pair packing assumes V < 2^31"
-    s = np.searchsorted(vids, pairs[:, 0]).astype(np.int64)
-    d = np.searchsorted(vids, pairs[:, 1]).astype(np.int64)
-    x = np.concatenate([s, d])
-    y = np.concatenate([d, s])
-    order = np.argsort(x, kind="stable")
-    x_s, y_s = x[order], y[order]
-    indptr = np.zeros(V + 2, dtype=np.int64)
-    np.add.at(indptr, x_s + 1, 1)
-    indptr = np.cumsum(indptr)
-    packed_edges = np.sort((s << 31) | d)
-    ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
-                              ray.put(packed_edges))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    spans = np.array_split(np.arange(len(x_s)),
-                           max(1, min(4 * cpus, len(x_s) // 1024 + 1)))
-    futs = [_pair_count_span.remote(x_s[sp], y_s[sp], ip_ref, ix_ref, pk_ref)
-            for sp in spans if len(sp)]
-    parts = ray.get(futs)
-    allp = np.concatenate([p for p, _ in parts]) if parts \
-        else np.empty(0, np.int64)
-    if not len(allp):
-        return None, None, None, None
-    allc = np.concatenate([c for _, c in parts])
-    o = np.argsort(allp, kind="stable")
-    allp, allc = allp[o], allc[o]
-    bounds = np.flatnonzero(np.r_[True, allp[1:] != allp[:-1]])
-    return allp[bounds], np.add.reduceat(allc, bounds), vids, indptr
-
-
 def common_neighbors_topk(edges_ds, k: int = 20, *,
                           strategy: str = "auto",
                           num_partitions: int | None = None,
@@ -315,90 +373,12 @@ def common_neighbors_topk(edges_ds, k: int = 20, *,
             else "join"
 
     if strategy == "broadcast":
-        def canon_unique(batch: pa.Table) -> pa.Table:
-            s = batch["src"].to_numpy(zero_copy_only=False)
-            d = batch["dst"].to_numpy(zero_copy_only=False)
-            lo = np.minimum(s, d)
-            hi = np.maximum(s, d)
-            kp = lo != hi
-            arr = np.unique(np.stack([lo[kp], hi[kp]], axis=1), axis=0)
-            return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
-
-        pdf = edges_ds.select_columns(["src", "dst"]).map_batches(
-            canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
-            .to_pandas()
-        if not len(pdf):
-            if stats is not None:
-                stats.update({"wall_sec": time.perf_counter() - t0,
-                              "strategy": "broadcast", "pairs": 0})
-            return _EMPTY
-        pairs = np.unique(pdf[["src", "dst"]].to_numpy(), axis=0)
-        vids = np.unique(pairs)
-        V = len(vids)
-        assert V < 2**31, "pair packing assumes V < 2^31"
-        s = np.searchsorted(vids, pairs[:, 0]).astype(np.int64)
-        d = np.searchsorted(vids, pairs[:, 1]).astype(np.int64)
-        x = np.concatenate([s, d])
-        y = np.concatenate([d, s])
-        order = np.argsort(x, kind="stable")
-        x_s, y_s = x[order], y[order]
-        indptr = np.zeros(V + 2, dtype=np.int64)
-        np.add.at(indptr, x_s + 1, 1)
-        indptr = np.cumsum(indptr)
-        packed_edges = np.sort((s << 31) | d)
-        ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
-                                  ray.put(packed_edges))
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        spans = np.array_split(np.arange(len(x_s)),
-                               max(1, min(4 * cpus, len(x_s) // 1024 + 1)))
-        futs = [_pair_count_span.remote(x_s[sp], y_s[sp], ip_ref, ix_ref,
-                                        pk_ref)
-                for sp in spans if len(sp)]
-        parts = ray.get(futs)
-        allp = np.concatenate([p for p, _ in parts]) if parts \
-            else np.empty(0, np.int64)
-        if not len(allp):
-            if stats is not None:
-                stats.update({"wall_sec": time.perf_counter() - t0,
-                              "strategy": "broadcast", "pairs": 0})
-            return _EMPTY
-        allc = np.concatenate([c for _, c in parts])
-        o = np.argsort(allp, kind="stable")
-        allp, allc = allp[o], allc[o]
-        bounds = np.flatnonzero(np.r_[True, allp[1:] != allp[:-1]])
-        out = _topk_table(allp[bounds], np.add.reduceat(allc, bounds),
-                          vids, k)
-        if stats is not None:
-            stats.update({"wall_sec": time.perf_counter() - t0,
-                          "strategy": "broadcast", "num_vertices": V,
-                          "num_simple_edges": len(pairs),
-                          "pairs": len(bounds)})
-        return out
+        return _broadcast_topk(edges_ds, k, "common", stats, t0)
 
     # join plan: everything Dataset-resident, nothing broadcast
     from ray.data.aggregate import Count as CountAgg
 
-    def canon(batch: pa.Table) -> pa.Table:
-        sc = batch["src"].to_numpy(zero_copy_only=False)
-        dc = batch["dst"].to_numpy(zero_copy_only=False)
-        lo = np.minimum(sc, dc)
-        hi = np.maximum(sc, dc)
-        kp = lo != hi
-        return pa.table({"src": lo[kp], "dst": hi[kp]})
-
-    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
-        canon, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby(["src", "dst"]).aggregate(CountAgg(alias_name="_n")) \
-        .drop_columns(["_n"]).materialize()
-
-    def sym(b: pa.Table) -> pa.Table:
-        sc = b["src"].to_numpy(zero_copy_only=False)
-        dc = b["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"x": np.concatenate([sc, dc]),
-                         "y": np.concatenate([dc, sc])})
-
-    ue = edges.map_batches(sym, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
+    edges, ue = _canonical_and_symmetric(edges_ds)
     left = ue.map_batches(lambda b: pa.table({"a": b["x"], "v": b["y"]}),
                           batch_format="pyarrow")
     right = ue.map_batches(lambda b: pa.table({"v2": b["x"], "b": b["y"]}),
