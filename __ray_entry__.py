@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": g.q_bfs_levels,
         "hits": g.q_hits,
         "brand_graph": g.q_brand_graph,
+        "assortativity": g.q_assortativity,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -386,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": an.q_jaccard_pairs,
         "top_tokens": an.q_top_tokens,
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
+        "tfidf_terms": an.q_tfidf_terms,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
     out.update(_link_graph_queries())
@@ -415,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": g.sql_bfs_levels(),
         "hits": g.sql_hits(),
         "brand_graph": g.sql_brand_graph(),
+        "assortativity": g.sql_assortativity(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),
@@ -456,4 +459,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": an.sql_jaccard_pairs(),
         "top_tokens": an.sql_top_tokens(),
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
+        "tfidf_terms": an.sql_tfidf_terms(),
     }

@@ -597,6 +597,78 @@ def sql_doc_tokens_bpe() -> str:
             f"'{pat}')) AS BIGINT) AS n_tokens_bpe FROM documents")
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Document-term frequency statistics — the TF-IDF sufficient
+    statistics table (doc_id, token, tf, df, n_docs) over the corpus.
+
+    The distributed work is all here: per-block tokenize + per-doc
+    term counts (each document lives wholly in one row, so tf needs
+    NO shuffle), one vocab-partitioned groupby for df (O(doc-term
+    pairs) wire traffic), one hash join tf x df on token.  The float
+    score tf*ln(n_docs/df) is deliberately NOT emitted: per the
+    repo's integer-exact convention (see jaccard link prediction —
+    libm ln is not bit-stable across engines) the exact integer
+    sufficient statistics ARE the contract, and scoring is a trivial
+    stateless post-map the caller applies.
+
+    Scale notes: df join is keyed on token so a 100M-term vocabulary
+    hash-partitions instead of broadcasting; n_docs is a scalar
+    aggregate shipped by closure, not a crossed column."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def tf_part(b: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = (txt or "").split()
+            if not t:
+                continue
+            u, c = np.unique(np.asarray(t, dtype=object), return_counts=True)
+            ids.append(np.full(len(u), did, dtype=np.int64))
+            toks.append(u)
+            tfs.append(c.astype(np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": np.concatenate(ids),
+                         "token": pa.array(list(np.concatenate(toks)),
+                                           type=pa.string()),
+                         "tf": np.concatenate(tfs)})
+
+    tf = docs.map_batches(tf_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df = tf.groupby("token").aggregate(Count(alias_name="df")) \
+           .map_batches(lambda b: pa.table({
+               "token_df": b["token"], "df": b["df"].cast(pa.int64())}),
+               batch_format="pyarrow")
+    joined = tf.join(df, join_type="inner", num_partitions=8,
+                     on=("token",), right_on=("token_df",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "token": b["token"],
+            "tf": b["tf"], "df": b["df"],
+            "n_docs": np.full(b.num_rows, n_docs, dtype=np.int64)})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_tfidf_terms() -> str:
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, token), "
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY token) "
+        "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs "
+        "FROM tf JOIN df USING (token)")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Approximate distinct users per event type — mergeable HLL
     sketch (`text/sketch.py`): per-block register partials, one

@@ -327,6 +327,43 @@ def sql_brand_graph() -> str:
         "FROM ce GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the co-occurrence graph: exact int64
+    moments (degree groupby + two hash joins + per-block partials,
+    graph/assortativity.py) and the Pearson coefficient as one
+    fixed-order float64 expression, e6-scaled."""
+    from igpm_pem_ray.graph import assortativity as asst_mod
+
+    mom, r = asst_mod.assortativity(cooccurrence_edges(sf_dir))
+    return pa.table({
+        "m": pa.array([mom["m"]], type=pa.int64()),
+        "sx": pa.array([mom["sx"]], type=pa.int64()),
+        "sxx": pa.array([mom["sxx"]], type=pa.int64()),
+        "sxy": pa.array([mom["sxy"]], type=pa.int64()),
+        "r_e6": pa.array([int(np.floor(r * 1e6 + 0.5))], type=pa.int64()),
+    })
+
+
+def sql_assortativity() -> str:
+    return _with_edges(
+        "ue AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
+        "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree "
+        "FROM ue GROUP BY src), "
+        "ed AS (SELECT d1.degree AS dx, d2.degree AS dy FROM edges e "
+        "JOIN deg d1 ON e.src = d1.vid JOIN deg d2 ON e.dst = d2.vid), "
+        "mom AS (SELECT CAST(2*count(*) AS BIGINT) AS m, "
+        "CAST(sum(dx+dy) AS BIGINT) AS sx, "
+        "CAST(sum(dx*dx+dy*dy) AS BIGINT) AS sxx, "
+        "CAST(sum(2*dx*dy) AS BIGINT) AS sxy FROM ed) "
+        "SELECT m, sx, sxx, sxy, CAST(floor((("
+        "CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / ("
+        "CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))*1e6 + 0.5) AS BIGINT) "
+        "AS r_e6 FROM mom")
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""

@@ -534,3 +534,34 @@ def test_contract_strategies_vs_oracle():
             want_dir[(f"g{a % 7}", f"g{b % 7}")] += 1
     got = {(r.src_group, r.dst_group): r.n_edges for r in out.itertuples()}
     assert got == dict(want_dir)
+
+
+def test_assortativity_vs_brute_force():
+    """degree_moments == exact per-edge brute force; coefficient ==
+    np.corrcoef over the symmetrized endpoint-degree pairs (1e-12)."""
+    from collections import Counter
+
+    from igpm_pem_ray.graph import assortativity as asst_mod
+
+    rng = np.random.RandomState(11)
+    pairs = set()
+    while len(pairs) < 300:
+        a, b = rng.randint(0, 80, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    src = np.array([a for a, _ in sorted(pairs)], dtype=np.int64)
+    dst = np.array([b for _, b in sorted(pairs)], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    mom, r = asst_mod.assortativity(ds, num_partitions=3)
+
+    deg = Counter(src.tolist()) + Counter(dst.tolist())
+    x = np.array([deg[a] for a in src], dtype=np.int64)
+    y = np.array([deg[b] for b in dst], dtype=np.int64)
+    assert mom["m"] == 2 * len(src)
+    assert mom["sx"] == int((x + y).sum())
+    assert mom["sxx"] == int((x * x + y * y).sum())
+    assert mom["sxy"] == int(2 * (x * y).sum())
+    xs = np.concatenate([x, y]).astype(float)
+    ys = np.concatenate([y, x]).astype(float)
+    assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
