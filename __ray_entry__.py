@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": g.q_hits,
         "brand_graph": g.q_brand_graph,
         "assortativity": g.q_assortativity,
+        "scc": g.q_scc,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": g.sql_hits(),
         "brand_graph": g.sql_brand_graph(),
         "assortativity": g.sql_assortativity(),
+        "scc": g.sql_scc(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

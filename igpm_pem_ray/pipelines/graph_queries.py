@@ -364,6 +364,52 @@ def sql_assortativity() -> str:
         "AS r_e6 FROM mom")
 
 
+def oriented_edges(sf_dir: str):
+    """Deterministic CYCLIC directed graph from the co-occurrence
+    pairs: the canonical table is src<dst (a DAG — every SCC
+    trivial), so thin to 1/9 of the pairs by an affine hash (the full
+    graph is so dense any balanced orientation collapses into ONE
+    giant SCC) and direct each kept pair by parity of src+dst.
+    Identical expression in both engines; yields the web-like bow-tie
+    mix (giant SCC + tendrils: at sf0.01, 16 SCCs, largest 663 of
+    2000 vertices)."""
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = (s * 31 + d * 17) % 9 == 0
+        s, d = s[keep], d[keep]
+        flip = (s + d) % 2 == 1
+        return pa.table({"src": np.where(flip, d, s),
+                         "dst": np.where(flip, s, d)})
+
+    return cooccurrence_edges(sf_dir).map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_scc(sf_dir: str) -> pa.Table:
+    """Strongly connected components (trim + coloring + backward
+    reach, graph/scc.py) on the parity-oriented co-occurrence graph;
+    scc = min raw vid in the component."""
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    out = scc_mod.strongly_connected_components(oriented_edges(sf_dir))
+    return out.sort_by([("vid", "ascending")])
+
+
+def sql_scc() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "oriented AS (SELECT CASE WHEN (src+dst)%2=0 THEN src ELSE dst END AS src, "
+        "CASE WHEN (src+dst)%2=0 THEN dst ELSE src END AS dst FROM kept), "
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM oriented "
+        "UNION ALL SELECT dst AS vid FROM oriented) u), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN oriented e ON r.b = e.src), "
+        "mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a) "
+        "SELECT v AS vid, MIN(u) AS scc FROM mutual GROUP BY v ORDER BY vid")
+
+
 def q_rwr(sf_dir: str) -> pa.Table:
     """Reference-parity RWR (restart 0.7, L1 tol 1e-3, rwr.py:15) —
     rows-only; parity covered by test_rwr_reference_parity."""

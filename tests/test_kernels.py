@@ -565,3 +565,103 @@ def test_assortativity_vs_brute_force():
     xs = np.concatenate([x, y]).astype(float)
     ys = np.concatenate([y, x]).astype(float)
     assert abs(r - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+
+
+def _tarjan_scc(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan; returns vertex -> min vid in its SCC."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strong(v0: int) -> None:
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    root = min(comp)
+                    for w in comp:
+                        out[w] = root
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in range(n_vertices):
+        if v in adj or any(v == b for bs in adj.values() for b in bs):
+            if v not in index:
+                strong(v)
+    return out
+
+
+def test_scc_vs_tarjan_oracle():
+    """trim+coloring+backward-reach SCC == iterative Tarjan on seeded
+    random digraphs with planted cycles, tendrils, and a DAG case."""
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    rng = np.random.RandomState(5)
+    cases = []
+    # random digraph (cycles arise naturally at this density)
+    e1 = {(int(a), int(b)) for a, b in rng.randint(0, 60, size=(300, 2)) if a != b}
+    cases.append((60, sorted(e1)))
+    # planted ring + chain tendrils + isolated 2-cycle
+    e2 = [(i, (i + 1) % 10) for i in range(10)]           # 10-ring
+    e2 += [(10 + i, 11 + i) for i in range(5)]            # chain (trivial sccs)
+    e2 += [(15, 10), (20, 21), (21, 20), (5, 15)]         # 2-cycle + bridge
+    cases.append((22, e2))
+    # pure DAG: all sccs trivial
+    e3 = [(a, b) for a in range(12) for b in range(a + 1, 12) if (a + b) % 3 == 0]
+    cases.append((12, e3))
+    for n, edges in cases:
+        want = _tarjan_scc(n, edges)
+        src = np.array([a for a, _ in edges], dtype=np.int64)
+        dst = np.array([b for _, b in edges], dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        stats: dict = {}
+        out = scc_mod.strongly_connected_components(ds, stats=stats)
+        got = dict(zip(out["vid"].to_pylist(), out["scc"].to_pylist()))
+        assert got == want
+        assert stats["sweeps"] >= 0
+
+
+def test_scc_giant_cycle_and_determinism():
+    """One V-cycle is a single SCC labeled by its min vid; repeated
+    runs produce identical tables (deterministic reducers)."""
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    n = 50
+    src = np.arange(n, dtype=np.int64) + 100
+    dst = np.roll(src, -1)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    a = scc_mod.strongly_connected_components(ds)
+    b = scc_mod.strongly_connected_components(ds)
+    assert a.equals(b)
+    assert set(a["scc"].to_pylist()) == {100}
