@@ -344,7 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": g.q_hits,
         "brand_graph": g.q_brand_graph,
         "assortativity": g.q_assortativity,
+        "reciprocity": g.q_reciprocity,
+        "two_hop": g.q_two_hop,
         "scc": g.q_scc,
+        "scc_shuffle": g.q_scc_shuffle,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -359,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_window_filter": r.q_ts_window_filter,
         "distinct_union": r.q_distinct_union,
         "sessionize_events": r.q_sessionize,
+        "event_funnel": r.q_event_funnel,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -389,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": an.q_top_tokens,
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
         "tfidf_terms": an.q_tfidf_terms,
+        "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
     out.update(_link_graph_queries())
@@ -419,7 +424,10 @@ def oracle_sql() -> dict[str, str]:
         "hits": g.sql_hits(),
         "brand_graph": g.sql_brand_graph(),
         "assortativity": g.sql_assortativity(),
+        "reciprocity": g.sql_reciprocity(),
+        "two_hop": g.sql_two_hop(),
         "scc": g.sql_scc(),
+        "scc_shuffle": g.sql_scc(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),
@@ -433,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_window_filter": r.sql_ts_window_filter(),
         "distinct_union": r.sql_distinct_union(),
         "sessionize_events": r.sql_sessionize(),
+        "event_funnel": r.sql_event_funnel(),
         "latest_events": r.sql_latest_events(),
         "topk_per_customer": r.sql_topk_per_customer(),
         "sliding_window": r.sql_sliding_window(),
@@ -462,4 +471,5 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": an.sql_top_tokens(),
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
         "tfidf_terms": an.sql_tfidf_terms(),
+        "word_bigrams": an.sql_word_bigrams(),
     }

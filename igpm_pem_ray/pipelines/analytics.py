@@ -570,6 +570,52 @@ def sql_top_tokens() -> str:
         f"LIMIT {TOP_TOKENS_K}")
 
 
+BIGRAM_K = 20
+
+
+def q_word_bigrams(sf_dir: str):
+    """Corpus top-k word bigrams — the n-gram language-model
+    statistics pass every training corpus gets.  Same partial-count
+    shape as ``q_top_tokens``: a document lives wholly in one row so
+    bigram extraction needs NO shuffle; the wire carries one row per
+    (block, distinct-bigram) into a single groupby-sum, then a tiny
+    sorted-limit merge.  Deterministic tie-break (count desc, bigram
+    asc)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for txt in b["text"].to_pylist():
+            t = (txt or "").split()
+            grams.extend(f"{x} {y}" for x, y in zip(t[:-1], t[1:]))
+        if not grams:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table({"bigram": pa.array(list(u), type=pa.string()),
+                         "n": c.astype(np.int64)})
+
+    return docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "bigram": b["bigram"], "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .sort(["n", "bigram"], descending=[True, False]).limit(BIGRAM_K)
+
+
+def sql_word_bigrams() -> str:
+    return (
+        r"WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '') AS toks FROM documents), "
+        "ix AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t WHERE len(toks) >= 2), "
+        "g AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram FROM ix) "
+        "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g "
+        "GROUP BY bigram ORDER BY n DESC, bigram "
+        f"LIMIT {BIGRAM_K}")
+
+
 def q_doc_tokens_bpe(sf_dir: str):
     """BPE-ish regex token count per document (words incl. simple
     contractions + individual punctuation, `text/analysis._TOKEN`) —

@@ -396,6 +396,18 @@ def q_scc(sf_dir: str) -> pa.Table:
     return out.sort_by([("vid", "ascending")])
 
 
+def q_scc_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident SCC (the 10^12-V strategy) on the same
+    parity-oriented graph — hash-verified against the same recursive
+    mutual-reachability oracle as the dense variant."""
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    out = scc_mod.strongly_connected_components_shuffle(
+        oriented_edges(sf_dir))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["vid", "scc"]).sort_by([("vid", "ascending")])
+
+
 def sql_scc() -> str:
     return _with_edges(
         "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
@@ -408,6 +420,110 @@ def sql_scc() -> str:
         "mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1 "
         "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a) "
         "SELECT v AS vid, MIN(u) AS scc FROM mutual GROUP BY v ORDER BY vid")
+
+
+def directed_edges(sf_dir: str):
+    """Directed graph WITH reciprocal pairs: both orientations of each
+    canonical pair are candidate edges, each kept independently by an
+    affine hash (keep iff (s*31+d*17)%3==0) — so ~1/9 of pairs keep
+    BOTH directions.  The parity orientation (``oriented_edges``)
+    can't express reciprocity: it emits one direction per pair by
+    construction.  Identical expression in both engines."""
+    def both(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        cs = np.concatenate([s, d])
+        cd = np.concatenate([d, s])
+        keep = (cs * 31 + cd * 17) % 3 == 0
+        return pa.table({"src": cs[keep], "dst": cd[keep]})
+
+    return cooccurrence_edges(sf_dir).map_batches(
+        both, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DIRECTED_SQL = (
+    "directed AS (SELECT s AS src, d AS dst FROM ("
+    "SELECT src AS s, dst AS d FROM edges "
+    "UNION ALL SELECT dst AS s, src AS d FROM edges) b "
+    "WHERE (s*31+d*17)%3=0)")
+
+
+def q_reciprocity(sf_dir: str) -> pa.Table:
+    """Edge reciprocity of the directed graph: the fraction of edges
+    (u,v) whose reverse (v,u) is also present — a standard digraph
+    statistic (web graphs ~0.25, social graphs ~0.7).  One
+    self-hash-join on the swapped key pair; counts are exact int64,
+    ratio e6-scaled per the integer-exact convention."""
+    edges = directed_edges(sf_dir).materialize()
+    n_edges = edges.count()
+    rev = edges.map_batches(
+        lambda b: pa.table({"r_src": b["dst"], "r_dst": b["src"]}),
+        batch_format="pyarrow")
+    n_recip = edges.join(rev, join_type="inner", num_partitions=8,
+                         on=("src", "dst"), right_on=("r_src", "r_dst")) \
+        .count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_recip": pa.array([n_recip], pa.int64()),
+        "reciprocity_e6": pa.array(
+            [int(np.floor(n_recip * 1e6 / max(n_edges, 1) + 0.5))],
+            pa.int64()),
+    })
+
+
+def sql_reciprocity() -> str:
+    return _with_edges(
+        f"{_DIRECTED_SQL}, "
+        "r AS (SELECT count(*) AS n_recip FROM directed a "
+        "JOIN directed b ON a.src=b.dst AND a.dst=b.src), "
+        "t AS (SELECT count(*) AS n_edges FROM directed) "
+        "SELECT CAST(t.n_edges AS BIGINT) AS n_edges, "
+        "CAST(r.n_recip AS BIGINT) AS n_recip, "
+        "CAST(floor(r.n_recip*1e6/greatest(t.n_edges,1)+0.5) AS BIGINT) "
+        "AS reciprocity_e6 FROM t, r")
+
+
+def q_two_hop(sf_dir: str) -> pa.Table:
+    """Distinct 2-hop out-neighborhood size per vertex (excluding the
+    vertex itself) on the thinned oriented graph: one mid-keyed
+    self-join (edges |X| edges on dst=src), vectorized self-filter,
+    distinct via (src,dst2) groupby, then a count groupby.  Scale
+    note: the join fan-out is sum over mids of indeg*outdeg — on the
+    full web graph this runs after hub-splitting (stages/partition)
+    or on the thinned graph; documented rather than silently capped."""
+    from ray.data.aggregate import Count, Min
+
+    edges = oriented_edges(sf_dir).materialize()
+    hop2 = edges.rename_columns({"src": "a", "dst": "mid"}) \
+        .join(edges.rename_columns({"src": "mid2", "dst": "b"}),
+              join_type="inner", num_partitions=8,
+              on=("mid",), right_on=("mid2",))
+
+    def noself(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["b"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        return pa.table({"vid": a[keep], "nb": c[keep]})
+
+    pairs = hop2.map_batches(noself, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["vid", "nb"]).aggregate(Min("nb", alias_name="_m")) \
+        .groupby("vid").aggregate(Count(alias_name="n_two_hop"))
+    t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    return pa.table({"vid": t["vid"],
+                     "n_two_hop": t["n_two_hop"].cast(pa.int64())}) \
+        .sort_by([("vid", "ascending")])
+
+
+def sql_two_hop() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "oriented AS (SELECT CASE WHEN (src+dst)%2=0 THEN src ELSE dst END "
+        "AS src, CASE WHEN (src+dst)%2=0 THEN dst ELSE src END AS dst "
+        "FROM kept) "
+        "SELECT a.src AS vid, CAST(count(DISTINCT b.dst) AS BIGINT) "
+        "AS n_two_hop FROM oriented a JOIN oriented b ON a.dst = b.src "
+        "WHERE b.dst <> a.src GROUP BY a.src ORDER BY vid")
 
 
 def q_rwr(sf_dir: str) -> pa.Table:

@@ -297,6 +297,70 @@ def sql_ts_window_filter() -> str:
             "GROUP BY event_type")
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered three-stage funnel (signup -> click -> purchase) over
+    the event stream: users who signed up, then clicked AFTER their
+    first signup, then purchased AFTER that first qualifying click.
+    Classic product-analytics operator; each stage is one per-user min
+    aggregate + one user-keyed hash join + a vectorized ts filter —
+    user_id-partitioned end-to-end, so a billion-user table shuffles
+    by key instead of broadcasting."""
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "t": _ts_us(batch),
+                         "et": batch["event_type"]})
+
+    base = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def stage(prev, et: str, alias: str):
+        """per-user min event time of type `et` strictly after prev's
+        per-user cutoff column (`prev` has user_id + 'cut')."""
+        cand = base.map_batches(
+            lambda b, e=et: b.filter(pc.equal(b["et"], e))
+            .select(["user_id", "t"]),
+            batch_format="pyarrow")
+        if prev is None:
+            got = cand
+        else:
+            got = cand.join(prev, join_type="inner", num_partitions=8,
+                            on=("user_id",)) \
+                .map_batches(lambda b: b.filter(
+                    pc.greater(b["t"], b["cut"])).select(["user_id", "t"]),
+                    batch_format="pyarrow")
+        return got.groupby("user_id").aggregate(
+            Min("t", alias_name="cut")).materialize()
+
+    a = stage(None, "signup", "a")
+    b = stage(a, "click", "b")
+    c = stage(b, "purchase", "c")
+    return pa.table({
+        "n_signup": pa.array([a.count()], pa.int64()),
+        "n_signup_click": pa.array([b.count()], pa.int64()),
+        "n_signup_click_purchase": pa.array([c.count()], pa.int64()),
+    })
+
+
+def sql_event_funnel() -> str:
+    return (
+        "WITH a AS (SELECT user_id, min(epoch_us(ts)) AS cut FROM events "
+        "WHERE event_type='signup' GROUP BY user_id), "
+        "b AS (SELECT e.user_id, min(epoch_us(e.ts)) AS cut FROM events e "
+        "JOIN a ON e.user_id=a.user_id "
+        "WHERE e.event_type='click' AND epoch_us(e.ts) > a.cut "
+        "GROUP BY e.user_id), "
+        "c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS cut FROM events e "
+        "JOIN b ON e.user_id=b.user_id "
+        "WHERE e.event_type='purchase' AND epoch_us(e.ts) > b.cut "
+        "GROUP BY e.user_id) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_signup, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM b) AS n_signup_click, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM c) "
+        "AS n_signup_click_purchase")
+
+
 # ---------------- O6: seeded deterministic sampling ----------------
 
 # affine-hash sampling constants: identical expression on both engines,

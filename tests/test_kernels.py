@@ -665,3 +665,22 @@ def test_scc_giant_cycle_and_determinism():
     b = scc_mod.strongly_connected_components(ds)
     assert a.equals(b)
     assert set(a["scc"].to_pylist()) == {100}
+
+
+def test_scc_shuffle_parity_vs_dense():
+    """Dataset-resident SCC == dense SCC on a seeded random digraph
+    (both = Tarjan via test_scc_vs_tarjan_oracle)."""
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    rng = np.random.RandomState(11)
+    e = {(int(a), int(b)) for a, b in rng.randint(0, 40, size=(160, 2)) if a != b}
+    t = pa.table({"src": np.array([a for a, _ in sorted(e)], np.int64),
+                  "dst": np.array([b for _, b in sorted(e)], np.int64)})
+    dense = scc_mod.strongly_connected_components(rd.from_arrow(t))
+    want = dict(zip(dense["vid"].to_pylist(), dense["scc"].to_pylist()))
+    stats: dict = {}
+    sh = scc_mod.strongly_connected_components_shuffle(
+        rd.from_arrow(t), stats=stats).to_pandas()
+    got = dict(zip(sh["vid"].tolist(), sh["scc"].tolist()))
+    assert got == want
+    assert stats["strategy"] == "shuffle"

@@ -136,3 +136,29 @@ def test_lp_shuffle_resume_equivalence(edges_ds, tmp_path):
         .sort_values("vid").reset_index(drop=True)
     assert want.equals(got)
     assert stats["rounds"] >= 2  # resumed past the interrupted round
+
+
+def test_scc_shuffle_resume_equivalence(tmp_path):
+    """scc_shuffle: interrupt after one outer round / resume equals the
+    uninterrupted run (peeled SCCs frozen; decomposition unique), same
+    save_state_ds protocol as the K1-K3 shuffle siblings."""
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import scc as scc_mod
+
+    # two 6-cycles bridged by a path + tendrils: >1 outer round of work
+    src = list(range(6)) + [i + 10 for i in range(6)] + [5, 20, 21]
+    dst = [(i + 1) % 6 for i in range(6)] \
+        + [(i + 1) % 6 + 10 for i in range(6)] + [10, 21, 0]
+    t = pa.table({"src": np.array(src, np.int64),
+                  "dst": np.array(dst, np.int64)})
+    want = scc_mod.strongly_connected_components_shuffle(
+        rd.from_arrow(t)).to_pandas().sort_values("vid").reset_index(drop=True)
+    ck = str(tmp_path / "sccs")
+    scc_mod.strongly_connected_components_shuffle(
+        rd.from_arrow(t), max_rounds=1, checkpoint_dir=ck)
+    stats: dict = {}
+    got = scc_mod.strongly_connected_components_shuffle(
+        rd.from_arrow(t), checkpoint_dir=ck, resume=True, stats=stats) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
