@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop": g.q_two_hop,
         "scc": g.q_scc,
         "scc_shuffle": g.q_scc_shuffle,
+        "distance_hist": g.q_distance_hist,
+        "harmonic_centrality": g.q_harmonic_centrality,
+        "effective_diameter": g.q_effective_diameter,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -428,6 +431,8 @@ def oracle_sql() -> dict[str, str]:
         "two_hop": g.sql_two_hop(),
         "scc": g.sql_scc(),
         "scc_shuffle": g.sql_scc(),
+        "distance_hist": g.sql_distance_hist(),
+        "harmonic_centrality": g.sql_harmonic_centrality(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

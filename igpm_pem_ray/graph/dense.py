@@ -146,16 +146,20 @@ def _prep_block_rev(block: pa.Table) -> dict:
             "lo": int(s_sorted[0]), "hi": int(s_sorted[-1])}
 
 
+_PASS_UFUNCS = {"sum": np.add, "min": np.minimum, "max": np.maximum,
+                "or": np.bitwise_or}
+
+
 @ray.remote
 def _pass_reduce_rev(prep: dict, values, op: str, init):
     """Gather-scatter along REVERSED edges (dst -> src messages)."""
     if prep["n"] == 0:
         return 0, None
     w = values[prep["gather"]]
-    red = {"sum": np.add, "min": np.minimum, "max": np.maximum}[op]
-    seg = red.reduceat(w, prep["bounds"])
+    seg = _PASS_UFUNCS[op].reduceat(w, prep["bounds"], axis=0)
     lo = prep["lo"]
-    out = np.full(prep["hi"] - lo + 1, init, dtype=values.dtype)
+    out = np.full((prep["hi"] - lo + 1,) + values.shape[1:], init,
+                  dtype=values.dtype)
     out[prep["uniq"] - lo] = seg
     return lo, out
 
@@ -167,10 +171,10 @@ def _pass_reduce(prep: dict, values, op: str, init):
     if prep["n_edges"] == 0:
         return 0, None
     w = values[prep["src_sorted"]]
-    red = {"sum": np.add, "min": np.minimum, "max": np.maximum}[op]
-    seg = red.reduceat(w, prep["bounds"])
+    seg = _PASS_UFUNCS[op].reduceat(w, prep["bounds"], axis=0)
     lo = prep["lo"]
-    out = np.full(prep["hi"] - lo + 1, init, dtype=values.dtype)
+    out = np.full((prep["hi"] - lo + 1,) + values.shape[1:], init,
+                  dtype=values.dtype)
     out[prep["dst_uniq"] - lo] = seg
     return lo, out
 
@@ -419,7 +423,8 @@ def extend_dense_graph(g: DenseGraph, batch_ds) -> DenseGraph:
     return g2
 
 
-_REDUCERS = {"sum": (np.add, Sum), "min": (np.minimum, Min), "max": (np.maximum, Max)}
+_REDUCERS = {"sum": (np.add, Sum), "min": (np.minimum, Min),
+             "max": (np.maximum, Max), "or": (np.bitwise_or, None)}
 
 
 def msg_pass(g: DenseGraph, values: np.ndarray, *, reduce: str = "sum",
@@ -438,7 +443,10 @@ def msg_pass(g: DenseGraph, values: np.ndarray, *, reduce: str = "sum",
     """
     V = g.num_vertices
     np_red, _ = _REDUCERS[reduce]
-    out = np.full(V, init, dtype=values.dtype)
+    # values may be 2-D (V x W) for bit-parallel / register kernels
+    # (multi-source BFS bitsets, HyperBall HLL registers): the per-
+    # partition reduceat runs along axis 0 and slices stay row-blocks.
+    out = np.full((V,) + values.shape[1:], init, dtype=values.dtype)
     if V == 0 or g.num_edges == 0:
         return out
     vref = ray.put(values)

@@ -1,0 +1,220 @@
+"""Distance-based graph analytics: distance histogram, neighborhood
+function, harmonic centrality, effective diameter.
+
+Two strategies, parity-tested against each other (the K1-K3 two-path
+story):
+
+- ``exact``: bit-parallel multi-source BFS.  Sources are processed in
+  chunks of ``64*chunk_words`` bits; one chunk rides a single
+  ``uint64[V, W]`` bitset through ``msg_pass(reduce="or")`` rounds
+  over the pinned dense partitions (the classic bit-parallel APSP —
+  each OR-gather covers 64*W sources at once, so a sweep is
+  ``ceil(V / 64W)`` independent chunk passes of O(E * W) vectorized
+  work each).  Nothing V^2 is ever materialized: per-chunk state is
+  V*W*8 bytes and chunks are independent (restartable / fan-out-able).
+
+- ``hll``: HyperBall (Boldi, Rosa, Vigna, "HyperANF" WWW 2011 /
+  HyperBall 2013): per-vertex HyperLogLog registers (``uint8[V, m]``)
+  propagated by ``msg_pass(reduce="max")``; after round d the row
+  estimate approximates |ball(v, d)|.  O(E * m) work per round and
+  V*m bytes of state TOTAL for all sources simultaneously — the
+  10^12-vertex strategy for effective-diameter estimation, where the
+  exact sweep's V/64W chunk passes are no longer affordable.
+
+The graph is treated as undirected WITHOUT materializing the
+symmetrized edge set: every exchange runs ``directions="both"`` over
+the directed build (same convention as graph/bfs.py).
+
+No reference analog (the reference computes no distance statistics —
+SURVEY.md section 2); this is a web-graph analytics operator
+(effective diameter / centrality are standard Common-Crawl-scale
+measurements).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from igpm_pem_ray.graph.dense import DenseGraph, build_dense_graph, msg_pass
+from igpm_pem_ray.text.sketch import _hash64
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount_rows(bits: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a (V, W) uint64 bitset, int64 out."""
+    return _POP8[bits.view(np.uint8).reshape(bits.shape[0], -1)] \
+        .sum(axis=1, dtype=np.int64)
+
+
+def _as_graph(edges) -> DenseGraph:
+    if isinstance(edges, DenseGraph):
+        return edges
+    return build_dense_graph(edges)
+
+
+def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
+                   harmonic_scale: int = 1_000_000):
+    """One exact bit-parallel sweep -> (hist, harmonic).
+
+    hist: int64[max_depth+1]; hist[d] = number of ORDERED vertex pairs
+    (u, v), u != v, with undirected distance exactly d (1-indexed;
+    hist[0] unused).  harmonic: int64[V] where harmonic[i] =
+    sum over u reached at depth d <= max_depth of
+    round(harmonic_scale / d) — integer-exact harmonic centrality of
+    vids[i] (depth-capped), safe to hash across engines.
+
+    Memory: per chunk the broadcast bitset is V * chunk_words * 8
+    bytes (128 B/vertex at the default); at larger V lower
+    chunk_words and/or fan chunks out as parallel jobs — chunks share
+    nothing but the pinned graph blocks.
+    """
+    g = _as_graph(edges)
+    V = g.num_vertices
+    hist = np.zeros(max_depth + 1, dtype=np.int64)
+    harmonic = np.zeros(V, dtype=np.int64)
+    if V == 0:
+        return hist, harmonic
+    inv = np.zeros(max_depth + 1, dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        inv[d] = int(np.floor(harmonic_scale / d + 0.5))
+    span = 64 * chunk_words
+    for start in range(0, V, span):
+        chunk = np.arange(start, min(start + span, V))
+        w = (len(chunk) + 63) // 64
+        reach = np.zeros((V, w), dtype=np.uint64)
+        loc = chunk - start
+        reach[chunk, loc // 64] = np.uint64(1) << (loc % 64).astype(np.uint64)
+        rowpop = _popcount_rows(reach)
+        for d in range(1, max_depth + 1):
+            nxt = reach | msg_pass(g, reach, reduce="or", init=0,
+                                   directions="both")
+            newpop = _popcount_rows(nxt)
+            new = newpop - rowpop
+            n_new = int(new.sum())
+            if n_new == 0:
+                break
+            hist[d] += n_new
+            harmonic += new * inv[d]
+            reach, rowpop = nxt, newpop
+    return hist, harmonic
+
+
+def distance_histogram(edges, *, max_depth: int,
+                       chunk_words: int = 16) -> pa.Table:
+    """(d, n_pairs) for d = 1..max_depth (ordered pairs at exact
+    undirected distance d); zero-count depths included so the output
+    schema/rowcount is input-independent."""
+    hist, _ = distance_stats(edges, max_depth=max_depth,
+                             chunk_words=chunk_words)
+    d = np.arange(1, max_depth + 1, dtype=np.int64)
+    return pa.table({"d": d, "n_pairs": hist[1:]})
+
+
+def harmonic_centrality(edges, *, max_depth: int, chunk_words: int = 16,
+                        scale: int = 1_000_000) -> pa.Table:
+    """(vid, harmonic_e6): depth-capped harmonic centrality
+    sum_{u: d(u,v) <= max_depth} round(1e6 / d(u,v)) — exact int64."""
+    g = _as_graph(edges)
+    _, harm = distance_stats(g, max_depth=max_depth,
+                             chunk_words=chunk_words,
+                             harmonic_scale=scale)
+    return pa.table({"vid": g.vids.astype(np.int64), "harmonic_e6": harm})
+
+
+# ---------- HyperBall (HLL) scale path ----------
+
+_HB_M = 64  # registers/vertex: ~13% per-row standard error, tight
+            # for the SUM over rows used by the neighborhood function
+
+
+def _init_registers(vids: np.ndarray, m: int = _HB_M) -> np.ndarray:
+    """Each vertex's singleton-{vid} HLL: one register set to the rank
+    of its hash suffix (same splitmix64 + p-bit bucket scheme as
+    text/sketch.py)."""
+    h = _hash64(vids.astype(np.uint64))
+    p = int(np.log2(m))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    lz = np.zeros(len(h), dtype=np.int64)
+    s = suffix.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = s < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        s[mask] = s[mask] << np.uint64(shift)
+    regs = np.zeros((len(vids), m), dtype=np.uint8)
+    regs[np.arange(len(vids)), reg] = (lz + 1).astype(np.uint8)
+    return regs
+
+
+def _hll_row_estimates(regs: np.ndarray) -> np.ndarray:
+    """Vectorized per-row HLL estimate with linear-counting
+    correction (float64[V])."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    est[small] = lin[small]
+    return est
+
+
+def neighborhood_function_hll(edges, *, max_depth: int,
+                              m: int = _HB_M) -> pa.Table:
+    """HyperBall: (d, approx_pairs) where approx_pairs ~ number of
+    ordered pairs (u, v), u != v, within distance <= d (cumulative,
+    the classic neighborhood function N(d)).  One msg_pass(max) per
+    round over ALL sources at once; state is uint8[V, m]."""
+    g = _as_graph(edges)
+    V = g.num_vertices
+    if V == 0:
+        return pa.table({"d": pa.array([], pa.int64()),
+                         "approx_pairs": pa.array([], pa.int64())})
+    regs = _init_registers(g.vids, m)
+    rows = []
+    for d in range(1, max_depth + 1):
+        nbr = msg_pass(g, regs, reduce="max", init=0, directions="both")
+        nxt = np.maximum(regs, nbr)
+        # ball estimate includes the vertex itself -> subtract V for
+        # the distinct-pair convention shared with the exact sweep
+        n = float(_hll_row_estimates(nxt).sum()) - V
+        rows.append((d, max(int(round(n)), 0)))
+        if np.array_equal(nxt, regs):
+            break
+        regs = nxt
+    return pa.table({"d": pa.array([r[0] for r in rows], pa.int64()),
+                     "approx_pairs": pa.array([r[1] for r in rows],
+                                              pa.int64())})
+
+
+def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
+                       strategy: str = "hll") -> dict:
+    """Smallest d with N(d) >= q * N(max); interpolated like HyperANF
+    reports it is NOT — we return the integer convention (smallest
+    whole d) so both strategies agree exactly on discrete inputs.
+
+    Returns {"effective_diameter": d, "n_pairs_total": N(max),
+    "depth_converged": last d that added pairs}.
+    """
+    if strategy == "hll":
+        t = neighborhood_function_hll(edges, max_depth=max_depth)
+        cum = t["approx_pairs"].to_numpy().astype(np.int64)
+        depths = t["d"].to_numpy()
+    elif strategy == "exact":
+        hist, _ = distance_stats(edges, max_depth=max_depth)
+        cum = np.cumsum(hist[1:])
+        depths = np.arange(1, max_depth + 1)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if len(cum) == 0 or cum[-1] == 0:
+        return {"effective_diameter": 0, "n_pairs_total": 0,
+                "depth_converged": 0}
+    total = int(cum[-1])
+    idx = int(np.searchsorted(cum, q * total))
+    grew = np.flatnonzero(np.diff(np.r_[0, cum]))
+    return {"effective_diameter": int(depths[min(idx, len(depths) - 1)]),
+            "n_pairs_total": total,
+            "depth_converged": int(depths[grew[-1]]) if len(grew) else 0}

@@ -651,3 +651,91 @@ def sql_degree_distribution() -> str:
         "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree FROM ue GROUP BY src) "
         "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg "
         "GROUP BY degree ORDER BY degree")
+
+
+# ---------- distance analytics (graph/distance.py) ----------
+
+DIST_MAX_DEPTH = 4
+
+
+def thinned_edges(sf_dir: str):
+    """Undirected 1/9-thinned co-occurrence graph (the same affine
+    keep-hash as ``oriented_edges`` but WITHOUT the orientation —
+    canonical src<dst rows; distance kernels exchange both directions
+    at message time).  Thinning keeps the all-pairs SQL oracle's
+    recursive working set small; identical expression in both
+    engines."""
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        k = (s * 31 + d * 17) % 9 == 0
+        return pa.table({"src": s[k], "dst": d[k]})
+
+    return cooccurrence_edges(sf_dir).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_THINNED_UE_SQL = (
+    "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+    "ue AS (SELECT src AS x, dst AS y FROM kept "
+    "UNION ALL SELECT dst AS x, src AS y FROM kept), "
+    "verts AS (SELECT DISTINCT x AS vid FROM ue), "
+    "reach(a, b, d) AS (SELECT vid, vid, 0 FROM verts "
+    "UNION SELECT r.a, e.y, r.d + 1 FROM reach r JOIN ue e ON e.x = r.b "
+    f"WHERE r.d < {DIST_MAX_DEPTH}), "
+    "md AS (SELECT a, b, MIN(d) AS d FROM reach WHERE a <> b GROUP BY a, b)")
+
+
+def q_distance_hist(sf_dir: str) -> pa.Table:
+    """Ordered-pair distance histogram d=1..DIST_MAX_DEPTH on the
+    thinned undirected graph (bit-parallel multi-source BFS,
+    graph/distance.py)."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    return dist_mod.distance_histogram(thinned_edges(sf_dir),
+                                       max_depth=DIST_MAX_DEPTH)
+
+
+def sql_distance_hist() -> str:
+    return _with_edges(
+        _THINNED_UE_SQL + ", "
+        "hist AS (SELECT d, count(*) AS n FROM md GROUP BY d) "
+        f"SELECT CAST(g.d AS BIGINT) AS d, "
+        "CAST(COALESCE(h.n, 0) AS BIGINT) AS n_pairs "
+        f"FROM range(1, {DIST_MAX_DEPTH + 1}) g(d) "
+        "LEFT JOIN hist h ON h.d = g.d ORDER BY d")
+
+
+def q_harmonic_centrality(sf_dir: str) -> pa.Table:
+    """Depth-capped harmonic centrality sum(round(1e6/d(u,v))) on the
+    thinned undirected graph — integer-exact in both engines."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    t = dist_mod.harmonic_centrality(thinned_edges(sf_dir),
+                                     max_depth=DIST_MAX_DEPTH)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_harmonic_centrality() -> str:
+    return _with_edges(
+        _THINNED_UE_SQL + ", "
+        "h AS (SELECT b AS vid, "
+        "SUM(CAST(floor(1e6/d + 0.5) AS BIGINT)) AS s FROM md GROUP BY b) "
+        "SELECT v.vid, CAST(COALESCE(h.s, 0) AS BIGINT) AS harmonic_e6 "
+        "FROM verts v LEFT JOIN h ON h.vid = v.vid ORDER BY v.vid")
+
+
+def q_effective_diameter(sf_dir: str) -> pa.Table:
+    """HyperBall (HLL-register) effective diameter of the thinned
+    graph — rows-only (approximate by construction); the exact-vs-HLL
+    error band is pinned by tests/test_kernels.py."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    r = dist_mod.effective_diameter(thinned_edges(sf_dir),
+                                    q=0.9, max_depth=16, strategy="hll")
+    return pa.table({"effective_diameter": pa.array(
+                         [r["effective_diameter"]], pa.int64()),
+                     "n_pairs_total": pa.array([r["n_pairs_total"]],
+                                               pa.int64()),
+                     "depth_converged": pa.array([r["depth_converged"]],
+                                                 pa.int64())})

@@ -684,3 +684,107 @@ def test_scc_shuffle_parity_vs_dense():
     got = dict(zip(sh["vid"].tolist(), sh["scc"].tolist()))
     assert got == want
     assert stats["strategy"] == "shuffle"
+
+
+def test_distance_stats_vs_bfs_oracle():
+    """Bit-parallel multi-source BFS (hist + harmonic) vs a per-source
+    frontier BFS oracle; chunked run must equal the one-chunk run."""
+    import collections
+
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    rng = np.random.RandomState(7)
+    V, E, MAXD = 250, 700, 5
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    adj = collections.defaultdict(list)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+        adj[d].append(s)
+    present = sorted(adj)
+    inv = [0] + [int(np.floor(1e6 / d + 0.5)) for d in range(1, MAXD + 1)]
+    hist_oracle = np.zeros(MAXD + 1, np.int64)
+    harm_oracle = {v: 0 for v in present}
+    for s0 in present:
+        dist = {s0: 0}
+        dq = collections.deque([s0])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= MAXD:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for v, dd in dist.items():
+            if dd > 0:
+                hist_oracle[dd] += 1
+                harm_oracle[v] += inv[dd]
+
+    hist, harm = dist_mod.distance_stats(ds, max_depth=MAXD)
+    assert (hist == hist_oracle).all()
+    hc = dist_mod.harmonic_centrality(ds, max_depth=MAXD)
+    got = dict(zip(hc["vid"].to_numpy().tolist(),
+                   hc["harmonic_e6"].to_numpy().tolist()))
+    assert got == harm_oracle
+    # chunking is an implementation detail: W=1 (64-source chunks)
+    # must reproduce the single-chunk sweep bit for bit
+    hist1, harm1 = dist_mod.distance_stats(ds, max_depth=MAXD,
+                                           chunk_words=1)
+    assert (hist1 == hist).all() and (harm1 == harm).all()
+
+
+def test_hyperball_error_band_and_effective_diameter():
+    """HyperBall N(d) within the m=64-register error band of the
+    exact neighborhood function; effective diameter agrees with the
+    exact strategy on a well-separated input."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    rng = np.random.RandomState(13)
+    V, E, MAXD = 400, 1100, 6
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+    hist, _ = dist_mod.distance_stats(ds, max_depth=MAXD)
+    exact_cum = np.cumsum(hist[1:])
+    t = dist_mod.neighborhood_function_hll(ds, max_depth=MAXD)
+    approx = t["approx_pairs"].to_numpy()
+    n = min(len(approx), len(exact_cum))
+    rel = np.abs(approx[:n] - exact_cum[:n]) / np.maximum(exact_cum[:n], 1)
+    # m=64 registers -> ~13% standard error on each |ball(v,d)|; the
+    # SUM over 400 rows concentrates, so 25% is a generous band
+    assert rel.max() < 0.25, rel
+
+    ed_exact = dist_mod.effective_diameter(ds, strategy="exact",
+                                           max_depth=MAXD)
+    ed_hll = dist_mod.effective_diameter(ds, strategy="hll",
+                                         max_depth=MAXD)
+    assert abs(ed_exact["effective_diameter"]
+               - ed_hll["effective_diameter"]) <= 1
+    assert ed_exact["n_pairs_total"] == exact_cum[-1]
+
+
+def test_msg_pass_2d_or_and_max():
+    """The 2-D msg_pass contract the distance kernels rely on:
+    bitwise-OR and elementwise max reduce along axis 0."""
+    from igpm_pem_ray.graph.dense import build_dense_graph, msg_pass
+
+    ds = rd.from_arrow(pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                                 "dst": pa.array([1, 2, 0], pa.int64())}))
+    g = build_dense_graph(ds)
+    vals = np.array([[1, 8], [2, 16], [4, 32]], dtype=np.uint64)
+    out = msg_pass(g, vals, reduce="or", init=0)
+    # dst=1 gets src 0's row, dst=2 gets src 1's, dst=0 gets src 2's
+    assert out.tolist() == [[4, 32], [1, 8], [2, 16]]
+    both = msg_pass(g, vals, reduce="or", init=0, directions="both")
+    assert both.tolist() == [[2 | 4, 16 | 32], [1 | 4, 8 | 32],
+                             [1 | 2, 8 | 16]]
+    mx = msg_pass(g, vals.astype(np.int64), reduce="max", init=0,
+                  directions="both")
+    assert mx.tolist() == [[4, 32], [4, 32], [2, 16]]
