@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_hist": g.q_distance_hist,
         "harmonic_centrality": g.q_harmonic_centrality,
         "effective_diameter": g.q_effective_diameter,
+        "random_walks": g.q_random_walks,
+        "pagerank_weighted": g.q_pagerank_weighted,
+        "modularity": g.q_modularity,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -366,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_union": r.q_distinct_union,
         "sessionize_events": r.q_sessionize,
         "event_funnel": r.q_event_funnel,
+        "event_gaps": r.q_event_gaps,
+        "approx_quantiles_price": r.q_approx_quantiles_price,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -433,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
         "scc_shuffle": g.sql_scc(),
         "distance_hist": g.sql_distance_hist(),
         "harmonic_centrality": g.sql_harmonic_centrality(),
+        "random_walks": g.sql_random_walks(),
+        "pagerank_weighted": g.sql_pagerank_weighted(),
+        "modularity": g.sql_modularity(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),
@@ -447,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_union": r.sql_distinct_union(),
         "sessionize_events": r.sql_sessionize(),
         "event_funnel": r.sql_event_funnel(),
+        "event_gaps": r.sql_event_gaps(),
         "latest_events": r.sql_latest_events(),
         "topk_per_customer": r.sql_topk_per_customer(),
         "sliding_window": r.sql_sliding_window(),

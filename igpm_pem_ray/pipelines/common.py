@@ -64,3 +64,31 @@ def cooccurrence_edges(sf_dir: str, *, num_partitions: int = 16):
 
     pairs = j.map_batches(lt, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def cooccurrence_pairs_multi(sf_dir: str, *, num_partitions: int = 16):
+    """The NON-deduplicated co-occurrence pairs: one row per ordered
+    lineitem pair sharing an order (canonical src<dst), so each
+    (src, dst) appears with multiplicity = number of shared orders.
+    This IS the integer-weighted graph in multigraph form — the dense
+    substrate's reduceat sums parallel edges natively, so weighted
+    kernels need no per-edge weight column at all."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    left = li.rename_columns({"l_orderkey": "k", "l_partkey": "src"})
+    right = li.rename_columns({"l_orderkey": "k2", "l_partkey": "dst"})
+    j = left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("k",), right_on=("k2",))
+
+    def lt(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s < d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    return j.map_batches(lt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PAIRS_MULTI_SQL = (
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")

@@ -589,7 +589,10 @@ def sql_component_sizes() -> str:
         "GROUP BY component ORDER BY component")
 
 
-def sql_label_propagation(rounds: int = LP_ROUNDS) -> str:
+def _lp_parts(rounds: int = LP_ROUNDS) -> list[str]:
+    """Unrolled label-propagation CTE chain (argmax count, ties to the
+    smallest label) — shared by the LP oracle and the modularity
+    oracle."""
     parts = [
         "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges) u)",
         "verts AS (SELECT src AS vid FROM ue GROUP BY src)",
@@ -607,7 +610,11 @@ def sql_label_propagation(rounds: int = LP_ROUNDS) -> str:
             f"FROM verts v JOIN {p} p ON v.vid = p.vid "
             f"LEFT JOIN win{k} w ON v.vid = w.vid)"
         )
-    body = ", ".join(parts)
+    return parts
+
+
+def sql_label_propagation(rounds: int = LP_ROUNDS) -> str:
+    body = ", ".join(_lp_parts(rounds))
     return _with_edges(f"{body} SELECT vid, label FROM lp{rounds} ORDER BY vid")
 
 
@@ -739,3 +746,181 @@ def q_effective_diameter(sf_dir: str) -> pa.Table:
                                                pa.int64()),
                      "depth_converged": pa.array([r["depth_converged"]],
                                                  pa.int64())})
+
+
+# ---------- deterministic random walks (graph/walks.py) ----------
+
+WALK_LEN = 3
+
+
+def q_random_walks(sf_dir: str) -> pa.Table:
+    """One RNG-free walk per vertex of the thinned undirected graph,
+    WALK_LEN affine-hash steps (graph/walks.py Dataset-join plan)."""
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir), walk_len=WALK_LEN)
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return t.select(["walker", "step", "vid"]).sort_by(
+        [("walker", "ascending"), ("step", "ascending")])
+
+
+def sql_random_walks() -> str:
+    parts = [
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
+        "ue AS (SELECT DISTINCT x, y FROM (SELECT src AS x, dst AS y "
+        "FROM kept UNION ALL SELECT dst AS x, src AS y FROM kept) b)",
+        "nbr AS (SELECT x AS src, y AS dst, "
+        "row_number() OVER (PARTITION BY x ORDER BY y) - 1 AS r FROM ue)",
+        "deg AS (SELECT src, count(*) AS deg FROM nbr GROUP BY src)",
+        "w0 AS (SELECT src AS walker, src AS v FROM deg)",
+    ]
+    for k in range(1, WALK_LEN + 1):
+        parts.append(
+            f"w{k} AS (SELECT w.walker, n.dst AS v "
+            f"FROM w{k - 1} w JOIN deg d ON d.src = w.v "
+            f"JOIN nbr n ON n.src = w.v "
+            f"AND n.r = (w.walker*1000003 + {k}*7919) % d.deg)")
+    body = ", ".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT walker, {k} AS step, v AS vid FROM w{k}"
+        for k in range(0, WALK_LEN + 1))
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {body} "
+            f"SELECT CAST(walker AS BIGINT) AS walker, "
+            f"CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid "
+            f"FROM ({selects}) u ORDER BY walker, step")
+
+
+# ---------- weighted PageRank (multigraph multiplicity) ----------
+
+def q_pagerank_weighted(sf_dir: str) -> pa.Table:
+    """Integer-weighted PageRank: weight(src,dst) = number of shared
+    orders, expressed as edge MULTIPLICITY (common.
+    cooccurrence_pairs_multi) — the dense substrate's per-partition
+    reduceat sums parallel edges, and outdeg counts rows, so the
+    unweighted kernel computes the weighted recurrence
+    rank*w/sum(w) with zero new code.  Fixed PR_ITERS iterations,
+    e8 fixed-point."""
+    from igpm_pem_ray.pipelines.common import cooccurrence_pairs_multi
+
+    pairs = cooccurrence_pairs_multi(sf_dir)
+    g = build_dense_graph(pairs)
+    rank = pr_mod.pagerank_dense(g, damping=PR_DAMPING, tol=0.0,
+                                 max_iters=PR_ITERS)
+    return pa.table({"vid": g.vids,
+                     "rank_e8": scale_col(rank, float(PR_SCALE))})
+
+
+def sql_pagerank_weighted(n_iters: int = PR_ITERS,
+                          damping: float = PR_DAMPING) -> str:
+    from igpm_pem_ray.pipelines.common import PAIRS_MULTI_SQL
+
+    d = repr(damping)
+    parts = [
+        "ew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w "
+        "FROM pairs GROUP BY src, dst)",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM ew "
+        "UNION ALL SELECT dst AS vid FROM ew) u)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "outdeg AS (SELECT src AS vid, sum(w) AS od FROM ew GROUP BY src)",
+        "r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"dang{k} AS (SELECT COALESCE(sum(r.rank), 0.0) AS mass "
+            f"FROM {p} r LEFT JOIN outdeg o ON r.vid = o.vid "
+            f"WHERE o.vid IS NULL), "
+            f"msg{k} AS (SELECT e.dst AS vid, "
+            f"sum(r.rank * e.w / o.od) AS s "
+            f"FROM ew e JOIN {p} r ON e.src = r.vid "
+            f"JOIN outdeg o ON o.vid = e.src GROUP BY e.dst), "
+            f"r{k} AS (SELECT v.vid, (1.0 - {d})/(SELECT n FROM nv) "
+            f"+ {d} * (COALESCE(m.s, 0.0) "
+            f"+ (SELECT mass FROM dang{k})/(SELECT n FROM nv)) AS rank "
+            f"FROM verts v LEFT JOIN msg{k} m ON v.vid = m.vid)")
+    body = ", ".join(parts)
+    return (f"WITH pairs AS ({PAIRS_MULTI_SQL}), {body} "
+            f"SELECT vid, {sql_scale('rank', PR_SCALE)} AS rank_e8 "
+            f"FROM r{n_iters} ORDER BY vid")
+
+
+# ---------- modularity of the LP partition ----------
+
+def q_modularity(sf_dir: str) -> pa.Table:
+    """Per-community modularity sufficient statistics of the
+    LP_ROUNDS-round label-propagation partition on the undirected
+    co-occurrence graph: (community, n_intra, deg_sum, q_e9) where
+    q = n_intra/m - (deg_sum/2m)^2 (Newman-Girvan per-community
+    term; global Q = sum).  Counts are exact int64; q_e9 is ONE fixed
+    float64 expression per row, identical in both engines.  Plan: one
+    broadcast vid->label lookup (ray.put, the small-side pattern)
+    inside map_batches over the edge table, per-block partial
+    (label, intra, deg) counts, one O(communities) groupby."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    m = edges.count()
+    lab_t = lp_mod.label_propagation(edges, max_rounds=LP_ROUNDS)
+    vids = lab_t["vid"].to_numpy()
+    labels = lab_t["label"].to_numpy()
+    lab_ref = _ray.put((vids, labels))
+
+    def partials(b: pa.Table) -> pa.Table:
+        vv, ll = _ray.get(lab_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ls = ll[np.searchsorted(vv, s)]
+        ld = ll[np.searchsorted(vv, d)]
+        intra_lab, intra_n = np.unique(ls[ls == ld], return_counts=True)
+        deg_lab, deg_n = np.unique(np.concatenate([ls, ld]),
+                                   return_counts=True)
+        lab = np.concatenate([intra_lab, deg_lab])
+        return pa.table({
+            "community": lab.astype(np.int64),
+            "n_intra": np.concatenate(
+                [intra_n, np.zeros(len(deg_lab))]).astype(np.int64),
+            "deg_sum": np.concatenate(
+                [np.zeros(len(intra_lab)), deg_n]).astype(np.int64)})
+
+    agg = edges.map_batches(partials, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("community") \
+        .aggregate(_Sum("n_intra", alias_name="n_intra"),
+                   _Sum("deg_sum", alias_name="deg_sum"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    i = t["n_intra"].to_numpy().astype(np.float64)
+    dg = t["deg_sum"].to_numpy().astype(np.float64)
+    half = dg / (2.0 * m)
+    q = i / m - half * half
+    out = pa.table({"community": t["community"].cast(pa.int64()),
+                    "n_intra": t["n_intra"].cast(pa.int64()),
+                    "deg_sum": t["deg_sum"].cast(pa.int64()),
+                    "q_e9": np.floor(q * 1e9 + 0.5).astype(np.int64)})
+    return out.sort_by([("community", "ascending")])
+
+
+def sql_modularity(rounds: int = LP_ROUNDS) -> str:
+    parts = _lp_parts(rounds)
+    parts.append(
+        f"lab AS (SELECT vid, label FROM lp{rounds}), "
+        "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges), "
+        "intra AS (SELECT la.label AS community, count(*) AS n_intra "
+        "FROM edges e JOIN lab la ON la.vid = e.src "
+        "JOIN lab lb ON lb.vid = e.dst WHERE la.label = lb.label "
+        "GROUP BY la.label), "
+        "deg AS (SELECT src AS vid, count(*) AS degree FROM ue "
+        "GROUP BY src), "
+        "dsum AS (SELECT l.label AS community, sum(d.degree) AS deg_sum "
+        "FROM deg d JOIN lab l ON l.vid = d.vid GROUP BY l.label)")
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} "
+        "SELECT d.community, CAST(COALESCE(i.n_intra, 0) AS BIGINT) "
+        "AS n_intra, CAST(d.deg_sum AS BIGINT) AS deg_sum, "
+        "CAST(floor((CAST(COALESCE(i.n_intra, 0) AS DOUBLE)/mm.m "
+        "- (CAST(d.deg_sum AS DOUBLE)/(2.0*mm.m))"
+        "*(CAST(d.deg_sum AS DOUBLE)/(2.0*mm.m)))*1e9 + 0.5) AS BIGINT) "
+        "AS q_e9 "
+        "FROM dsum d LEFT JOIN intra i ON i.community = d.community, mm "
+        "ORDER BY d.community")

@@ -964,3 +964,63 @@ def sql_cumsum_orders() -> str:
         "  ORDER BY epoch_us(o_orderdate), o_orderkey "
         "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_e2 "
         "FROM orders")
+
+
+# -------- inter-event gaps (lag-diff window aggregate) --------
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event time statistics — the lag()-window shape
+    `us - lag(us) OVER (PARTITION BY user_id ORDER BY us)` aggregated
+    to (n, min, max, sum) per user via sort + per-block reduceat
+    partials + O(blocks) boundary stitch
+    (stages/temporal.gap_stats_per_key); users with >= 2 events."""
+    from igpm_pem_ray.stages.temporal import gap_stats_per_key
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64())})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = gap_stats_per_key(rows)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["key"],
+                         "n_gaps": b["n_gaps"],
+                         "min_gap_us": b["min_gap"],
+                         "max_gap_us": b["max_gap"],
+                         "sum_gap_us": b["sum_gap"]})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_event_gaps() -> str:
+    return (
+        "WITH o AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+        "  lag(CAST(epoch_us(ts) AS BIGINT)) OVER "
+        "    (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev "
+        "  FROM events), "
+        "g AS (SELECT user_id, us - prev AS gap FROM o "
+        "  WHERE prev IS NOT NULL) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(min(gap) AS BIGINT) AS min_gap_us, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+        "CAST(sum(gap) AS BIGINT) AS sum_gap_us "
+        "FROM g GROUP BY user_id ORDER BY user_id")
+
+
+def q_approx_quantiles_price(sf_dir: str):
+    """DDSketch (alpha=0.01 relative error) quantiles of
+    o_totalprice — rows-only (approximate by construction); the
+    error bound vs exact numpy quantiles is pinned by
+    tests/test_text.py::test_ddsketch_error_bound."""
+    from igpm_pem_ray.text.sketch import approx_quantiles
+
+    od = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    t = approx_quantiles(od, col="o_totalprice",
+                         qs=[0.5, 0.9, 0.99], alpha=0.01)
+    return pa.table({"q_e6": t["q_e6"],
+                     "approx_e2": scale_col(t["approx"].to_numpy(), 100.0)})

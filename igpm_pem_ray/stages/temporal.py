@@ -331,3 +331,87 @@ def cumsum_per_key(ds, *, payload_cols: list[str], order_cols=("us",),
         carry = (s["last_key"], out_sum)
         out_refs.append(tref)
     return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote(num_returns=2)
+def _gap_block(block: pa.Table):
+    """Per-block lag-diff partials for gap_stats_per_key: (user_rows
+    of interior-gap stats, boundary summary).  Input block is a slice
+    of the (key, us)-sorted table."""
+    if block.num_rows == 0:
+        return None, None
+    k = block["key"].to_numpy(zero_copy_only=False)
+    us = block["us"].to_numpy(zero_copy_only=False)
+    same = k[1:] == k[:-1]
+    gap = (us[1:] - us[:-1])[same]
+    gk = k[1:][same]
+    if len(gk):
+        uniq, idx = np.unique(gk, return_index=True)
+        # gk is sorted (block is key-sorted): reduceat over segments
+        n = np.diff(np.r_[idx, len(gk)])
+        mn = np.minimum.reduceat(gap, idx)
+        mx = np.maximum.reduceat(gap, idx)
+        sm = np.add.reduceat(gap, idx)
+    else:
+        uniq = np.empty(0, np.int64)
+        n = mn = mx = sm = np.empty(0, np.int64)
+    partial = pa.table({"key": uniq.astype(np.int64),
+                        "n_gaps": n.astype(np.int64),
+                        "min_gap": mn.astype(np.int64),
+                        "max_gap": mx.astype(np.int64),
+                        "sum_gap": sm.astype(np.int64)})
+    summary = {"first_key": int(k[0]), "first_us": int(us[0]),
+               "last_key": int(k[-1]), "last_us": int(us[-1])}
+    return partial, summary
+
+
+def gap_stats_per_key(ds, *, target_blocks: int | None = None):
+    """Inter-event gap statistics per key — the lag()-window shape
+    `us - lag(us) OVER (PARTITION BY key ORDER BY us)` aggregated to
+    (key, n_gaps, min_gap, max_gap, sum_gap), keys with >= 2 rows.
+
+    Consecutive differences of a sorted sequence depend only on the
+    sorted multiset, so ties in ``us`` need no extra tie-break
+    column.  Plan: one sort, per-block vectorized reduceat partials,
+    O(blocks) driver boundary-gap stitch (one extra gap row per
+    adjacent block pair sharing a key), one O(keys) groupby merge.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    srt = ds.sort(["key", "us"])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    empty = pa.table({c: pa.nulls(0, pa.int64())
+                      for c in ("key", "n_gaps", "min_gap", "max_gap",
+                                "sum_gap")})
+    if not refs:
+        return rd.from_arrow(empty)
+    outs = [_gap_block.remote(r) for r in refs]
+    partial_refs = [o[0] for o in outs]
+    summaries = ray.get([o[1] for o in outs])
+
+    # boundary gaps: adjacent non-empty blocks sharing a key
+    bkeys, bgaps = [], []
+    prev = None
+    for s in summaries:
+        if s is None:
+            continue
+        if prev is not None and prev["last_key"] == s["first_key"]:
+            bkeys.append(s["first_key"])
+            bgaps.append(s["first_us"] - prev["last_us"])
+        prev = s
+    bk = np.asarray(bkeys, dtype=np.int64)
+    bg = np.asarray(bgaps, dtype=np.int64)
+    boundary = pa.table({"key": bk, "n_gaps": np.ones(len(bk), np.int64),
+                         "min_gap": bg, "max_gap": bg, "sum_gap": bg})
+
+    parts = rd.from_arrow_refs(
+        [r for r, s in zip(partial_refs, summaries) if s is not None])
+    allparts = parts.union(rd.from_arrow(boundary if len(bk) else empty))
+    return allparts.groupby("key").aggregate(
+        Sum("n_gaps", alias_name="n_gaps"),
+        Min("min_gap", alias_name="min_gap"),
+        Max("max_gap", alias_name="max_gap"),
+        Sum("sum_gap", alias_name="sum_gap"))

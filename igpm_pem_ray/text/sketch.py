@@ -94,3 +94,75 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str):
                             zero_copy_batch=True) \
         .groupby([group_col, "reg"]).aggregate(Max("rank", alias_name="rank"))
     return hll_estimate(merged.to_pandas(), group_col=group_col)
+
+
+# ---------- DDSketch: mergeable relative-error quantiles ----------
+
+def dd_bucket_partial(values: np.ndarray, *, alpha: float = 0.01) -> pa.Table:
+    """Per-block DDSketch partial (Masson, Rim, Lee — VLDB 2019):
+    log-spaced bucket counts with relative accuracy ``alpha``
+    (gamma = (1+a)/(1-a); bucket = ceil(log_gamma x)).  Positive
+    values only; zeros/negatives are counted in the reserved bucket
+    INT64_MIN and surface as "below sketch range".  O(distinct
+    buckets) rows out of a block of any size — mergeable by summing
+    counts, the same partial->groupby shape as the HLL sketch."""
+    x = np.asarray(values, dtype=np.float64)
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    pos = x > 0.0
+    b = np.ceil(np.log(x[pos]) / np.log(gamma)).astype(np.int64)
+    if (~pos).any():
+        b = np.concatenate([b, np.full(int((~pos).sum()),
+                                       np.iinfo(np.int64).min, np.int64)])
+    uniq, cnt = np.unique(b, return_counts=True)
+    return pa.table({"bucket": uniq, "n": cnt.astype(np.int64)})
+
+
+def dd_quantiles(buckets: np.ndarray, counts: np.ndarray,
+                 qs: list[float], *, alpha: float = 0.01) -> np.ndarray:
+    """Merged (bucket, count) rows -> quantile estimates (each within
+    relative error alpha of the true value for positive data)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    order = np.argsort(buckets)
+    b, c = buckets[order], counts[order]
+    cum = np.cumsum(c)
+    total = cum[-1] if len(cum) else 0
+    out = np.empty(len(qs))
+    for i, q in enumerate(qs):
+        if total == 0:
+            out[i] = np.nan
+            continue
+        target = max(int(np.ceil(q * total)), 1)
+        j = int(np.searchsorted(cum, target))
+        # bucket midpoint 2*gamma^b/(gamma+1) halves the worst-case
+        # log-bucket width -> the alpha guarantee
+        out[i] = 2.0 * gamma ** b[j] / (gamma + 1.0)
+    return out
+
+
+def approx_quantiles(ds, *, col: str, qs: list[float],
+                     alpha: float = 0.01) -> pa.Table:
+    """Dataset -> (q_e6, approx) DDSketch quantiles of ``col``:
+    per-block bucket partials, ONE O(buckets) groupby-sum shuffle,
+    O(buckets) driver estimate — constant state per block regardless
+    of row count (the 10^12-row alternative to the exact rank-
+    selection plan in relational.q_quantile_events)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        return dd_bucket_partial(
+            b[col].to_numpy(zero_copy_only=False), alpha=alpha)
+
+    merged = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    pdf = merged.to_pandas()
+    if len(pdf) == 0:
+        est = np.full(len(qs), np.nan)
+    else:
+        est = dd_quantiles(pdf["bucket"].to_numpy().astype(np.int64),
+                           pdf["n"].to_numpy().astype(np.int64),
+                           qs, alpha=alpha)
+    return pa.table({"q_e6": np.floor(np.asarray(qs) * 1e6 + 0.5)
+                     .astype(np.int64),
+                     "approx": est})

@@ -788,3 +788,38 @@ def test_msg_pass_2d_or_and_max():
     mx = msg_pass(g, vals.astype(np.int64), reduce="max", init=0,
                   directions="both")
     assert mx.tolist() == [[4, 32], [4, 32], [2, 16]]
+
+
+def test_random_walks_vs_bruteforce():
+    """Dataset-join walk plan vs a per-walker Python oracle (same
+    affine-hash step rule); every walk must follow real edges."""
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    rng = np.random.RandomState(3)
+    V, E, L = 60, 150, 4
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = walks_mod.random_walks(ds, walk_len=L).to_pandas() \
+        .sort_values(["walker", "step"]).reset_index(drop=True)
+
+    adj: dict = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rows = []
+    for w in sorted(adj):
+        v = w
+        rows.append((w, 0, v))
+        for k in range(1, L + 1):
+            nb = sorted(adj[v])
+            v = nb[(w * 1_000_003 + k * 7_919) % len(nb)]
+            rows.append((w, k, v))
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["walker", "step", "vid"])
+    pd.testing.assert_frame_equal(
+        got[["walker", "step", "vid"]].astype("int64"),
+        exp.astype("int64"))

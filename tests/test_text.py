@@ -319,3 +319,52 @@ def test_hll_approx_distinct_error_bound():
         est = int(out.loc[g, "approx_distinct"])
         rel = abs(est - n_distinct) / n_distinct
         assert rel < 0.17, (g, est, n_distinct, rel)
+
+
+def test_ddsketch_error_bound():
+    """DDSketch quantiles within the alpha relative-error guarantee
+    on lognormal data, and partial-merge == single-shot."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from igpm_pem_ray.text.sketch import (approx_quantiles,
+                                          dd_bucket_partial, dd_quantiles)
+
+    rng = np.random.RandomState(5)
+    x = np.exp(rng.normal(4.0, 1.5, 20_000))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    alpha = 0.01
+    ds = rd.from_arrow(pa.table({"v": x})).repartition(8)
+    got = approx_quantiles(ds, col="v", qs=qs, alpha=alpha)["approx"] \
+        .to_numpy()
+    exact = np.quantile(x, qs)
+    rel = np.abs(got - exact) / exact
+    # alpha bound + discreteness slack (rank vs interpolated quantile)
+    assert (rel < alpha + 0.01).all(), rel
+
+    # mergeability: two half partials summed == one full partial
+    p1 = dd_bucket_partial(x[:10_000], alpha=alpha)
+    p2 = dd_bucket_partial(x[10_000:], alpha=alpha)
+    import pandas as pd
+
+    merged = pd.concat([p1.to_pandas(), p2.to_pandas()]) \
+        .groupby("bucket", as_index=False)["n"].sum()
+    est_m = dd_quantiles(merged["bucket"].to_numpy(),
+                         merged["n"].to_numpy(), qs, alpha=alpha)
+    full = dd_bucket_partial(x, alpha=alpha).to_pandas()
+    est_f = dd_quantiles(full["bucket"].to_numpy(),
+                         full["n"].to_numpy(), qs, alpha=alpha)
+    assert np.allclose(est_m, est_f)
+
+
+def test_ddsketch_nonpositive_and_empty():
+    import numpy as np
+
+    from igpm_pem_ray.text.sketch import dd_bucket_partial, dd_quantiles
+
+    t = dd_bucket_partial(np.array([0.0, -3.0, 10.0]))
+    assert t.num_rows == 2  # reserved below-range bucket + one real
+    est = dd_quantiles(np.empty(0, np.int64), np.empty(0, np.int64),
+                       [0.5])
+    assert np.isnan(est[0])
