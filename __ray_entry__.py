@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": g.q_random_walks,
         "pagerank_weighted": g.q_pagerank_weighted,
         "modularity": g.q_modularity,
+        "betweenness_k2": g.q_betweenness_k2,
+        "betweenness_sampled": g.q_betweenness_sampled,
+        "mis": g.q_mis,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -441,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": g.sql_random_walks(),
         "pagerank_weighted": g.sql_pagerank_weighted(),
         "modularity": g.sql_modularity(),
+        "betweenness_k2": g.sql_betweenness_k2(),
+        "mis": g.sql_mis(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),

@@ -924,3 +924,105 @@ def sql_modularity(rounds: int = LP_ROUNDS) -> str:
         "AS q_e9 "
         "FROM dsum d LEFT JOIN intra i ON i.community = d.community, mm "
         "ORDER BY d.community")
+
+
+# ---------- betweenness centrality (graph/betweenness.py) ----------
+
+def q_betweenness_k2(sf_dir: str) -> pa.Table:
+    """Distance-2-bounded Brandes betweenness on the thinned
+    undirected graph: with the BFS capped at depth 2 the only
+    dependency terms are (s, v, t) with dist(s,v)=dist(v,t)=1 and
+    dist(s,t)=2 — exactly the SQL triple join below, so the kernel's
+    forward/backward exchanges are hash-verified end to end."""
+    from igpm_pem_ray.graph import betweenness as bc_mod
+
+    t = bc_mod.betweenness(thinned_edges(sf_dir), max_depth=2)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_betweenness_k2() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "ue AS (SELECT src AS x, dst AS y FROM kept "
+        "UNION ALL SELECT dst AS x, src AS y FROM kept), "
+        "verts AS (SELECT DISTINCT x AS vid FROM ue), "
+        "w1 AS (SELECT x AS a, y AS b, 1.0 AS sigma FROM ue), "
+        "w2r AS (SELECT w.a, e.y AS b, sum(w.sigma) AS sigma "
+        "FROM w1 w JOIN ue e ON e.x = w.b WHERE e.y <> w.a "
+        "GROUP BY w.a, e.y), "
+        "p2 AS (SELECT w2r.a, w2r.b, w2r.sigma FROM w2r "
+        "LEFT JOIN w1 ON w1.a = w2r.a AND w1.b = w2r.b "
+        "WHERE w1.a IS NULL), "
+        "dep AS (SELECT s.b AS vid, "
+        "sum(s.sigma * t.sigma / p.sigma) AS bc "
+        "FROM w1 s JOIN w1 t ON t.a = s.b AND t.b <> s.a "
+        "JOIN p2 p ON p.a = s.a AND p.b = t.b "
+        "GROUP BY s.b) "
+        "SELECT v.vid, CAST(floor(COALESCE(d.bc, 0.0)*0.5*1e6 + 0.5) "
+        "AS BIGINT) AS betweenness_e6 "
+        "FROM verts v LEFT JOIN dep d ON d.vid = v.vid ORDER BY v.vid")
+
+
+def q_betweenness_sampled(sf_dir: str) -> pa.Table:
+    """Full-depth Brandes from every 4th vertex of the sorted domain
+    (Brandes-Pich sampling, V/|S| extrapolation) — rows-only; the
+    exact kernel is pinned to a pure-Python Brandes oracle in
+    tests/test_kernels.py."""
+    from igpm_pem_ray.graph import betweenness as bc_mod
+
+    t = bc_mod.betweenness(thinned_edges(sf_dir), sample_every=4)
+    return t.sort_by([("vid", "ascending")])
+
+
+# ---------- Luby MIS (graph/mis.py) ----------
+
+MIS_ROUNDS = 3
+
+
+def q_mis(sf_dir: str) -> pa.Table:
+    """First MIS_ROUNDS Luby rounds on the thinned undirected graph —
+    intermediate (vid, state 0/1/2), bit-identical to the unrolled
+    SQL oracle; run-to-convergence behavior (independence +
+    maximality) is pinned in tests/test_kernels.py."""
+    from igpm_pem_ray.graph import mis as mis_mod
+
+    t = mis_mod.maximal_independent_set(thinned_edges(sf_dir),
+                                        max_rounds=MIS_ROUNDS)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_mis(rounds: int = MIS_ROUNDS) -> str:
+    parts = [
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
+        "ue AS (SELECT src AS x, dst AS y FROM kept "
+        "UNION ALL SELECT dst AS x, src AS y FROM kept)",
+        "verts AS (SELECT DISTINCT x AS vid FROM ue)",
+        "rk AS (SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS r "
+        "FROM verts)",
+        "st0 AS (SELECT vid, 0 AS state FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"st{k - 1}"
+        parts.append(
+            f"pri{k} AS (SELECT vid, "
+            f"((vid*1103515245 + {k}*12345) % 2147483647) * 2147483648 "
+            f"+ r AS p FROM rk), "
+            f"nb{k} AS (SELECT e.x AS vid, "
+            f"max(CASE WHEN s.state = 0 THEN p.p ELSE -1 END) AS mp "
+            f"FROM ue e JOIN {p} s ON s.vid = e.y "
+            f"JOIN pri{k} p ON p.vid = e.y GROUP BY e.x), "
+            f"new{k} AS (SELECT s.vid FROM {p} s "
+            f"JOIN pri{k} q ON q.vid = s.vid "
+            f"LEFT JOIN nb{k} n ON n.vid = s.vid "
+            f"WHERE s.state = 0 AND q.p > COALESCE(n.mp, -1)), "
+            f"exc{k} AS (SELECT DISTINCT e.x AS vid FROM ue e "
+            f"JOIN new{k} j ON j.vid = e.y), "
+            f"st{k} AS (SELECT s.vid, CASE WHEN s.state <> 0 THEN s.state "
+            f"WHEN j.vid IS NOT NULL THEN 1 "
+            f"WHEN x.vid IS NOT NULL THEN 2 ELSE 0 END AS state "
+            f"FROM {p} s LEFT JOIN new{k} j ON j.vid = s.vid "
+            f"LEFT JOIN exc{k} x ON x.vid = s.vid)")
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} SELECT vid, CAST(state AS BIGINT) AS state "
+        f"FROM st{rounds} ORDER BY vid")

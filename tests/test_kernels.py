@@ -823,3 +823,116 @@ def test_random_walks_vs_bruteforce():
     pd.testing.assert_frame_equal(
         got[["walker", "step", "vid"]].astype("int64"),
         exp.astype("int64"))
+
+
+def test_betweenness_vs_brandes_oracle():
+    """Multi-source vectorized Brandes (2-D msg_pass forward/backward)
+    vs a pure-Python Brandes oracle; chunking must not change the
+    result; sampled variant extrapolates on the same scale."""
+    import collections
+
+    from igpm_pem_ray.graph import betweenness as bc_mod
+
+    rng = np.random.RandomState(11)
+    V, E = 120, 300
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].add(d)
+        adj[d].add(s)
+    verts = sorted(adj)
+    bc = {v: 0.0 for v in verts}
+    for s0 in verts:
+        order = []
+        preds = {v: [] for v in verts}
+        sigma = {v: 0.0 for v in verts}
+        sigma[s0] = 1.0
+        dist = {v: -1 for v in verts}
+        dist[s0] = 0
+        q = collections.deque([s0])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        while order:
+            w = order.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s0:
+                bc[w] += delta[w]
+    oracle = {v: bc[v] / 2.0 for v in verts}
+
+    t = bc_mod.betweenness(ds, chunk_size=37)
+    got = dict(zip(t["vid"].to_numpy().tolist(),
+                   (t["betweenness_e6"].to_numpy() / 1e6).tolist()))
+    assert max(abs(got[v] - oracle[v]) for v in verts) < 2e-5
+
+    t1 = bc_mod.betweenness(ds, chunk_size=1000)
+    assert t1["betweenness_e6"].to_numpy().tolist() \
+        == t["betweenness_e6"].to_numpy().tolist()
+
+    ts = bc_mod.betweenness(ds, sample_every=4)
+    gs = ts["betweenness_e6"].to_numpy() / 1e6
+    ex = np.array([oracle[v] for v in sorted(verts)])
+    assert np.corrcoef(gs, ex)[0, 1] > 0.85
+
+
+def test_mis_independence_and_maximality():
+    """Run-to-convergence Luby MIS: every vertex decided, the MIS is
+    independent (no edge inside) and maximal (every excluded vertex
+    has a MIS neighbor); fixed-round prefix matches the converged
+    run's early decisions."""
+    from igpm_pem_ray.graph import mis as mis_mod
+
+    rng = np.random.RandomState(29)
+    V, E = 200, 600
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # include self-loops: the kernel must drop them (a self-looped
+    # vertex would otherwise see its own priority and loop forever)
+    src = np.r_[src, 5, 17]
+    dst = np.r_[dst, 5, 17]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    stats: dict = {}
+    t = mis_mod.maximal_independent_set(ds, stats=stats)
+    state = dict(zip(t["vid"].to_numpy().tolist(),
+                     t["state"].to_numpy().tolist()))
+    assert all(s in (1, 2) for s in state.values())  # converged
+    in_mis = {v for v, s in state.items() if s == 1}
+    adj: dict = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set())
+        adj.setdefault(d, set())
+        if s != d:  # independence is a simple-graph notion
+            adj[s].add(d)
+            adj[d].add(s)
+    for u in in_mis:
+        assert not (adj[u] & in_mis), "MIS not independent"
+    for v, s in state.items():
+        if s == 2:
+            assert adj[v] & in_mis, "excluded vertex with no MIS neighbor"
+    assert stats["rounds"] >= 1 and stats["mis_size"] == len(in_mis)
+
+    # decisions made in the first 2 rounds are final: the truncated
+    # run must agree wherever it has decided
+    t2 = mis_mod.maximal_independent_set(ds, max_rounds=2)
+    st2 = dict(zip(t2["vid"].to_numpy().tolist(),
+                   t2["state"].to_numpy().tolist()))
+    for v, s in st2.items():
+        if s != 0:
+            assert state[v] == s
