@@ -97,12 +97,36 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         return build.pages_to_extracted(pages, concurrency=4, batch_size=256) \
             .select_columns(["url", "text", "n_links"])
 
+    def link_host_graph(sf_dir: str):
+        from igpm_pem_ray.graph import build
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        ex = build.pages_to_extracted(pages, concurrency=4, batch_size=256)
+        return build.host_edges(ex)
+
+    def link_host_stats(sf_dir: str):
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+        from igpm_pem_ray.graph.build import host_of
+
+        pages = rd.read_parquet(_pages_dir(2_000)) \
+            .select_columns(["url", "lang"])
+
+        def to_host(b: pa.Table) -> pa.Table:
+            return pa.table({"host": host_of(b["url"]),
+                             "lang": b["lang"]})
+
+        return pages.map_batches(to_host, batch_format="pyarrow") \
+            .groupby(["host", "lang"]).aggregate(Count(alias_name="n_pages"))
+
     return {
         "link_extract_edges": link_extract_edges,
         "link_pagerank": link_pagerank,
         "link_components": link_components,
         "link_triangles": link_triangles,
         "link_extract_text": link_text,
+        "link_host_graph": link_host_graph,
+        "link_host_stats": link_host_stats,
     }
 
 

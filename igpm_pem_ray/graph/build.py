@@ -211,3 +211,40 @@ def dedup_edges(edges_ds, *, undirected: bool = False, drop_self_loops: bool = F
     # Per-batch np.unique inside `canon` would be a further combiner;
     # groupby already pre-aggregates per block.
     return canoned.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+
+
+def host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized host extraction (scheme://[user@]HOST[:port]/...) —
+    one pyarrow extract_regex kernel, no Python-string loop; null for
+    non-URL strings (relative hrefs)."""
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(urls, _HOST_RE)
+    return pc.struct_field(st, "host")
+
+
+def host_edges(extracted_ds):
+    """extracted (url, links) -> host-level link graph
+    (src_host, dst_host, n_links): explode hrefs, extract both hosts
+    vectorized, drop non-absolute targets, one (host, host) count
+    groupby — the domain-graph contraction of the page graph done at
+    the STRING level (before vid hashing), the shape Common-Crawl
+    host-graph releases use."""
+    from ray.data.aggregate import Count
+
+    url_edges = extracted_ds.select_columns(["url", "links"]).map_batches(
+        explode_links, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        sh = host_of(batch["src_url"])
+        dh = host_of(batch["dst_url"])
+        t = pa.table({"src_host": sh, "dst_host": dh})
+        return t.drop_null()
+
+    return url_edges.map_batches(to_hosts, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["src_host", "dst_host"]) \
+        .aggregate(Count(alias_name="n_links"))

@@ -170,3 +170,41 @@ def test_resumable_extraction_manifest_invalidation(tmp_path):
                                             concurrency=1, batch_size=64)
     assert st3["shards"] == 3
     assert st3["skipped"] == 2 and st3["computed"] == 1
+
+
+def test_host_extraction_and_host_graph():
+    """Vectorized host extraction (port/userinfo/relative cases) and
+    the host-level contraction of the synthetic page graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.build import host_edges, host_of
+    from igpm_pem_ray.sources import pages as pages_mod
+    from igpm_pem_ray.graph import build as build_mod
+
+    urls = pa.array([
+        "https://a.example/p1",
+        "http://b.example:8080/x?q=1",
+        "ftp://user@c.example/file",
+        "https://d.example",
+        "/relative/path",
+        "not a url",
+    ])
+    hosts = host_of(urls).to_pylist()
+    assert hosts == ["a.example", "b.example", "c.example", "d.example",
+                     None, None]
+
+    synth = pages_mod.generate_pages(150, seed=9, m=3)
+    pages = rd.from_arrow(synth.table)
+    ex = build_mod.pages_to_extracted(pages, concurrency=2, batch_size=64)
+    hg = host_edges(ex).to_pandas()
+    # oracle: contract the expected url-level edges by string host
+    import collections
+
+    exp = collections.Counter()
+    for s, d in zip(synth.expected_edges["src_url"].to_pylist(),
+                    synth.expected_edges["dst_url"].to_pylist()):
+        exp[(s.split("/")[2], d.split("/")[2])] += 1
+    got = {(r.src_host, r.dst_host): r.n_links for r in hg.itertuples()}
+    assert got == dict(exp)
