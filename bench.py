@@ -146,6 +146,37 @@ def run_bench() -> dict:
     timings["link_predict_top100"], _ = best_of(
         lambda: common_neighbors_topk(edges, k=100))
 
+    # round-3 kernels: sampled Brandes betweenness (2-D bitset/array
+    # msg_pass family), HyperBall effective diameter, Luby MIS
+    from igpm_pem_ray.graph.betweenness import betweenness
+    from igpm_pem_ray.graph.distance import effective_diameter
+    from igpm_pem_ray.graph.mis import maximal_independent_set
+
+    # fixed ~128-source budget regardless of sf (2 chunks of 64 source
+    # columns), single rep: Brandes cost is sources x depth passes, so
+    # a V-proportional sample would blow up the bench at sf0.1, and
+    # the kernel is compute-bound enough that min-of-n adds little
+    bc_every = max(1, int(extras.get("num_vertices") or 1) // 128)
+    t0 = time.perf_counter()
+    betweenness(edges, sample_every=bc_every)
+    timings["betweenness_s128"] = time.perf_counter() - t0
+
+    def run_hyperball():
+        return effective_diameter(edges, strategy="hll", max_depth=16)
+
+    timings["effective_diameter_hll"], extras["effective_diameter"] = \
+        best_of(run_hyperball)
+    extras["effective_diameter"] = extras["effective_diameter"][
+        "effective_diameter"]
+
+    def run_mis():
+        st: dict = {}
+        maximal_independent_set(edges, stats=st)
+        return st
+
+    timings["mis"], mis_stats = best_of(run_mis)
+    extras["mis_rounds"] = mis_stats.get("rounds")
+
     # Dataset-resident (shuffle) PageRank — the 10^12-V strategy, timed
     # at a fixed 3 iterations so the bench stays bounded
     from igpm_pem_ray.graph.shuffle_kernels import pagerank_shuffle

@@ -35,6 +35,16 @@ import pyarrow as pa
 from igpm_pem_ray.graph.dense import DenseGraph, build_dense_graph, msg_pass
 
 
+# Coarse partitioning for the (V, S) array-exchange kernels: every
+# pass ships the WHOLE value array to every partition task, so total
+# traffic scales with the partition count, not the edge count — few
+# big blocks beat the iterative kernels' 2-per-CPU default (measured
+# 43s -> 16s on the sf0.1 bench graph at 8 blocks + 128-wide chunks).
+# At cluster scale raise it just enough that a block's edges fit a
+# worker; the per-task edge work is vectorized either way.
+WIDE_KERNEL_BLOCKS = 8
+
+
 def _as_simple_graph(edges) -> DenseGraph:
     """Shortest-path counting is a SIMPLE-graph notion: parallel edges
     (or a pair present in both orientations) would multiply sigma by
@@ -54,13 +64,13 @@ def _as_simple_graph(edges) -> DenseGraph:
                                zero_copy_batch=True) \
         .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
         .drop_columns(["_n"])
-    return build_dense_graph(simple)
+    return build_dense_graph(simple, target_blocks=WIDE_KERNEL_BLOCKS)
 
 
 def betweenness(edges, *, sources: np.ndarray | None = None,
                 sample_every: int | None = None,
                 max_depth: int = 10_000,
-                chunk_size: int = 64) -> pa.Table:
+                chunk_size: int = 128) -> pa.Table:
     """(vid, betweenness_e6): Brandes dependency sums over ``sources``
     (RAW vids; default all vertices = exact betweenness), scaled by
     V/|S| when sampling, e6 fixed-point, endpoints excluded (the

@@ -51,7 +51,12 @@ def _popcount_rows(bits: np.ndarray) -> np.ndarray:
 def _as_graph(edges) -> DenseGraph:
     if isinstance(edges, DenseGraph):
         return edges
-    return build_dense_graph(edges)
+    from igpm_pem_ray.graph.betweenness import WIDE_KERNEL_BLOCKS
+
+    # coarse blocks: every bitset/register pass ships the whole
+    # (V, W) array per task, so traffic scales with partition count
+    # (see betweenness.WIDE_KERNEL_BLOCKS)
+    return build_dense_graph(edges, target_blocks=WIDE_KERNEL_BLOCKS)
 
 
 def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
