@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
         "mis": g.q_mis,
+        "dag_layers": g.q_dag_layers,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -390,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": r.q_join_hash,
         "anti_join": r.q_anti_join,
         "semi_join": r.q_semi_join,
+        "join_outer": r.q_join_outer,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -398,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": r.q_event_funnel,
         "event_gaps": r.q_event_gaps,
         "approx_quantiles_price": r.q_approx_quantiles_price,
+        "heavy_hitter_tokens": r.q_heavy_hitter_tokens,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -428,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": an.q_top_tokens,
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
         "tfidf_terms": an.q_tfidf_terms,
+        "bm25_topk": an.q_bm25_topk,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -470,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),
+        "dag_layers": g.sql_dag_layers(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),
@@ -478,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "join_hash": r.sql_join_hash(),
         "anti_join": r.sql_anti_join(),
         "semi_join": r.sql_semi_join(),
+        "join_outer": r.sql_join_outer(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -514,5 +520,6 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": an.sql_top_tokens(),
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
         "tfidf_terms": an.sql_tfidf_terms(),
+        "bm25_topk": an.sql_bm25_topk(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -751,3 +751,125 @@ def sql_jaccard_pairs() -> str:
         "JOIN sz sb ON sb.doc_id = i.doc_b "
         "WHERE CAST(floor(i.c*1e6/(sa.n + sb.n - i.c)+0.5) AS BIGINT) "
         f">= {JACCARD_E6_MIN}")
+
+
+# -------- BM25 ranking (log-free ratio-idf variant) --------
+
+BM25_TERMS = ["join", "hash", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-k documents for a fixed 3-term query under BM25 with the
+    RATIO idf variant idf(t) = (N - df + 0.5) / (df + 0.5) — log-free
+    per the repo's bit-stability convention (libm ln differs across
+    engines in the last ulp; see q_tfidf_terms / jaccard link
+    prediction).  The per-term score expression and the 3-term sum
+    are written in ONE fixed parse order in both engines, so the e6
+    fixed-point hashes match.
+
+    Plan (shuffle-minimal): one tokenize map computes per-doc
+    (dl, tf per query term) — a doc lives in one row, NO shuffle;
+    the global (df per term, total tokens, n_docs) are a 3-row + two
+    scalar aggregate broadcast by closure; a second stateless map
+    scores; sort + limit merges top-k."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def tf_dl(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "dl": []}
+        tf_cols = {t: [] for t in terms}
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (txt or "").split()
+            cols["doc_id"].append(did)
+            cols["dl"].append(len(toks))
+            if toks:
+                u, c = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+                lut = dict(zip(u.tolist(), c.tolist()))
+            else:
+                lut = {}
+            for t in terms:
+                tf_cols[t].append(int(lut.get(t, 0)))
+        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+               "dl": pa.array(cols["dl"], pa.int64())}
+        for t in terms:
+            out[f"tf_{t}"] = pa.array(tf_cols[t], pa.int64())
+        return pa.table(out)
+
+    stats_ds = docs.map_batches(tf_dl, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    # tiny global aggregates (3 dfs + 2 scalars), shipped by closure
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("dl", alias_name="total_tokens")]
+    pdf = stats_ds.map_batches(
+        lambda b: pa.table(
+            {"dl": b["dl"],
+             **{f"has_{t}": (b[f"tf_{t}"].to_numpy(zero_copy_only=False)
+                             > 0).astype(np.int64) for t in terms}}),
+        batch_format="pyarrow") \
+        .sum(["dl"] + [f"has_{t}" for t in terms])
+    total_tokens = float(pdf["sum(dl)"])
+    df = {t: float(pdf[f"sum(has_{t})"]) for t in terms}
+    n_docs = float(docs.count())
+    avgdl = total_tokens / n_docs
+
+    def score(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = None
+        for t in terms:  # fixed order: s1 + s2 + s3
+            tf = b[f"tf_{t}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            st = idf * (tf * (BM25_K1 + 1.0)) \
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            s = st if s is None else s + st
+        return pa.table({"doc_id": b["doc_id"],
+                         "score_e6": scale_col(s, 1e6)})
+
+    ranked = stats_ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["score_e6", "doc_id"], descending=[True, False]) \
+        .limit(BM25_TOPK)
+    t = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "score_e6"])
+
+
+def sql_bm25_topk() -> str:
+    k1, bb = repr(BM25_K1), repr(BM25_B)
+    tok = (r"tok AS (SELECT doc_id, unnest(list_filter("
+           r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+           "FROM documents), "
+           "dl AS (SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) "
+           "AS dl FROM documents d LEFT JOIN (SELECT doc_id, count(*) "
+           "AS n FROM tok GROUP BY doc_id) c ON c.doc_id = d.doc_id), "
+           "g AS (SELECT CAST(sum(dl) AS DOUBLE) AS total, "
+           "CAST(count(*) AS DOUBLE) AS n, "
+           "CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl "
+           "FROM dl)")
+    parts = [tok]
+    for t in BM25_TERMS:
+        parts.append(
+            f"tf_{t} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE token = '{t}' GROUP BY doc_id), "
+            f"df_{t} AS (SELECT CAST(count(*) AS DOUBLE) AS df "
+            f"FROM tf_{t})")
+    term_exprs = []
+    for t in BM25_TERMS:
+        term_exprs.append(
+            f"(((SELECT n FROM g) - (SELECT df FROM df_{t}) + 0.5)"
+            f"/((SELECT df FROM df_{t}) + 0.5)) "
+            f"* (COALESCE(tf_{t}.tf, 0.0) * ({k1} + 1.0)) "
+            f"/ (COALESCE(tf_{t}.tf, 0.0) + {k1} * (1.0 - {bb} "
+            f"+ {bb} * dl.dl / (SELECT avgdl FROM g)))")
+    joins = " ".join(
+        f"LEFT JOIN tf_{t} ON tf_{t}.doc_id = dl.doc_id"
+        for t in BM25_TERMS)
+    score = " + ".join(term_exprs)
+    return (f"WITH {', '.join(parts)} "
+            f"SELECT dl.doc_id, "
+            f"CAST(floor(({score})*1e6 + 0.5) AS BIGINT) AS score_e6 "
+            f"FROM dl {joins} "
+            f"ORDER BY score_e6 DESC, dl.doc_id LIMIT {BM25_TOPK}")

@@ -1026,3 +1026,26 @@ def sql_mis(rounds: int = MIS_ROUNDS) -> str:
     return _with_edges(
         f"{body} SELECT vid, CAST(state AS BIGINT) AS state "
         f"FROM st{rounds} ORDER BY vid")
+
+
+# ---------- DAG layering (graph/dag.py) ----------
+
+def q_dag_layers(sf_dir: str) -> pa.Table:
+    """Longest-path topological layer per vertex of the thinned
+    canonical (src<dst, hence acyclic) co-occurrence DAG —
+    msg_pass(max) to fixpoint with built-in cycle detection."""
+    from igpm_pem_ray.graph import dag as dag_mod
+
+    t = dag_mod.topological_layers(thinned_edges(sf_dir))
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_dag_layers() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM kept "
+        "UNION ALL SELECT dst AS vid FROM kept) u), "
+        "lv(v, d) AS (SELECT vid, 0 FROM verts "
+        "UNION SELECT e.dst, lv.d + 1 FROM lv JOIN kept e ON e.src = lv.v) "
+        "SELECT v AS vid, CAST(max(d) AS BIGINT) AS layer FROM lv "
+        "GROUP BY v ORDER BY vid")

@@ -1024,3 +1024,88 @@ def q_approx_quantiles_price(sf_dir: str):
                          qs=[0.5, 0.9, 0.99], alpha=0.01)
     return pa.table({"q_e6": t["q_e6"],
                      "approx_e2": scale_col(t["approx"].to_numpy(), 100.0)})
+
+
+# -------- full-outer join (disjoint-side reconciliation) --------
+
+def q_join_outer(sf_dir: str):
+    """Full-outer join of two PARTIALLY overlapping derived sets —
+    high-balance customers vs customers with >= 8 orders — with
+    COALESCEd measures and side flags.  Executed as a tagged union +
+    ONE groupby(key) aggregate (join-as-aggregation): the same single
+    hash shuffle a full_outer hash join costs, but immune to the
+    empty-hash-partition schema loss Ray's native full_outer hits
+    when one side is a small filtered aggregate (every non-inner
+    Dataset.join fails on a partition that receives zero left blocks;
+    observed on ray 2.49, hence this plan)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def highbal(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        keep = bal > 9000.0
+        n = int(keep.sum())
+        return pa.table({
+            "custkey": b["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+            "acctbal_e2": scale_col(bal[keep], 100.0),
+            "n_orders": np.zeros(n, np.int64),
+            "side": np.ones(n, np.int64)})
+
+    hb = cust.map_batches(highbal, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    freq = read_table(sf_dir, "orders", columns=["o_custkey"]) \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_orders")) \
+        .filter(expr="n_orders >= 8")
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "custkey": b["o_custkey"],
+            "acctbal_e2": np.zeros(n, np.int64),
+            "n_orders": b["n_orders"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "side": np.full(n, 2, np.int64)})
+
+    fr = freq.map_batches(tag_right, batch_format="pyarrow")
+    merged = hb.union(fr).groupby("custkey").aggregate(
+        Sum("acctbal_e2", alias_name="acctbal_e2"),
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("side", alias_name="side"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        side = b["side"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": b["custkey"],
+            "high_balance": (side & 1).astype(np.int64),
+            "frequent": (side >> 1).astype(np.int64),
+            "acctbal_e2": b["acctbal_e2"].cast(pa.int64()),
+            "n_orders": b["n_orders"].cast(pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_join_outer() -> str:
+    return (
+        "WITH hb AS (SELECT c_custkey, "
+        "CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) AS acctbal_e2 "
+        "FROM customer WHERE c_acctbal > 9000.0), "
+        "freq AS (SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey HAVING count(*) >= 8) "
+        "SELECT COALESCE(hb.c_custkey, freq.o_custkey) AS custkey, "
+        "CAST(hb.c_custkey IS NOT NULL AS BIGINT) AS high_balance, "
+        "CAST(freq.o_custkey IS NOT NULL AS BIGINT) AS frequent, "
+        "COALESCE(hb.acctbal_e2, 0) AS acctbal_e2, "
+        "CAST(COALESCE(freq.n, 0) AS BIGINT) AS n_orders "
+        "FROM hb FULL OUTER JOIN freq ON freq.o_custkey = hb.c_custkey "
+        "ORDER BY custkey")
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Misra-Gries top tokens of the corpus (k=32 counters/block) —
+    rows-only (approximate by construction; the n/(k+1) guarantee is
+    pinned by tests/test_text.py::test_misra_gries_guarantee)."""
+    from igpm_pem_ray.text.sketch import heavy_hitters
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(docs, col="text", k=32, tokenize=True)

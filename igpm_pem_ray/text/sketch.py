@@ -166,3 +166,75 @@ def approx_quantiles(ds, *, col: str, qs: list[float],
     return pa.table({"q_e6": np.floor(np.asarray(qs) * 1e6 + 0.5)
                      .astype(np.int64),
                      "approx": est})
+
+
+# ---------- Misra-Gries: mergeable heavy hitters ----------
+
+def mg_partial(items: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries summary of one block: <= k (item, counter) pairs.
+    Vectorized: exact block counts, then the classic decrement —
+    subtract the (k+1)-th largest count from all and keep positives
+    (equivalent to running the streaming algorithm over the block).
+    Guarantee: true_count - n_block/(k+1) <= counter <= true_count."""
+    u, c = np.unique(items, return_counts=True)
+    if len(u) > k:
+        thresh = np.partition(c, len(c) - (k + 1))[len(c) - (k + 1)]
+        c = c - thresh
+        keep = c > 0
+        u, c = u[keep], c[keep]
+    return u, c.astype(np.int64)
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]],
+             k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge MG summaries (Agarwal et al., PODS 2012): sum counters
+    by item, then decrement by the (k+1)-th largest — errors add, so
+    the merged summary keeps the n_total/(k+1) guarantee."""
+    if not parts:
+        return np.empty(0, dtype=object), np.empty(0, np.int64)
+    items = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(items, return_inverse=True)
+    c = np.zeros(len(u), dtype=np.int64)
+    np.add.at(c, inv, counts)
+    if len(u) > k:
+        thresh = np.partition(c, len(c) - (k + 1))[len(c) - (k + 1)]
+        c = c - thresh
+        keep = c > 0
+        u, c = u[keep], c[keep]
+    return u, c
+
+
+def heavy_hitters(ds, *, col: str, k: int = 64,
+                  tokenize: bool = False) -> pa.Table:
+    """(item, est_count) Misra-Gries heavy hitters of ``col`` (or of
+    its whitespace tokens with tokenize=True): per-block <= k-row
+    summaries, one tiny driver merge — O(blocks * k) wire traffic
+    regardless of stream length, the bounded-memory alternative to
+    the exact `q_top_tokens` vocabulary shuffle.  Every item with
+    frequency > n/(k+1) is guaranteed present; estimates undershoot
+    by at most n/(k+1)."""
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[col].to_pylist()
+        if tokenize:
+            toks: list = []
+            for v in vals:
+                toks.extend((v or "").split())
+            arr = np.asarray(toks, dtype=object)
+        else:
+            arr = np.asarray(vals, dtype=object)
+        if len(arr) == 0:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "mg_count": pa.array([], pa.int64())})
+        u, c = mg_partial(arr, k)
+        return pa.table({"item": pa.array(list(u), pa.string()),
+                         "mg_count": c})
+
+    parts_pdf = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    u, c = mg_merge([(parts_pdf["item"].to_numpy(),
+                      parts_pdf["mg_count"].to_numpy())], k)
+    order = np.lexsort((np.asarray(u, dtype=object), -c))
+    return pa.table({"item": pa.array([u[i] for i in order], pa.string()),
+                     "est_count": pa.array(c[order], pa.int64())})

@@ -936,3 +936,23 @@ def test_mis_independence_and_maximality():
     for v, s in st2.items():
         if s != 0:
             assert state[v] == s
+
+
+def test_topological_layers_and_cycle_detection():
+    from igpm_pem_ray.graph import dag as dag_mod
+
+    # diamond + tail: 0->1, 0->2, 1->3, 2->3, 3->4
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 3, 4], pa.int64())}))
+    stats: dict = {}
+    t = dag_mod.topological_layers(ds, stats=stats)
+    got = dict(zip(t["vid"].to_pylist(), t["layer"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    assert stats["depth"] == 3
+
+    cyc = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64())}))
+    with pytest.raises(ValueError, match="cycle"):
+        dag_mod.topological_layers(cyc)

@@ -368,3 +368,44 @@ def test_ddsketch_nonpositive_and_empty():
     est = dd_quantiles(np.empty(0, np.int64), np.empty(0, np.int64),
                        [0.5])
     assert np.isnan(est[0])
+
+
+def test_misra_gries_guarantee():
+    """Planted-skew stream: every item with freq > n/(k+1) must
+    surface, estimates within n/(k+1) of truth, and the distributed
+    per-block + merge path equals the guarantee too."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.text.sketch import heavy_hitters, mg_merge, mg_partial
+
+    rng = np.random.RandomState(7)
+    heavy = np.repeat([f"hh{i}" for i in range(5)], 400)   # 2000 heavy
+    tail = np.array([f"t{i}" for i in rng.randint(0, 3000, 4000)])
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    truth = collections.Counter(stream.tolist())
+    n, k = len(stream), 64
+
+    ds = rd.from_arrow(pa.table({"tok": stream.astype(object)})) \
+        .repartition(6)
+    t = heavy_hitters(ds, col="tok", k=k)
+    est = dict(zip(t["item"].to_pylist(), t["est_count"].to_pylist()))
+    bound = n / (k + 1)
+    for item, cnt in truth.items():
+        if cnt > bound:
+            assert item in est, f"missed heavy hitter {item}"
+    for item, e in est.items():
+        assert truth[item] - bound <= e <= truth[item]
+
+    # pure merge algebra: two halves == one pass (within the bound)
+    p1 = mg_partial(stream[: n // 2].astype(object), k)
+    p2 = mg_partial(stream[n // 2:].astype(object), k)
+    u, c = mg_merge([p1, p2], k)
+    m = dict(zip(u.tolist(), c.tolist()))
+    for item, cnt in truth.items():
+        if cnt > 2 * bound:
+            assert item in m
