@@ -377,11 +377,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": g.q_effective_diameter,
         "random_walks": g.q_random_walks,
         "pagerank_weighted": g.q_pagerank_weighted,
+        "pagerank_topic": g.q_pagerank_topic,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
         "mis": g.q_mis,
         "dag_layers": g.q_dag_layers,
+        "rich_club": g.q_rich_club,
+        "ktruss": g.q_ktruss,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,
@@ -392,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": r.q_anti_join,
         "semi_join": r.q_semi_join,
         "join_outer": r.q_join_outer,
+        "stratified_sample": r.q_stratified_sample,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -432,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
         "tfidf_terms": an.q_tfidf_terms,
         "bm25_topk": an.q_bm25_topk,
+        "region_revenue": an.q_region_revenue,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -471,10 +476,12 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": g.sql_harmonic_centrality(),
         "random_walks": g.sql_random_walks(),
         "pagerank_weighted": g.sql_pagerank_weighted(),
+        "pagerank_topic": g.sql_pagerank_topic(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),
         "dag_layers": g.sql_dag_layers(),
+        "rich_club": g.sql_rich_club(),
         "degree_distribution": g.sql_degree_distribution(),
         "filter_project": r.sql_filter_project(),
         "group_agg": r.sql_group_agg(),
@@ -484,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": r.sql_anti_join(),
         "semi_join": r.sql_semi_join(),
         "join_outer": r.sql_join_outer(),
+        "stratified_sample": r.sql_stratified_sample(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -521,5 +529,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
         "tfidf_terms": an.sql_tfidf_terms(),
         "bm25_topk": an.sql_bm25_topk(),
+        "region_revenue": an.sql_region_revenue(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -873,3 +873,82 @@ def sql_bm25_topk() -> str:
             f"CAST(floor(({score})*1e6 + 0.5) AS BIGINT) AS score_e6 "
             f"FROM dl {joins} "
             f"ORDER BY score_e6 DESC, dl.doc_id LIMIT {BM25_TOPK}")
+
+
+# -------- 5-table chain join (TPC-H Q5 shape) --------
+
+def q_region_revenue(sf_dir: str):
+    """Revenue per nation of one region through the full dimension
+    chain region -> nation -> customer -> orders -> lineitem.  Plan:
+    the region/nation hop is a broadcast scalar map (tiny tables,
+    ray.put once); customer -> (custkey, nationkey) filtered by
+    np.isin against the broadcast nation keys; TWO hash joins chain
+    the fact hops (orders |x| customer, lineitem |x| orders) keyed on
+    their natural keys; one low-cardinality groupby-sum ends it.
+    The multi-hop composition stresses join chaining the single-hop
+    queries don't."""
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = read_table(sf_dir, "region",
+                     columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == asia]
+    nkeys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    nname = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+    nref = ray.put((nkeys, nname))
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def filt_cust(b: pa.Table) -> pa.Table:
+        keys, _ = ray.get(nref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, keys)
+        return pa.table({"c_custkey2": b["c_custkey"].to_numpy(
+                             zero_copy_only=False)[keep],
+                         "nationkey": nk[keep].astype(np.int64)})
+
+    cu = cust.map_batches(filt_cust, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    oc = orders.join(cu, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey2",)) \
+        .select_columns(["o_orderkey", "nationkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e2": scale_col(price * (1.0 - disc), 100.0)})
+
+    j = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True) \
+        .join(oc, join_type="inner", num_partitions=8,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = j.groupby("nationkey").aggregate(
+        Sum("rev_e2", alias_name="revenue_e2"))
+
+    def name(b: pa.Table) -> pa.Table:
+        _, lut = ray.get(nref)
+        nk = b["nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([lut[int(k)] for k in nk], pa.string()),
+            "revenue_e2": b["revenue_e2"].cast(pa.int64())})
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+def sql_region_revenue() -> str:
+    rev = sql_scale("l_extendedprice*(1.0-l_discount)", "100.0")
+    return (
+        "SELECT n_name, "
+        f"CAST(sum({rev}) AS BIGINT) AS revenue_e2 "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY n_name")

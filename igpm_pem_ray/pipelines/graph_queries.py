@@ -1049,3 +1049,145 @@ def sql_dag_layers() -> str:
         "UNION SELECT e.dst, lv.d + 1 FROM lv JOIN kept e ON e.src = lv.v) "
         "SELECT v AS vid, CAST(max(d) AS BIGINT) AS layer FROM lv "
         "GROUP BY v ORDER BY vid")
+
+
+# ---------- rich-club coefficient ----------
+
+RICH_CLUB_KS = [4, 8, 16]
+
+
+def q_rich_club(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) on the
+    undirected co-occurrence graph for fixed degree thresholds:
+    N_k = vertices with degree > k, E_k = edges inside that club.
+    Exact int64 counts + one float ratio per row (e6).  Plan: one
+    degree groupby, broadcast rich-vertex set (np.isin inside
+    map_batches), per-block edge partials."""
+    import ray as _ray
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    deg_t = deg_mod.degree_distribution  # noqa: F841 (doc pointer)
+    from ray.data.aggregate import Count
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": np.concatenate([s, d])})
+
+    deg = edges.map_batches(both, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("vid").aggregate(Count(alias_name="degree")).to_pandas()
+    vids = deg["vid"].to_numpy().astype(np.int64)
+    dd = deg["degree"].to_numpy().astype(np.int64)
+
+    rows = []
+    for k in RICH_CLUB_KS:
+        club = np.sort(vids[dd > k])
+        club_ref = _ray.put(club)
+
+        def inside(b: pa.Table, _ref=club_ref) -> pa.Table:
+            cl = _ray.get(_ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            n = int((np.isin(s, cl) & np.isin(d, cl)).sum())
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        e_k = int(edges.map_batches(inside, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                  .sum("n") or 0)
+        n_k = int(len(club))
+        phi = e_k * 2.0 / (n_k * (n_k - 1.0)) if n_k >= 2 else 0.0
+        rows.append((k, n_k, e_k,
+                     int(np.floor(phi * 1e6 + 0.5))))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_club": pa.array([r[1] for r in rows], pa.int64()),
+        "e_club": pa.array([r[2] for r in rows], pa.int64()),
+        "phi_e6": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def sql_rich_club() -> str:
+    selects = []
+    for k in RICH_CLUB_KS:
+        selects.append(
+            f"SELECT {k} AS k, "
+            f"(SELECT count(*) FROM deg WHERE degree > {k}) AS n_club, "
+            f"(SELECT count(*) FROM edges e "
+            f"JOIN deg a ON a.vid = e.src AND a.degree > {k} "
+            f"JOIN deg b ON b.vid = e.dst AND b.degree > {k}) AS e_club")
+    body = " UNION ALL ".join(selects)
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges) u), "
+        "deg AS (SELECT src AS vid, count(*) AS degree FROM ue "
+        "GROUP BY src) "
+        f"SELECT CAST(k AS BIGINT) AS k, CAST(n_club AS BIGINT) AS n_club, "
+        f"CAST(e_club AS BIGINT) AS e_club, "
+        f"CAST(CASE WHEN n_club >= 2 THEN "
+        f"floor(e_club*2.0/(n_club*(n_club-1.0))*1e6 + 0.5) "
+        f"ELSE 0 END AS BIGINT) AS phi_e6 FROM ({body}) ORDER BY k")
+
+
+# ---------- topic-sensitive (personalized) PageRank ----------
+
+def q_pagerank_topic(sf_dir: str) -> pa.Table:
+    """Topic-sensitive PageRank (Haveliwala, WWW 2002): restart mass
+    concentrated on the seed set {vid % 10 == 0} instead of uniform —
+    the same dense kernel with a personalized p0 (the multi-seed
+    generalization of the reference's per-seed RWR vectors,
+    rwr.py:183-190).  Fixed PR_ITERS iterations, e8 fixed-point."""
+    edges = cooccurrence_edges(sf_dir)
+    g = build_dense_graph(edges)
+    seeds = g.vids % 10 == 0
+    ns = int(seeds.sum())
+    p0 = np.where(seeds, 1.0 / ns, 0.0)
+    rank = pr_mod.pagerank_dense(g, damping=PR_DAMPING, tol=0.0,
+                                 max_iters=PR_ITERS, p0=p0)
+    return pa.table({"vid": g.vids,
+                     "rank_e8": scale_col(rank, float(PR_SCALE))})
+
+
+def sql_pagerank_topic(n_iters: int = PR_ITERS,
+                       damping: float = PR_DAMPING) -> str:
+    d = repr(damping)
+    parts = [
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts "
+        "WHERE vid % 10 = 0)",
+        "outdeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+        "p0 AS (SELECT vid, CASE WHEN vid % 10 = 0 "
+        "THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS p FROM verts)",
+        "r0 AS (SELECT vid, p AS rank FROM p0)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"dang{k} AS (SELECT COALESCE(sum(r.rank), 0.0) AS mass "
+            f"FROM {p} r LEFT JOIN outdeg o ON r.vid = o.vid "
+            f"WHERE o.vid IS NULL), "
+            f"msg{k} AS (SELECT e.dst AS vid, sum(r.rank / o.od) AS s "
+            f"FROM edges e JOIN {p} r ON e.src = r.vid "
+            f"JOIN outdeg o ON o.vid = e.src GROUP BY e.dst), "
+            f"r{k} AS (SELECT v.vid, (1.0 - {d}) * p0.p + {d} * "
+            f"(COALESCE(m.s, 0.0) "
+            f"+ (SELECT mass FROM dang{k})/(SELECT n FROM nv)) AS rank "
+            f"FROM verts v JOIN p0 ON p0.vid = v.vid "
+            f"LEFT JOIN msg{k} m ON v.vid = m.vid)")
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} SELECT vid, {sql_scale('rank', PR_SCALE)} AS rank_e8 "
+        f"FROM r{n_iters} ORDER BY vid")
+
+
+def q_ktruss(sf_dir: str) -> pa.Table:
+    """Truss number per edge of the thinned co-occurrence graph —
+    rows-only (iterated peeling is not SQL-expressible, mirroring
+    `kcore`); the kernel is pinned to a set-based peeling oracle in
+    tests/test_kernels.py."""
+    from igpm_pem_ray.graph import ktruss as ktruss_mod
+
+    t = ktruss_mod.truss_numbers(thinned_edges(sf_dir))
+    return t.sort_by([("src", "ascending"), ("dst", "ascending")])

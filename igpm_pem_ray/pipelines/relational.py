@@ -1109,3 +1109,48 @@ def q_heavy_hitter_tokens(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["text"])
     return heavy_hitters(docs, col="text", k=32, tokenize=True)
+
+
+# -------- stratified sampling (per-group deterministic fractions) --------
+
+_STRATA_PERMILLE = {"BUILDING": 300, "AUTOMOBILE": 200}
+_STRATA_DEFAULT = 100
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-segment deterministic sample of customers — 30% BUILDING,
+    20% AUTOMOBILE, 10% everything else, selected by the same
+    RNG-free affine-hash ring as the train/val split
+    ((c_custkey * 2654435761) mod 1000 < permille), so the sample is
+    stable across engines and reruns.  One stateless filter map, no
+    shuffle."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy(zero_copy_only=False)
+        seg = b["c_mktsegment"].to_pylist()
+        permille = np.array([_STRATA_PERMILLE.get(s, _STRATA_DEFAULT)
+                             for s in seg], np.int64)
+        keep = (key * 2654435761) % 1000 < permille
+        return pa.table({
+            "c_custkey": key[keep],
+            "c_mktsegment": pa.array([s for s, k in zip(seg, keep) if k],
+                                     pa.string()),
+            "acctbal_e2": scale_col(
+                b["c_acctbal"].to_numpy(zero_copy_only=False)[keep],
+                100.0)})
+
+    return cust.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_stratified_sample() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment, "
+        "CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) AS acctbal_e2 "
+        "FROM customer "
+        "WHERE (c_custkey * 2654435761) % 1000 < "
+        "CASE c_mktsegment WHEN 'BUILDING' THEN 300 "
+        "WHEN 'AUTOMOBILE' THEN 200 ELSE 100 END "
+        "ORDER BY c_custkey")

@@ -956,3 +956,54 @@ def test_topological_layers_and_cycle_detection():
         "dst": pa.array([1, 2, 0], pa.int64())}))
     with pytest.raises(ValueError, match="cycle"):
         dag_mod.topological_layers(cyc)
+
+
+def test_truss_numbers_vs_bruteforce_peel():
+    """Vectorized wedge-expansion truss decomposition vs a set-based
+    per-level peeling oracle."""
+    import collections
+
+    from igpm_pem_ray.graph.ktruss import truss_numbers
+
+    rng = np.random.RandomState(21)
+    V, E = 60, 240
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    t = truss_numbers(ds)
+    got = {(s, d): k for s, d, k in zip(t["src"].to_pylist(),
+                                        t["dst"].to_pylist(),
+                                        t["truss"].to_pylist())}
+
+    edges = {tuple(sorted((int(s), int(d))))
+             for s, d in zip(src, dst) if s != d}
+
+    def support(es):
+        adj = collections.defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        return {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+
+    oracle = {e: 2 for e in edges}
+    cur = set(edges)
+    k = 3
+    while cur:
+        while True:
+            sup = support(cur)
+            drop = {e for e in cur if sup[e] < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        if cur:
+            for e in cur:
+                oracle[e] = k
+            k += 1
+    assert got == oracle
+
+    # empty + triangle-free inputs
+    tri_free = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64())}))
+    tf = truss_numbers(tri_free)
+    assert set(tf["truss"].to_pylist()) == {2}
