@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop": g.q_two_hop,
         "scc": g.q_scc,
         "scc_shuffle": g.q_scc_shuffle,
+        "bowtie": g.q_bowtie,
+        "eccentricity": g.q_eccentricity,
         "distance_hist": g.q_distance_hist,
         "harmonic_centrality": g.q_harmonic_centrality,
         "effective_diameter": g.q_effective_diameter,
@@ -472,6 +474,8 @@ def oracle_sql() -> dict[str, str]:
         "two_hop": g.sql_two_hop(),
         "scc": g.sql_scc(),
         "scc_shuffle": g.sql_scc(),
+        "bowtie": g.sql_bowtie(),
+        "eccentricity": g.sql_eccentricity(),
         "distance_hist": g.sql_distance_hist(),
         "harmonic_centrality": g.sql_harmonic_centrality(),
         "random_walks": g.sql_random_walks(),

@@ -61,14 +61,16 @@ def _as_graph(edges) -> DenseGraph:
 
 def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
                    harmonic_scale: int = 1_000_000):
-    """One exact bit-parallel sweep -> (hist, harmonic).
+    """One exact bit-parallel sweep -> (hist, harmonic, ecc).
 
     hist: int64[max_depth+1]; hist[d] = number of ORDERED vertex pairs
     (u, v), u != v, with undirected distance exactly d (1-indexed;
     hist[0] unused).  harmonic: int64[V] where harmonic[i] =
     sum over u reached at depth d <= max_depth of
     round(harmonic_scale / d) — integer-exact harmonic centrality of
-    vids[i] (depth-capped), safe to hash across engines.
+    vids[i] (depth-capped), safe to hash across engines.  ecc:
+    int64[V] — depth-capped eccentricity (max observed distance from
+    vids[i] to any vertex within max_depth).
 
     Memory: per chunk the broadcast bitset is V * chunk_words * 8
     bytes (128 B/vertex at the default); at larger V lower
@@ -79,8 +81,9 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
     V = g.num_vertices
     hist = np.zeros(max_depth + 1, dtype=np.int64)
     harmonic = np.zeros(V, dtype=np.int64)
+    ecc = np.zeros(V, dtype=np.int64)
     if V == 0:
-        return hist, harmonic
+        return hist, harmonic, ecc
     inv = np.zeros(max_depth + 1, dtype=np.int64)
     for d in range(1, max_depth + 1):
         inv[d] = int(np.floor(harmonic_scale / d + 0.5))
@@ -102,8 +105,10 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
                 break
             hist[d] += n_new
             harmonic += new * inv[d]
+            # max across chunks too — each source chunk restarts d at 1
+            np.maximum(ecc, np.where(new > 0, d, 0), out=ecc)
             reach, rowpop = nxt, newpop
-    return hist, harmonic
+    return hist, harmonic, ecc
 
 
 def distance_histogram(edges, *, max_depth: int,
@@ -111,8 +116,8 @@ def distance_histogram(edges, *, max_depth: int,
     """(d, n_pairs) for d = 1..max_depth (ordered pairs at exact
     undirected distance d); zero-count depths included so the output
     schema/rowcount is input-independent."""
-    hist, _ = distance_stats(edges, max_depth=max_depth,
-                             chunk_words=chunk_words)
+    hist, _, _ = distance_stats(edges, max_depth=max_depth,
+                                chunk_words=chunk_words)
     d = np.arange(1, max_depth + 1, dtype=np.int64)
     return pa.table({"d": d, "n_pairs": hist[1:]})
 
@@ -122,9 +127,9 @@ def harmonic_centrality(edges, *, max_depth: int, chunk_words: int = 16,
     """(vid, harmonic_e6): depth-capped harmonic centrality
     sum_{u: d(u,v) <= max_depth} round(1e6 / d(u,v)) — exact int64."""
     g = _as_graph(edges)
-    _, harm = distance_stats(g, max_depth=max_depth,
-                             chunk_words=chunk_words,
-                             harmonic_scale=scale)
+    _, harm, _ = distance_stats(g, max_depth=max_depth,
+                                chunk_words=chunk_words,
+                                harmonic_scale=scale)
     return pa.table({"vid": g.vids.astype(np.int64), "harmonic_e6": harm})
 
 
@@ -209,7 +214,7 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
         cum = t["approx_pairs"].to_numpy().astype(np.int64)
         depths = t["d"].to_numpy()
     elif strategy == "exact":
-        hist, _ = distance_stats(edges, max_depth=max_depth)
+        hist, _, _ = distance_stats(edges, max_depth=max_depth)
         cum = np.cumsum(hist[1:])
         depths = np.arange(1, max_depth + 1)
     else:
@@ -223,3 +228,13 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
     return {"effective_diameter": int(depths[min(idx, len(depths) - 1)]),
             "n_pairs_total": total,
             "depth_converged": int(depths[grew[-1]]) if len(grew) else 0}
+
+
+def eccentricity(edges, *, max_depth: int, chunk_words: int = 16) -> pa.Table:
+    """(vid, ecc): depth-capped eccentricity from the same exact
+    bit-parallel sweep (max distance from each vertex to anything it
+    reaches within max_depth)."""
+    g = _as_graph(edges)
+    _, _, ecc = distance_stats(g, max_depth=max_depth,
+                               chunk_words=chunk_words)
+    return pa.table({"vid": g.vids.astype(np.int64), "ecc": ecc})

@@ -1191,3 +1191,62 @@ def q_ktruss(sf_dir: str) -> pa.Table:
 
     t = ktruss_mod.truss_numbers(thinned_edges(sf_dir))
     return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+# ---------- eccentricity + bow-tie ----------
+
+def q_eccentricity(sf_dir: str) -> pa.Table:
+    """Depth-capped eccentricity on the thinned undirected graph
+    (same bit-parallel sweep as distance_hist/harmonic)."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    t = dist_mod.eccentricity(thinned_edges(sf_dir),
+                              max_depth=DIST_MAX_DEPTH)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_eccentricity() -> str:
+    return _with_edges(
+        _THINNED_UE_SQL + " "
+        "SELECT b AS vid, CAST(MAX(d) AS BIGINT) AS ecc FROM md "
+        "GROUP BY b ORDER BY vid")
+
+
+def q_bowtie(sf_dir: str) -> pa.Table:
+    """Bow-tie decomposition (Broder WWW'00) of the parity-oriented
+    co-occurrence digraph: CORE/IN/OUT/OTHER relative to the giant
+    SCC (graph/bowtie.py — one SCC run + two indicator reachability
+    fixpoints over the pinned partitions)."""
+    from igpm_pem_ray.graph import bowtie as bt_mod
+
+    t = bt_mod.bowtie(oriented_edges(sf_dir))
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_bowtie() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "oriented AS (SELECT CASE WHEN (src+dst)%2=0 THEN src ELSE dst END "
+        "AS src, CASE WHEN (src+dst)%2=0 THEN dst ELSE src END AS dst "
+        "FROM kept), "
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM "
+        "oriented UNION ALL SELECT dst AS vid FROM oriented) u), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN oriented e "
+        "ON r.b = e.src), "
+        "mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a), "
+        "sccs AS (SELECT v AS vid, MIN(u) AS scc FROM mutual GROUP BY v), "
+        "core AS (SELECT scc FROM (SELECT scc, count(*) AS c FROM sccs "
+        "GROUP BY scc ORDER BY c DESC, scc ASC LIMIT 1)), "
+        "members AS (SELECT vid FROM sccs WHERE scc = (SELECT scc "
+        "FROM core)), "
+        "ins AS (SELECT DISTINCT r.a AS vid FROM reach r "
+        "JOIN members m ON r.b = m.vid), "
+        "outs AS (SELECT DISTINCT r.b AS vid FROM reach r "
+        "JOIN members m ON r.a = m.vid) "
+        "SELECT s.vid, CAST(CASE WHEN s.scc = (SELECT scc FROM core) "
+        "THEN 0 WHEN i.vid IS NOT NULL THEN 1 "
+        "WHEN o.vid IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS cls "
+        "FROM sccs s LEFT JOIN ins i ON i.vid = s.vid "
+        "LEFT JOIN outs o ON o.vid = s.vid ORDER BY s.vid")

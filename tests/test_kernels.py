@@ -725,17 +725,37 @@ def test_distance_stats_vs_bfs_oracle():
                 hist_oracle[dd] += 1
                 harm_oracle[v] += inv[dd]
 
-    hist, harm = dist_mod.distance_stats(ds, max_depth=MAXD)
+    hist, harm, ecc = dist_mod.distance_stats(ds, max_depth=MAXD)
     assert (hist == hist_oracle).all()
+    # eccentricity oracle from the same BFS runs (receiver view ==
+    # source view: the graph is undirected)
+    ecc_oracle = {v: 0 for v in present}
+    for s0 in present:
+        dist = {s0: 0}
+        dq = collections.deque([s0])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= MAXD:
+                continue
+            for w2 in adj[u]:
+                if w2 not in dist:
+                    dist[w2] = dist[u] + 1
+                    dq.append(w2)
+        ecc_oracle[s0] = max(dist.values())
+    hc_v = dist_mod.eccentricity(ds, max_depth=MAXD)
+    got_ecc = dict(zip(hc_v["vid"].to_numpy().tolist(),
+                       hc_v["ecc"].to_numpy().tolist()))
+    assert got_ecc == ecc_oracle
     hc = dist_mod.harmonic_centrality(ds, max_depth=MAXD)
     got = dict(zip(hc["vid"].to_numpy().tolist(),
                    hc["harmonic_e6"].to_numpy().tolist()))
     assert got == harm_oracle
     # chunking is an implementation detail: W=1 (64-source chunks)
     # must reproduce the single-chunk sweep bit for bit
-    hist1, harm1 = dist_mod.distance_stats(ds, max_depth=MAXD,
-                                           chunk_words=1)
+    hist1, harm1, ecc1 = dist_mod.distance_stats(ds, max_depth=MAXD,
+                                                 chunk_words=1)
     assert (hist1 == hist).all() and (harm1 == harm).all()
+    assert (ecc1 == ecc).all()
 
 
 def test_hyperball_error_band_and_effective_diameter():
@@ -751,7 +771,7 @@ def test_hyperball_error_band_and_effective_diameter():
     keep = src != dst
     ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
 
-    hist, _ = dist_mod.distance_stats(ds, max_depth=MAXD)
+    hist, _, _ = dist_mod.distance_stats(ds, max_depth=MAXD)
     exact_cum = np.cumsum(hist[1:])
     t = dist_mod.neighborhood_function_hll(ds, max_depth=MAXD)
     approx = t["approx_pairs"].to_numpy()
@@ -1007,3 +1027,60 @@ def test_truss_numbers_vs_bruteforce_peel():
         "dst": pa.array([1, 2, 3], pa.int64())}))
     tf = truss_numbers(tri_free)
     assert set(tf["truss"].to_pylist()) == {2}
+
+
+def test_bowtie_vs_bruteforce():
+    """Bow-tie classes vs a transitive-closure oracle on a random
+    digraph; IN/OUT disjoint outside the core by construction."""
+    from igpm_pem_ray.graph import bowtie as bt_mod
+
+    rng = np.random.RandomState(41)
+    V, E = 80, 160
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    stats: dict = {}
+    t = bt_mod.bowtie(ds, stats=stats)
+    got = dict(zip(t["vid"].to_pylist(), t["cls"].to_pylist()))
+
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    adj = {v: set() for v in verts}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].add(d)
+
+    def reach_from(v):
+        seen = {v}
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    fwd = {v: reach_from(v) for v in verts}
+    sccs = {}
+    for v in verts:
+        sccs[v] = min(u for u in fwd[v] if v in fwd[u])
+    groups: dict = {}
+    for v, l in sccs.items():
+        groups.setdefault(l, set()).add(v)
+    core_label = sorted(groups, key=lambda l: (-len(groups[l]), l))[0]
+    core = groups[core_label]
+    exp = {}
+    for v in verts:
+        if v in core:
+            exp[v] = 0
+        elif fwd[v] & core:
+            exp[v] = 1
+        elif any(v in fwd[c] for c in core):
+            exp[v] = 2
+        else:
+            exp[v] = 3
+    assert got == exp
+    assert stats["n_core"] == len(core)
+    assert stats["n_core"] + stats["n_in"] + stats["n_out"] \
+        + stats["n_other"] == len(verts)
