@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": g.q_random_walks,
         "pagerank_weighted": g.q_pagerank_weighted,
         "pagerank_topic": g.q_pagerank_topic,
+        "katz": g.q_katz,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -398,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": r.q_semi_join,
         "join_outer": r.q_join_outer,
         "stratified_sample": r.q_stratified_sample,
+        "overlap_join": r.q_overlap_join,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -439,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": an.q_tfidf_terms,
         "bm25_topk": an.q_bm25_topk,
         "region_revenue": an.q_region_revenue,
+        "mode_priority": an.q_mode_priority,
+        "corr_price_qty": an.q_corr_price_qty,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -481,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": g.sql_random_walks(),
         "pagerank_weighted": g.sql_pagerank_weighted(),
         "pagerank_topic": g.sql_pagerank_topic(),
+        "katz": g.sql_katz(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),
@@ -496,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": r.sql_semi_join(),
         "join_outer": r.sql_join_outer(),
         "stratified_sample": r.sql_stratified_sample(),
+        "overlap_join": r.sql_overlap_join(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -534,5 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": an.sql_tfidf_terms(),
         "bm25_topk": an.sql_bm25_topk(),
         "region_revenue": an.sql_region_revenue(),
+        "mode_priority": an.sql_mode_priority(),
+        "corr_price_qty": an.sql_corr_price_qty(),
         "word_bigrams": an.sql_word_bigrams(),
     }

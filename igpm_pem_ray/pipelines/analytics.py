@@ -952,3 +952,99 @@ def sql_region_revenue() -> str:
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "WHERE r_name = 'ASIA' "
         "GROUP BY n_name ORDER BY n_name")
+
+
+# -------- per-group mode (argmax count, deterministic ties) --------
+
+def q_mode_priority(sf_dir: str):
+    """Most frequent o_orderpriority per o_orderstatus (ties -> the
+    smallest value) — the argmax-per-group pattern as a standalone
+    relational operator: one (group, value) count groupby shrinks the
+    data to O(groups x values); the final argmax over that tiny table
+    is a driver sort (the same shape LP's argmax uses)."""
+    from ray.data.aggregate import Count
+
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority"])
+    counts = od.groupby(["o_orderstatus", "o_orderpriority"]) \
+        .aggregate(Count(alias_name="n"))
+    pdf = counts.to_pandas()
+    pdf = pdf.sort_values(["o_orderstatus", "n", "o_orderpriority"],
+                          ascending=[True, False, True])
+    top = pdf.groupby("o_orderstatus", as_index=False).first()
+    return pa.table({"o_orderstatus": top["o_orderstatus"].to_numpy(),
+                     "mode_priority": top["o_orderpriority"].to_numpy(),
+                     "n": top["n"].to_numpy().astype(np.int64)})
+
+
+def sql_mode_priority() -> str:
+    return (
+        "WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority), "
+        "r AS (SELECT o_orderstatus, o_orderpriority, n, row_number() "
+        "OVER (PARTITION BY o_orderstatus ORDER BY n DESC, "
+        "o_orderpriority) AS rn FROM c) "
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, "
+        "CAST(n AS BIGINT) AS n FROM r WHERE rn = 1 ORDER BY o_orderstatus")
+
+
+# -------- grouped Pearson correlation (sufficient statistics) --------
+
+def q_corr_price_qty(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag via exact integer sufficient statistics (n, Sx, Sy,
+    Sxy, Sxx, Syy over e2-scaled ints — same no-naive-float plan as
+    assortativity/group_stats) + ONE fixed-order float expression per
+    group, e6."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = scale_col(b["l_quantity"].to_numpy(zero_copy_only=False), 100.0)
+        y = scale_col(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "x": x, "y": y, "xy": x * y,
+                         "xx": x * x, "yy": y * y})
+
+    agg = li.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"), Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"))
+    pdf = agg.to_pandas().sort_values("l_returnflag")
+    n = pdf["n"].to_numpy().astype(np.float64)
+    sx = pdf["sx"].to_numpy().astype(np.float64)
+    sy = pdf["sy"].to_numpy().astype(np.float64)
+    sxy = pdf["sxy"].to_numpy().astype(np.float64)
+    sxx = pdf["sxx"].to_numpy().astype(np.float64)
+    syy = pdf["syy"].to_numpy().astype(np.float64)
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+    return pa.table({
+        "l_returnflag": pdf["l_returnflag"].to_numpy(),
+        "n": pdf["n"].to_numpy().astype(np.int64),
+        "corr_e6": np.floor(r * 1e6 + 0.5).astype(np.int64)})
+
+
+def sql_corr_price_qty() -> str:
+    x = "CAST(floor(l_quantity*100.0+0.5) AS BIGINT)"
+    y = "CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)"
+    return (
+        f"WITH s AS (SELECT l_returnflag, "
+        f"CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST(sum({x}) AS DOUBLE) AS sx, "
+        f"CAST(sum({y}) AS DOUBLE) AS sy, "
+        f"CAST(sum({x}*{y}) AS DOUBLE) AS sxy, "
+        f"CAST(sum({x}*{x}) AS DOUBLE) AS sxx, "
+        f"CAST(sum({y}*{y}) AS DOUBLE) AS syy "
+        f"FROM lineitem GROUP BY l_returnflag) "
+        f"SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        f"CAST(floor((n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)"
+        f"*(n*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS corr_e6 "
+        f"FROM s ORDER BY l_returnflag")

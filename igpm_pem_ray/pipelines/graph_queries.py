@@ -1250,3 +1250,46 @@ def sql_bowtie() -> str:
         "WHEN o.vid IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS cls "
         "FROM sccs s LEFT JOIN ins i ON i.vid = s.vid "
         "LEFT JOIN outs o ON o.vid = s.vid ORDER BY s.vid")
+
+
+# ---------- Katz centrality ----------
+
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 5
+
+
+def q_katz(sf_dir: str) -> pa.Table:
+    """Katz centrality, KATZ_ITERS truncated iterations of
+    x <- alpha * A^T x + 1 from x = 1 on the directed co-occurrence
+    graph (counts walks into each vertex, geometrically damped) —
+    one msg_pass(sum) per iteration on the dense substrate, e8
+    fixed-point."""
+    from igpm_pem_ray.graph.dense import msg_pass as _mp
+
+    edges = cooccurrence_edges(sf_dir)
+    g = build_dense_graph(edges)
+    x = np.ones(g.num_vertices, dtype=np.float64)
+    for _ in range(KATZ_ITERS):
+        x = KATZ_ALPHA * _mp(g, x, reduce="sum", init=0.0) + 1.0
+    return pa.table({"vid": g.vids,
+                     "katz_e8": scale_col(x, 1e8)})
+
+
+def sql_katz(n_iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA) -> str:
+    a = repr(alpha)
+    parts = [
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "x0 AS (SELECT vid, 1.0 AS x FROM verts)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"x{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS vid, sum(r.x) AS s FROM edges e "
+            f"JOIN {p} r ON e.src = r.vid GROUP BY e.dst), "
+            f"x{k} AS (SELECT v.vid, {a} * COALESCE(m.s, 0.0) + 1.0 AS x "
+            f"FROM verts v LEFT JOIN m{k} m ON v.vid = m.vid)")
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} SELECT vid, {sql_scale('x', '1e8')} AS katz_e8 "
+        f"FROM x{n_iters} ORDER BY vid")

@@ -1154,3 +1154,73 @@ def sql_stratified_sample() -> str:
         "CASE c_mktsegment WHEN 'BUILDING' THEN 300 "
         "WHEN 'AUTOMOBILE' THEN 200 ELSE 100 END "
         "ORDER BY c_custkey")
+
+
+# -------- interval-overlap join --------
+
+_DAY_US = 86_400_000_000
+
+
+def q_overlap_join(sf_dir: str):
+    """Per big order (o_totalprice > 400k), the number of DISTINCT
+    discounted-R shipment windows [l_shipdate, +3d) overlapping the
+    order's week [o_orderdate, +7d): two-sided bucket expansion +
+    equi join on bucket + exact overlap filter + pair-distinct
+    (stages/temporal.overlap_join_count)."""
+    from igpm_pem_ray.stages.temporal import overlap_join_count
+
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def big(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = tp > 400_000.0
+        start = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({"aid": b["o_orderkey"].to_numpy(
+                             zero_copy_only=False)[keep],
+                         "a_start": start,
+                         "a_end": start + 7 * _DAY_US})
+
+    a = od.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_returnflag"])
+
+    def disc(b: pa.Table) -> pa.Table:
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        rf = np.asarray(b["l_returnflag"].to_pylist(), dtype=object)
+        keep = (d >= 0.09) & (rf == "R")
+        start = b["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({"b_start": start,
+                         "b_end": start + 3 * _DAY_US})
+
+    from ray.data.aggregate import Min as _Min
+
+    bset = li.map_batches(disc, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["b_start", "b_end"]) \
+        .aggregate(_Min("b_start", alias_name="_m")).drop_columns(["_m"])
+    out = overlap_join_count(a, bset, bucket_us=7 * _DAY_US)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["aid"],
+                         "n_overlaps": b["n_overlaps"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_overlap_join() -> str:
+    day = _DAY_US
+    return (
+        f"WITH a AS (SELECT o_orderkey, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) AS s, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) + {7 * day} AS e "
+        f"FROM orders WHERE o_totalprice > 400000.0), "
+        f"b AS (SELECT DISTINCT CAST(epoch_us(l_shipdate) AS BIGINT) "
+        f"AS s, CAST(epoch_us(l_shipdate) AS BIGINT) + {3 * day} AS e "
+        f"FROM lineitem WHERE l_discount >= 0.09 "
+        f"AND l_returnflag = 'R') "
+        f"SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps "
+        f"FROM a JOIN b ON a.s < b.e AND b.s < a.e "
+        f"GROUP BY a.o_orderkey ORDER BY a.o_orderkey")

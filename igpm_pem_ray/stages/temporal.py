@@ -415,3 +415,62 @@ def gap_stats_per_key(ds, *, target_blocks: int | None = None):
         Min("min_gap", alias_name="min_gap"),
         Max("max_gap", alias_name="max_gap"),
         Sum("sum_gap", alias_name="sum_gap"))
+
+
+def overlap_join_count(a_ds, b_ds, *, bucket_us: int,
+                       num_partitions: int = 8):
+    """Interval-overlap join, aggregated: for every row of
+    ``a_ds(aid, a_start, a_end)`` count the rows of
+    ``b_ds(b_start, b_end)`` whose half-open interval overlaps
+    (a_start < b_end AND b_start < a_end).
+
+    Plan: both sides explode to the width-``bucket_us`` buckets their
+    interval touches (ceil(len/w)+1 buckets/row — pick w >= typical
+    length so it's <= 2), hash join on the bucket id, exact overlap
+    filter, then a (aid, b-identity) DISTINCT groupby de-dupes pairs
+    that met in more than one bucket, and a final count per aid.
+    The non-equi join becomes one equi shuffle — the same bucketing
+    family as range_join_agg, extended to interval x interval."""
+    from ray.data.aggregate import Count, Min
+
+    def explode(prefix, id_cols):
+        def f(b: pa.Table) -> pa.Table:
+            s = b[f"{prefix}_start"].to_numpy(zero_copy_only=False)
+            e = b[f"{prefix}_end"].to_numpy(zero_copy_only=False)
+            first = s // bucket_us
+            last = (e - 1) // bucket_us
+            n = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), n)
+            off = np.arange(int(n.sum())) - np.repeat(
+                np.cumsum(n) - n, n)
+            out = {f"{prefix}_bucket": (first[idx] + off).astype(np.int64),
+                   f"{prefix}_start": s[idx], f"{prefix}_end": e[idx]}
+            for c in id_cols:
+                out[c] = b[c].to_numpy(zero_copy_only=False)[idx]
+            return pa.table(out)
+        return f
+
+    ae = a_ds.map_batches(explode("a", ["aid"]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    be = b_ds.map_batches(explode("b", []), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    j = ae.join(be, join_type="inner", num_partitions=num_partitions,
+                on=("a_bucket",), right_on=("b_bucket",))
+
+    def exact(t: pa.Table) -> pa.Table:
+        a_s = t["a_start"].to_numpy(zero_copy_only=False)
+        a_e = t["a_end"].to_numpy(zero_copy_only=False)
+        b_s = t["b_start"].to_numpy(zero_copy_only=False)
+        b_e = t["b_end"].to_numpy(zero_copy_only=False)
+        keep = (a_s < b_e) & (b_s < a_e)
+        return pa.table({"aid": t["aid"].to_numpy(
+                             zero_copy_only=False)[keep],
+                         "b_start": b_s[keep], "b_end": b_e[keep]})
+
+    pairs = j.map_batches(exact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # dedupe (aid, b-interval) pairs that met in 2 buckets, then count.
+    # b-identity = its interval; b rows are pre-distinct by caller.
+    return pairs.groupby(["aid", "b_start", "b_end"]) \
+        .aggregate(Min("b_start", alias_name="_m")) \
+        .groupby("aid").aggregate(Count(alias_name="n_overlaps"))

@@ -148,3 +148,46 @@ def test_cumsum_negative_values():
                          order_cols=("us",), target_blocks=3) \
         .to_pandas().sort_values("rid")
     assert got["cum_val"].tolist() == [5, -5, -2, -1, -3]
+
+
+def test_overlap_join_count_boundaries():
+    """Half-open overlap semantics (touching intervals do NOT match)
+    and bucket-crossing pairs dedupe to one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.stages.temporal import overlap_join_count
+
+    a = rd.from_arrow(pa.table({
+        "aid": pa.array([1, 2, 3], pa.int64()),
+        "a_start": pa.array([0, 100, 250], pa.int64()),
+        "a_end": pa.array([50, 200, 300], pa.int64())}))
+    # b1 [40,120) overlaps a1 and a2 (crosses the w=64 bucket line ->
+    # meets a2 in two buckets: dedupe must count it once);
+    # b2 [200,250) touches a2's end and a3's start -> overlaps NEITHER
+    b = rd.from_arrow(pa.table({
+        "b_start": pa.array([40, 200], pa.int64()),
+        "b_end": pa.array([120, 250], pa.int64())}))
+    out = overlap_join_count(a, b, bucket_us=64).to_pandas()
+    got = dict(zip(out["aid"], out["n_overlaps"]))
+    assert got == {1: 1, 2: 1}
+
+    # brute-force parity on random intervals
+    rng = np.random.RandomState(13)
+    a_s = rng.randint(0, 1000, 40).astype(np.int64)
+    a_e = a_s + rng.randint(1, 90, 40)
+    b_s = rng.randint(0, 1000, 60).astype(np.int64)
+    b_e = b_s + rng.randint(1, 70, 60)
+    # b side must be distinct intervals (documented contract)
+    bu = np.unique(np.stack([b_s, b_e], 1), axis=0)
+    a_ds = rd.from_arrow(pa.table({
+        "aid": np.arange(40, dtype=np.int64),
+        "a_start": a_s, "a_end": a_e}))
+    b_ds = rd.from_arrow(pa.table({
+        "b_start": bu[:, 0], "b_end": bu[:, 1]}))
+    out = overlap_join_count(a_ds, b_ds, bucket_us=128).to_pandas()
+    got = dict(zip(out["aid"], out["n_overlaps"]))
+    for i in range(40):
+        exp = int(((a_s[i] < bu[:, 1]) & (bu[:, 0] < a_e[i])).sum())
+        assert got.get(i, 0) == exp
