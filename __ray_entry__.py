@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_shuffle": g.q_scc_shuffle,
         "bowtie": g.q_bowtie,
         "eccentricity": g.q_eccentricity,
+        "closeness": g.q_closeness,
         "distance_hist": g.q_distance_hist,
         "harmonic_centrality": g.q_harmonic_centrality,
         "effective_diameter": g.q_effective_diameter,
@@ -400,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_outer": r.q_join_outer,
         "stratified_sample": r.q_stratified_sample,
         "overlap_join": r.q_overlap_join,
+        "props_scrub": r.q_props_scrub,
+        "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -443,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": an.q_region_revenue,
         "mode_priority": an.q_mode_priority,
         "corr_price_qty": an.q_corr_price_qty,
+        "ols_price_qty": an.q_ols_price_qty,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -480,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_shuffle": g.sql_scc(),
         "bowtie": g.sql_bowtie(),
         "eccentricity": g.sql_eccentricity(),
+        "closeness": g.sql_closeness(),
         "distance_hist": g.sql_distance_hist(),
         "harmonic_centrality": g.sql_harmonic_centrality(),
         "random_walks": g.sql_random_walks(),
@@ -502,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "join_outer": r.sql_join_outer(),
         "stratified_sample": r.sql_stratified_sample(),
         "overlap_join": r.sql_overlap_join(),
+        "props_scrub": r.sql_props_scrub(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -542,5 +548,6 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": an.sql_region_revenue(),
         "mode_priority": an.sql_mode_priority(),
         "corr_price_qty": an.sql_corr_price_qty(),
+        "ols_price_qty": an.sql_ols_price_qty(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -61,7 +61,8 @@ def _as_graph(edges) -> DenseGraph:
 
 def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
                    harmonic_scale: int = 1_000_000):
-    """One exact bit-parallel sweep -> (hist, harmonic, ecc).
+    """One exact bit-parallel sweep -> (hist, harmonic, ecc, nreach,
+    sumd).
 
     hist: int64[max_depth+1]; hist[d] = number of ORDERED vertex pairs
     (u, v), u != v, with undirected distance exactly d (1-indexed;
@@ -82,8 +83,10 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
     hist = np.zeros(max_depth + 1, dtype=np.int64)
     harmonic = np.zeros(V, dtype=np.int64)
     ecc = np.zeros(V, dtype=np.int64)
+    nreach = np.zeros(V, dtype=np.int64)
+    sumd = np.zeros(V, dtype=np.int64)
     if V == 0:
-        return hist, harmonic, ecc
+        return hist, harmonic, ecc, nreach, sumd
     inv = np.zeros(max_depth + 1, dtype=np.int64)
     for d in range(1, max_depth + 1):
         inv[d] = int(np.floor(harmonic_scale / d + 0.5))
@@ -107,8 +110,10 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
             harmonic += new * inv[d]
             # max across chunks too — each source chunk restarts d at 1
             np.maximum(ecc, np.where(new > 0, d, 0), out=ecc)
+            nreach += new
+            sumd += new * d
             reach, rowpop = nxt, newpop
-    return hist, harmonic, ecc
+    return hist, harmonic, ecc, nreach, sumd
 
 
 def distance_histogram(edges, *, max_depth: int,
@@ -116,8 +121,8 @@ def distance_histogram(edges, *, max_depth: int,
     """(d, n_pairs) for d = 1..max_depth (ordered pairs at exact
     undirected distance d); zero-count depths included so the output
     schema/rowcount is input-independent."""
-    hist, _, _ = distance_stats(edges, max_depth=max_depth,
-                                chunk_words=chunk_words)
+    hist = distance_stats(edges, max_depth=max_depth,
+                          chunk_words=chunk_words)[0]
     d = np.arange(1, max_depth + 1, dtype=np.int64)
     return pa.table({"d": d, "n_pairs": hist[1:]})
 
@@ -127,9 +132,9 @@ def harmonic_centrality(edges, *, max_depth: int, chunk_words: int = 16,
     """(vid, harmonic_e6): depth-capped harmonic centrality
     sum_{u: d(u,v) <= max_depth} round(1e6 / d(u,v)) — exact int64."""
     g = _as_graph(edges)
-    _, harm, _ = distance_stats(g, max_depth=max_depth,
-                                chunk_words=chunk_words,
-                                harmonic_scale=scale)
+    harm = distance_stats(g, max_depth=max_depth,
+                          chunk_words=chunk_words,
+                          harmonic_scale=scale)[1]
     return pa.table({"vid": g.vids.astype(np.int64), "harmonic_e6": harm})
 
 
@@ -214,7 +219,7 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
         cum = t["approx_pairs"].to_numpy().astype(np.int64)
         depths = t["d"].to_numpy()
     elif strategy == "exact":
-        hist, _, _ = distance_stats(edges, max_depth=max_depth)
+        hist = distance_stats(edges, max_depth=max_depth)[0]
         cum = np.cumsum(hist[1:])
         depths = np.arange(1, max_depth + 1)
     else:
@@ -235,6 +240,19 @@ def eccentricity(edges, *, max_depth: int, chunk_words: int = 16) -> pa.Table:
     bit-parallel sweep (max distance from each vertex to anything it
     reaches within max_depth)."""
     g = _as_graph(edges)
-    _, _, ecc = distance_stats(g, max_depth=max_depth,
-                               chunk_words=chunk_words)
+    ecc = distance_stats(g, max_depth=max_depth,
+                         chunk_words=chunk_words)[2]
     return pa.table({"vid": g.vids.astype(np.int64), "ecc": ecc})
+
+
+def closeness_stats(edges, *, max_depth: int,
+                    chunk_words: int = 16) -> pa.Table:
+    """(vid, n_reached, sum_d): exact closeness-centrality sufficient
+    statistics within max_depth (closeness = n_reached/sum_d, or the
+    Wasserman-Faust (n_reached^2)/((V-1)*sum_d) — left to the caller
+    as a stateless post-map, keeping the contract integer-exact)."""
+    g = _as_graph(edges)
+    _, _, _, nreach, sumd = distance_stats(g, max_depth=max_depth,
+                                           chunk_words=chunk_words)
+    return pa.table({"vid": g.vids.astype(np.int64),
+                     "n_reached": nreach, "sum_d": sumd})

@@ -1048,3 +1048,63 @@ def sql_corr_price_qty() -> str:
         f"CAST(floor((n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)"
         f"*(n*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS corr_e6 "
         f"FROM s ORDER BY l_returnflag")
+
+
+# -------- grouped OLS (normal equations on sufficient statistics) --------
+
+def q_ols_price_qty(sf_dir: str):
+    """Per-returnflag least-squares fit extendedprice ~ quantity from
+    the SAME exact integer sufficient statistics as the correlation
+    operator; slope/intercept are one fixed-order float expression
+    each (e6)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = scale_col(b["l_quantity"].to_numpy(zero_copy_only=False), 100.0)
+        y = scale_col(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "x": x, "y": y, "xy": x * y, "xx": x * x})
+
+    agg = li.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"), Sum("xx", alias_name="sxx"))
+    pdf = agg.to_pandas().sort_values("l_returnflag")
+    n = pdf["n"].to_numpy().astype(np.float64)
+    sx = pdf["sx"].to_numpy().astype(np.float64)
+    sy = pdf["sy"].to_numpy().astype(np.float64)
+    sxy = pdf["sxy"].to_numpy().astype(np.float64)
+    sxx = pdf["sxx"].to_numpy().astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "l_returnflag": pdf["l_returnflag"].to_numpy(),
+        "n": pdf["n"].to_numpy().astype(np.int64),
+        "slope_e6": np.floor(slope * 1e6 + 0.5).astype(np.int64),
+        "intercept_e6": np.floor(intercept * 1e6 + 0.5).astype(np.int64)})
+
+
+def sql_ols_price_qty() -> str:
+    x = "CAST(floor(l_quantity*100.0+0.5) AS BIGINT)"
+    y = "CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)"
+    return (
+        f"WITH s AS (SELECT l_returnflag, "
+        f"CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST(sum({x}) AS DOUBLE) AS sx, "
+        f"CAST(sum({y}) AS DOUBLE) AS sy, "
+        f"CAST(sum({x}*{y}) AS DOUBLE) AS sxy, "
+        f"CAST(sum({x}*{x}) AS DOUBLE) AS sxx "
+        f"FROM lineitem GROUP BY l_returnflag), "
+        f"fit AS (SELECT l_returnflag, n, "
+        f"(n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope, sx, sy FROM s) "
+        f"SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        f"CAST(floor(slope*1e6 + 0.5) AS BIGINT) AS slope_e6, "
+        f"CAST(floor((sy - slope*sx)/n*1e6 + 0.5) AS BIGINT) "
+        f"AS intercept_e6 FROM fit ORDER BY l_returnflag")

@@ -1293,3 +1293,22 @@ def sql_katz(n_iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA) -> str:
     return _with_edges(
         f"{body} SELECT vid, {sql_scale('x', '1e8')} AS katz_e8 "
         f"FROM x{n_iters} ORDER BY vid")
+
+
+def q_closeness(sf_dir: str) -> pa.Table:
+    """Closeness sufficient statistics (n_reached, sum_d) within
+    DIST_MAX_DEPTH on the thinned undirected graph — exact int64 from
+    the same bit-parallel sweep."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    t = dist_mod.closeness_stats(thinned_edges(sf_dir),
+                                 max_depth=DIST_MAX_DEPTH)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_closeness() -> str:
+    return _with_edges(
+        _THINNED_UE_SQL + " "
+        "SELECT b AS vid, CAST(count(*) AS BIGINT) AS n_reached, "
+        "CAST(SUM(d) AS BIGINT) AS sum_d FROM md "
+        "GROUP BY b ORDER BY vid")

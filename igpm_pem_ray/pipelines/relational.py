@@ -1224,3 +1224,50 @@ def sql_overlap_join() -> str:
         f"SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps "
         f"FROM a JOIN b ON a.s < b.e AND b.s < a.e "
         f"GROUP BY a.o_orderkey ORDER BY a.o_orderkey")
+
+
+# -------- regex scrub + extract (PII-redaction shape) --------
+
+def q_props_scrub(sf_dir: str):
+    """Redact digit runs from the events ``props`` JSON string and
+    extract the "k" field — the PII-scrubbing / field-extraction
+    map shape (compiled-regex pandas str kernels, stateless, no
+    shuffle).  (event_id, k, n_redacted, scrubbed)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(pdf):
+        import pandas as pd
+
+        s = pdf["props"].astype("string")
+        k = s.str.extract(r'"k": ([0-9]+)', expand=False).astype("int64")
+        n = s.str.count(r"[0-9]+").astype("int64")
+        red = s.str.replace(r"[0-9]+", "#", regex=True)
+        return pd.DataFrame({"event_id": pdf["event_id"],
+                             "k": k, "n_redacted": n, "scrubbed": red})
+
+    return ev.map_batches(scrub, batch_format="pandas")
+
+
+def sql_props_scrub() -> str:
+    return (
+        "SELECT event_id, "
+        "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k, "
+        "CAST(length(regexp_extract_all(props, '[0-9]+')) AS BIGINT) "
+        "AS n_redacted, "
+        "regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed "
+        "FROM events ORDER BY event_id")
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 5 iters) over the embeddings
+    table — (cluster, n, centroid_norm_e6); rows-only (float
+    iteration), pinned to a single-process numpy Lloyd's oracle in
+    tests/test_text.py::test_kmeans_matches_numpy_lloyds."""
+    from igpm_pem_ray.ann.kmeans import kmeans_fit
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, counts = kmeans_fit(emb, k=8, n_iters=5)
+    norms = np.sqrt((cents * cents).sum(axis=1))
+    return pa.table({"cluster": np.arange(8, dtype=np.int64),
+                     "n": counts,
+                     "centroid_norm_e6": scale_col(norms, 1e6)})

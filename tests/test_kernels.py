@@ -725,7 +725,7 @@ def test_distance_stats_vs_bfs_oracle():
                 hist_oracle[dd] += 1
                 harm_oracle[v] += inv[dd]
 
-    hist, harm, ecc = dist_mod.distance_stats(ds, max_depth=MAXD)
+    hist, harm, ecc, nreach, sumd = dist_mod.distance_stats(ds, max_depth=MAXD)
     assert (hist == hist_oracle).all()
     # eccentricity oracle from the same BFS runs (receiver view ==
     # source view: the graph is undirected)
@@ -752,10 +752,11 @@ def test_distance_stats_vs_bfs_oracle():
     assert got == harm_oracle
     # chunking is an implementation detail: W=1 (64-source chunks)
     # must reproduce the single-chunk sweep bit for bit
-    hist1, harm1, ecc1 = dist_mod.distance_stats(ds, max_depth=MAXD,
-                                                 chunk_words=1)
+    hist1, harm1, ecc1, nr1, sd1 = dist_mod.distance_stats(
+        ds, max_depth=MAXD, chunk_words=1)
     assert (hist1 == hist).all() and (harm1 == harm).all()
     assert (ecc1 == ecc).all()
+    assert (nr1 == nreach).all() and (sd1 == sumd).all()
 
 
 def test_hyperball_error_band_and_effective_diameter():
@@ -771,7 +772,7 @@ def test_hyperball_error_band_and_effective_diameter():
     keep = src != dst
     ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
 
-    hist, _, _ = dist_mod.distance_stats(ds, max_depth=MAXD)
+    hist = dist_mod.distance_stats(ds, max_depth=MAXD)[0]
     exact_cum = np.cumsum(hist[1:])
     t = dist_mod.neighborhood_function_hll(ds, max_depth=MAXD)
     approx = t["approx_pairs"].to_numpy()

@@ -409,3 +409,42 @@ def test_misra_gries_guarantee():
     for item, cnt in truth.items():
         if cnt > 2 * bound:
             assert item in m
+
+
+def test_kmeans_matches_numpy_lloyds():
+    """Distributed per-block sufficient-statistics k-means ==
+    single-process numpy Lloyd's from the same deterministic init."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.ann.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    n, d, k, iters = 400, 8, 5, 4
+    x = np.concatenate([rng.randn(n // 4, d) + c * 3
+                        for c in range(4)])[:n]
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": [row.tolist() for row in x]})) \
+        .repartition(6)
+    stats: dict = {}
+    cents, counts = kmeans_fit(ds, k=k, n_iters=iters, stats=stats)
+
+    # oracle: plain Lloyd's, same init (smallest ids)
+    c = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = x[a == j].mean(axis=0)
+    assert np.allclose(cents, c, atol=1e-9)
+    exp_counts = np.bincount(a, minlength=k)
+    assert (counts == exp_counts).all()
+    assert stats["inertia"] > 0
+
+    assign = kmeans_assign(ds, cents).to_pandas()
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assert (assign.sort_values("vec_id")["cluster"].to_numpy()
+            == d2.argmin(axis=1)).all()
