@@ -70,7 +70,9 @@ def _as_simple_graph(edges) -> DenseGraph:
 def betweenness(edges, *, sources: np.ndarray | None = None,
                 sample_every: int | None = None,
                 max_depth: int = 10_000,
-                chunk_size: int = 128) -> pa.Table:
+                chunk_size: int = 128,
+                checkpoint_dir: str | None = None,
+                resume: bool = False) -> pa.Table:
     """(vid, betweenness_e6): Brandes dependency sums over ``sources``
     (RAW vids; default all vertices = exact betweenness), scaled by
     V/|S| when sampling, e6 fixed-point, endpoints excluded (the
@@ -102,8 +104,25 @@ def betweenness(edges, *, sources: np.ndarray | None = None,
         return pa.table({"vid": g.vids.astype(np.int64),
                          "betweenness_e6": accum.astype(np.int64)})
 
+    # per-source-chunk checkpoints (the chunk is the unit of both
+    # parallelism and restart): iteration = chunks completed, state =
+    # the running dependency accumulator (save_vector manifests)
+    params = {"kernel": "betweenness", "max_depth": max_depth,
+              "chunk_size": chunk_size, "V": V, "E": g.num_edges,
+              "S": S_total}
+    start_chunk = 0
+    if resume and checkpoint_dir:
+        from igpm_pem_ray.state import checkpoint as ckpt
+
+        found = ckpt.latest_checkpoint(checkpoint_dir, params)
+        if found is not None:
+            start_chunk = found[0]
+            accum = np.array(found[2], dtype=np.float64)  # writable copy
+
     INF = np.iinfo(np.int32).max
-    for start in range(0, S_total, chunk_size):
+    n_chunks = (S_total + chunk_size - 1) // chunk_size
+    for ci in range(start_chunk, n_chunks):
+        start = ci * chunk_size
         chunk = idx_sources[start:start + chunk_size]
         S = len(chunk)
         dist = np.full((V, S), INF, dtype=np.int32)
@@ -138,6 +157,12 @@ def betweenness(edges, *, sources: np.ndarray | None = None,
         # STARTING there; Brandes sums over w != s only)
         delta[chunk, np.arange(S)] = 0.0
         accum += delta.sum(axis=1)
+        if checkpoint_dir:
+            from igpm_pem_ray.state import checkpoint as ckpt
+
+            ckpt.save_vector(checkpoint_dir, ci + 1, g.vids, accum,
+                             metric_name="chunks_done",
+                             metric_value=float(ci + 1), params=params)
 
     # undirected double-count (each pair contributes from both
     # endpoints' source runs when S = all): the standard /2

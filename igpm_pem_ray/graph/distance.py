@@ -60,9 +60,17 @@ def _as_graph(edges) -> DenseGraph:
 
 
 def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
-                   harmonic_scale: int = 1_000_000):
+                   harmonic_scale: int = 1_000_000,
+                   checkpoint_dir: str | None = None,
+                   resume: bool = False):
     """One exact bit-parallel sweep -> (hist, harmonic, ecc, nreach,
     sumd).
+
+    ``checkpoint_dir``: after every completed source chunk the running
+    accumulators are committed via the manifest protocol
+    (state/checkpoint.save_table; iteration = chunks done), so
+    ``resume=True`` skips finished chunks — the sweep's unit of
+    restart is the chunk, matching its unit of parallelism.
 
     hist: int64[max_depth+1]; hist[d] = number of ORDERED vertex pairs
     (u, v), u != v, with undirected distance exactly d (1-indexed;
@@ -91,7 +99,48 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
     for d in range(1, max_depth + 1):
         inv[d] = int(np.floor(harmonic_scale / d + 0.5))
     span = 64 * chunk_words
-    for start in range(0, V, span):
+    n_chunks = (V + span - 1) // span
+    params = {"kernel": "distance_stats", "max_depth": max_depth,
+              "chunk_words": chunk_words, "V": V, "E": g.num_edges,
+              "harmonic_scale": harmonic_scale}
+    start_chunk = 0
+    if resume and checkpoint_dir:
+        from igpm_pem_ray.state import checkpoint as ckpt
+
+        found = ckpt.latest_table(checkpoint_dir, params)
+        if found is not None:
+            start_chunk, tbl, _ = found
+            key = tbl["key"].to_numpy()
+            hrow = tbl["harmonic"].to_numpy()
+            hist_rows = key < 0
+            hist[-key[hist_rows]] = hrow[hist_rows]
+            vrows = ~hist_rows
+            harmonic[key[vrows]] = hrow[vrows]
+            ecc[key[vrows]] = tbl["ecc"].to_numpy()[vrows]
+            nreach[key[vrows]] = tbl["nreach"].to_numpy()[vrows]
+            sumd[key[vrows]] = tbl["sumd"].to_numpy()[vrows]
+
+    def _save(chunks_done: int) -> None:
+        if not checkpoint_dir:
+            return
+        from igpm_pem_ray.state import checkpoint as ckpt
+
+        # hist rides along as key=-d rows in the harmonic column
+        key = np.concatenate([np.arange(V, dtype=np.int64),
+                              -np.arange(1, max_depth + 1,
+                                         dtype=np.int64)])
+        hcol = np.concatenate([harmonic, hist[1:]])
+        pad = np.zeros(max_depth, dtype=np.int64)
+        tbl = pa.table({"key": key, "harmonic": hcol,
+                        "ecc": np.concatenate([ecc, pad]),
+                        "nreach": np.concatenate([nreach, pad]),
+                        "sumd": np.concatenate([sumd, pad])})
+        ckpt.save_table(checkpoint_dir, chunks_done, tbl,
+                        metric_name="chunks_done",
+                        metric_value=float(chunks_done), params=params)
+
+    for ci in range(start_chunk, n_chunks):
+        start = ci * span
         chunk = np.arange(start, min(start + span, V))
         w = (len(chunk) + 63) // 64
         reach = np.zeros((V, w), dtype=np.uint64)
@@ -113,6 +162,7 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
             nreach += new
             sumd += new * d
             reach, rowpop = nxt, newpop
+        _save(ci + 1)
     return hist, harmonic, ecc, nreach, sumd
 
 

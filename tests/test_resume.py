@@ -162,3 +162,79 @@ def test_scc_shuffle_resume_equivalence(tmp_path):
         rd.from_arrow(t), checkpoint_dir=ck, resume=True, stats=stats) \
         .to_pandas().sort_values("vid").reset_index(drop=True)
     assert want.equals(got)
+
+
+def test_distance_sweep_chunk_resume_equivalence(tmp_path):
+    """Interrupt the bit-parallel sweep after its first chunk and
+    resume: identical (hist, harmonic, ecc, nreach, sumd) to an
+    uninterrupted run; params mismatch refuses the stale state."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    rng = np.random.RandomState(5)
+    V, E, MAXD = 200, 500, 4
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+    full = dist_mod.distance_stats(ds, max_depth=MAXD, chunk_words=1)
+
+    ck = str(tmp_path / "dist_ck")
+    # simulate a crash: run only the machinery until chunk 1 by using
+    # a fresh dir and cutting after the first chunk via a tiny V run —
+    # instead run fully WITH checkpoints, then delete the last
+    # manifests so only chunk 1 is committed, and resume
+    dist_mod.distance_stats(ds, max_depth=MAXD, chunk_words=1,
+                            checkpoint_dir=ck)
+    import os
+    import shutil
+
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert len(iters) >= 2, "need >= 2 chunks for the resume test"
+    for d in iters[1:]:
+        shutil.rmtree(os.path.join(ck, d))
+    resumed = dist_mod.distance_stats(ds, max_depth=MAXD, chunk_words=1,
+                                      checkpoint_dir=ck, resume=True)
+    for a, b in zip(full, resumed):
+        assert np.array_equal(a, b)
+
+    # different params must NOT pick up the stale chunk state
+    other = dist_mod.distance_stats(ds, max_depth=MAXD + 1, chunk_words=1,
+                                    checkpoint_dir=ck, resume=True)
+    ref = dist_mod.distance_stats(ds, max_depth=MAXD + 1, chunk_words=1)
+    for a, b in zip(ref, other):
+        assert np.array_equal(a, b)
+
+
+def test_betweenness_chunk_resume_equivalence(tmp_path):
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph import betweenness as bc_mod
+
+    rng = np.random.RandomState(9)
+    V, E = 150, 400
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    keep = src != dst
+    ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+    full = bc_mod.betweenness(ds, chunk_size=48)
+    ck = str(tmp_path / "bc_ck")
+    bc_mod.betweenness(ds, chunk_size=48, checkpoint_dir=ck)
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert len(iters) >= 2
+    for d in iters[1:]:
+        shutil.rmtree(os.path.join(ck, d))
+    resumed = bc_mod.betweenness(ds, chunk_size=48,
+                                 checkpoint_dir=ck, resume=True)
+    assert full["betweenness_e6"].to_numpy().tolist() \
+        == resumed["betweenness_e6"].to_numpy().tolist()
