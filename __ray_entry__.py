@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": r.q_stratified_sample,
         "overlap_join": r.q_overlap_join,
         "props_scrub": r.q_props_scrub,
+        "quantile_cont_events": r.q_quantile_cont_events,
         "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_priority": an.q_mode_priority,
         "corr_price_qty": an.q_corr_price_qty,
         "ols_price_qty": an.q_ols_price_qty,
+        "embed_dim_stats": an.q_embed_dim_stats,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -508,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": r.sql_stratified_sample(),
         "overlap_join": r.sql_overlap_join(),
         "props_scrub": r.sql_props_scrub(),
+        "quantile_cont_events": r.sql_quantile_cont_events(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -549,5 +552,6 @@ def oracle_sql() -> dict[str, str]:
         "mode_priority": an.sql_mode_priority(),
         "corr_price_qty": an.sql_corr_price_qty(),
         "ols_price_qty": an.sql_ols_price_qty(),
+        "embed_dim_stats": an.sql_embed_dim_stats(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -1108,3 +1108,53 @@ def sql_ols_price_qty() -> str:
         f"CAST(floor(slope*1e6 + 0.5) AS BIGINT) AS slope_e6, "
         f"CAST(floor((sy - slope*sx)/n*1e6 + 0.5) AS BIGINT) "
         f"AS intercept_e6 FROM fit ORDER BY l_returnflag")
+
+
+# -------- per-dimension embedding statistics (vector columnar) --------
+
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension mean of the embedding vectors — the vector-
+    columnar aggregate: each block computes ONE (d,) partial sum via
+    a zero-copy Arrow list flatten + reshape (embeddings are fixed
+    width), so the shuffle is O(blocks x d) scalars, never row data.
+    (dim, n, sum_e6, mean_e6)."""
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        flat = col.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        n = b.num_rows
+        d = len(flat) // max(n, 1)
+        x = flat.reshape(n, d) if n else np.zeros((0, 0))
+        s = scale_col(x, 1e6).sum(axis=0) if n else np.zeros(0, np.int64)
+        return pa.table({"dim": np.arange(d, dtype=np.int64),
+                         "n": np.full(d, n, np.int64),
+                         "sum_e6": s})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = emb.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("dim").aggregate(_Sum("n", alias_name="n"),
+                                  _Sum("sum_e6", alias_name="sum_e6"))
+    pdf = agg.to_pandas().sort_values("dim")
+    n = pdf["n"].to_numpy().astype(np.int64)
+    s = pdf["sum_e6"].to_numpy().astype(np.int64)
+    mean = s.astype(np.float64) / n.astype(np.float64)
+    return pa.table({"dim": pdf["dim"].to_numpy().astype(np.int64),
+                     "n": n, "sum_e6": s,
+                     "mean_e6": np.floor(mean + 0.5).astype(np.int64)})
+
+
+def sql_embed_dim_stats() -> str:
+    return (
+        "WITH u AS (SELECT unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings) "
+        "SELECT CAST(dim AS BIGINT) AS dim, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(x*1e6+0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_e6, "
+        "CAST(floor(CAST(sum(CAST(floor(x*1e6+0.5) AS BIGINT)) "
+        "AS DOUBLE)/CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS mean_e6 FROM u GROUP BY dim ORDER BY dim")

@@ -1271,3 +1271,96 @@ def q_kmeans_embed(sf_dir: str):
     return pa.table({"cluster": np.arange(8, dtype=np.int64),
                      "n": counts,
                      "centroid_norm_e6": scale_col(norms, 1e6)})
+
+
+def q_quantile_cont_events(sf_dir: str):
+    """Interpolated (quantile_cont) p50/p90 of value per event_type —
+    the rank-selection plan extended to TWO picked ranks per quantile
+    (floor/ceil of pos = (n-1)*q, the probed DuckDB convention) and
+    one fixed-order interpolation expression, e4 fixed-point."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "etk": codes,
+            "event_type": b["event_type"],
+            "value_e2": scale_col(b["value"].to_numpy(zero_copy_only=False),
+                                  100.0),
+            "event_id": b["event_id"].cast(pa.int64()),
+        })
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ranked = rank_per_group(rows, key="etk",
+                            order=["value_e2", "event_id"],
+                            descending=[False, False]).materialize()
+    counts = rows.groupby("etk").aggregate(Count(alias_name="n"))
+    joined = ranked.join(counts, join_type="inner", num_partitions=2,
+                         on=("etk",))
+    QS = (("p50", 0.5), ("p90", 0.9))
+
+    def pick(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rank = b["rank"].to_numpy(zero_copy_only=False)
+        v = b["value_e2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        big = float(np.iinfo(np.int64).min)
+        cols = {"event_type": []}
+        keep_any = np.zeros(len(rank), dtype=bool)
+        parts = {}
+        for nm, q in QS:
+            pos = (n - 1.0) * q
+            lo = np.floor(pos) + 1.0   # 1-based rank of the low row
+            hi = np.ceil(pos) + 1.0
+            frac = pos - np.floor(pos)
+            is_lo = rank == lo
+            is_hi = rank == hi
+            parts[nm] = (is_lo, is_hi, frac)
+            keep_any |= is_lo | is_hi
+        idx = np.flatnonzero(keep_any)
+        out = {"event_type": b["event_type"].take(pa.array(idx))}
+        for nm, q in QS:
+            is_lo, is_hi, frac = parts[nm]
+            # ship (v_lo, v_hi*frac-ish) pieces as maxes; the final
+            # interpolation happens after the fold so the expression
+            # order is fixed: lo + (hi - lo) * frac
+            out[f"{nm}_lo"] = np.where(is_lo[idx], v[idx], big)
+            out[f"{nm}_hi"] = np.where(is_hi[idx], v[idx], big)
+            out[f"{nm}_frac"] = np.where(is_lo[idx] | is_hi[idx],
+                                         frac[idx], big)
+        return pa.table(out)
+
+    folded = joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            *[agg for nm, _ in QS for agg in (
+                Max(f"{nm}_lo", alias_name=f"{nm}_lo"),
+                Max(f"{nm}_hi", alias_name=f"{nm}_hi"),
+                Max(f"{nm}_frac", alias_name=f"{nm}_frac"))])
+
+    def interp(b: pa.Table) -> pa.Table:
+        out = {"event_type": b["event_type"]}
+        for nm, _ in QS:
+            lo = b[f"{nm}_lo"].to_numpy(zero_copy_only=False)
+            hi = b[f"{nm}_hi"].to_numpy(zero_copy_only=False)
+            fr = b[f"{nm}_frac"].to_numpy(zero_copy_only=False)
+            val = lo + (hi - lo) * fr
+            out[f"{nm}_e4"] = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        return pa.table(out)
+
+    return folded.map_batches(interp, batch_format="pyarrow")
+
+
+def sql_quantile_cont_events() -> str:
+    v = "CAST(floor(value*100.0+0.5) AS BIGINT)"
+    return (
+        f"SELECT event_type, "
+        f"CAST(floor(quantile_cont({v}, 0.5)*100.0+0.5) AS BIGINT) "
+        f"AS p50_e4, "
+        f"CAST(floor(quantile_cont({v}, 0.9)*100.0+0.5) AS BIGINT) "
+        f"AS p90_e4 "
+        f"FROM events GROUP BY event_type ORDER BY event_type")
