@@ -48,8 +48,19 @@ def kmeans_fit(emb_ds, *, k: int, n_iters: int = 5,
     Iterations: map_batches partial stats -> tiny driver reduce (the
     collected partials are blocks x k rows of (count, sum) — constant
     in the row count)."""
+    # deterministic init WITHOUT a global sort: each block keeps its k
+    # smallest ids (a per-block partial top-k), the driver merges
+    # blocks x k rows — same result as sort().limit(k), no all-to-all
+    def smallest_k(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:k]
+        return pa.table({id_col: ids[keep],
+                         col: b[col].take(pa.array(keep))})
+
     init = emb_ds.select_columns([id_col, col]) \
-        .sort(id_col).limit(k).to_pandas()
+        .map_batches(smallest_k, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    init = init.sort_values(id_col, kind="mergesort").head(k)
     cents = np.asarray(init[col].tolist(), dtype=np.float64)
     data = emb_ds.select_columns([id_col, col]).materialize()
     counts = np.zeros(k, dtype=np.int64)
