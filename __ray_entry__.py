@@ -276,6 +276,33 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         }))
         return decode_images(media, concurrency=2, batch_size=16)
 
+    def image_phash_near_dup(sf_dir: str):
+        """Perceptual-hash image near-dup pairs over a deterministic
+        synthetic corpus with planted edited copies (DCT pHash + 8x8
+        band self-join, multimodal/phash.py)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from igpm_pem_ray.multimodal.codec import encode_png
+        from igpm_pem_ray.multimodal.phash import phash_near_dup_pairs
+
+        rng = np.random.RandomState(17)
+        payloads = []
+        for i in range(32):
+            base = ((np.arange(24)[:, None, None] * (3 + i)
+                     + np.arange(24)[None, :, None] * (7 + i)) % 256) \
+                .repeat(3, axis=2).astype(np.uint8)
+            payloads.append(encode_png(base))
+            if i % 4 == 0:  # planted near-dup: small local edit
+                dup = base.copy()
+                dup[2:4, 2:4] = 128
+                payloads.append(encode_png(dup))
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "payload": pa.array(payloads, pa.binary())}))
+        return phash_near_dup_pairs(media, max_hamming=7)
+
     return {
         "near_dup_groups": near_dup_groups,
         "simhash": simhash,
@@ -290,6 +317,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "pattern_match_approx": pattern_match_approx,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
+        "image_phash_near_dup": image_phash_near_dup,
         "pattern_match": pattern_match,
         "extract_paths": extract_paths,
     }

@@ -576,3 +576,40 @@ def test_topk_per_group_boundary_offsets():
         # ranks are exactly 1..k per key
         assert got.groupby("g")["rank"].apply(
             lambda s: sorted(s) == list(range(1, len(s) + 1))).all()
+
+
+def test_phash_near_dup_planted():
+    """DCT perceptual hash separates small edits (few bits) from
+    unrelated images (~half the bits); band self-join + popcount
+    verify finds exactly the planted near-dup pairs; recall guard
+    raises beyond the pigeonhole bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from igpm_pem_ray.multimodal.codec import encode_png
+    from igpm_pem_ray.multimodal.phash import (phash_image,
+                                               phash_near_dup_pairs)
+
+    rng = np.random.RandomState(5)
+    grad = (np.arange(24)[:, None, None] * 10
+            + np.arange(24)[None, :, None] * 3) % 256
+    img1 = grad.repeat(3, axis=2).astype(np.uint8)
+    img2 = img1.copy()
+    img2[5:8, 5:8] = 200                       # small local edit
+    img3 = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+
+    h1, h2, h3 = (phash_image(i) for i in (img1, img2, img3))
+    assert bin(h1 ^ h2).count("1") <= 7
+    assert bin(h1 ^ h3).count("1") >= 20
+
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([encode_png(i) for i in (img1, img2, img3)],
+                            pa.binary())}))
+    pairs = phash_near_dup_pairs(media, max_hamming=7).to_pandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(0, 1)]
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(media, max_hamming=20)
