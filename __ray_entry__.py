@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_price_qty": an.q_corr_price_qty,
         "ols_price_qty": an.q_ols_price_qty,
         "embed_dim_stats": an.q_embed_dim_stats,
+        "dq_checks": an.q_dq_checks,
+        "table_diff": an.q_table_diff,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -581,5 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_price_qty": an.sql_corr_price_qty(),
         "ols_price_qty": an.sql_ols_price_qty(),
         "embed_dim_stats": an.sql_embed_dim_stats(),
+        "dq_checks": an.sql_dq_checks(),
+        "table_diff": an.sql_table_diff(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -1158,3 +1158,176 @@ def sql_embed_dim_stats() -> str:
         "CAST(floor(CAST(sum(CAST(floor(x*1e6+0.5) AS BIGINT)) "
         "AS DOUBLE)/CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) "
         "AS mean_e6 FROM u GROUP BY dim ORDER BY dim")
+
+
+# -------- data-quality constraint validation --------
+
+def q_dq_checks(sf_dir: str):
+    """Distributed data-quality audit — one row per constraint with
+    its violation count: FK orphan check (orders.o_custkey must exist
+    in customer — broadcast key filter, the anti-join shape), range
+    check (l_quantity in [1, 50]), positivity (o_totalprice > 0),
+    key-uniqueness (duplicate o_orderkey count via groupby), null
+    check (events.ts).  Composes the engine's own primitives; each
+    check is a per-block vectorized partial + scalar aggregate."""
+    import ray as _ray
+
+    rows = []
+
+    cust_keys = np.sort(read_table(sf_dir, "customer",
+                                   columns=["c_custkey"])
+                        .to_pandas()["c_custkey"].to_numpy())
+    kref = _ray.put(cust_keys)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"]).materialize()
+
+    def fk_viol(b: pa.Table) -> pa.Table:
+        keys = _ray.get(kref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        n = int((~np.isin(ck, keys)).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    rows.append(("orders_custkey_fk",
+                 int(orders.map_batches(fk_viol, batch_format="pyarrow")
+                     .sum("n") or 0)))
+
+    def price_viol(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((tp <= 0).sum())], pa.int64())})
+
+    rows.append(("orders_totalprice_positive",
+                 int(orders.map_batches(price_viol, batch_format="pyarrow")
+                     .sum("n") or 0)))
+
+    from ray.data.aggregate import Count
+
+    dup = orders.groupby("o_orderkey").aggregate(Count(alias_name="c")) \
+        .filter(expr="c > 1")
+
+    def dup_extra(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((c - 1).sum())], pa.int64())})
+
+    rows.append(("orders_orderkey_unique",
+                 int(dup.map_batches(dup_extra, batch_format="pyarrow")
+                     .sum("n") or 0)))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def qty_viol(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int(((q < 1) | (q > 50)).sum())], pa.int64())})
+
+    rows.append(("lineitem_quantity_range",
+                 int(li.map_batches(qty_viol, batch_format="pyarrow")
+                     .sum("n") or 0)))
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def null_viol(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(b["ts"].null_count)], pa.int64())})
+
+    rows.append(("events_ts_not_null",
+                 int(ev.map_batches(null_viol, batch_format="pyarrow")
+                     .sum("n") or 0)))
+
+    rows.sort()
+    return pa.table({"check_name": pa.array([r[0] for r in rows],
+                                            pa.string()),
+                     "n_violations": pa.array([r[1] for r in rows],
+                                              pa.int64())})
+
+
+def sql_dq_checks() -> str:
+    return (
+        "SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations "
+        "FROM ("
+        "SELECT 'orders_custkey_fk' AS check_name, "
+        "(SELECT count(*) FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+        "AS n_violations "
+        "UNION ALL SELECT 'orders_totalprice_positive', "
+        "(SELECT count(*) FROM orders WHERE o_totalprice <= 0) "
+        "UNION ALL SELECT 'orders_orderkey_unique', "
+        "(SELECT COALESCE(sum(c - 1), 0) FROM (SELECT count(*) AS c "
+        "FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) "
+        "UNION ALL SELECT 'lineitem_quantity_range', "
+        "(SELECT count(*) FROM lineitem WHERE l_quantity < 1 "
+        "OR l_quantity > 50) "
+        "UNION ALL SELECT 'events_ts_not_null', "
+        "(SELECT count(*) FROM events WHERE ts IS NULL)"
+        ") ORDER BY check_name")
+
+
+# -------- table diff (version comparison) --------
+
+def q_table_diff(sf_dir: str):
+    """Diff two versions of the orders table — v2 is a deterministic
+    derivation (every 7th order dropped, every 5th price bumped 10%)
+    — into (status, n) counts {added, removed, changed, unchanged}.
+    Executed as a tagged union + ONE groupby(key) aggregate carrying
+    each side's value hash (the join-as-aggregation shape from
+    q_join_outer): at 10^12 rows this is one shuffle, no driver
+    state."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def v1(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        return pa.table({"k": k, "v1": v, "v2": np.zeros(len(k), np.int64),
+                         "side": np.ones(len(k), np.int64)})
+
+    def v2(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        keep = k % 7 != 0
+        k, v = k[keep], v[keep]
+        v = np.where(k % 5 == 0,
+                     np.floor(v * 1.1 + 0.5).astype(np.int64), v)
+        return pa.table({"k": k, "v1": np.zeros(len(k), np.int64),
+                         "v2": v, "side": np.full(len(k), 2, np.int64)})
+
+    left = orders.map_batches(v1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    right = orders.map_batches(v2, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    merged = left.union(right).groupby("k").aggregate(
+        Sum("v1", alias_name="v1"), Sum("v2", alias_name="v2"),
+        Sum("side", alias_name="side"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        side = b["side"].to_numpy(zero_copy_only=False)
+        v1c = b["v1"].to_numpy(zero_copy_only=False)
+        v2c = b["v2"].to_numpy(zero_copy_only=False)
+        status = np.where(side == 1, "removed",
+                          np.where(side == 2, "added",
+                                   np.where(v1c == v2c, "unchanged",
+                                            "changed")))
+        return pa.table({"status": pa.array(status.tolist(), pa.string())})
+
+    return merged.map_batches(classify, batch_format="pyarrow") \
+        .groupby("status").aggregate(Count(alias_name="n"))
+
+
+def sql_table_diff() -> str:
+    v = "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)"
+    return (
+        f"WITH v1 AS (SELECT o_orderkey AS k, {v} AS val FROM orders), "
+        f"v2 AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 5 = 0 "
+        f"THEN CAST(floor({v} * 1.1 + 0.5) AS BIGINT) ELSE {v} END AS val "
+        f"FROM orders WHERE o_orderkey % 7 <> 0), "
+        f"d AS (SELECT COALESCE(v1.k, v2.k) AS k, "
+        f"CASE WHEN v2.k IS NULL THEN 'removed' "
+        f"WHEN v1.k IS NULL THEN 'added' "
+        f"WHEN v1.val = v2.val THEN 'unchanged' ELSE 'changed' END "
+        f"AS status FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k) "
+        f"SELECT status, CAST(count(*) AS BIGINT) AS n FROM d "
+        f"GROUP BY status ORDER BY status")
