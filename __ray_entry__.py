@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": g.q_pagerank_weighted,
         "pagerank_topic": g.q_pagerank_topic,
         "katz": g.q_katz,
+        "partition_stats": g.q_partition_stats,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -431,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_join": r.q_overlap_join,
         "props_scrub": r.q_props_scrub,
         "quantile_cont_events": r.q_quantile_cont_events,
+        "bloom_semi_join": r.q_bloom_semi_join,
         "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
@@ -523,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": g.sql_pagerank_weighted(),
         "pagerank_topic": g.sql_pagerank_topic(),
         "katz": g.sql_katz(),
+        "partition_stats": g.sql_partition_stats(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),
@@ -541,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_join": r.sql_overlap_join(),
         "props_scrub": r.sql_props_scrub(),
         "quantile_cont_events": r.sql_quantile_cont_events(),
+        "bloom_semi_join": r.sql_bloom_semi_join(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),

@@ -1312,3 +1312,66 @@ def sql_closeness() -> str:
         "SELECT b AS vid, CAST(count(*) AS BIGINT) AS n_reached, "
         "CAST(SUM(d) AS BIGINT) AS sum_d FROM md "
         "GROUP BY b ORDER BY vid")
+
+
+# ---------- partition-quality statistics ----------
+
+PARTITION_P = 8
+
+
+def q_partition_stats(sf_dir: str) -> pa.Table:
+    """Quality metrics of the default hash partitioning (vid mod P)
+    on the co-occurrence graph — the explicit-partitioning north-rule
+    surface measured on itself: edge-cut count/ratio and per-
+    partition load extremes.  Per-block vectorized partials, scalar
+    merges."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    P = PARTITION_P
+
+    def partials(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        cut = int((s % P != d % P).sum())
+        loads = np.bincount(s % P, minlength=P) \
+            + np.bincount(d % P, minlength=P)
+        return pa.table({"part": np.arange(P + 1, dtype=np.int64),
+                         "load": np.r_[loads, 0].astype(np.int64),
+                         "cut": np.r_[np.zeros(P, np.int64), cut]})
+
+    agg = edges.map_batches(partials, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("part").aggregate(_Sum("load", alias_name="load"),
+                                   _Sum("cut", alias_name="cut"))
+    pdf = agg.to_pandas().sort_values("part")
+    loads = pdf["load"].to_numpy()[:P].astype(np.int64)
+    n_cut = int(pdf["cut"].to_numpy()[P])
+    n_edges = int(loads.sum() // 2)
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_cut": pa.array([n_cut], pa.int64()),
+        "cut_ratio_e6": pa.array(
+            [int(np.floor(n_cut * 1e6 / max(n_edges, 1) + 0.5))],
+            pa.int64()),
+        "max_load": pa.array([int(loads.max())], pa.int64()),
+        "min_load": pa.array([int(loads.min())], pa.int64())})
+
+
+def sql_partition_stats() -> str:
+    P = PARTITION_P
+    return _with_edges(
+        f"cut AS (SELECT count(*) AS n_edges, "
+        f"sum(CASE WHEN src % {P} <> dst % {P} THEN 1 ELSE 0 END) "
+        f"AS n_cut FROM edges), "
+        f"ends AS (SELECT src % {P} AS p FROM edges "
+        f"UNION ALL SELECT dst % {P} AS p FROM edges), "
+        f"loads AS (SELECT p, count(*) AS c FROM ends GROUP BY p) "
+        f"SELECT CAST(c.n_edges AS BIGINT) AS n_edges, "
+        f"CAST(c.n_cut AS BIGINT) AS n_cut, "
+        f"CAST(floor(c.n_cut*1e6/greatest(c.n_edges, 1)+0.5) AS BIGINT) "
+        f"AS cut_ratio_e6, "
+        f"CAST((SELECT max(cc) FROM (SELECT c AS cc FROM loads)) "
+        f"AS BIGINT) AS max_load, "
+        f"CAST((SELECT min(cc) FROM (SELECT c AS cc FROM loads)) "
+        f"AS BIGINT) AS min_load FROM cut c")

@@ -1364,3 +1364,91 @@ def sql_quantile_cont_events() -> str:
         f"CAST(floor(quantile_cont({v}, 0.9)*100.0+0.5) AS BIGINT) "
         f"AS p90_e4 "
         f"FROM events GROUP BY event_type ORDER BY event_type")
+
+
+# -------- Bloom-prefiltered semi-join --------
+
+def q_bloom_semi_join(sf_dir: str):
+    """Same result as `semi_join` (lineitems of high-value orders per
+    returnflag) but through a BLOOM PREFILTER: per-block bit-array
+    partials over the build side (OR-merged on the driver — KB-sized
+    regardless of rows), broadcast once, fact side drops definite
+    misses BEFORE the exact verify, which removes the false positives
+    — so the output is bit-identical to the plain semi-join and the
+    same SQL oracle applies.  At 10^12 fact rows the filter kills the
+    shuffle volume; the exact verify here is the same broadcast
+    np.isin the semi-join uses (at larger build sides it becomes the
+    hash join, Bloom still prefiltering)."""
+    import ray as _ray
+
+    M = 1 << 16  # bits
+    K = 4        # hash probes
+
+    def bloom_hashes(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64, copy=True)
+        out = np.empty((K, len(keys)), dtype=np.int64)
+        for i in range(K):
+            c = (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+            z = (h + np.uint64(c))
+            z ^= z >> np.uint64(30)
+            z *= np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            out[i] = (z % np.uint64(M)).astype(np.int64)
+        return out
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def build_block(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)[tp > 300_000.0]
+        bits = np.zeros(M // 8, dtype=np.uint8)
+        if len(keys):
+            hs = bloom_hashes(keys).ravel()
+            np.bitwise_or.at(bits, hs // 8,
+                             (1 << (hs % 8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary()),
+                         "keys": pa.array([keys.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    parts = orders.map_batches(build_block, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    bloom = np.zeros(M // 8, dtype=np.uint8)
+    exact_keys = []
+    for blob, keys in zip(parts["bits"], parts["keys"]):
+        bloom |= np.frombuffer(blob, dtype=np.uint8)
+        exact_keys.append(np.asarray(keys, dtype=np.int64))
+    exact = np.sort(np.concatenate(exact_keys)) if exact_keys \
+        else np.empty(0, np.int64)
+    bref = _ray.put((bloom, exact))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits, keys = _ray.get(bref)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        hs = bloom_hashes(k)
+        maybe = np.ones(len(k), dtype=bool)
+        for i in range(K):
+            maybe &= (bits[hs[i] // 8] >> (hs[i] % 8) & 1).astype(bool)
+        # exact verify on the survivors only
+        sub = k[maybe]
+        hit = np.zeros(len(k), dtype=bool)
+        hit[np.flatnonzero(maybe)[np.isin(sub, keys)]] = True
+        rf = b["l_returnflag"].take(pa.array(np.flatnonzero(hit)))
+        return pa.table({"l_returnflag": rf})
+
+    from ray.data.aggregate import Count
+
+    return li.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(Count(alias_name="n_items"))
+
+
+def sql_bloom_semi_join() -> str:
+    return ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey "
+            "AND o.o_totalprice > 300000.0) "
+            "GROUP BY l_returnflag ORDER BY l_returnflag")
