@@ -208,3 +208,34 @@ def test_host_extraction_and_host_graph():
         exp[(s.split("/")[2], d.split("/")[2])] += 1
     got = {(r.src_host, r.dst_host): r.n_links for r in hg.itertuples()}
     assert got == dict(exp)
+
+
+def test_jsonl_roundtrip(tmp_path):
+    """write_jsonl -> read_jsonl reproduces the documents table;
+    rewriting is idempotent (content-hash filenames, no duplicate
+    parts on re-run)."""
+    import os
+
+    import ray.data as rd
+
+    from igpm_pem_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    out = str(tmp_path / "docs_jsonl")
+    n = write_jsonl(docs, out)
+    assert n == docs.count()
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".jsonl") for f in files)
+
+    back = read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.shape == orig.shape
+    assert (back["doc_id"].to_numpy() == orig["doc_id"].to_numpy()).all()
+    assert (back["text"].to_numpy() == orig["text"].to_numpy()).all()
+
+    # idempotent rewrite: same file set, no appends
+    n2 = write_jsonl(docs, out)
+    assert n2 == n
+    assert sorted(os.listdir(out)) == files
