@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_topic": g.q_pagerank_topic,
         "katz": g.q_katz,
         "partition_stats": g.q_partition_stats,
+        "negative_samples": g.q_negative_samples,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topic": g.sql_pagerank_topic(),
         "katz": g.sql_katz(),
         "partition_stats": g.sql_partition_stats(),
+        "negative_samples": g.sql_negative_samples(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),

@@ -1375,3 +1375,100 @@ def sql_partition_stats() -> str:
         f"AS BIGINT) AS max_load, "
         f"CAST((SELECT min(cc) FROM (SELECT c AS cc FROM loads)) "
         f"AS BIGINT) AS min_load FROM cut c")
+
+
+# ---------- negative edge sampling (embedding-training prep) ----------
+
+NEG_TRIES = 6
+NEG_KEEP = 2
+
+
+def q_negative_samples(sf_dir: str) -> pa.Table:
+    """Deterministic negative sampling for link-prediction training:
+    for every vertex of the thinned graph, NEG_TRIES affine-hash
+    candidate partners (indexed into the sorted vertex array), real
+    edges and self-pairs rejected, first NEG_KEEP survivors kept (in
+    try order) — RNG-free, so the sample is reproducible across
+    engines and epochs.  Vectorized: one broadcast vertex array +
+    packed-edge membership searchsorted; per-vertex dedup of repeated
+    candidates via a (v, cand) unique pass.  Scale shape: candidate
+    generation fans out per vertex block against the broadcast arrays;
+    the membership test is the scale constraint — at web scale swap
+    the packed array for the Bloom-prefilter + hash-join verify
+    (relational.q_bloom_semi_join's plan).  Here the thinned parity
+    graph is small by construction, so the whole pass runs in one
+    vectorized block."""
+    edges = thinned_edges(sf_dir).materialize()
+    pdf = edges.to_pandas()
+    src = pdf["src"].to_numpy().astype(np.int64)
+    dst = pdf["dst"].to_numpy().astype(np.int64)
+    verts = np.unique(np.concatenate([src, dst]))
+    V = len(verts)
+    rank = {int(v): i for i, v in enumerate(verts)}
+    # packed undirected edge set for membership tests
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    packed = np.sort((a.astype(np.int64) << 31) | b)
+
+    rows_v, rows_c, rows_i = [], [], []
+    ranks = np.arange(V, dtype=np.int64)
+    for i in range(1, NEG_TRIES + 1):
+        cand_rank = (ranks * 2654435761 + i * 1000003) % V
+        cand = verts[cand_rank]
+        v = verts
+        lo = np.minimum(v, cand)
+        hi = np.maximum(v, cand)
+        key = (lo.astype(np.int64) << 31) | hi
+        pos = np.searchsorted(packed, key)
+        pos = np.minimum(pos, len(packed) - 1)
+        is_edge = packed[pos] == key
+        ok = (cand != v) & ~is_edge
+        rows_v.append(v[ok])
+        rows_c.append(cand[ok])
+        rows_i.append(np.full(int(ok.sum()), i, np.int64))
+    vv = np.concatenate(rows_v)
+    cc = np.concatenate(rows_c)
+    ii = np.concatenate(rows_i)
+    # keep first NEG_KEEP by try order per vertex (dedup repeated
+    # candidates first, keeping the earliest try)
+    order = np.lexsort((ii, cc, vv))
+    vv, cc, ii = vv[order], cc[order], ii[order]
+    first = np.r_[True, (vv[1:] != vv[:-1]) | (cc[1:] != cc[:-1])]
+    vv, cc, ii = vv[first], cc[first], ii[first]
+    order = np.lexsort((ii, vv))
+    vv, cc, ii = vv[order], cc[order], ii[order]
+    starts = np.r_[True, vv[1:] != vv[:-1]]
+    grp = np.cumsum(starts) - 1
+    pos_in_grp = np.arange(len(vv)) - np.repeat(
+        np.flatnonzero(starts), np.diff(np.r_[np.flatnonzero(starts),
+                                              len(vv)]))
+    keep = pos_in_grp < NEG_KEEP
+    return pa.table({"vid": vv[keep], "neg": cc[keep],
+                     "try_no": ii[keep]}) \
+        .sort_by([("vid", "ascending"), ("try_no", "ascending")])
+
+
+def sql_negative_samples() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM kept "
+        "UNION ALL SELECT dst AS vid FROM kept) u), "
+        "rk AS (SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS r "
+        "FROM verts), "
+        "nv AS (SELECT count(*) AS n FROM verts), "
+        f"tries AS (SELECT r.vid, t.i, "
+        f"(r.r * 2654435761 + t.i * 1000003) % (SELECT n FROM nv) AS cr "
+        f"FROM rk r CROSS JOIN (SELECT unnest(range(1, {NEG_TRIES + 1})) "
+        f"AS i) t), "
+        "cand AS (SELECT t.vid, c.vid AS neg, t.i FROM tries t "
+        "JOIN rk c ON c.r = t.cr WHERE c.vid <> t.vid), "
+        "nonedge AS (SELECT v.vid, v.neg, v.i FROM cand v "
+        "WHERE NOT EXISTS (SELECT 1 FROM kept e WHERE "
+        "(e.src = least(v.vid, v.neg) AND e.dst = greatest(v.vid, v.neg)"
+        "))), "
+        "dedup AS (SELECT vid, neg, min(i) AS i FROM nonedge "
+        "GROUP BY vid, neg), "
+        "rked AS (SELECT vid, neg, i, row_number() OVER ("
+        "PARTITION BY vid ORDER BY i) AS rn FROM dedup) "
+        f"SELECT vid, neg, CAST(i AS BIGINT) AS try_no FROM rked "
+        f"WHERE rn <= {NEG_KEEP} ORDER BY vid, try_no")
