@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": g.q_katz,
         "partition_stats": g.q_partition_stats,
         "negative_samples": g.q_negative_samples,
+        "katz_shuffle": g.q_katz_shuffle,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -528,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": g.sql_katz(),
         "partition_stats": g.sql_partition_stats(),
         "negative_samples": g.sql_negative_samples(),
+        "katz_shuffle": g.sql_katz(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "mis": g.sql_mis(),

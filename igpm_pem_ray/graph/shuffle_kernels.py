@@ -380,3 +380,75 @@ def connected_components_shuffle(edges_ds, *, max_rounds: int = 10_000,
     return labels.map_batches(
         lambda b: pa.table({"vid": b["vid"], "component": b["label"]}),
         batch_format="pyarrow")
+
+
+def katz_shuffle(edges_ds, *, alpha_den: int = 16, n_iters: int = 5,
+                 num_partitions: int | None = None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 2, resume: bool = False,
+                 stats: dict | None = None):
+    """Dataset-resident Katz centrality with alpha = 1/alpha_den via
+    the INTEGER recurrence z <- A^T z + alpha_den^k (z = alpha_den^K
+    * x; exact int64 under any reduction order — see q_katz): state
+    is a (vid, x int64) Dataset, one edges|X|state join + one
+    groupby-sum + one vertices left-join per iteration, O(1) driver
+    scalars (the pagerank_shuffle execution shape minus
+    outdeg/dangling).  Hash-verified against the same unrolled-CTE
+    oracle as the dense q_katz."""
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    edges = edges_ds.select_columns(["src", "dst"]) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(edges, num_partitions) \
+        .repartition(n_blocks).materialize()
+    V = vertices.count()
+    params = {"kernel": "katz_shuffle", "alpha_den": alpha_den,
+              "n_iters": n_iters, "V": V}
+    start_iter = 0
+    state = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_iter, state_ds2, _m = found
+            state = state_ds2.materialize()
+    if state is None:
+        state = vertices.map_batches(
+            lambda b: pa.table({"vid": b["vid"],
+                                "x": np.ones(b.num_rows, np.int64)}),
+            batch_format="pyarrow").materialize()
+
+    for k in range(start_iter, n_iters):
+        msgs = edges.join(state, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"mvid": b["dst"],
+                                             "m": b["x"]}),
+                         batch_format="pyarrow") \
+            .groupby("mvid").aggregate(Sum("m", alias_name="m"))
+        c = alpha_den ** (k + 1)
+        state = vertices.join(msgs, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("vid",), right_on=("mvid",)) \
+            .map_batches(
+                lambda b, _c=c: pa.table({
+                    "vid": b["vid"],
+                    "x": np.nan_to_num(
+                        b["m"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64), nan=0.0)
+                    .astype(np.int64) + _c}),
+                batch_format="pyarrow").materialize()
+        if checkpoint_dir and ((k + 1) % checkpoint_every == 0
+                               or k + 1 == n_iters):
+            ckpt.save_state_ds(checkpoint_dir, k + 1, state,
+                               metric_name="iteration",
+                               metric_value=float(k + 1), params=params)
+    if stats is not None:
+        stats.update({"iterations": n_iters - start_iter,
+                      "wall_sec": time.perf_counter() - t0})
+    return state

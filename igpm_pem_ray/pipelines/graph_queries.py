@@ -1254,44 +1254,51 @@ def sql_bowtie() -> str:
 
 # ---------- Katz centrality ----------
 
-KATZ_ALPHA = 0.05
+# alpha = 1/16: with a dyadic alpha the scaled recurrence
+# z_k = A^T z_{k-1} + 16^k (z_0 = 1, x_k = z_k / 16^k) is PURE int64 —
+# damped-walk counts, exact under ANY reduction order in any engine.
+# A float alpha at e6/e8 fixed point flips half-up boundaries with
+# ~1e-3 probability per row (observed: one vertex differed by 1
+# between the dense and shuffle paths at e6).
+KATZ_ALPHA_DEN = 16
 KATZ_ITERS = 5
 
 
 def q_katz(sf_dir: str) -> pa.Table:
-    """Katz centrality, KATZ_ITERS truncated iterations of
-    x <- alpha * A^T x + 1 from x = 1 on the directed co-occurrence
-    graph (counts walks into each vertex, geometrically damped) —
-    one msg_pass(sum) per iteration on the dense substrate, e8
-    fixed-point."""
+    """Katz centrality (alpha = 1/16), KATZ_ITERS truncated
+    iterations on the directed co-occurrence graph via the integer
+    recurrence z <- A^T z + 16^k — one msg_pass(sum) per iteration on
+    the dense substrate; ``katz_scaled`` = z_K = 16^K * x_K exact
+    int64 (the caller divides by 16^K for the float score)."""
     from igpm_pem_ray.graph.dense import msg_pass as _mp
 
     edges = cooccurrence_edges(sf_dir)
     g = build_dense_graph(edges)
-    x = np.ones(g.num_vertices, dtype=np.float64)
-    for _ in range(KATZ_ITERS):
-        x = KATZ_ALPHA * _mp(g, x, reduce="sum", init=0.0) + 1.0
-    return pa.table({"vid": g.vids,
-                     "katz_e8": scale_col(x, 1e8)})
+    z = np.ones(g.num_vertices, dtype=np.int64)
+    for k in range(1, KATZ_ITERS + 1):
+        z = _mp(g, z, reduce="sum", init=np.int64(0)) \
+            + KATZ_ALPHA_DEN ** k
+    return pa.table({"vid": g.vids, "katz_scaled": z})
 
 
-def sql_katz(n_iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA) -> str:
-    a = repr(alpha)
+def sql_katz(n_iters: int = KATZ_ITERS) -> str:
     parts = [
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges "
         "UNION ALL SELECT dst AS vid FROM edges) u)",
-        "x0 AS (SELECT vid, 1.0 AS x FROM verts)",
+        "x0 AS (SELECT vid, CAST(1 AS BIGINT) AS x FROM verts)",
     ]
     for k in range(1, n_iters + 1):
         p = f"x{k - 1}"
+        c = KATZ_ALPHA_DEN ** k
         parts.append(
             f"m{k} AS (SELECT e.dst AS vid, sum(r.x) AS s FROM edges e "
             f"JOIN {p} r ON e.src = r.vid GROUP BY e.dst), "
-            f"x{k} AS (SELECT v.vid, {a} * COALESCE(m.s, 0.0) + 1.0 AS x "
+            f"x{k} AS (SELECT v.vid, CAST(COALESCE(m.s, 0) + {c} "
+            f"AS BIGINT) AS x "
             f"FROM verts v LEFT JOIN m{k} m ON v.vid = m.vid)")
     body = ", ".join(parts)
     return _with_edges(
-        f"{body} SELECT vid, {sql_scale('x', '1e8')} AS katz_e8 "
+        f"{body} SELECT vid, x AS katz_scaled "
         f"FROM x{n_iters} ORDER BY vid")
 
 
@@ -1472,3 +1479,15 @@ def sql_negative_samples() -> str:
         "PARTITION BY vid ORDER BY i) AS rn FROM dedup) "
         f"SELECT vid, neg, CAST(i AS BIGINT) AS try_no FROM rked "
         f"WHERE rn <= {NEG_KEEP} ORDER BY vid, try_no")
+
+
+def q_katz_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident Katz (the 10^12-V strategy) — hash-verified
+    against the SAME unrolled-CTE oracle as the dense q_katz."""
+    from igpm_pem_ray.graph.shuffle_kernels import katz_shuffle
+
+    ds = katz_shuffle(cooccurrence_edges(sf_dir),
+                      alpha_den=KATZ_ALPHA_DEN, n_iters=KATZ_ITERS)
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "katz_scaled": pdf["x"].to_numpy().astype("int64")})

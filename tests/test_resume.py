@@ -238,3 +238,23 @@ def test_betweenness_chunk_resume_equivalence(tmp_path):
                                  checkpoint_dir=ck, resume=True)
     assert full["betweenness_e6"].to_numpy().tolist() \
         == resumed["betweenness_e6"].to_numpy().tolist()
+
+
+def test_katz_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """katz_shuffle interrupt/resume == uninterrupted run (same
+    save_state_ds protocol as its K1-K3 siblings)."""
+    import numpy as np
+
+    from igpm_pem_ray.graph.shuffle_kernels import katz_shuffle
+
+    full = katz_shuffle(edges_ds, n_iters=4).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    ck = str(tmp_path / "katz_ck")
+    katz_shuffle(edges_ds, n_iters=2, checkpoint_dir=ck,
+                 checkpoint_every=2)
+    resumed = katz_shuffle(edges_ds, n_iters=4,
+                           checkpoint_dir=ck, resume=True).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert (full["vid"].to_numpy() == resumed["vid"].to_numpy()).all()
+    assert (full["x"].to_numpy().astype("int64")
+            == resumed["x"].to_numpy().astype("int64")).all()
