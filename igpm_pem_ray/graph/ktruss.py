@@ -40,6 +40,8 @@ def _collect_simple_edges(edges_ds) -> np.ndarray:
                                zero_copy_batch=True) \
         .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
         .drop_columns(["_n"]).to_pandas()
+    if len(pdf) == 0:  # empty groupby output is COLUMN-less
+        return np.empty((0, 2), dtype=np.int64)
     return np.stack([pdf["src"].to_numpy().astype(np.int64),
                      pdf["dst"].to_numpy().astype(np.int64)], axis=1)
 

@@ -67,6 +67,12 @@ def random_walks(edges, *, walk_len: int, num_partitions: int = 8):
     """Dataset(walker, step, vid): one walk per graph vertex, steps
     0..walk_len (step 0 = the start vertex itself)."""
     nbr, deg = indexed_neighbors(edges, num_partitions=num_partitions)
+    # ray 2.49 hash joins break on a partition whose LEFT side got zero
+    # blocks (schema-less table inside Acero): collapse to one
+    # partition for tiny graphs so no partition can be left-empty
+    V = deg.count()
+    if V < 64 * num_partitions:
+        num_partitions = 1
     state = deg.map_batches(
         lambda b: pa.table({"walker": b["dsrc"], "v": b["dsrc"]}),
         batch_format="pyarrow").materialize()

@@ -1085,3 +1085,52 @@ def test_bowtie_vs_bruteforce():
     assert stats["n_core"] == len(core)
     assert stats["n_core"] + stats["n_in"] + stats["n_out"] \
         + stats["n_other"] == len(verts)
+
+
+def test_new_kernels_empty_and_singleton():
+    """Degenerate inputs: empty edge table and a single edge must not
+    crash any of the round-3 kernels and must return coherent shapes."""
+    from igpm_pem_ray.graph import betweenness as bc_mod
+    from igpm_pem_ray.graph import dag as dag_mod
+    from igpm_pem_ray.graph import distance as dist_mod
+    from igpm_pem_ray.graph import mis as mis_mod
+    from igpm_pem_ray.graph.ktruss import truss_numbers
+    from igpm_pem_ray.graph.walks import random_walks
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    one = rd.from_arrow(pa.table({"src": pa.array([7], pa.int64()),
+                                  "dst": pa.array([9], pa.int64())}))
+
+    hist, harm, ecc, nreach, sumd = dist_mod.distance_stats(
+        empty, max_depth=3)
+    assert hist.sum() == 0 and len(harm) == 0
+
+    hist1, harm1, ecc1, nr1, sd1 = dist_mod.distance_stats(
+        one, max_depth=3)
+    assert hist1[1] == 2 and hist1[2:].sum() == 0
+    assert list(ecc1) == [1, 1] and list(nr1) == [1, 1]
+
+    t = bc_mod.betweenness(empty)
+    assert t.num_rows == 0
+    t1 = bc_mod.betweenness(one)
+    assert t1["betweenness_e6"].to_numpy().tolist() == [0, 0]
+
+    m = mis_mod.maximal_independent_set(one)
+    assert sorted(m["state"].to_pylist()) == [1, 2]
+
+    d = dag_mod.topological_layers(one)
+    assert dict(zip(d["vid"].to_pylist(),
+                    d["layer"].to_pylist())) == {7: 0, 9: 1}
+
+    k = truss_numbers(one)
+    assert k["truss"].to_pylist() == [2]
+    assert truss_numbers(empty).num_rows == 0
+
+    w = random_walks(one, walk_len=2).to_pandas()
+    # 2 walkers x 3 steps; both vertices have exactly one neighbor
+    assert len(w) == 6
+    assert set(w["vid"]) == {7, 9}
+
+    nf = dist_mod.neighborhood_function_hll(empty, max_depth=3)
+    assert nf.num_rows == 0
