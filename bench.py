@@ -367,19 +367,37 @@ def run_scaling() -> dict:
     # would not see (each node brings its own memory channels)
     lo_cpus, hi_cpus = int(os.environ.get("GRAFT_SCALING_LO", 4)), \
         int(os.environ.get("GRAFT_SCALING_HI", 16))
-    lo = one(["--scaling-worker", str(lo_cpus)], pin_cpus=lo_cpus)
-    hi = one(["--scaling-worker", str(hi_cpus)], pin_cpus=hi_cpus)
+    # Best-of-REPS per leg, legs ALTERNATED: this box's shared-DRAM
+    # throughput swings >2x within minutes (BASELINE.md "Box-level
+    # DRAM variance"); a single sample regularly lands one leg in a
+    # degraded window and the ratio then measures the box, not the
+    # code (observed: 0.74 and 0.78 single-shot vs 0.94-0.95 in clean
+    # windows, with a decomposed stage check showing extract 0.99 /
+    # build 0.80).  min-of-n per leg is the same estimator the kernel
+    # bench uses.
+    reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "2")))
+    los, his = [], []
+    for _ in range(reps):
+        los.append(one(["--scaling-worker", str(lo_cpus)],
+                       pin_cpus=lo_cpus))
+        his.append(one(["--scaling-worker", str(hi_cpus)],
+                       pin_cpus=hi_cpus))
+    lo = max(los, key=lambda d: d["pages_per_sec"])
+    hi = max(his, key=lambda d: d["pages_per_sec"])
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_low": lo_cpus, "cpus_high": hi_cpus,
+        "reps_per_leg": reps,
         "num_pages": lo["num_pages"], "num_edges": lo["num_edges"],
         "pages_per_sec_low": lo["pages_per_sec"],
         "pages_per_sec_high": hi["pages_per_sec"],
         "edges_per_sec_low": lo["edges_per_sec"],
         "edges_per_sec_high": hi["edges_per_sec"],
+        "pages_per_sec_low_samples": [d["pages_per_sec"] for d in los],
+        "pages_per_sec_high_samples": [d["pages_per_sec"] for d in his],
         "detail_low": lo, "detail_high": hi,
     }
 
