@@ -84,6 +84,8 @@ def core_numbers(edges_ds, *, stats: dict | None = None):
     # and its adjacency scanned exactly once -> O(E) total numpy work,
     # no per-edge Python.
     core = np.zeros(V, dtype=np.int64)
+    layer = np.zeros(V, dtype=np.int64)
+    layer_no = 0
     alive = np.ones(V, dtype=bool)
     deg_cur = deg.copy()
     md = int(deg.max(initial=0))
@@ -93,7 +95,9 @@ def core_numbers(edges_ds, *, stats: dict | None = None):
             removed = np.flatnonzero(sel)
             if len(removed) == 0:
                 break
+            layer_no += 1
             core[removed] = k
+            layer[removed] = layer_no
             alive[removed] = False
             lens = indptr[removed + 1] - indptr[removed]
             total = int(lens.sum())
@@ -107,9 +111,14 @@ def core_numbers(edges_ds, *, stats: dict | None = None):
             break
     if stats is not None:
         stats.update({"num_vertices": V, "num_simple_edges": len(pairs),
-                      "max_core": int(core.max(initial=0))})
+                      "max_core": int(core.max(initial=0)),
+                      "n_layers": layer_no})
+    # layer = the global peel-wave number (onion decomposition,
+    # Hebert-Dufresne et al. 2016): rides along for free — each wave
+    # of the cascade IS one onion layer
     return rd.from_arrow(pa.table({"vid": vids.astype(np.int64),
-                                   "core": core.astype(np.int64)}))
+                                   "core": core.astype(np.int64),
+                                   "layer": layer.astype(np.int64)}))
 
 
 def kcore_membership(edges_ds, k: int, *, num_partitions: int | None = None,

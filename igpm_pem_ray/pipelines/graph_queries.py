@@ -158,7 +158,8 @@ def q_kcore(sf_dir: str) -> pa.Table:
     t = kcore_mod.core_numbers(cooccurrence_edges(sf_dir))
     pdf = t.to_pandas().sort_values("vid")
     return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
-                     "core": pdf["core"].to_numpy().astype("int64")})
+                     "core": pdf["core"].to_numpy().astype("int64"),
+                     "layer": pdf["layer"].to_numpy().astype("int64")})
 
 
 LINK_PREDICT_K = 20

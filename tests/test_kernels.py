@@ -1134,3 +1134,46 @@ def test_new_kernels_empty_and_singleton():
 
     nf = dist_mod.neighborhood_function_hll(empty, max_depth=3)
     assert nf.num_rows == 0
+
+
+def test_onion_layers_vs_python_peel():
+    """The onion layer (global peel-wave number) riding along with
+    core_numbers matches an independent set-based peel."""
+    from igpm_pem_ray.graph import kcore as kcore_mod
+
+    rng = np.random.RandomState(33)
+    V, E = 80, 220
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    t = kcore_mod.core_numbers(ds).to_pandas()
+    got = {int(r.vid): (int(r.core), int(r.layer))
+           for r in t.itertuples()}
+
+    adj: dict = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v in set(src.tolist()) | set(dst.tolist()):
+        adj.setdefault(v, set())
+    alive = set(adj)
+    deg = {v: len(adj[v]) for v in adj}
+    exp = {}
+    layer_no = 0
+    k = 0
+    while alive:
+        wave = {v for v in alive if deg[v] <= k}
+        if not wave:
+            k += 1
+            continue
+        layer_no += 1
+        for v in wave:
+            exp[v] = (k, layer_no)
+        alive -= wave
+        for v in wave:
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+    assert got == exp
