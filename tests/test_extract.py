@@ -239,3 +239,35 @@ def test_jsonl_roundtrip(tmp_path):
     n2 = write_jsonl(docs, out)
     assert n2 == n
     assert sorted(os.listdir(out)) == files
+
+
+def test_hive_partitioned_edge_sink(tmp_path):
+    """Partitioned parquet output (hive layout by bucket): one
+    directory per key range so a failed run can skip finished
+    partitions; read back filtered by partition — only that
+    directory's files are touched."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.stages.partition import assign_buckets
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 1000, 5000).astype(np.int64)
+    dst = rng.randint(0, 1000, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    bucketed = assign_buckets(ds, key="src", num_buckets=4)
+    out = str(tmp_path / "edges_hive")
+    bucketed.write_parquet(out, partition_cols=["bucket"])
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert len(dirs) == 4
+
+    back = rd.read_parquet(out).count()
+    assert back == 5000
+    one = rd.read_parquet(os.path.join(out, "bucket=0")).count()
+    per_bucket = rd.read_parquet(out).to_pandas()["bucket"] \
+        .astype("int64").value_counts().to_dict()
+    assert one == per_bucket[0]
