@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_scrub": r.q_props_scrub,
         "quantile_cont_events": r.q_quantile_cont_events,
         "bloom_semi_join": r.q_bloom_semi_join,
+        "corpus_curation": r.q_corpus_curation,
         "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
@@ -549,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "props_scrub": r.sql_props_scrub(),
         "quantile_cont_events": r.sql_quantile_cont_events(),
         "bloom_semi_join": r.sql_bloom_semi_join(),
+        "corpus_curation": r.sql_corpus_curation(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),

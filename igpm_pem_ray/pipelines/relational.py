@@ -1452,3 +1452,87 @@ def sql_bloom_semi_join() -> str:
             "WHERE o.o_orderkey = l.l_orderkey "
             "AND o.o_totalprice > 300000.0) "
             "GROUP BY l_returnflag ORDER BY l_returnflag")
+
+
+# -------- composed corpus-curation pipeline --------
+
+def q_corpus_curation(sf_dir: str):
+    """The flagship LLM-data curation pipeline as ONE composed query:
+    keep documents that are (1) English, (2) length-bounded
+    (60 <= tokens), (3) stopword-rich enough (>= 10% of tokens — the
+    fluency heuristic), and (4) the smallest-id representative of
+    their exact-duplicate group (fp64 content fingerprint ->
+    groupby-min, the doc_dedup_exact plan).  One stateless scoring
+    map + one dedup shuffle; returns survivors (doc_id, lang,
+    n_tokens) — the deterministic SQL-checkable core of the curation
+    funnel (the MinHash near-dup stage is the non-SQL continuation,
+    `near_dup_groups`)."""
+    from igpm_pem_ray.text.analysis import fingerprint64
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    stop = frozenset(STOP10)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        toks = text.str.split()
+        n_tokens = toks.str.len().fillna(0).astype("int64")
+        n_stop = toks.map(
+            lambda ws: sum(1 for w in ws if w in stop)
+            if isinstance(ws, list) else 0).astype("int64")
+        keep = (df["lang"] == "en") & (n_tokens >= 60) \
+            & (n_stop * 10 >= n_tokens)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"][keep],
+            "lang": df["lang"][keep],
+            "n_tokens": n_tokens[keep].to_numpy(),
+            "fp64": fingerprint64(text[keep].tolist()),
+        })
+        return out
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    # winner + its attributes in ONE groupby, no join-back (and no
+    # empty-partition join hazard on a sparse filter): pack
+    # (doc_id, n_tokens) into a single int64 — min orders by doc_id
+    # first, so the group minimum IS the winner row.  lang is
+    # constant ('en') for every survivor by construction.
+    def pack(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"fp64": b["fp64"],
+                         "packed": (did << 20) | nt})
+
+    won = scored.map_batches(pack, batch_format="pyarrow")         .groupby("fp64").aggregate(Min("packed", alias_name="packed"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["packed"].to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table({
+            "doc_id": (pk >> 20).astype(np.int64),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "n_tokens": (pk & ((1 << 20) - 1)).astype(np.int64)})
+
+    return won.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_corpus_curation() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOP10)
+    return (
+        "WITH scored AS (SELECT doc_id, lang, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        r"CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+        "END AS n_tokens, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        r"CAST(length(list_filter(string_split_regex(trim(text), '\s+'), "
+        f"x -> x IN ({stops}))) AS BIGINT) END AS n_stop, "
+        "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) "
+        "AS fp FROM documents), "
+        "kept AS (SELECT * FROM scored WHERE lang = 'en' "
+        "AND n_tokens >= 60 AND n_stop * 10 >= n_tokens), "
+        "reps AS (SELECT fp, min(doc_id) AS rep_id FROM kept "
+        "GROUP BY fp) "
+        "SELECT k.doc_id, k.lang, k.n_tokens FROM kept k "
+        "JOIN reps r ON r.fp = k.fp AND r.rep_id = k.doc_id "
+        "ORDER BY k.doc_id")
