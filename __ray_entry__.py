@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_events": r.q_quantile_cont_events,
         "bloom_semi_join": r.q_bloom_semi_join,
         "corpus_curation": r.q_corpus_curation,
+        "quartile_orders": r.q_quartile_orders,
         "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
@@ -484,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": an.q_embed_dim_stats,
         "dq_checks": an.q_dq_checks,
         "table_diff": an.q_table_diff,
+        "cube_revenue": an.q_cube_revenue,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -551,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_cont_events": r.sql_quantile_cont_events(),
         "bloom_semi_join": r.sql_bloom_semi_join(),
         "corpus_curation": r.sql_corpus_curation(),
+        "quartile_orders": r.sql_quartile_orders(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -595,5 +598,6 @@ def oracle_sql() -> dict[str, str]:
         "embed_dim_stats": an.sql_embed_dim_stats(),
         "dq_checks": an.sql_dq_checks(),
         "table_diff": an.sql_table_diff(),
+        "cube_revenue": an.sql_cube_revenue(),
         "word_bigrams": an.sql_word_bigrams(),
     }

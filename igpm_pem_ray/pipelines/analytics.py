@@ -1331,3 +1331,62 @@ def sql_table_diff() -> str:
         f"AS status FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k) "
         f"SELECT status, CAST(count(*) AS BIGINT) AS n FROM d "
         f"GROUP BY status ORDER BY status")
+
+
+# -------- CUBE grouping sets --------
+
+def q_cube_revenue(sf_dir: str):
+    """Revenue by CUBE(returnflag, linestatus) — all four grouping
+    sets from ONE pre-aggregated (flag, status) partial: the fine
+    groupby runs once over the fact table, the three coarser sets
+    re-aggregate the tiny partial (no second fact scan), 'ALL'
+    sentinel for rolled-up dimensions."""
+    from ray.data.aggregate import Sum as _Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "f": b["l_returnflag"], "s": b["l_linestatus"],
+            "rev_e2": scale_col(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                100.0)})
+
+    fine = li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["f", "s"]).aggregate(_Sum("rev_e2", alias_name="rev")) \
+        .to_pandas()
+    rows = []
+    for _, r in fine.iterrows():
+        rows.append((r["f"], r["s"], int(r["rev"])))
+    import collections
+
+    agg_f = collections.Counter()
+    agg_s = collections.Counter()
+    total = 0
+    for f, s_, v in rows:
+        agg_f[f] += v
+        agg_s[s_] += v
+        total += v
+    out = rows \
+        + [(f, "ALL", v) for f, v in sorted(agg_f.items())] \
+        + [("ALL", s_, v) for s_, v in sorted(agg_s.items())] \
+        + [("ALL", "ALL", total)]
+    out.sort()
+    return pa.table({
+        "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+        "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+        "revenue_e2": pa.array([r[2] for r in out], pa.int64())})
+
+
+def sql_cube_revenue() -> str:
+    rev = "CAST(sum(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) " \
+          "AS BIGINT)"
+    return (
+        f"SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        f"COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        f"{rev} AS revenue_e2 "
+        f"FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
+        f"ORDER BY l_returnflag, l_linestatus")

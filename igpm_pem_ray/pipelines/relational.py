@@ -1536,3 +1536,66 @@ def sql_corpus_curation() -> str:
         "SELECT k.doc_id, k.lang, k.n_tokens FROM kept k "
         "JOIN reps r ON r.fp = k.fp AND r.rep_id = k.doc_id "
         "ORDER BY k.doc_id")
+
+
+def q_quartile_orders(sf_dir: str):
+    """Quartile bucket of every order within its customer segment-
+    equivalent (o_orderpriority group), by totalprice — the ntile
+    shape with an EXPLICIT bucket rule floor((rank-1)*4/n) written
+    identically in both engines (builtin ntile remainder placement
+    varies): rank via the sort + block-rank plan, counts joined by
+    closure-free broadcast (tiny group count table)."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(pr.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "gk": codes,
+            "o_orderpriority": b["o_orderpriority"],
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "price_e2": scale_col(
+                b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0)})
+
+    rows = od.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ranked = rank_per_group(rows, key="gk",
+                            order=["price_e2", "o_orderkey"],
+                            descending=[False, False])
+    counts = rows.groupby("gk").aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    lut = dict(zip(counts["gk"].astype("int64"),
+                   counts["n"].astype("int64")))
+    import ray as _ray
+
+    lref = _ray.put(lut)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        lu = _ray.get(lref)
+        gk = b["gk"].to_numpy(zero_copy_only=False)
+        n = np.array([lu[int(g)] for g in gk], np.int64)
+        rank = b["rank"].to_numpy(zero_copy_only=False)
+        q = (rank - 1) * 4 // n
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "quartile": q.astype(np.int64)})
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+def sql_quartile_orders() -> str:
+    return (
+        "WITH r AS (SELECT o_orderkey, o_orderpriority, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY CAST(floor(o_totalprice*100.0+0.5) AS BIGINT), "
+        "o_orderkey) AS rk, "
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n "
+        "FROM orders) "
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST((rk - 1) * 4 // n AS BIGINT) AS quartile FROM r "
+        "ORDER BY o_orderkey")
