@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": r.q_bloom_semi_join,
         "corpus_curation": r.q_corpus_curation,
         "quartile_orders": r.q_quartile_orders,
+        "event_bigrams": r.q_event_bigrams,
         "kmeans_embed": r.q_kmeans_embed,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
@@ -486,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks": an.q_dq_checks,
         "table_diff": an.q_table_diff,
         "cube_revenue": an.q_cube_revenue,
+        "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -554,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": r.sql_bloom_semi_join(),
         "corpus_curation": r.sql_corpus_curation(),
         "quartile_orders": r.sql_quartile_orders(),
+        "event_bigrams": r.sql_event_bigrams(),
         "window_events": r.sql_window_events(),
         "ts_rebase": r.sql_ts_rebase(),
         "ts_window_filter": r.sql_ts_window_filter(),
@@ -599,5 +602,6 @@ def oracle_sql() -> dict[str, str]:
         "dq_checks": an.sql_dq_checks(),
         "table_diff": an.sql_table_diff(),
         "cube_revenue": an.sql_cube_revenue(),
+        "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
     }

@@ -1390,3 +1390,63 @@ def sql_cube_revenue() -> str:
         f"{rev} AS revenue_e2 "
         f"FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
         f"ORDER BY l_returnflag, l_linestatus")
+
+
+# -------- market-basket association rules --------
+
+ASSOC_TOPK = 20
+
+
+def q_assoc_rules(sf_dir: str):
+    """Top-ASSOC_TOPK part pairs by order co-occurrence support, with
+    both directed confidences — market-basket mining on the lineitem
+    basket table: pair supports = the (non-distinct) co-occurrence
+    multigraph counted once, item supports = one distinct-per-order
+    count, confidences integer-exact e6 ratios.  (a, b, support,
+    conf_ab_e6, conf_ba_e6), deterministic (support desc, a, b)."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.pipelines.common import cooccurrence_pairs_multi
+
+    pairs = cooccurrence_pairs_multi(sf_dir) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="support"))
+    top = pairs.sort(["support", "src", "dst"],
+                     descending=[True, False, False]) \
+        .limit(ASSOC_TOPK).to_pandas()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    item = li.groupby(["l_partkey", "l_orderkey"]) \
+        .aggregate(Count(alias_name="_c")).groupby("l_partkey") \
+        .aggregate(Count(alias_name="n_orders")).to_pandas()
+    lut = dict(zip(item["l_partkey"].astype("int64"),
+                   item["n_orders"].astype("int64")))
+    a = top["src"].to_numpy().astype(np.int64)
+    b = top["dst"].to_numpy().astype(np.int64)
+    sup = top["support"].to_numpy().astype(np.int64)
+    na = np.array([lut[int(x)] for x in a], np.float64)
+    nb = np.array([lut[int(x)] for x in b], np.float64)
+    conf_ab = np.floor(sup * 1e6 / na + 0.5).astype(np.int64)
+    conf_ba = np.floor(sup * 1e6 / nb + 0.5).astype(np.int64)
+    return pa.table({"a": a, "b": b, "support": sup,
+                     "conf_ab_e6": conf_ab, "conf_ba_e6": conf_ba})
+
+
+def sql_assoc_rules() -> str:
+    from igpm_pem_ray.pipelines.common import PAIRS_MULTI_SQL
+
+    return (
+        f"WITH pairs AS ({PAIRS_MULTI_SQL}), "
+        "sup AS (SELECT src AS a, dst AS b, count(*) AS support "
+        "FROM pairs GROUP BY src, dst), "
+        f"top AS (SELECT * FROM sup ORDER BY support DESC, a, b "
+        f"LIMIT {ASSOC_TOPK}), "
+        "item AS (SELECT l_partkey, count(DISTINCT l_orderkey) "
+        "AS n_orders FROM lineitem GROUP BY l_partkey) "
+        "SELECT t.a, t.b, CAST(t.support AS BIGINT) AS support, "
+        "CAST(floor(t.support*1e6/ia.n_orders + 0.5) AS BIGINT) "
+        "AS conf_ab_e6, "
+        "CAST(floor(t.support*1e6/ib.n_orders + 0.5) AS BIGINT) "
+        "AS conf_ba_e6 "
+        "FROM top t JOIN item ia ON ia.l_partkey = t.a "
+        "JOIN item ib ON ib.l_partkey = t.b "
+        "ORDER BY support DESC, a, b")

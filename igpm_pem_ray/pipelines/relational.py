@@ -1599,3 +1599,40 @@ def sql_quartile_orders() -> str:
         "SELECT o_orderkey, o_orderpriority, "
         "CAST((rk - 1) * 4 // n AS BIGINT) AS quartile FROM r "
         "ORDER BY o_orderkey")
+
+
+def q_event_bigrams(sf_dir: str):
+    """Markov transition counts of event types per user ((prev, curr)
+    adjacency in (ts, event_id) order) — the sequence-mining shape,
+    via stages/temporal.adjacent_pair_counts (sort + block pairs +
+    boundary stitch)."""
+    from igpm_pem_ray.stages.temporal import adjacent_pair_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "tie": b["event_id"].cast(pa.int64()),
+                         "val": b["event_type"]})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = adjacent_pair_counts(rows)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"prev_type": b["prev"], "event_type": b["curr"],
+                         "n": b["n"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_event_bigrams() -> str:
+    return (
+        "WITH o AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS prev_type FROM events) "
+        "SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM o WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, event_type ORDER BY prev_type, event_type")

@@ -474,3 +474,73 @@ def overlap_join_count(a_ds, b_ds, *, bucket_us: int,
     return pairs.groupby(["aid", "b_start", "b_end"]) \
         .aggregate(Min("b_start", alias_name="_m")) \
         .groupby("aid").aggregate(Count(alias_name="n_overlaps"))
+
+
+@ray.remote(num_returns=2)
+def _bigram_block(block: pa.Table):
+    """Per-block adjacent-pair partials for adjacent_pair_counts."""
+    if block.num_rows == 0:
+        return None, None
+    k = block["key"].to_numpy(zero_copy_only=False)
+    v = np.asarray(block["val"].to_pylist(), dtype=object)
+    same = k[1:] == k[:-1]
+    prev = v[:-1][same]
+    curr = v[1:][same]
+    if len(prev):
+        import pandas as _pd
+
+        pairs = _pd.DataFrame({"prev": prev, "curr": curr}) \
+            .groupby(["prev", "curr"], as_index=False).size()
+        partial = pa.table({"prev": pairs["prev"].astype(str),
+                            "curr": pairs["curr"].astype(str),
+                            "n": pairs["size"].to_numpy()
+                            .astype(np.int64)})
+    else:
+        partial = pa.table({"prev": pa.array([], pa.string()),
+                            "curr": pa.array([], pa.string()),
+                            "n": pa.array([], pa.int64())})
+    summary = {"first_key": int(k[0]), "first_val": str(v[0]),
+               "last_key": int(k[-1]), "last_val": str(v[-1])}
+    return partial, summary
+
+
+def adjacent_pair_counts(ds, *, target_blocks: int | None = None):
+    """Markov-transition counts of ``val`` sequences per ``key`` in
+    (key, us[, tiebreak]) order: how often value X is immediately
+    followed by value Y within a key — sort + per-block vectorized
+    pair counts + O(blocks) boundary-pair stitch + one O(distinct
+    pairs) merge groupby.  Input columns: key (int64), us, tie, val.
+    """
+    from ray.data.aggregate import Sum
+
+    srt = ds.sort(["key", "us", "tie"])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    empty = pa.table({"prev": pa.array([], pa.string()),
+                      "curr": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not refs:
+        return rd.from_arrow(empty)
+    outs = [_bigram_block.remote(r) for r in refs]
+    partial_refs = [o[0] for o in outs]
+    summaries = ray.get([o[1] for o in outs])
+
+    bp, bc = [], []
+    prev_s = None
+    for s in summaries:
+        if s is None:
+            continue
+        if prev_s is not None and prev_s["last_key"] == s["first_key"]:
+            bp.append(prev_s["last_val"])
+            bc.append(s["first_val"])
+        prev_s = s
+    boundary = pa.table({"prev": pa.array(bp, pa.string()),
+                         "curr": pa.array(bc, pa.string()),
+                         "n": pa.array([1] * len(bp), pa.int64())})
+    parts = rd.from_arrow_refs(
+        [r for r, s in zip(partial_refs, summaries) if s is not None])
+    allparts = parts.union(rd.from_arrow(boundary if len(bp) else empty))
+    return allparts.groupby(["prev", "curr"]).aggregate(
+        Sum("n", alias_name="n"))
