@@ -72,3 +72,18 @@ def test_entry_runs():
     out = _to_pandas(entrymod.entry())
     assert len(out) > 0
     assert set(out.columns) == {"vid", "rank_e8"}
+
+
+def test_registry_lint(ducks):
+    """Registry invariants for the driver contract: every oracle key
+    has a query, every oracle SQL at least PLANS in DuckDB against
+    the real views (catches schema drift and typos without paying
+    execution), and query keys are unique non-empty snake_case."""
+    import re
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(re.fullmatch(r"[a-z0-9_]+", k) for k in qs)
+    for name, sql in oracles.items():
+        ducks.execute(f"EXPLAIN {sql}")  # plans or raises
