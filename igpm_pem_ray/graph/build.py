@@ -45,8 +45,8 @@ def explode_links(batch: pa.Table) -> pa.Table:
 
 def hash_url_edges(batch: pa.Table) -> pa.Table:
     """(src_url, dst_url[, src_warc_ts]) -> (src, dst: uint64[, ts])."""
-    src = urls_to_vids(batch["src_url"].to_pylist())
-    dst = urls_to_vids(batch["dst_url"].to_pylist())
+    src = urls_to_vids(batch["src_url"])
+    dst = urls_to_vids(batch["dst_url"])
     cols: dict = {
         "src": pa.array(src, type=pa.int64()),
         "dst": pa.array(dst, type=pa.int64()),

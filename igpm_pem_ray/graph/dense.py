@@ -62,8 +62,13 @@ def vertex_domain(edges_ds, *, strategy: str = "auto") -> np.ndarray:
 
     Per-batch np.unique combiner always runs distributed; the final
     merge is driver-side np.unique over the per-block uniques (no
-    shuffle — the default while V fits the driver) or Dataset.unique
-    (the shuffle path for 10^11+ vertex domains, strategy="shuffle").
+    shuffle — while V fits the driver) or Dataset.unique (the
+    shuffle path, strategy="shuffle", which dedups distributed so the
+    driver receives exactly V values instead of O(blocks*V) rows).
+
+    strategy="auto" picks for you: if the summed per-block unique
+    count (a cheap metadata upper bound on the driver-merge funnel)
+    exceeds ``DRIVER_MERGE_MAX_V``, the shuffle path runs.
     """
     def endpoints(batch: pa.Table) -> pa.Table:
         s = _np_col(batch, "src")
@@ -72,12 +77,18 @@ def vertex_domain(edges_ds, *, strategy: str = "auto") -> np.ndarray:
 
     uniq_ds = edges_ds.map_batches(endpoints, batch_format="pyarrow",
                                    zero_copy_batch=True)
+    if strategy == "auto":
+        uniq_ds = uniq_ds.materialize()
+        strategy = ("shuffle" if uniq_ds.count() > DRIVER_MERGE_MAX_V
+                    else "driver")
     if strategy == "shuffle":
         vals = uniq_ds.unique("vid")
         if not vals:
             return np.empty(0, dtype=np.int64)
         dtype = np.uint64 if max(vals) > np.iinfo(np.int64).max else np.int64
         return np.sort(np.asarray(vals, dtype=dtype))
+    if strategy != "driver":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # tree merge: coalesce per-block uniques and re-unique before the
     # driver sees anything (64 blocks x ~V rows would otherwise funnel
     # O(blocks*V) rows into one process)

@@ -267,6 +267,13 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
     if strategy == "hll":
         t = neighborhood_function_hll(edges, max_depth=max_depth)
         cum = t["approx_pairs"].to_numpy().astype(np.int64)
+        # HLL row estimates are not guaranteed monotone in d (an
+        # estimate can dip when registers cross the linear-counting /
+        # raw-estimator switch), and searchsorted on a non-sorted
+        # array returns an arbitrary index — force the running max,
+        # the HyperANF convention (the exact path is monotone by
+        # construction).
+        cum = np.maximum.accumulate(cum)
         depths = t["d"].to_numpy()
     elif strategy == "exact":
         hist = distance_stats(edges, max_depth=max_depth)[0]

@@ -5,9 +5,10 @@ Luby (STOC 1985): each round, an undecided vertex joins the MIS iff
 its priority is STRICTLY greater than every undecided neighbor's;
 neighbors of new members drop out.  Expected O(log V) rounds.  The
 priority is an RNG-free affine hash
-``(vid * 1103515245 + round * 12345) mod (2^31 - 1)`` so both engines
-(and reruns) agree bit for bit; hash ties just defer both vertices to
-a later round (strict comparison keeps independence).
+``((vid mod 2^31-1) * 1103515245 + round * 12345) mod (2^31 - 1)`` so
+both engines (and reruns) agree bit for bit at any vid magnitude;
+hash ties just defer both vertices to a later round (strict
+comparison keeps independence).
 
 Execution shape per round (the standard distributed-MIS exchange):
 two ``msg_pass(max)`` calls over the pinned dense partitions — one
@@ -36,8 +37,15 @@ def _priorities(vids: np.ndarray, round_no: int) -> np.ndarray:
     per-round order is total and Luby provably terminates (a bare
     hash tie between adjacent vids would persist forever: the round
     term shifts both sides equally).  < 2^62, int64-safe, and
-    SQL-expressible (row_number() over vid)."""
-    h = (vids.astype(np.int64) * _A + round_no * _B) % _M
+    SQL-expressible (row_number() over vid).
+
+    The vid is reduced mod 2^31-1 BEFORE the multiply: a raw
+    ``vid * _A`` wraps numpy int64 for vids above ~8.4e9 (the hashed
+    63-bit link-graph ids) while DuckDB raises on BIGINT overflow —
+    the pre-reduction keeps both engines in exact agreement at any
+    vid magnitude (mathematically identical mod _M, overflow-free:
+    (2^31-1) * _A < 2^62)."""
+    h = ((vids.astype(np.int64) % _M) * _A + round_no * _B) % _M
     return (h << 31) | np.arange(len(vids), dtype=np.int64)
 
 

@@ -438,10 +438,12 @@ def katz_shuffle(edges_ds, *, alpha_den: int = 16, n_iters: int = 5,
             .map_batches(
                 lambda b, _c=c: pa.table({
                     "vid": b["vid"],
-                    "x": np.nan_to_num(
-                        b["m"].to_numpy(zero_copy_only=False)
-                        .astype(np.float64), nan=0.0)
-                    .astype(np.int64) + _c}),
+                    # fill_null keeps the state column int64 end to
+                    # end: routing through float64 would round sums
+                    # above 2^53 and break the kernel's "exact int64
+                    # under any reduction order" guarantee.
+                    "x": pc.fill_null(b["m"], 0).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) + _c}),
                 batch_format="pyarrow").materialize()
         if checkpoint_dir and ((k + 1) % checkpoint_every == 0
                                or k + 1 == n_iters):

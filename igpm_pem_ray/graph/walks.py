@@ -3,8 +3,11 @@ input shape).
 
 Walks are RNG-free so two engines can reproduce them bit for bit: at
 step k, walker w standing on v moves to its
-``(w * 1000003 + k * 7919) mod deg(v)``-th undirected neighbor in
-ascending-vid order — an affine per-(walker, step) hash, the same
+``((w mod 2^31-1) * 1000003 + k * 7919) mod deg(v)``-th undirected
+neighbor in ascending-vid order (the walker id is reduced mod 2^31-1
+BEFORE the multiply so the product never wraps int64 for hashed
+63-bit vids — numpy would wrap silently while DuckDB raises; the
+reduction is written identically in both engines) — an affine per-(walker, step) hash, the same
 determinism convention as the train/val split
 (`relational.q_train_val_split`).  For embedding training you'd swap
 the hash for a seeded RNG; the plan shape is identical.
@@ -32,6 +35,7 @@ from ray.data.aggregate import Count, Min
 
 _W_MUL = 1_000_003
 _K_MUL = 7_919
+_M31 = (1 << 31) - 1  # pre-reduce walker ids: no int64 wrap at 63-bit vids
 
 
 def indexed_neighbors(edges, *, num_partitions: int = 8):
@@ -95,7 +99,7 @@ def random_walks(edges, *, walk_len: int, num_partitions: int = 8):
             w = b["walker"].to_numpy(zero_copy_only=False)
             dg = b["deg"].to_numpy(zero_copy_only=False)
             v = b["v"].to_numpy(zero_copy_only=False)
-            i = (w * _W_MUL + _k * _K_MUL) % dg
+            i = ((w % _M31) * _W_MUL + _k * _K_MUL) % dg
             return pa.table({"walker": w, "v": v, "i": i.astype(np.int64)})
 
         chosen = withdeg.map_batches(pick, batch_format="pyarrow")

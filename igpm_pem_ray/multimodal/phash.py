@@ -59,7 +59,9 @@ def phash_image(rgb: np.ndarray, basis: np.ndarray | None = None) -> int:
     out = 0
     for b in bits:
         out = (out << 1) | int(b)
-    return out << 1  # pad back to 64 bits
+    # 63 bits in positions 62..0 — no pad shift, so every bit
+    # survives the int64 mask applied by PHasher.
+    return out
 
 
 class PHasher:
@@ -81,7 +83,7 @@ class PHasher:
                     raise
                 continue
             ids.append(mid)
-            # int64 reinterpret of the uint64 hash (63 bits used)
+            # 63-bit hash already fits int64; mask is a no-op guard
             hashes.append(phash_image(rgb, self.basis) & ((1 << 63) - 1))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "phash": pa.array(hashes, pa.int64())})

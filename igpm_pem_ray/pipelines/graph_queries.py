@@ -780,7 +780,8 @@ def sql_random_walks() -> str:
             f"w{k} AS (SELECT w.walker, n.dst AS v "
             f"FROM w{k - 1} w JOIN deg d ON d.src = w.v "
             f"JOIN nbr n ON n.src = w.v "
-            f"AND n.r = (w.walker*1000003 + {k}*7919) % d.deg)")
+            f"AND n.r = ((w.walker % 2147483647)*1000003 + {k}*7919) "
+            f"% d.deg)")
     body = ", ".join(parts)
     selects = " UNION ALL ".join(
         f"SELECT walker, {k} AS step, v AS vid FROM w{k}"
@@ -1006,8 +1007,8 @@ def sql_mis(rounds: int = MIS_ROUNDS) -> str:
         p = f"st{k - 1}"
         parts.append(
             f"pri{k} AS (SELECT vid, "
-            f"((vid*1103515245 + {k}*12345) % 2147483647) * 2147483648 "
-            f"+ r AS p FROM rk), "
+            f"(((vid % 2147483647)*1103515245 + {k}*12345) % 2147483647)"
+            f" * 2147483648 + r AS p FROM rk), "
             f"nb{k} AS (SELECT e.x AS vid, "
             f"max(CASE WHEN s.state = 0 THEN p.p ELSE -1 END) AS mp "
             f"FROM ue e JOIN {p} s ON s.vid = e.y "
@@ -1421,7 +1422,11 @@ def q_negative_samples(sf_dir: str) -> pa.Table:
     rows_v, rows_c, rows_i = [], [], []
     ranks = np.arange(V, dtype=np.int64)
     for i in range(1, NEG_TRIES + 1):
-        cand_rank = (ranks * 2654435761 + i * 1000003) % V
+        # rank pre-reduced mod 2^31-1: the raw product wraps int64
+        # above ~3.5e9 vertices (DuckDB would raise); identical
+        # expression in the SQL oracle below.
+        cand_rank = ((ranks % 2147483647) * 2654435761
+                     + i * 1000003) % V
         cand = verts[cand_rank]
         v = verts
         lo = np.minimum(v, cand)
@@ -1465,7 +1470,8 @@ def sql_negative_samples() -> str:
         "FROM verts), "
         "nv AS (SELECT count(*) AS n FROM verts), "
         f"tries AS (SELECT r.vid, t.i, "
-        f"(r.r * 2654435761 + t.i * 1000003) % (SELECT n FROM nv) AS cr "
+        f"((r.r % 2147483647) * 2654435761 + t.i * 1000003) "
+        f"% (SELECT n FROM nv) AS cr "
         f"FROM rk r CROSS JOIN (SELECT unnest(range(1, {NEG_TRIES + 1})) "
         f"AS i) t), "
         "cand AS (SELECT t.vid, c.vid AS neg, t.i FROM tries t "

@@ -672,11 +672,13 @@ def sql_condition_filter() -> str:
 # ---------------- documents: dedup + text analysis ----------------
 
 def q_doc_dedup_exact(sf_dir: str):
+    """Exact dedup stays a Dataset end to end: the winner table is
+    sorted by Dataset.sort (range-partition shuffle), never collected
+    to driver pandas — at 100 TB the winner list is itself huge."""
     from igpm_pem_ray.text.dedup import exact_dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = exact_dedup(docs).to_pandas()
-    return pa.table({"doc_id": np.sort(out["doc_id"].to_numpy())})
+    return exact_dedup(docs).select_columns(["doc_id"]).sort("doc_id")
 
 
 def sql_doc_dedup_exact() -> str:

@@ -2,12 +2,13 @@
 
 The interchange format of LLM data pipelines (one JSON object per
 line).  Reading uses ``ray.data.read_json`` (Arrow JSON reader,
-block-parallel).  Writing happens INSIDE the map tasks — each block
-serializes itself with pandas' C serializer and writes one
-``part-<digest>.jsonl`` (tmp + atomic rename; the digest is the
-content hash, so a re-run of a failed job rewrites the same file
-names idempotently instead of appending duplicates).  Only per-file
-row counts flow back to the driver.
+block-parallel).  Writing happens in per-block remote tasks — each
+block serializes itself with pandas' C serializer and writes one
+``part-<ordinal>-<digest>.jsonl`` (tmp + atomic rename; the digest is
+the content hash and the ordinal is the block's position, so a
+deterministic re-run rewrites the same file names idempotently while
+two byte-identical blocks in one run still land in distinct files).
+Only per-file row counts flow back to the driver.
 
 No reference analog (the reference reads node-link JSON graphs only,
 SURVEY.md section 2.1 S1); this rounds out the source formats a
@@ -30,23 +31,35 @@ def read_jsonl(path: str, **kwargs):
 
 def write_jsonl(ds, out_dir: str) -> int:
     """Dataset -> partitioned .jsonl files (one per block, written by
-    the block's own task); returns rows written."""
+    a remote task colocated with the block); returns rows written.
+
+    Filenames mix the block ORDINAL into the content digest
+    (``part-<ordinal>-<digest>.jsonl``): a bare content hash would
+    collide two byte-identical blocks in ONE run (silent row loss on
+    read-back); with the ordinal, intra-run duplicates get distinct
+    files while deterministic re-runs (same source, same blocking)
+    still rewrite the same file names idempotently."""
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_block(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def write_block(batch: pa.Table, ordinal: int) -> int:
         pdf = batch.to_pandas()
         payload = pdf.to_json(orient="records", lines=True,
                               force_ascii=False)
         if payload and not payload.endswith("\n"):
             payload += "\n"
         digest = hashlib.sha1(payload.encode()).hexdigest()[:16]
-        path = os.path.join(out_dir, f"part-{digest}.jsonl")
+        path = os.path.join(out_dir, f"part-{ordinal:06d}-{digest}.jsonl")
         tmp = f"{path}.tmp{os.getpid()}"
         with open(tmp, "w") as fh:
             fh.write(payload)
         os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(pdf)], pa.int64())})
+        return len(pdf)
 
-    counts = ds.map_batches(write_block, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
-    return int(counts["rows"].sum())
+    # to_arrow_refs hands back the materialized blocks without moving
+    # them; each write task runs next to its block's object.
+    refs = [write_block.remote(ref, i)
+            for i, ref in enumerate(ds.to_arrow_refs())]
+    return int(sum(ray.get(refs)))

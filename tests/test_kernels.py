@@ -133,6 +133,45 @@ def test_degree_distribution(graph):
     assert got == dict(dist)
 
 
+def test_vertex_domain_auto_shuffle_fallback(monkeypatch):
+    """strategy="auto" must actually route through the shuffle path
+    (Dataset.unique) when the per-block-unique funnel exceeds
+    DRIVER_MERGE_MAX_V, and both paths must agree exactly."""
+    from igpm_pem_ray.graph import dense as dense_mod
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 500, size=2000).astype(np.int64)
+    dst = rng.randint(0, 500, size=2000).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    expect = np.unique(np.concatenate([src, dst]))
+    driver = dense_mod.vertex_domain(edges, strategy="driver")
+    assert np.array_equal(driver, expect)
+
+    called = {}
+    orig_unique = rd.Dataset.unique
+
+    def spy(self, col):
+        called["col"] = col
+        return orig_unique(self, col)
+
+    monkeypatch.setattr(rd.Dataset, "unique", spy)
+    monkeypatch.setattr(dense_mod, "DRIVER_MERGE_MAX_V", 0)
+    auto = dense_mod.vertex_domain(edges, strategy="auto")
+    assert called.get("col") == "vid"  # shuffle path actually ran
+    assert np.array_equal(auto, expect)
+
+    # above-threshold auto stays on the driver path (no unique call)
+    called.clear()
+    monkeypatch.setattr(dense_mod, "DRIVER_MERGE_MAX_V", 10**9)
+    auto2 = dense_mod.vertex_domain(edges, strategy="auto")
+    assert "col" not in called
+    assert np.array_equal(auto2, expect)
+
+    with pytest.raises(ValueError):
+        dense_mod.vertex_domain(edges, strategy="bogus")
+
+
 def test_extend_dense_graph_equivalence():
     """Incrementally extended graphs run kernels identically to a fresh
     full build (K7 scale path: no per-step re-sort)."""
