@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_hist": g.q_distance_hist,
         "harmonic_centrality": g.q_harmonic_centrality,
         "effective_diameter": g.q_effective_diameter,
+        "effective_diameter_shuffle": g.q_effective_diameter_shuffle,
         "random_walks": g.q_random_walks,
         "pagerank_weighted": g.q_pagerank_weighted,
         "pagerank_topic": g.q_pagerank_topic,

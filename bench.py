@@ -179,11 +179,18 @@ def run_bench() -> dict:
 
     # Dataset-resident (shuffle) PageRank — the 10^12-V strategy, timed
     # at a fixed 3 iterations so the bench stays bounded
-    from igpm_pem_ray.graph.shuffle_kernels import pagerank_shuffle
+    from igpm_pem_ray.graph.shuffle_kernels import (hyperball_shuffle,
+                                                    pagerank_shuffle)
 
     t0 = time.perf_counter()
     pagerank_shuffle(edges, damping=0.85, tol=0.0, max_iters=3)
     timings["pagerank_shuffle_3iter"] = time.perf_counter() - t0
+
+    # Dataset-resident HyperBall (registers as a state Dataset),
+    # fixed 3 rounds for the same boundedness reason
+    t0 = time.perf_counter()
+    hyperball_shuffle(edges, max_depth=3)
+    timings["hyperball_shuffle_3r"] = time.perf_counter() - t0
 
     # incremental batch-dynamic replay (graph reuse + O(batch)
     # invariants + warm starts; fixture-scaled, sf-independent)

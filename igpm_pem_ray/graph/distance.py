@@ -264,8 +264,20 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
     Returns {"effective_diameter": d, "n_pairs_total": N(max),
     "depth_converged": last d that added pairs}.
     """
-    if strategy == "hll":
-        t = neighborhood_function_hll(edges, max_depth=max_depth)
+    if strategy in ("hll", "hll_shuffle"):
+        if strategy == "hll_shuffle":
+            # Dataset-resident registers (shuffle_kernels.hyperball_
+            # shuffle): bit-identical register evolution, so the same
+            # N(d) series up to float-summation order — the path for
+            # vertex sets that fit no driver.
+            from igpm_pem_ray.graph.shuffle_kernels import hyperball_shuffle
+
+            if isinstance(edges, DenseGraph):
+                raise ValueError("hll_shuffle takes an edge Dataset, "
+                                 "not a DenseGraph")
+            t = hyperball_shuffle(edges, max_depth=max_depth)
+        else:
+            t = neighborhood_function_hll(edges, max_depth=max_depth)
         cum = t["approx_pairs"].to_numpy().astype(np.int64)
         # HLL row estimates are not guaranteed monotone in d (an
         # estimate can dip when registers cross the linear-counting /

@@ -454,3 +454,204 @@ def katz_shuffle(edges_ds, *, alpha_den: int = 16, n_iters: int = 5,
         stats.update({"iterations": n_iters - start_iter,
                       "wall_sec": time.perf_counter() - t0})
     return state
+
+
+# ---------- HyperBall, Dataset-resident (the 10^12-V sweep path) ----------
+#
+# The dense HyperBall (graph/distance.py) holds uint8[V, m] registers
+# on the driver — right while V fits one node.  This variant keeps the
+# registers in a (vid, regs: fixed_size_binary(m)) state Dataset:
+# each round is one edges-state hash join (route every vertex's
+# registers to its out- AND in-neighbors — the undirected convention
+# of the dense kernel), a union with the current state (self-max), and
+# one hash-shuffle-by-vid + per-block vectorized np.maximum.reduceat
+# merge.  The register update is max-merge (associative, commutative,
+# idempotent), so the state after round d is BIT-IDENTICAL to the
+# dense kernel's — the two paths differ only in the float summation
+# order of the final estimate.
+#
+# Termination is exact and O(1) on the driver: registers only ever
+# grow under max-merge, so sum(all registers) is strictly monotone —
+# the fixpoint is detected by an unchanged int64 register sum (no
+# state-vs-state join needed).
+#
+# Boldi, Rosa, Vigna: "HyperANF" (WWW 2011) / "In-Core Computation of
+# Geometric Centralities with HyperBall" (ICDMW 2013) — this is the
+# published register-table formulation.
+
+
+def _fsb_to_np(col, m: int) -> np.ndarray:
+    """fixed_size_binary(m) column -> uint8[n, m], zero-copy per chunk."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        buf = np.frombuffer(ch.buffers()[1], dtype=np.uint8)
+        parts.append(buf[ch.offset * m:(ch.offset + len(ch)) * m]
+                     .reshape(-1, m))
+    if not parts:
+        return np.empty((0, m), dtype=np.uint8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _np_to_fsb(a: np.ndarray) -> pa.Array:
+    """uint8[n, m] -> fixed_size_binary(m) array (one buffer copy)."""
+    n, m = a.shape
+    return pa.Array.from_buffers(
+        pa.binary(m), n,
+        [None, pa.py_buffer(np.ascontiguousarray(a).tobytes())])
+
+
+def hyperball_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
+                      num_partitions: int | None = None,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 4, resume: bool = False,
+                      stats: dict | None = None) -> pa.Table:
+    """Dataset-resident HyperBall neighborhood function: returns
+    (d, approx_pairs) with the same semantics (and, per round, the
+    same registers bit for bit) as
+    ``distance.neighborhood_function_hll``.
+
+    Requires Ray Data's hash-shuffle strategy for the by-vid
+    repartition; the kernel scopes that DataContext switch to its own
+    execution and restores the previous strategy on exit.
+    """
+    import time
+
+    from ray.data.context import ShuffleStrategy
+
+    from igpm_pem_ray.graph.distance import (_hll_row_estimates,
+                                             _init_registers)
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+    ctx = rd.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _hyperball_rounds(
+            edges_ds, m=m, max_depth=max_depth,
+            num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, resume=resume,
+            stats=stats, t0=t0, ckpt=ckpt,
+            row_est=_hll_row_estimates, init_regs=_init_registers)
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+
+
+def _hyperball_rounds(edges_ds, *, m, max_depth, num_partitions,
+                      checkpoint_dir, checkpoint_every, resume, stats,
+                      t0, ckpt, row_est, init_regs) -> pa.Table:
+    import time
+
+    from ray.data.context import ShuffleStrategy
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+
+    # both directions once (max-merge is idempotent: duplicate edges
+    # and self-loops are harmless, so no dedup shuffle is spent)
+    sym = edges_ds.select_columns(["src", "dst"]).map_batches(
+        lambda b: pa.table({
+            "src": np.concatenate([_np_col(b, "src"), _np_col(b, "dst")]),
+            "dst": np.concatenate([_np_col(b, "dst"), _np_col(b, "src")])}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(sym, num_partitions)
+    V = vertices.count()
+    empty = pa.table({"d": pa.array([], pa.int64()),
+                      "approx_pairs": pa.array([], pa.int64())})
+    if V == 0:
+        return empty
+    params = {"kernel": "hyperball_shuffle", "m": m,
+              "max_depth": max_depth, "V": V}
+
+    def seed(b: pa.Table) -> pa.Table:
+        vids = _np_col(b, "vid")
+        return pa.table({"vid": b["vid"],
+                         "regs": _np_to_fsb(init_regs(vids, m))})
+
+    def group_max(b: pa.Table) -> pa.Table:
+        vid = _np_col(b, "vid")
+        if len(vid) == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "regs": _np_to_fsb(np.empty((0, m), np.uint8))})
+        regs = _fsb_to_np(b["regs"], m)
+        order = np.argsort(vid, kind="stable")
+        vid_s, regs_s = vid[order], regs[order]
+        bounds = np.flatnonzero(np.r_[True, vid_s[1:] != vid_s[:-1]])
+        out = np.maximum.reduceat(regs_s, bounds, axis=0)
+        return pa.table({"vid": pa.array(vid_s[bounds], pa.int64()),
+                         "regs": _np_to_fsb(out)})
+
+    def state_stats(state) -> tuple[float, int]:
+        """(sum of per-row HLL estimates, total register sum)."""
+        def f(b: pa.Table) -> pa.Table:
+            regs = _fsb_to_np(b["regs"], m)
+            return pa.table({
+                "est": pa.array([float(row_est(regs).sum())], pa.float64()),
+                "rs": pa.array([int(regs.sum(dtype=np.int64))], pa.int64())})
+
+        agg = state.map_batches(f, batch_format="pyarrow",
+                                batch_size=None).sum(["est", "rs"])
+        return float(agg["sum(est)"]), int(agg["sum(rs)"])
+
+    rows: list[list[int]] = []
+    start_d = 0
+    state = None
+    prev_rs = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_d, state_ds2, manifest = found
+            state = state_ds2.materialize()
+            extra = manifest.get("extra") or {}
+            rows = [list(map(int, r)) for r in extra.get("series", [])]
+            prev_rs = extra.get("reg_sum")
+    if state is None:
+        state = vertices.map_batches(seed, batch_format="pyarrow") \
+                        .materialize()
+    if prev_rs is None:
+        prev_rs = state_stats(state)[1]
+
+    d = start_d
+    while d < max_depth:
+        d += 1
+        msgs = sym.join(state, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"vid": b["dst"],
+                                             "regs": b["regs"]}),
+                         batch_format="pyarrow")
+        merged = msgs.union(state.select_columns(["vid", "regs"])) \
+            .repartition(n_blocks, keys=["vid"]) \
+            .map_batches(group_max, batch_format="pyarrow",
+                         batch_size=None)
+        # datasets snapshot their DataContext at creation — flip the
+        # shuffle strategy on THIS dataset's context (key-based
+        # repartition requires HASH_SHUFFLE)
+        merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        state = merged.materialize()
+        est, rs = state_stats(state)
+        # ball estimate includes the vertex itself -> subtract V for
+        # the distinct-pair convention shared with the dense kernel
+        rows.append([d, max(int(round(est)) - V, 0)])
+        done = rs == prev_rs  # exact fixpoint: register sum is monotone
+        prev_rs = rs
+        if checkpoint_dir and (d % checkpoint_every == 0 or done
+                               or d == max_depth):
+            ckpt.save_state_ds(checkpoint_dir, d, state,
+                               metric_name="approx_pairs",
+                               metric_value=float(rows[-1][1]),
+                               params=params,
+                               extra={"series": rows, "reg_sum": rs})
+        if done:
+            break
+    if stats is not None:
+        stats.update({"rounds": d - start_d, "V": V,
+                      "wall_sec": time.perf_counter() - t0})
+    return pa.table({"d": pa.array([r[0] for r in rows], pa.int64()),
+                     "approx_pairs": pa.array([r[1] for r in rows],
+                                              pa.int64())})

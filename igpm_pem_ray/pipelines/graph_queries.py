@@ -749,6 +749,24 @@ def q_effective_diameter(sf_dir: str) -> pa.Table:
                                                  pa.int64())})
 
 
+def q_effective_diameter_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident HyperBall (registers as a (vid, regs) state
+    Dataset, one join + hash-shuffle-by-vid max-merge per round —
+    shuffle_kernels.hyperball_shuffle): the 10^12-V alternate to
+    q_effective_diameter, bit-identical register evolution."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    r = dist_mod.effective_diameter(thinned_edges(sf_dir),
+                                    q=0.9, max_depth=16,
+                                    strategy="hll_shuffle")
+    return pa.table({"effective_diameter": pa.array(
+                         [r["effective_diameter"]], pa.int64()),
+                     "n_pairs_total": pa.array([r["n_pairs_total"]],
+                                               pa.int64()),
+                     "depth_converged": pa.array([r["depth_converged"]],
+                                                 pa.int64())})
+
+
 # ---------- deterministic random walks (graph/walks.py) ----------
 
 WALK_LEN = 3

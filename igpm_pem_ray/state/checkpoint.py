@@ -78,12 +78,17 @@ def save_vector(base_dir: str, iteration: int, vids: np.ndarray, values: np.ndar
 
 
 def save_state_ds(base_dir: str, iteration: int, state_ds, *,
-                  metric_name: str, metric_value: float, params: dict) -> str:
+                  metric_name: str, metric_value: float, params: dict,
+                  extra: dict | None = None) -> str:
     """Dataset-native checkpoint for the shuffle-resident kernels: the
     whole point of those kernels is that no process holds a V-array, so
     the state TABLE streams straight to partitioned parquet (one file
     per block — resumable, never one giant file) and only per-file
-    lineage (rows, bytes) lands in the manifest."""
+    lineage (rows, bytes) lands in the manifest.
+
+    ``extra``: small JSON-serializable kernel metadata stored verbatim
+    in the manifest (e.g. hyperball's accumulated N(d) series) — NOT
+    part of the params fingerprint, so it can evolve per iteration."""
     import shutil
 
     d = _iter_dir(base_dir, iteration)
@@ -109,6 +114,7 @@ def save_state_ds(base_dir: str, iteration: int, state_ds, *,
         "state_kind": "dataset",
         "write_sec": round(time.perf_counter() - t0, 6),
         "partitions": partitions,   # per-partition lineage + metrics
+        "extra": extra or {},
         "completed": True,
     }
     tmp = os.path.join(d, "manifest.json.tmp")

@@ -258,3 +258,42 @@ def test_katz_shuffle_resume_equivalence(edges_ds, tmp_path):
     assert (full["vid"].to_numpy() == resumed["vid"].to_numpy()).all()
     assert (full["x"].to_numpy().astype("int64")
             == resumed["x"].to_numpy().astype("int64")).all()
+
+
+def test_hyperball_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """hyperball_shuffle interrupt/resume == uninterrupted run: the
+    manifest's ``extra`` carries the accumulated N(d) series + register
+    sum, so the resumed run returns the IDENTICAL full series."""
+    from igpm_pem_ray.graph.shuffle_kernels import hyperball_shuffle
+
+    full = hyperball_shuffle(edges_ds, max_depth=16).to_pandas()
+    ck = str(tmp_path / "hb_ck")
+    # "crash" after 2 rounds (checkpoint_every=2 -> round 2 committed)
+    hyperball_shuffle(edges_ds, max_depth=2, checkpoint_dir=ck,
+                      checkpoint_every=2)
+    resumed = hyperball_shuffle(edges_ds, max_depth=16,
+                                checkpoint_dir=ck,
+                                resume=True).to_pandas()
+    assert full.equals(resumed)
+
+
+def test_hyperball_shuffle_parity_vs_dense(edges_ds):
+    """Register evolution is max-merge (associative/commutative), so
+    the Dataset-resident rounds reproduce the dense HyperBall's N(d)
+    series exactly (same registers bit for bit; only the float SUM
+    order differs, absorbed by the integer rounding at this scale)."""
+    from igpm_pem_ray.graph.distance import (effective_diameter,
+                                             neighborhood_function_hll)
+    from igpm_pem_ray.graph.shuffle_kernels import hyperball_shuffle
+
+    dense = neighborhood_function_hll(edges_ds, max_depth=32).to_pandas()
+    shuf = hyperball_shuffle(edges_ds, max_depth=32).to_pandas()
+    assert len(dense) == len(shuf)
+    assert (dense["d"].to_numpy() == shuf["d"].to_numpy()).all()
+    dn = dense["approx_pairs"].to_numpy().astype(np.int64)
+    sn = shuf["approx_pairs"].to_numpy().astype(np.int64)
+    # identical up to 1-ulp float-sum rounding on the integer estimate
+    assert np.max(np.abs(dn - sn)) <= 1
+    ed_d = effective_diameter(edges_ds, strategy="hll")
+    ed_s = effective_diameter(edges_ds, strategy="hll_shuffle")
+    assert ed_d == ed_s
