@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_layers": g.q_dag_layers,
         "rich_club": g.q_rich_club,
         "ktruss": g.q_ktruss,
+        "ktruss_members": g.q_ktruss_members,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
         "filter_project": r.q_filter_project,

@@ -6,13 +6,19 @@ for which e survives.  Computed by support peeling: enumerate
 triangles on the degeneracy-oriented graph, drop edges below the
 support threshold, repeat to fixpoint, then raise k (Cohen 2008).
 
-Execution envelope: like `graph/kcore.core_numbers`, the peel runs on
-driver numpy arrays over the distributed-built simple edge table (the
-cascade is a tight data-dependent loop; V+E driver arrays are the
-same envelope the dense kernels already assume).  All per-round work
-is vectorized: the wedge expansion is the repeat/offset trick (no
-per-vertex Python), triangle closure is a searchsorted against the
-packed oriented edge set, and support is one bincount over edge ids.
+Two paths, mirroring `graph/kcore`:
+
+- ``truss_numbers``: like `kcore.core_numbers`, the full decomposition
+  peels on driver numpy arrays over the distributed-built simple edge
+  table (the cascade is a tight data-dependent loop; V+E driver arrays
+  are the same envelope the dense kernels already assume).  All
+  per-round work is vectorized: the wedge expansion is the
+  repeat/offset trick (no per-vertex Python), triangle closure is a
+  searchsorted against the packed oriented edge set, and support is
+  one bincount over edge ids.
+- ``ktruss_membership``: like `kcore.kcore_membership`, fixed-k
+  membership stays Dataset-resident end to end (joins + groupby
+  shuffles per round, O(1) driver scalars) — the unbounded-E strategy.
 
 No reference analog (SURVEY.md section 2); k-truss is the standard
 cohesive-subgraph operator for community cores at web scale.
@@ -132,3 +138,171 @@ def truss_numbers(edges_ds) -> pa.Table:
     return pa.table({"src": vids[a].astype(np.int64),
                      "dst": vids[b].astype(np.int64),
                      "truss": truss})
+
+
+def ktruss_membership(edges_ds, k: int, *, num_partitions: int | None = None,
+                      max_rounds: int = 10_000, stats: dict | None = None):
+    """Dataset-resident k-truss membership (the unbounded-V strategy,
+    mirroring `kcore.kcore_membership`): iteratively drop edges whose
+    triangle support in the surviving subgraph is < k-2 until a fixed
+    point.  Returns the Dataset of surviving canonical (src, dst) rows
+    — exactly the edges `truss_numbers` labels with truss >= k.
+
+    Each round is the per-edge form of the triangle-count join plan
+    (`triangles.triangle_count` strategy="join"): a degree groupby,
+    two degree joins to (deg, vid)-orient every edge (bounds wedge
+    fan-out on power-law graphs), one wedge self-join on the shared
+    low-rank endpoint, one closure join on the (v, w) pair, a support
+    groupby over the three edges of each closed triangle, and one
+    left-outer filter join back onto the edge table.  The driver only
+    ever sees O(1) scalars (edge count per round); vids stay raw
+    63-bit ints throughout (no dense index, nothing V-bounded).
+    """
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
+
+    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+                     batch_format="pyarrow").materialize()
+    n_prev = edges.count()
+    rounds = 0
+    thresh = int(k) - 2
+    for _ in range(max_rounds):
+        rounds += 1
+        if n_prev == 0:
+            break
+        # ray 2.49 hash joins break on a partition whose LEFT side got
+        # zero blocks (schema-less table inside Acero, same quirk as
+        # graph/walks.py): collapse to one partition once the
+        # surviving edge set is small enough that a partition can be
+        # left empty
+        np_r = 1 if n_prev < 64 * num_partitions else num_partitions
+        # per-vertex degree of the surviving simple graph
+        def deg_partial(b: pa.Table) -> pa.Table:
+            both = np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)])
+            u, c = np.unique(both, return_counts=True)
+            return pa.table({"dv": u, "c": c.astype(np.int64)})
+
+        deg = edges.map_batches(deg_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby("dv").aggregate(Sum("c", alias_name="deg"))
+
+        # (deg, vid)-orient: u = smaller endpoint under the total
+        # order, then wedge-join on u
+        withdeg = edges.join(deg, join_type="inner",
+                             num_partitions=np_r,
+                             on=("src",), right_on=("dv",)) \
+            .rename_columns({"deg": "deg_s"}) \
+            .join(deg, join_type="inner",
+                  num_partitions=np_r,
+                  on=("dst",), right_on=("dv",)) \
+            .rename_columns({"deg": "deg_d"})
+
+        def orient(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            ds_ = b["deg_s"].to_numpy(zero_copy_only=False)
+            dd = b["deg_d"].to_numpy(zero_copy_only=False)
+            src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            u = np.where(src_first, s, d)
+            w = np.where(src_first, d, s)
+            return pa.table({"u": u, "w": w})
+
+        oriented = withdeg.map_batches(orient, batch_format="pyarrow") \
+                          .materialize()
+        left = oriented.rename_columns({"u": "ju", "w": "v"})
+        right = oriented.rename_columns({"u": "ju2", "w": "w"})
+        wedges = left.join(right, join_type="inner",
+                           num_partitions=np_r,
+                           on=("ju",), right_on=("ju2",))
+
+        def half(b: pa.Table) -> pa.Table:
+            # both tip orders (v, w) and (w, v) are kept: the closure
+            # edge is stored in orientation order only, so exactly ONE
+            # of the two candidate orders can match — each triangle is
+            # closed once, at its lowest-rank vertex
+            u = b["ju"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            keep = v != w
+            return pa.table({"tu": u[keep], "tv": v[keep], "tw": w[keep]})
+
+        cand = wedges.map_batches(half, batch_format="pyarrow") \
+                     .materialize()
+        if cand.count() == 0:
+            closed = None
+        else:
+            closed = cand.join(oriented, join_type="inner",
+                               num_partitions=np_r,
+                               on=("tv", "tw"), right_on=("u", "w"))
+
+        if closed is None:
+            support = None
+        else:
+            def tri_edges(b: pa.Table) -> pa.Table:
+                u = b["tu"].to_numpy(zero_copy_only=False)
+                v = b["tv"].to_numpy(zero_copy_only=False)
+                w = b["tw"].to_numpy(zero_copy_only=False)
+                a = np.concatenate([np.minimum(u, v), np.minimum(u, w),
+                                    np.minimum(v, w)])
+                bb = np.concatenate([np.maximum(u, v), np.maximum(u, w),
+                                     np.maximum(v, w)])
+                return pa.table({"ea": a, "eb": bb})
+
+            support = closed.map_batches(tri_edges, batch_format="pyarrow") \
+                .groupby(["ea", "eb"]).aggregate(Count(alias_name="sup")) \
+                .materialize()
+
+        if support is None or support.count() == 0:
+            if thresh > 0:
+                edges = edges.limit(0).materialize()
+                n = 0
+            else:
+                n = n_prev
+        else:
+            surv = edges.join(support, join_type="left_outer",
+                              num_partitions=np_r,
+                              on=("src", "dst"), right_on=("ea", "eb"))
+
+            def keep_fn(b: pa.Table) -> pa.Table:
+                sup = b["sup"].to_numpy(zero_copy_only=False)
+                sup = np.nan_to_num(sup.astype(np.float64),
+                                    nan=0.0).astype(np.int64)
+                keep = sup >= thresh
+                return pa.table({
+                    "src": b["src"].to_numpy(zero_copy_only=False)[keep],
+                    "dst": b["dst"].to_numpy(zero_copy_only=False)[keep]})
+
+            edges = surv.map_batches(keep_fn, batch_format="pyarrow") \
+                        .materialize()
+            n = edges.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    if stats is not None:
+        stats.update({"rounds": rounds, "k": int(k),
+                      "survivors": int(n_prev)})
+    if n_prev == 0:
+        # an emptied-out pipeline loses its schema (column-less
+        # blocks); hand back an explicit empty (src, dst) table
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64())}))
+    return edges

@@ -1213,6 +1213,21 @@ def q_ktruss(sf_dir: str) -> pa.Table:
     return t.sort_by([("src", "ascending"), ("dst", "ascending")])
 
 
+def q_ktruss_members(sf_dir: str) -> pa.Table:
+    """Dataset-resident 3-truss membership (the unbounded-E alternate
+    to q_ktruss, `ktruss.ktruss_membership`) — rows-only; pinned to
+    truss_numbers-filtered-at-k parity in tests/test_kernels.py."""
+    from igpm_pem_ray.graph import ktruss as ktruss_mod
+
+    mem = ktruss_mod.ktruss_membership(thinned_edges(sf_dir), 3)
+    pdf = mem.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    pdf = pdf.sort_values(["src", "dst"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 # ---------- eccentricity + bow-tie ----------
 
 def q_eccentricity(sf_dir: str) -> pa.Table:

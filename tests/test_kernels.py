@@ -1018,6 +1018,38 @@ def test_topological_layers_and_cycle_detection():
         dag_mod.topological_layers(cyc)
 
 
+def test_ktruss_membership_parity():
+    """Dataset-resident fixed-k membership == truss_numbers filtered
+    at k, for every k the graph exhibits (plus one past the max and
+    the trivial k=2), including the emptied-out schema edge case."""
+    from igpm_pem_ray.graph.ktruss import ktruss_membership, truss_numbers
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 120, 900).astype(np.int64)
+    dst = rng.randint(0, 120, 900).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    tn = truss_numbers(ds).to_pandas()
+    ks = sorted(tn["truss"].unique().tolist())
+    for k in [2] + ks + [ks[-1] + 1]:
+        st: dict = {}
+        mem = ktruss_membership(ds, k, stats=st)
+        assert mem.schema().names == ["src", "dst"]  # schema survives empty
+        exp = tn[tn["truss"] >= k][["src", "dst"]] \
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+        assert st["survivors"] == len(exp)
+        if len(exp):
+            # (to_pandas on an EMPTY Dataset drops columns — Ray quirk)
+            got = mem.to_pandas().sort_values(["src", "dst"]) \
+                .reset_index(drop=True)
+            assert got.equals(exp), f"k={k} mismatch"
+        else:
+            assert mem.count() == 0
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert ktruss_membership(empty, 3).count() == 0
+
+
 def test_truss_numbers_vs_bruteforce_peel():
     """Vectorized wedge-expansion truss decomposition vs a set-based
     per-level peeling oracle."""
