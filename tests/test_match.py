@@ -1,15 +1,21 @@
 """Pattern-matching parity against the reference's golden query cases
 (/root/reference/query_test.py:10-50), asserting full vid-set equality
-(stronger than the reference harness, which only compares counts)."""
+(stronger than the reference harness, which only compares counts).
+
+The sample graphs are vendored under tests/data/static (verbatim
+copies of /root/reference/sample/static/*.json) so the suite runs
+without the reference checkout mounted."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from igpm_pem_ray.match.subgraph import match_sets
 from igpm_pem_ray.sources.nodelink import load_node_link_json
 
-REF = "/root/reference/sample/static"
+REF = os.path.join(os.path.dirname(__file__), "data", "static")
 
 CASES = [
     ("test1.json",

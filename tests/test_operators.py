@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -42,7 +43,7 @@ def test_load_edgelist_timestamp_days(tmp_path):
 
 def test_nodelink_reads_reference_sample():
     """Parity input: the reference's own shipped fixture."""
-    v, e = nodelink.load_node_link_json("/root/reference/sample/static/test1p.json")
+    v, e = nodelink.load_node_link_json(os.path.join(os.path.dirname(__file__), "data", "static", "test1p.json"))
     vp = v.to_pandas().sort_values("vid")
     assert list(vp.columns) == ["vid", "label", "score"]
     assert vp.iloc[0]["label"] == "cyan" and vp.iloc[0]["score"] == 1.0
@@ -52,7 +53,7 @@ def test_nodelink_reads_reference_sample():
 
 
 def test_nodelink_roundtrip(tmp_path):
-    v, e = nodelink.load_node_link_json("/root/reference/sample/dynamic/test1.json")
+    v, e = nodelink.load_node_link_json(os.path.join(os.path.dirname(__file__), "data", "dynamic", "test1.json"))
     out = tmp_path / "rt.json"
     nodelink.write_node_link_json(v, e, str(out))
     v2, e2 = nodelink.load_node_link_json(str(out))

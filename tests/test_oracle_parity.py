@@ -1,8 +1,17 @@
 """Mirror of the driver's correctness gate: run every queries() entry
-at sf0.001 and compare against its oracle_sql() via DuckDB —
-row count + schema + order-insensitive values."""
+and compare against its oracle_sql() via DuckDB — row count + schema +
+order-insensitive values.
+
+Default scale factor is sf0.001 (fast, every commit).  Set
+``GRAFT_PARITY_SF=0.01`` (or any available sf dir suffix) to reproduce
+the driver's exact per-round protocol in one command:
+
+    GRAFT_PARITY_SF=0.01 python -m pytest tests/test_oracle_parity.py
+"""
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import pandas as pd
@@ -10,7 +19,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = f"/root/testdata/sf{os.environ.get('GRAFT_PARITY_SF', '0.001')}"
 
 
 def _to_pandas(obj) -> pd.DataFrame:
