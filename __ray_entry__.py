@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness": g.q_closeness,
         "distance_hist": g.q_distance_hist,
         "harmonic_centrality": g.q_harmonic_centrality,
+        "harmonic_hll": g.q_harmonic_hll,
         "effective_diameter": g.q_effective_diameter,
         "effective_diameter_shuffle": g.q_effective_diameter_shuffle,
         "random_walks": g.q_random_walks,

@@ -655,3 +655,124 @@ def _hyperball_rounds(edges_ds, *, m, max_depth, num_partitions,
     return pa.table({"d": pa.array([r[0] for r in rows], pa.int64()),
                      "approx_pairs": pa.array([r[1] for r in rows],
                                               pa.int64())})
+
+
+def harmonic_hll_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
+                         num_partitions: int | None = None,
+                         stats: dict | None = None):
+    """Dataset-resident approximate harmonic centrality via HyperBall:
+    H(v) = sum_d (|B(v,d)| - |B(v,d-1)|) / d, the register-table
+    formulation Boldi-Vigna built HyperBall FOR (ICDMW 2013 section 3)
+    — ball sizes from per-vertex HLL registers, one join +
+    hash-shuffle-by-vid max-merge per round like `hyperball_shuffle`,
+    plus one 1:1 state join to carry (prev ball estimate, harmonic
+    accumulator) forward.  Returns a Dataset (vid, harmonic_e6).
+
+    The per-row estimate arithmetic is identical to the dense
+    registers' (same hash, same merge, same float ops per row), so the
+    result is bit-reproducible against a numpy oracle replaying the
+    same rounds (pinned in tests), unlike the exact
+    `distance.harmonic_centrality` which it approximates within the
+    HLL error band.
+    """
+    import time
+
+    from ray.data.context import ShuffleStrategy
+
+    from igpm_pem_ray.graph.distance import (_hll_row_estimates,
+                                             _init_registers)
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+
+    sym = edges_ds.select_columns(["src", "dst"]).map_batches(
+        lambda b: pa.table({
+            "src": np.concatenate([_np_col(b, "src"), _np_col(b, "dst")]),
+            "dst": np.concatenate([_np_col(b, "dst"), _np_col(b, "src")])}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(sym, num_partitions)
+    V = vertices.count()
+    if V == 0:
+        return rd.from_arrow(pa.table({"vid": pa.array([], pa.int64()),
+                                       "harmonic_e6": pa.array([],
+                                                               pa.int64())}))
+
+    def seed(b: pa.Table) -> pa.Table:
+        vids = _np_col(b, "vid")
+        regs = _init_registers(vids, m)
+        return pa.table({"vid": b["vid"], "regs": _np_to_fsb(regs),
+                         "est": pa.array(_hll_row_estimates(regs),
+                                         pa.float64()),
+                         "harm": pa.array(np.zeros(len(vids)),
+                                          pa.float64())})
+
+    def group_max(b: pa.Table) -> pa.Table:
+        vid = _np_col(b, "vid")
+        if len(vid) == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "regs": _np_to_fsb(np.empty((0, m), np.uint8))})
+        regs = _fsb_to_np(b["regs"], m)
+        order = np.argsort(vid, kind="stable")
+        vid_s, regs_s = vid[order], regs[order]
+        bounds = np.flatnonzero(np.r_[True, vid_s[1:] != vid_s[:-1]])
+        out = np.maximum.reduceat(regs_s, bounds, axis=0)
+        return pa.table({"vid": pa.array(vid_s[bounds], pa.int64()),
+                         "regs": _np_to_fsb(out)})
+
+    state = vertices.map_batches(seed, batch_format="pyarrow").materialize()
+    prev_rs = int(state.map_batches(
+        lambda b: pa.table({"rs": pa.array(
+            [int(_fsb_to_np(b["regs"], m).sum(dtype=np.int64))], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).sum("rs"))
+    rounds = 0
+    for d in range(1, max_depth + 1):
+        msgs = sym.join(state.select_columns(["vid", "regs"]),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"vid": b["dst"],
+                                             "regs": b["regs"]}),
+                         batch_format="pyarrow")
+        merged = msgs.union(state.select_columns(["vid", "regs"])) \
+            .repartition(n_blocks, keys=["vid"]) \
+            .map_batches(group_max, batch_format="pyarrow",
+                         batch_size=None)
+        merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+        def advance(b: pa.Table, _d=d) -> pa.Table:
+            regs = _fsb_to_np(b["regs"], m)
+            est = _hll_row_estimates(regs)
+            prev = _np_col(b, "est")
+            harm = _np_col(b, "harm") + np.maximum(est - prev, 0.0) / _d
+            return pa.table({"vid": b["vid"], "regs": b["regs"],
+                             "est": pa.array(est, pa.float64()),
+                             "harm": pa.array(harm, pa.float64())})
+
+        state = merged.join(state.select_columns(["vid", "est", "harm"])
+                            .rename_columns({"vid": "pvid"}),
+                            join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("vid",), right_on=("pvid",)) \
+            .map_batches(advance, batch_format="pyarrow").materialize()
+        rounds = d
+        rs = int(state.map_batches(
+            lambda b: pa.table({"rs": pa.array(
+                [int(_fsb_to_np(b["regs"], m).sum(dtype=np.int64))],
+                pa.int64())}),
+            batch_format="pyarrow", batch_size=None).sum("rs"))
+        if rs == prev_rs:
+            break
+        prev_rs = rs
+    if stats is not None:
+        stats.update({"rounds": rounds, "V": V,
+                      "wall_sec": time.perf_counter() - t0})
+    return state.map_batches(
+        lambda b: pa.table({
+            "vid": b["vid"],
+            "harmonic_e6": np.floor(_np_col(b, "harm") * 1e6 + 0.5)
+            .astype(np.int64)}),
+        batch_format="pyarrow")

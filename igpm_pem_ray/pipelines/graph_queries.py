@@ -724,6 +724,19 @@ def q_harmonic_centrality(sf_dir: str) -> pa.Table:
     return t.sort_by([("vid", "ascending")])
 
 
+def q_harmonic_hll(sf_dir: str) -> pa.Table:
+    """Dataset-resident HyperBall harmonic centrality
+    (`shuffle_kernels.harmonic_hll_shuffle`) — rows-only (HLL ball
+    estimates are approximate by construction); pinned bit-exactly to
+    a numpy register-replay oracle in tests/test_kernels.py."""
+    from igpm_pem_ray.graph.shuffle_kernels import harmonic_hll_shuffle
+
+    t = harmonic_hll_shuffle(thinned_edges(sf_dir),
+                             max_depth=DIST_MAX_DEPTH).to_pandas()
+    t = t.sort_values("vid").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def sql_harmonic_centrality() -> str:
     return _with_edges(
         _THINNED_UE_SQL + ", "

@@ -1248,3 +1248,49 @@ def test_onion_layers_vs_python_peel():
                 if u in alive:
                     deg[u] -= 1
     assert got == exp
+
+
+def test_harmonic_hll_shuffle_vs_register_oracle():
+    """Dataset-resident HyperBall harmonic centrality reproduces a
+    numpy replay of the same register rounds BIT-EXACTLY (same hash,
+    same max-merge, same per-row float ops), and lands within the HLL
+    error band of the exact sweep on aggregate."""
+    from igpm_pem_ray.graph.distance import (_hll_row_estimates,
+                                             _init_registers,
+                                             harmonic_centrality)
+    from igpm_pem_ray.graph.shuffle_kernels import harmonic_hll_shuffle
+
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 200, 800).astype(np.int64)
+    dst = rng.randint(0, 200, 800).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    st: dict = {}
+    got = harmonic_hll_shuffle(edges, max_depth=32, stats=st) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+
+    vids = np.unique(np.concatenate([src, dst]))
+    V = len(vids)
+    a = np.searchsorted(vids, src)
+    b = np.searchsorted(vids, dst)
+    regs = _init_registers(vids, 64)
+    est = _hll_row_estimates(regs)
+    harm = np.zeros(V)
+    for d in range(1, 33):
+        new = regs.copy()
+        np.maximum.at(new, b, regs[a])
+        np.maximum.at(new, a, regs[b])
+        e2 = _hll_row_estimates(new)
+        harm += np.maximum(e2 - est, 0.0) / d
+        est = e2
+        if np.array_equal(new, regs):
+            break
+        regs = new
+    exp = np.floor(harm * 1e6 + 0.5).astype(np.int64)
+    idx = np.searchsorted(vids, got["vid"].to_numpy())
+    assert np.array_equal(got["harmonic_e6"].to_numpy(), exp[idx])
+
+    exact = harmonic_centrality(edges, max_depth=32).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    mean_hll = got["harmonic_e6"].mean()
+    mean_exact = exact["harmonic_e6"].mean()
+    assert abs(mean_hll - mean_exact) / mean_exact < 0.25  # HLL band
