@@ -517,8 +517,6 @@ def hyperball_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
     """
     import time
 
-    from ray.data.context import ShuffleStrategy
-
     from igpm_pem_ray.graph.distance import (_hll_row_estimates,
                                              _init_registers)
     from igpm_pem_ray.state import checkpoint as ckpt
@@ -527,9 +525,12 @@ def hyperball_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(8, cpus // 4))
     t0 = time.perf_counter()
-    ctx = rd.DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Derived datasets SHARE the root dataset's DataContext object by
+    # reference (the global context is snapshotted per root), so the
+    # per-round HASH_SHUFFLE flips inside the loop all land on
+    # edges_ds's context — save/restore it here so the switch cannot
+    # leak into whatever the caller runs on this dataset next.
+    prev_strategy = edges_ds.context.shuffle_strategy
     try:
         return _hyperball_rounds(
             edges_ds, m=m, max_depth=max_depth,
@@ -538,7 +539,7 @@ def hyperball_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
             stats=stats, t0=t0, ckpt=ckpt,
             row_est=_hll_row_estimates, init_regs=_init_registers)
     finally:
-        ctx.shuffle_strategy = prev_strategy
+        edges_ds.context.shuffle_strategy = prev_strategy
 
 
 def _hyperball_rounds(edges_ds, *, m, max_depth, num_partitions,
@@ -677,17 +678,32 @@ def harmonic_hll_shuffle(edges_ds, *, m: int = 64, max_depth: int = 64,
     """
     import time
 
-    from ray.data.context import ShuffleStrategy
-
-    from igpm_pem_ray.graph.distance import (_hll_row_estimates,
-                                             _init_registers)
-
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(8, cpus // 4))
     t0 = time.perf_counter()
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_blocks = max(num_partitions, cpus // 2)
+    # per-round HASH_SHUFFLE flips land on edges_ds's shared context
+    # object (see hyperball_shuffle) — save/restore so they can't leak
+    prev_strategy = edges_ds.context.shuffle_strategy
+    try:
+        return _harmonic_hll_rounds(
+            edges_ds, m=m, max_depth=max_depth,
+            num_partitions=num_partitions, n_blocks=n_blocks,
+            stats=stats, t0=t0)
+    finally:
+        edges_ds.context.shuffle_strategy = prev_strategy
+
+
+def _harmonic_hll_rounds(edges_ds, *, m, max_depth, num_partitions,
+                         n_blocks, stats, t0):
+    import time
+
+    from ray.data.context import ShuffleStrategy
+
+    from igpm_pem_ray.graph.distance import (_hll_row_estimates,
+                                             _init_registers)
 
     sym = edges_ds.select_columns(["src", "dst"]).map_batches(
         lambda b: pa.table({

@@ -1294,3 +1294,22 @@ def test_harmonic_hll_shuffle_vs_register_oracle():
     mean_hll = got["harmonic_e6"].mean()
     mean_exact = exact["harmonic_e6"].mean()
     assert abs(mean_hll - mean_exact) / mean_exact < 0.25  # HLL band
+
+
+def test_hyperball_shuffle_strategy_does_not_leak():
+    """Derived datasets share the root's DataContext by reference, so
+    the per-round HASH_SHUFFLE flips inside the HyperBall kernels land
+    on the caller's edge dataset — the kernels must restore the prior
+    strategy on exit (regression: a leaked HASH_SHUFFLE changes how
+    every later shuffle on that dataset executes)."""
+    from igpm_pem_ray.graph.shuffle_kernels import (harmonic_hll_shuffle,
+                                                    hyperball_shuffle)
+
+    edges = rd.from_arrow(pa.table(
+        {"src": np.array([0, 1, 2, 3], np.int64),
+         "dst": np.array([1, 2, 3, 0], np.int64)}))
+    before = edges.context.shuffle_strategy
+    hyperball_shuffle(edges, max_depth=8)
+    assert edges.context.shuffle_strategy == before
+    harmonic_hll_shuffle(edges, max_depth=8).materialize()
+    assert edges.context.shuffle_strategy == before
