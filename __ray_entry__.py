@@ -392,6 +392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": g.q_kcore,
         "link_predict": g.q_link_predict,
         "link_predict_jaccard": g.q_link_predict_jaccard,
+        "link_predict_ra": g.q_link_predict_ra,
+        "avg_neighbor_degree": g.q_avg_neighbor_degree,
+        "knn_curve": g.q_knn_curve,
         "bfs_levels": g.q_bfs_levels,
         "hits": g.q_hits,
         "brand_graph": g.q_brand_graph,
@@ -518,6 +521,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": g.sql_clustering_coeff(),
         "link_predict": g.sql_link_predict(),
         "link_predict_jaccard": g.sql_link_predict_jaccard(),
+        "link_predict_ra": g.sql_link_predict_ra(),
+        "avg_neighbor_degree": g.sql_avg_neighbor_degree(),
+        "knn_curve": g.sql_knn_curve(),
         "bfs_levels": g.sql_bfs_levels(),
         "hits": g.sql_hits(),
         "brand_graph": g.sql_brand_graph(),

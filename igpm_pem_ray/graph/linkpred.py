@@ -61,6 +61,12 @@ _EMPTY_J = pa.table({"src": pa.array([], pa.int64()),
                      "n_common": pa.array([], pa.int64()),
                      "n_union": pa.array([], pa.int64())})
 
+_EMPTY_RA = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "ra_e6": pa.array([], pa.int64())})
+
+RA_SCALE = 1_000_000  # per-term integer weight: RA term = RA_SCALE // deg(z)
+
 
 def _bucket_of(packed: np.ndarray) -> np.ndarray:
     """Multiplicative hash -> top log2(R) bits: pairs sharing a hub
@@ -70,14 +76,18 @@ def _bucket_of(packed: np.ndarray) -> np.ndarray:
 
 
 @ray.remote
-def _pair_count_span(a, v, indptr, indices, packed_edges):
+def _pair_count_span(a, v, indptr, indices, packed_edges, wvals=None):
     """Partial common-neighbor counts for one span of directed
     symmetric edges (a -> v): segment-gather N(v), emit pairs (a, w)
     with a < w, drop pairs already adjacent, np.unique-count within
     the span, then hash-partition into _REDUCE_BUCKETS (pairs, counts)
     return objects.  Each (pair, middle-vertex) wedge is produced
     exactly once globally: the mirror edge (w -> v) generates (w, a)
-    which the a < w filter discards."""
+    which the a < w filter discards.
+
+    With ``wvals`` (int64 per-vertex weight, indexed by the MIDDLE
+    vertex), each wedge contributes wvals[v] instead of 1 — the
+    resource-allocation span (sums stay exact int64)."""
     R = _REDUCE_BUCKETS
     e64 = np.empty(0, np.int64)
     empty = [(e64, e64)] * R
@@ -93,15 +103,27 @@ def _pair_count_span(a, v, indptr, indices, packed_edges):
     u = np.repeat(a, lens)
     keep = u < w
     u, w = u[keep], w[keep]
+    wt = np.repeat(wvals[v], lens)[keep] if wvals is not None else None
     if not len(u):
         return empty
     packed = (u << 31) | w
     if len(packed_edges):
         pos = np.minimum(np.searchsorted(packed_edges, packed),
                          len(packed_edges) - 1)
-        packed = packed[packed_edges[pos] != packed]
-    pairs, counts = np.unique(packed, return_counts=True)
-    counts = counts.astype(np.int64)
+        non_adj = packed_edges[pos] != packed
+        packed = packed[non_adj]
+        if wt is not None:
+            wt = wt[non_adj]
+    if wt is None:
+        pairs, counts = np.unique(packed, return_counts=True)
+        counts = counts.astype(np.int64)
+    else:
+        o = np.argsort(packed, kind="stable")
+        pk_s, wt_s = packed[o], wt[o]
+        bnd = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        pairs = pk_s[bnd]
+        counts = np.add.reduceat(wt_s, bnd).astype(np.int64) \
+            if len(bnd) else np.empty(0, np.int64)
     b = _bucket_of(pairs)
     order = np.argsort(b, kind="stable")
     pairs, counts, b = pairs[order], counts[order], b[order]
@@ -158,7 +180,7 @@ def _broadcast_topk(edges_ds, k: int, mode: str, stats: dict | None,
     span tasks enumerate + pre-aggregate + hash-partition wedge pairs,
     bucket reducers each own a disjoint pair subset and return local
     top-k; the driver merges R x k rows only."""
-    empty = _EMPTY if mode == "common" else _EMPTY_J
+    empty = {"common": _EMPTY, "jaccard": _EMPTY_J, "ra": _EMPTY_RA}[mode]
 
     def canon_unique(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
@@ -193,19 +215,27 @@ def _broadcast_topk(edges_ds, k: int, mode: str, stats: dict | None,
     packed_edges = np.sort((s << 31) | d)
     ip_ref, ix_ref, pk_ref = (ray.put(indptr), ray.put(y_s),
                               ray.put(packed_edges))
+    wv_ref = None
+    if mode == "ra":
+        deg = (indptr[1:V + 1] - indptr[:V]).astype(np.int64)
+        wv_ref = ray.put(RA_SCALE // np.maximum(deg, 1))
     cpus = int(ray.cluster_resources().get("CPU", 8))
     R = _REDUCE_BUCKETS
     spans = np.array_split(np.arange(len(x_s)),
                            max(1, min(2 * cpus, len(x_s) // 1024 + 1)))
     span_refs = [_pair_count_span.options(num_returns=R)
-                 .remote(x_s[sp], y_s[sp], ip_ref, ix_ref, pk_ref)
+                 .remote(x_s[sp], y_s[sp], ip_ref, ix_ref, pk_ref, wv_ref)
                  for sp in spans if len(sp)]
     if not span_refs:
         if stats is not None:
             stats.update({"wall_sec": time.perf_counter() - t0,
                           "strategy": "broadcast", "pairs": 0})
         return empty
-    red = [_reduce_bucket_topk.remote(k, mode, ip_ref,
+    # "ra" reduces exactly like "common": sum int64 partials, rank by
+    # the sum (which IS ra_e6 — the per-term integer weights were
+    # applied in the span)
+    red = [_reduce_bucket_topk.remote(k, "jaccard" if mode == "jaccard"
+                                      else "common", ip_ref,
                                       *[sr[b] for sr in span_refs])
            for b in range(R)]
     tops = ray.get(red)
@@ -226,6 +256,8 @@ def _broadcast_topk(edges_ds, k: int, mode: str, stats: dict | None,
         deg = (indptr[1:V + 1] - indptr[:V]).astype(np.int64)
         out = pa.table({"src": vids[aa], "dst": vids[bb], "n_common": uc,
                         "n_union": deg[aa] + deg[bb] - uc})
+    elif mode == "ra":
+        out = pa.table({"src": vids[aa], "dst": vids[bb], "ra_e6": uc})
     else:
         out = pa.table({"src": vids[aa], "dst": vids[bb], "n_common": uc})
     if stats is not None:
@@ -321,6 +353,79 @@ def jaccard_topk(edges_ds, k: int = 20, *,
                      "dst": top["b"].to_numpy().astype("int64"),
                      "n_common": top["n_common"].to_numpy().astype("int64"),
                      "n_union": top["n_union"].to_numpy().astype("int64")})
+
+
+def resource_allocation_topk(edges_ds, k: int = 20, *,
+                             strategy: str = "auto",
+                             num_partitions: int | None = None,
+                             stats: dict | None = None) -> pa.Table:
+    """Resource-allocation link prediction (Zhou/Lu/Zhang, EPJ B 2009):
+    top-k NON-adjacent pairs by RA(a,b) = sum over common neighbors z
+    of 1/deg(z) — hubs as intermediaries count less, which beats raw
+    common-neighbor counts on web-like degree distributions.
+
+    Bit-stable across engines by the same per-term integer convention
+    as the repo's TF-IDF (no libm): each term is RA_SCALE // deg(z)
+    in INTEGER division, summed in int64 — the SQL oracle states the
+    identical expression, so ra_e6 hashes bit-for-bit.  Output
+    (src, dst, ra_e6), order (ra_e6 desc, src, dst).
+
+    Same two strategies and partitioning assumptions as
+    :func:`common_neighbors_topk` (wedges keyed on the middle vertex;
+    hub neighborhoods are the quadratic term)."""
+    t0 = time.perf_counter()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    edges_ds = edges_ds.select_columns(["src", "dst"]).materialize()
+    if strategy == "auto":
+        strategy = "broadcast" if edges_ds.count() <= BROADCAST_MAX_EDGES \
+            else "join"
+
+    if strategy == "broadcast":
+        return _broadcast_topk(edges_ds, k, "ra", stats, t0)
+
+    # join plan: the common-neighbor Dataset plan with the middle
+    # vertex's integer weight attached on the right side of the wedge
+    from ray.data.aggregate import Count as CountAgg
+    from ray.data.aggregate import Sum as SumAgg
+
+    edges, ue = _canonical_and_symmetric(edges_ds)
+    deg = ue.groupby("x").aggregate(CountAgg(alias_name="deg")) \
+        .rename_columns({"x": "v"}).materialize()
+    left = ue.map_batches(lambda b: pa.table({"a": b["x"], "v": b["y"]}),
+                          batch_format="pyarrow")
+    right = ue.join(deg, join_type="inner", num_partitions=num_partitions,
+                    on=("x",), right_on=("v",)) \
+        .map_batches(lambda b: pa.table({
+            "v2": b["x"], "b": b["y"],
+            "w": RA_SCALE // b["deg"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}), batch_format="pyarrow")
+    wedge = left.join(right, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("v",), right_on=("v2",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["b"].to_numpy(zero_copy_only=False)
+        kp = a < c
+        return pa.table({"a": a[kp], "b": c[kp],
+                         "w": t["w"].to_numpy(zero_copy_only=False)[kp]})
+
+    cand = wedge.map_batches(ordered, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["a", "b"]).aggregate(SumAgg("w", alias_name="ra_e6"))
+    non_adj = cand.join(edges, join_type="left_anti",
+                        num_partitions=num_partitions,
+                        on=("a", "b"), right_on=("src", "dst"))
+    top = non_adj.sort(["ra_e6", "a", "b"],
+                       descending=[True, False, False]).limit(k).to_pandas()
+    if stats is not None:
+        stats.update({"wall_sec": time.perf_counter() - t0,
+                      "strategy": "join"})
+    return pa.table({"src": top["a"].to_numpy().astype("int64"),
+                     "dst": top["b"].to_numpy().astype("int64"),
+                     "ra_e6": top["ra_e6"].to_numpy().astype("int64")})
 
 
 def _canonical_and_symmetric(edges_ds):

@@ -201,6 +201,83 @@ def q_link_predict_jaccard(sf_dir: str) -> pa.Table:
                                   k=LINK_PREDICT_K)
 
 
+def q_link_predict_ra(sf_dir: str) -> pa.Table:
+    """Resource-allocation link prediction: top-k non-adjacent pairs by
+    sum over common neighbors z of 1/deg(z) — hub intermediaries count
+    less (the right weighting for web-like degree tails).  Per-term
+    INTEGER convention (RA_SCALE // deg) so the oracle hashes
+    bit-for-bit with no libm/float-reduction hazard."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    return lpred_mod.resource_allocation_topk(cooccurrence_edges(sf_dir),
+                                              k=LINK_PREDICT_K)
+
+
+def sql_link_predict_ra() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "deg AS (SELECT x AS v, count(*) AS d FROM ue GROUP BY x), "
+        "w AS (SELECT e1.x AS a, e2.y AS b, "
+        "SUM(1000000 // dm.d) AS ra "
+        "FROM ue e1 JOIN ue e2 ON e1.y = e2.x AND e1.x < e2.y "
+        "JOIN deg dm ON dm.v = e1.y "
+        "GROUP BY 1, 2) "
+        "SELECT a AS src, b AS dst, CAST(ra AS BIGINT) AS ra_e6 FROM w "
+        "WHERE NOT EXISTS (SELECT 1 FROM edges e "
+        "WHERE e.src = w.a AND e.dst = w.b) "
+        "ORDER BY ra_e6 DESC, src, dst "
+        f"LIMIT {LINK_PREDICT_K}")
+
+
+def q_avg_neighbor_degree(sf_dir: str) -> pa.Table:
+    """Per-vertex average neighbor degree (simple undirected graph),
+    exact-integer e6 fixed point — the second-moment companion to
+    q_degree_distribution."""
+    t = deg_mod.avg_neighbor_degree(cooccurrence_edges(sf_dir))
+    pdf = t.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "degree": pdf["degree"].to_numpy().astype("int64"),
+                     "annd_e6": pdf["annd_e6"].to_numpy().astype("int64")})
+
+
+def sql_avg_neighbor_degree() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "deg AS (SELECT x AS v, count(*) AS d FROM ue GROUP BY x), "
+        "s AS (SELECT e.x AS vid, SUM(dn.d) AS sd, COUNT(*) AS c "
+        "FROM ue e JOIN deg dn ON dn.v = e.y GROUP BY e.x) "
+        "SELECT s.vid, CAST(dv.d AS BIGINT) AS degree, "
+        "CAST((2000000 * sd + c) // (2 * c) AS BIGINT) AS annd_e6 "
+        "FROM s JOIN deg dv ON dv.v = s.vid ORDER BY vid")
+
+
+def q_knn_curve(sf_dir: str) -> pa.Table:
+    """Degree-correlation curve knn(k): mean neighbor degree per degree
+    class, exact-integer e6 — the curve behind q_assortativity's single
+    coefficient."""
+    t = deg_mod.knn_curve(cooccurrence_edges(sf_dir))
+    pdf = t.to_pandas().sort_values("degree")
+    return pa.table({"degree": pdf["degree"].to_numpy().astype("int64"),
+                     "knn_e6": pdf["knn_e6"].to_numpy().astype("int64"),
+                     "n_endpoints": pdf["n_endpoints"].to_numpy()
+                     .astype("int64")})
+
+
+def sql_knn_curve() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "deg AS (SELECT x AS v, count(*) AS d FROM ue GROUP BY x), "
+        "j AS (SELECT dx.d AS degree, dy.d AS nd FROM ue e "
+        "JOIN deg dx ON dx.v = e.x JOIN deg dy ON dy.v = e.y) "
+        "SELECT degree, "
+        "CAST((2000000 * SUM(nd) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) "
+        "AS knn_e6, CAST(COUNT(*) AS BIGINT) AS n_endpoints "
+        "FROM j GROUP BY degree ORDER BY degree")
+
+
 def sql_link_predict_jaccard() -> str:
     return _with_edges(
         "ue AS (SELECT src AS x, dst AS y FROM edges "

@@ -449,6 +449,101 @@ def test_jaccard_topk_empty_and_tiny():
                              "n_common": [1], "n_union": [1]}
 
 
+def test_resource_allocation_topk_strategies_vs_bruteforce():
+    """resource_allocation_topk: broadcast plan == join plan == O(V^2)
+    numpy oracle summing RA_SCALE // deg(z) per common neighbor z
+    (exact int64), ranked (ra desc, src, dst), non-adjacency
+    enforced."""
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    rng = np.random.RandomState(53)
+    src = rng.randint(0, 70, size=500).astype(np.int64)
+    dst = rng.randint(0, 70, size=500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    V = 70
+    adj = np.zeros((V, V), dtype=bool)
+    keep = src != dst
+    adj[src[keep], dst[keep]] = True
+    adj[dst[keep], src[keep]] = True
+    deg = adj.sum(axis=1).astype(np.int64)
+    wv = lpred_mod.RA_SCALE // np.maximum(deg, 1)
+    rows = []
+    for a in range(V):
+        for b in range(a + 1, V):
+            if adj[a, b]:
+                continue
+            zs = np.flatnonzero(adj[a] & adj[b])
+            if len(zs):
+                rows.append((int(wv[zs].sum()), a, b))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    k = 15
+    want = [(a, b, ra) for ra, a, b in rows[:k]]
+
+    for strat in ("broadcast", "join"):
+        got = lpred_mod.resource_allocation_topk(ds, k=k, strategy=strat,
+                                                 num_partitions=3)
+        triples = list(zip(got["src"].to_pylist(), got["dst"].to_pylist(),
+                           got["ra_e6"].to_pylist()))
+        assert triples == want, strat
+
+
+def test_resource_allocation_topk_empty_and_tiny():
+    from igpm_pem_ray.graph import linkpred as lpred_mod
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert lpred_mod.resource_allocation_topk(empty, k=5).num_rows == 0
+    # path 1-2-3: pair (1,3) via middle 2 of degree 2 -> RA_SCALE // 2
+    path = rd.from_arrow(pa.table({"src": pa.array([1, 2], pa.int64()),
+                                   "dst": pa.array([2, 3], pa.int64())}))
+    t = lpred_mod.resource_allocation_topk(path, k=5)
+    assert t.to_pydict() == {"src": [1], "dst": [3],
+                             "ra_e6": [lpred_mod.RA_SCALE // 2]}
+
+
+def test_degree_correlation_vs_bruteforce():
+    """avg_neighbor_degree + knn_curve == numpy oracle on the simple
+    undirected graph, exact-integer e6 (the (2e6*s + c) // (2c)
+    half-up convention shared with the SQL oracles)."""
+    from igpm_pem_ray.graph import degrees as deg_mod2
+
+    rng = np.random.RandomState(59)
+    src = rng.randint(0, 60, size=400).astype(np.int64)
+    dst = rng.randint(0, 60, size=400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    V = 60
+    adj = np.zeros((V, V), dtype=bool)
+    keep = src != dst
+    adj[src[keep], dst[keep]] = True
+    adj[dst[keep], src[keep]] = True
+    deg = adj.sum(axis=1).astype(np.int64)
+
+    annd = deg_mod2.avg_neighbor_degree(ds).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    exp_rows = []
+    for v in range(V):
+        ns = np.flatnonzero(adj[v])
+        if not len(ns):
+            continue
+        s, c = int(deg[ns].sum()), len(ns)
+        exp_rows.append((v, int(deg[v]), (2_000_000 * s + c) // (2 * c)))
+    got_rows = list(zip(annd["vid"], annd["degree"], annd["annd_e6"]))
+    assert got_rows == exp_rows
+
+    knn = deg_mod2.knn_curve(ds).to_pandas() \
+        .sort_values("degree").reset_index(drop=True)
+    by_k: dict[int, list[int]] = {}
+    for v in range(V):
+        for u in np.flatnonzero(adj[v]):
+            by_k.setdefault(int(deg[v]), []).append(int(deg[u]))
+    exp_k = [(kk, (2_000_000 * sum(vs) + len(vs)) // (2 * len(vs)), len(vs))
+             for kk, vs in sorted(by_k.items())]
+    got_k = list(zip(knn["degree"], knn["knn_e6"], knn["n_endpoints"]))
+    assert got_k == exp_k
+
+
 def test_bfs_levels_vs_oracle():
     """bfs_levels == numpy frontier BFS on the undirected simple
     graph; unreached vertices absent; max_depth cap honored."""
