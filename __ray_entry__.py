@@ -405,9 +405,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_shuffle": g.q_scc_shuffle,
         "bowtie": g.q_bowtie,
         "eccentricity": g.q_eccentricity,
+        "eccentricity_shuffle": g.q_eccentricity_shuffle,
         "closeness": g.q_closeness,
+        "closeness_shuffle": g.q_closeness_shuffle,
         "distance_hist": g.q_distance_hist,
+        "distance_hist_shuffle": g.q_distance_hist_shuffle,
         "harmonic_centrality": g.q_harmonic_centrality,
+        "harmonic_shuffle": g.q_harmonic_shuffle,
         "harmonic_hll": g.q_harmonic_hll,
         "effective_diameter": g.q_effective_diameter,
         "effective_diameter_shuffle": g.q_effective_diameter_shuffle,
@@ -534,9 +538,13 @@ def oracle_sql() -> dict[str, str]:
         "scc_shuffle": g.sql_scc(),
         "bowtie": g.sql_bowtie(),
         "eccentricity": g.sql_eccentricity(),
+        "eccentricity_shuffle": g.sql_eccentricity(),
         "closeness": g.sql_closeness(),
+        "closeness_shuffle": g.sql_closeness(),
         "distance_hist": g.sql_distance_hist(),
+        "distance_hist_shuffle": g.sql_distance_hist(),
         "harmonic_centrality": g.sql_harmonic_centrality(),
+        "harmonic_shuffle": g.sql_harmonic_centrality(),
         "random_walks": g.sql_random_walks(),
         "pagerank_weighted": g.sql_pagerank_weighted(),
         "pagerank_topic": g.sql_pagerank_topic(),

@@ -166,11 +166,28 @@ def distance_stats(edges, *, max_depth: int, chunk_words: int = 16,
     return hist, harmonic, ecc, nreach, sumd
 
 
-def distance_histogram(edges, *, max_depth: int,
-                       chunk_words: int = 16) -> pa.Table:
+def _require_dataset(edges, strategy: str):
+    if isinstance(edges, DenseGraph):
+        raise ValueError(f"strategy {strategy!r} takes an edge Dataset, "
+                         "not a DenseGraph")
+
+
+def distance_histogram(edges, *, max_depth: int, chunk_words: int = 16,
+                       strategy: str = "exact") -> pa.Table:
     """(d, n_pairs) for d = 1..max_depth (ordered pairs at exact
     undirected distance d); zero-count depths included so the output
-    schema/rowcount is input-independent."""
+    schema/rowcount is input-independent.
+
+    ``strategy="shuffle"``: the Dataset-resident sweep
+    (``shuffle_kernels.msbfs_shuffle``) — integer-exact same output,
+    per-chunk bitset state as a (vid, bits) Dataset instead of driver
+    numpy (the 10^12-V path)."""
+    if strategy == "shuffle":
+        from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+        _require_dataset(edges, strategy)
+        return msbfs_shuffle(edges, max_depth=max_depth,
+                             chunk_words=chunk_words)[0]
     hist = distance_stats(edges, max_depth=max_depth,
                           chunk_words=chunk_words)[0]
     d = np.arange(1, max_depth + 1, dtype=np.int64)
@@ -178,9 +195,27 @@ def distance_histogram(edges, *, max_depth: int,
 
 
 def harmonic_centrality(edges, *, max_depth: int, chunk_words: int = 16,
-                        scale: int = 1_000_000) -> pa.Table:
+                        scale: int = 1_000_000,
+                        strategy: str = "exact") -> pa.Table:
     """(vid, harmonic_e6): depth-capped harmonic centrality
-    sum_{u: d(u,v) <= max_depth} round(1e6 / d(u,v)) — exact int64."""
+    sum_{u: d(u,v) <= max_depth} round(1e6 / d(u,v)) — exact int64.
+
+    ``strategy="shuffle"``: Dataset-resident sweep, bit-for-bit the
+    same integers (returns a sorted pa.Table for small outputs; at
+    scale call ``msbfs_shuffle`` directly and keep the Dataset)."""
+    if strategy == "shuffle":
+        from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+        _require_dataset(edges, strategy)
+        _, acc = msbfs_shuffle(edges, max_depth=max_depth,
+                               chunk_words=chunk_words,
+                               harmonic_scale=scale)
+        import ray
+
+        refs = acc.select_columns(["vid", "harmonic"]) \
+                  .rename_columns({"harmonic": "harmonic_e6"}) \
+                  .sort("vid").to_arrow_refs()
+        return pa.concat_tables([ray.get(r) for r in refs])
     g = _as_graph(edges)
     harm = distance_stats(g, max_depth=max_depth,
                           chunk_words=chunk_words,
@@ -304,22 +339,53 @@ def effective_diameter(edges, *, q: float = 0.9, max_depth: int = 64,
             "depth_converged": int(depths[grew[-1]]) if len(grew) else 0}
 
 
-def eccentricity(edges, *, max_depth: int, chunk_words: int = 16) -> pa.Table:
+def _msbfs_acc_table(edges, *, max_depth: int, chunk_words: int,
+                     columns: dict[str, str]) -> pa.Table:
+    """Run the Dataset-resident sweep and collect selected accumulator
+    columns sorted by vid (small-output convenience; at scale keep the
+    Dataset from ``msbfs_shuffle`` directly)."""
+    import ray
+
+    from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+    _, acc = msbfs_shuffle(edges, max_depth=max_depth,
+                           chunk_words=chunk_words)
+    refs = acc.select_columns(["vid", *columns]) \
+              .rename_columns(columns).sort("vid").to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def eccentricity(edges, *, max_depth: int, chunk_words: int = 16,
+                 strategy: str = "exact") -> pa.Table:
     """(vid, ecc): depth-capped eccentricity from the same exact
     bit-parallel sweep (max distance from each vertex to anything it
-    reaches within max_depth)."""
+    reaches within max_depth).  ``strategy="shuffle"``: the
+    Dataset-resident sweep, integer-exact same output."""
+    if strategy == "shuffle":
+        _require_dataset(edges, strategy)
+        return _msbfs_acc_table(edges, max_depth=max_depth,
+                                chunk_words=chunk_words,
+                                columns={"ecc": "ecc"})
     g = _as_graph(edges)
     ecc = distance_stats(g, max_depth=max_depth,
                          chunk_words=chunk_words)[2]
     return pa.table({"vid": g.vids.astype(np.int64), "ecc": ecc})
 
 
-def closeness_stats(edges, *, max_depth: int,
-                    chunk_words: int = 16) -> pa.Table:
+def closeness_stats(edges, *, max_depth: int, chunk_words: int = 16,
+                    strategy: str = "exact") -> pa.Table:
     """(vid, n_reached, sum_d): exact closeness-centrality sufficient
     statistics within max_depth (closeness = n_reached/sum_d, or the
     Wasserman-Faust (n_reached^2)/((V-1)*sum_d) — left to the caller
-    as a stateless post-map, keeping the contract integer-exact)."""
+    as a stateless post-map, keeping the contract integer-exact).
+    ``strategy="shuffle"``: the Dataset-resident sweep, integer-exact
+    same output."""
+    if strategy == "shuffle":
+        _require_dataset(edges, strategy)
+        return _msbfs_acc_table(edges, max_depth=max_depth,
+                                chunk_words=chunk_words,
+                                columns={"nreach": "n_reached",
+                                         "sumd": "sum_d"})
     g = _as_graph(edges)
     _, _, _, nreach, sumd = distance_stats(g, max_depth=max_depth,
                                            chunk_words=chunk_words)

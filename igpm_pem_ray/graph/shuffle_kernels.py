@@ -792,3 +792,266 @@ def _harmonic_hll_rounds(edges_ds, *, m, max_depth, num_partitions,
             "harmonic_e6": np.floor(_np_col(b, "harm") * 1e6 + 0.5)
             .astype(np.int64)}),
         batch_format="pyarrow")
+
+
+# ---------- exact bit-parallel multi-source BFS, Dataset-resident ----------
+
+def msbfs_shuffle(edges_ds, *, max_depth: int, chunk_words: int = 16,
+                  harmonic_scale: int = 1_000_000,
+                  sources: np.ndarray | list | None = None,
+                  num_partitions: int | None = None,
+                  checkpoint_dir: str | None = None, resume: bool = False,
+                  stats: dict | None = None):
+    """Dataset-resident exact multi-source BFS: same sufficient
+    statistics as ``distance.distance_stats`` (distance histogram,
+    integer-exact harmonic centrality, depth-capped eccentricity,
+    closeness n_reached/sum_d) with the per-chunk ``(V, W)`` bitset
+    living in a ``(vid, bits: fixed_size_binary)`` state Dataset
+    instead of a driver numpy array — the 10^12-V member of the sweep
+    family (the round-3 verdict's last one-path kernel).
+
+    Plan per round: frontier (rows whose bitset grew last round) joins
+    the symmetrized edges on src, messages ``(dst, bits)`` union the
+    state and one hash-shuffle-by-vid OR-merge recomputes everything —
+    the per-vid accumulators ride INSIDE the group reduce (the state
+    row is the unique non-zero carrier per vid; message rows carry
+    zeros), so unlike ``harmonic_hll_shuffle`` no second 1:1 state
+    join is needed.  Only frontier rows ship bits, so message volume
+    decays as the BFS saturates (the dense kernel re-gathers the full
+    bitset every round).
+
+    Sources are swept in hash chunks of ~``64*chunk_words`` (driver
+    memory per chunk is O(chunk) source vids, never O(V)); pass
+    ``sources=`` to sweep one explicit source set instead (partial
+    stats from those sources only).  Results are chunk-partition
+    independent (all accumulators are sums/maxes over sources), so
+    this is integer-exact equal to the dense sweep — parity-tested.
+
+    Returns ``(hist, state_ds)``: hist is a pa.Table (d, n_pairs) for
+    d=1..max_depth (ordered pairs at exact distance d), state_ds a
+    Dataset (vid, harmonic, ecc, nreach, sumd) with
+    harmonic = sum over reached sources of round(harmonic_scale/d).
+
+    ``checkpoint_dir``: the accumulator Dataset streams to parquet via
+    ``save_state_ds`` after every completed chunk (iteration = chunks
+    done, hist rides in the manifest extra); ``resume=True`` skips
+    finished chunks — the unit of restart is the chunk, matching the
+    dense sweep's protocol.
+    """
+    t0 = time.perf_counter()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    # per-round HASH_SHUFFLE flips land on edges_ds's shared context
+    # object (see hyperball_shuffle) — save/restore so they can't leak
+    prev_strategy = edges_ds.context.shuffle_strategy
+    try:
+        return _msbfs_rounds(
+            edges_ds, max_depth=max_depth, chunk_words=chunk_words,
+            harmonic_scale=harmonic_scale, sources=sources,
+            num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+            resume=resume, stats=stats, t0=t0)
+    finally:
+        edges_ds.context.shuffle_strategy = prev_strategy
+
+
+_MSBFS_CHUNK_HASH = 2654435761  # Knuth multiplicative; mod 2^31 below
+
+
+def _msbfs_rounds(edges_ds, *, max_depth, chunk_words, harmonic_scale,
+                  sources, num_partitions, checkpoint_dir, resume,
+                  stats, t0):
+    from ray.data.context import ShuffleStrategy
+
+    from igpm_pem_ray.graph.distance import _POP8
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+
+    sym = edges_ds.select_columns(["src", "dst"]).map_batches(
+        lambda b: pa.table({
+            "src": np.concatenate([_np_col(b, "src"), _np_col(b, "dst")]),
+            "dst": np.concatenate([_np_col(b, "dst"), _np_col(b, "src")])}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(sym, num_partitions)
+    V = vertices.count()
+    hist = np.zeros(max_depth + 1, dtype=np.int64)
+
+    def hist_table() -> pa.Table:
+        d = np.arange(1, max_depth + 1, dtype=np.int64)
+        return pa.table({"d": d, "n_pairs": hist[1:]})
+
+    acc_schema = pa.table({"vid": pa.array([], pa.int64()),
+                           "harmonic": pa.array([], pa.int64()),
+                           "ecc": pa.array([], pa.int64()),
+                           "nreach": pa.array([], pa.int64()),
+                           "sumd": pa.array([], pa.int64())})
+    if V == 0:
+        return hist_table(), rd.from_arrow(acc_schema)
+
+    inv = np.zeros(max_depth + 1, dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        inv[d] = int(np.floor(harmonic_scale / d + 0.5))
+
+    span = 64 * chunk_words
+    if sources is not None:
+        src_arr = np.unique(np.asarray(sources, dtype=np.int64))
+        chunk_lists: list[np.ndarray | None] = [src_arr]
+        n_chunks = 1
+    else:
+        n_chunks = max(1, (V + span - 1) // span)
+        chunk_lists = [None] * n_chunks  # fetched lazily per chunk
+
+    params = {"kernel": "msbfs_shuffle", "max_depth": max_depth,
+              "chunk_words": chunk_words, "V": V,
+              "harmonic_scale": harmonic_scale,
+              "sources_n": -1 if sources is None else len(chunk_lists[0]),
+              "n_chunks": n_chunks}
+
+    def zero_acc(b: pa.Table) -> pa.Table:
+        z = np.zeros(len(b), dtype=np.int64)
+        return pa.table({"vid": b["vid"], "harmonic": z, "ecc": z,
+                         "nreach": z, "sumd": z})
+
+    start_chunk = 0
+    acc = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_chunk, acc_ds, manifest = found
+            acc = acc_ds.materialize()
+            extra = manifest.get("extra") or {}
+            h = extra.get("hist") or []
+            hist[1:1 + len(h)] = np.asarray(h, dtype=np.int64)
+    if acc is None:
+        acc = vertices.map_batches(zero_acc, batch_format="pyarrow") \
+                      .materialize()
+
+    def chunk_sources(ci: int) -> np.ndarray:
+        """Collect ONE hash chunk's source vids (O(chunk) driver rows;
+        one filter scan over the materialized vertex Dataset)."""
+        def f(b: pa.Table) -> pa.Table:
+            v = _np_col(b, "vid")
+            k = ((v * _MSBFS_CHUNK_HASH) % (2 ** 31)) % n_chunks == ci
+            return pa.table({"vid": v[k]})
+
+        refs = vertices.map_batches(f, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_arrow_refs()
+        t = pa.concat_tables([ray.get(r) for r in refs])
+        return np.sort(t["vid"].to_numpy(zero_copy_only=False))
+
+    rounds_total = 0
+    for ci in range(start_chunk, n_chunks):
+        chunk = chunk_lists[ci] if chunk_lists[ci] is not None \
+            else chunk_sources(ci)
+        if len(chunk) == 0:
+            continue
+        w = (len(chunk) + 63) // 64
+        wbytes = w * 8
+
+        def seed(b: pa.Table, _chunk=chunk, _wbytes=wbytes) -> pa.Table:
+            vids = _np_col(b, "vid")
+            bits = np.zeros((len(vids), _wbytes), dtype=np.uint8)
+            pos = np.searchsorted(_chunk, vids)
+            pos_ok = np.minimum(pos, len(_chunk) - 1)
+            is_src = _chunk[pos_ok] == vids
+            loc = pos_ok[is_src]
+            # little-endian uint64 words: byte loc//8 within the row,
+            # bit loc%8 within the byte == bit loc of word loc//64
+            bits[np.flatnonzero(is_src), loc // 8] = \
+                (1 << (loc % 8)).astype(np.uint8)
+            pop = is_src.astype(np.int64)
+            return pa.table({"vid": b["vid"], "bits": _np_to_fsb(bits),
+                             "pop": pop, "delta": pop,
+                             "harmonic": b["harmonic"], "ecc": b["ecc"],
+                             "nreach": b["nreach"], "sumd": b["sumd"]})
+
+        state = acc.map_batches(seed, batch_format="pyarrow").materialize()
+
+        for d in range(1, max_depth + 1):
+            def to_msgs(b: pa.Table, _wbytes=wbytes) -> pa.Table:
+                keep = _np_col(b, "delta") > 0
+                n = int(keep.sum())
+                z = np.zeros(n, dtype=np.int64)
+                return pa.table({
+                    "vid": _np_col(b, "vid")[keep],
+                    "bits": _np_to_fsb(
+                        _fsb_to_np(b["bits"], _wbytes)[keep]),
+                    "pop": z, "delta": z, "harmonic": z, "ecc": z,
+                    "nreach": z, "sumd": z})
+
+            frontier = state.map_batches(to_msgs, batch_format="pyarrow")
+            msgs = sym.join(frontier, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("vid",)) \
+                .map_batches(lambda b: pa.table({
+                    "vid": b["dst"], "bits": b["bits"], "pop": b["pop"],
+                    "delta": b["delta"], "harmonic": b["harmonic"],
+                    "ecc": b["ecc"], "nreach": b["nreach"],
+                    "sumd": b["sumd"]}), batch_format="pyarrow")
+
+            def group_or(b: pa.Table, _d=d, _wbytes=wbytes,
+                         _invd=int(inv[d])) -> pa.Table:
+                vid = _np_col(b, "vid")
+                if len(vid) == 0:
+                    z = pa.array([], pa.int64())
+                    return pa.table({
+                        "vid": z, "bits": _np_to_fsb(
+                            np.empty((0, _wbytes), np.uint8)),
+                        "pop": z, "delta": z, "harmonic": z, "ecc": z,
+                        "nreach": z, "sumd": z})
+                order = np.argsort(vid, kind="stable")
+                vid_s = vid[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, vid_s[1:] != vid_s[:-1]])
+                bits = _fsb_to_np(b["bits"], _wbytes)[order]
+                merged = np.bitwise_or.reduceat(bits, bounds, axis=0)
+                newpop = _POP8[merged].sum(axis=1, dtype=np.int64)
+                # exactly one state row per vid (messages carry zeros)
+                oldpop = np.maximum.reduceat(
+                    _np_col(b, "pop")[order], bounds)
+                delta = newpop - oldpop
+                harm = np.add.reduceat(
+                    _np_col(b, "harmonic")[order], bounds) + delta * _invd
+                ecc = np.maximum.reduceat(_np_col(b, "ecc")[order], bounds)
+                # max across chunks too — each source chunk restarts
+                # d at 1 (same convention as the dense sweep)
+                ecc = np.maximum(ecc, np.where(delta > 0, _d, 0))
+                nreach = np.add.reduceat(
+                    _np_col(b, "nreach")[order], bounds) + delta
+                sumd = np.add.reduceat(
+                    _np_col(b, "sumd")[order], bounds) + delta * _d
+                return pa.table({
+                    "vid": pa.array(vid_s[bounds], pa.int64()),
+                    "bits": _np_to_fsb(merged), "pop": newpop,
+                    "delta": delta, "harmonic": harm, "ecc": ecc,
+                    "nreach": nreach, "sumd": sumd})
+
+            merged = msgs.union(state) \
+                .repartition(n_blocks, keys=["vid"]) \
+                .map_batches(group_or, batch_format="pyarrow",
+                             batch_size=None)
+            # key-based repartition requires HASH_SHUFFLE (flipped on
+            # THIS dataset's snapshotted context; restored by caller)
+            merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            state = merged.materialize()
+            rounds_total += 1
+            n_new = int(state.sum("delta"))
+            if n_new == 0:
+                break
+            hist[d] += n_new
+
+        acc = state.select_columns(
+            ["vid", "harmonic", "ecc", "nreach", "sumd"]).materialize()
+        if checkpoint_dir:
+            ckpt.save_state_ds(checkpoint_dir, ci + 1, acc,
+                               metric_name="chunks_done",
+                               metric_value=float(ci + 1), params=params,
+                               extra={"hist": [int(x) for x in hist[1:]]})
+    if stats is not None:
+        stats.update({"rounds": rounds_total, "V": V,
+                      "n_chunks": n_chunks,
+                      "wall_sec": time.perf_counter() - t0})
+    return hist_table(), acc

@@ -857,6 +857,50 @@ def q_effective_diameter_shuffle(sf_dir: str) -> pa.Table:
                                                  pa.int64())})
 
 
+def q_distance_hist_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident exact sweep (shuffle_kernels.msbfs_shuffle:
+    per-chunk bitset as a (vid, bits) state Dataset, one frontier join
+    + hash-shuffle-by-vid OR-merge per round) — the 10^12-V alternate
+    to q_distance_hist, integer-exact same histogram."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    return dist_mod.distance_histogram(thinned_edges(sf_dir),
+                                       max_depth=DIST_MAX_DEPTH,
+                                       strategy="shuffle")
+
+
+def q_harmonic_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident exact harmonic centrality (msbfs_shuffle) —
+    integer-exact same values as q_harmonic_centrality, same SQL
+    oracle (unlike q_harmonic_hll, which is the approximate HLL
+    family)."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    return dist_mod.harmonic_centrality(thinned_edges(sf_dir),
+                                        max_depth=DIST_MAX_DEPTH,
+                                        strategy="shuffle")
+
+
+def q_eccentricity_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident exact depth-capped eccentricity
+    (msbfs_shuffle) — integer-exact same values as q_eccentricity."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    return dist_mod.eccentricity(thinned_edges(sf_dir),
+                                 max_depth=DIST_MAX_DEPTH,
+                                 strategy="shuffle")
+
+
+def q_closeness_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident exact closeness sufficient statistics
+    (msbfs_shuffle) — integer-exact same values as q_closeness."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    return dist_mod.closeness_stats(thinned_edges(sf_dir),
+                                    max_depth=DIST_MAX_DEPTH,
+                                    strategy="shuffle")
+
+
 # ---------- deterministic random walks (graph/walks.py) ----------
 
 WALK_LEN = 3

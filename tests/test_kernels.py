@@ -1408,3 +1408,105 @@ def test_hyperball_shuffle_strategy_does_not_leak():
     assert edges.context.shuffle_strategy == before
     harmonic_hll_shuffle(edges, max_depth=8).materialize()
     assert edges.context.shuffle_strategy == before
+
+
+# ---------- Dataset-resident exact multi-source BFS (msbfs_shuffle) ----------
+
+def _msbfs_fixture(v=130, e=420, seed=3):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, v, e).astype(np.int64)
+    dst = rng.integers(0, v, e).astype(np.int64)
+    keep = src != dst
+    return rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+
+def test_msbfs_shuffle_parity_vs_dense():
+    """The Dataset-resident sweep is integer-exact equal to the dense
+    bit-parallel sweep on every sufficient statistic (hist, harmonic,
+    ecc, n_reached/sum_d).  chunk_words=1 forces multiple hash chunks
+    (dense chunks are contiguous vid ranges, shuffle chunks are hash
+    classes — parity across them proves chunk-partition independence)."""
+    from igpm_pem_ray.graph import distance as dist_mod
+
+    edges = _msbfs_fixture()
+    md = 6
+    for fn, kw in [(dist_mod.distance_histogram, {}),
+                   (dist_mod.harmonic_centrality, {}),
+                   (dist_mod.eccentricity, {}),
+                   (dist_mod.closeness_stats, {})]:
+        dense = fn(edges, max_depth=md, **kw)
+        if "vid" in dense.column_names:
+            dense = dense.sort_by("vid")
+        shuf = fn(edges, max_depth=md, chunk_words=1,
+                  strategy="shuffle", **kw)
+        assert dense.equals(shuf), fn.__name__
+
+
+def test_msbfs_shuffle_sources_subset():
+    """Explicit ``sources=`` sweeps only those sources: every
+    accumulator matches a per-source numpy BFS oracle."""
+    import ray
+
+    from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+    edges = _msbfs_fixture(v=60, e=150, seed=9)
+    tbl = pa.concat_tables([ray.get(r) for r in edges.to_arrow_refs()])
+    src = tbl["src"].to_numpy()
+    dst = tbl["dst"].to_numpy()
+    vids = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[idx[a]].add(idx[b])
+        adj[idx[b]].add(idx[a])
+
+    sources = vids[::3]
+    md = 5
+    hist = np.zeros(md + 1, dtype=np.int64)
+    harm = np.zeros(n, dtype=np.int64)
+    ecc = np.zeros(n, dtype=np.int64)
+    nreach = np.zeros(n, dtype=np.int64)
+    sumd = np.zeros(n, dtype=np.int64)
+    for s0 in sources:
+        dist = {idx[s0]: 0}
+        frontier = [idx[s0]]
+        for d in range(1, md + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+            if not frontier:
+                break
+        for w, d in dist.items():
+            if d == 0:
+                continue
+            hist[d] += 1
+            harm[w] += int(np.floor(1e6 / d + 0.5))
+            ecc[w] = max(ecc[w], d)
+            nreach[w] += 1
+            sumd[w] += d
+
+    h_tbl, acc = msbfs_shuffle(edges, max_depth=md, chunk_words=1,
+                               sources=sources)
+    assert h_tbl["n_pairs"].to_pylist() == hist[1:].tolist()
+    got = acc.sort("vid").to_pandas()
+    assert got["vid"].to_numpy().tolist() == vids.tolist()
+    assert got["harmonic"].to_numpy().tolist() == harm.tolist()
+    assert got["ecc"].to_numpy().tolist() == ecc.tolist()
+    assert got["nreach"].to_numpy().tolist() == nreach.tolist()
+    assert got["sumd"].to_numpy().tolist() == sumd.tolist()
+
+
+def test_msbfs_shuffle_strategy_does_not_leak():
+    """Same contract as the HyperBall kernels: the per-round
+    HASH_SHUFFLE flips must not leak onto the caller dataset."""
+    from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+    edges = _msbfs_fixture(v=40, e=90, seed=1)
+    before = edges.context.shuffle_strategy
+    msbfs_shuffle(edges, max_depth=4)
+    assert edges.context.shuffle_strategy == before

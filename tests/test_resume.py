@@ -297,3 +297,33 @@ def test_hyperball_shuffle_parity_vs_dense(edges_ds):
     ed_d = effective_diameter(edges_ds, strategy="hll")
     ed_s = effective_diameter(edges_ds, strategy="hll_shuffle")
     assert ed_d == ed_s
+
+
+def test_msbfs_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """msbfs_shuffle's unit of restart is the source chunk: kill after
+    chunk 1 (simulated by deleting the later chunk checkpoints), resume,
+    final hist + accumulator Dataset identical to the uninterrupted
+    run.  chunk_words=1 forces several chunks on the fixture graph."""
+    import os
+    import shutil
+
+    from igpm_pem_ray.graph.shuffle_kernels import msbfs_shuffle
+
+    full_hist, full_acc = msbfs_shuffle(edges_ds, max_depth=8,
+                                        chunk_words=1)
+    full = full_acc.sort("vid").to_pandas()
+
+    ck = str(tmp_path / "msbfs_ck")
+    msbfs_shuffle(edges_ds, max_depth=8, chunk_words=1,
+                  checkpoint_dir=ck)
+    iters = sorted(n for n in os.listdir(ck) if n.startswith("iter="))
+    assert len(iters) >= 2  # several chunks committed
+    for name in iters[1:]:  # crash after the first committed chunk
+        shutil.rmtree(os.path.join(ck, name))
+
+    stats: dict = {}
+    res_hist, res_acc = msbfs_shuffle(edges_ds, max_depth=8,
+                                      chunk_words=1, checkpoint_dir=ck,
+                                      resume=True, stats=stats)
+    assert full_hist.equals(res_hist)
+    assert full.equals(res_acc.sort("vid").to_pandas())
