@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_shuffle": g.q_katz_shuffle,
         "modularity": g.q_modularity,
         "betweenness_k2": g.q_betweenness_k2,
+        "betweenness_k2_shuffle": g.q_betweenness_k2_shuffle,
         "betweenness_sampled": g.q_betweenness_sampled,
         "mis": g.q_mis,
         "dag_layers": g.q_dag_layers,
@@ -554,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_shuffle": g.sql_katz(),
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
+        "betweenness_k2_shuffle": g.sql_betweenness_k2_shuffle(),
         "mis": g.sql_mis(),
         "dag_layers": g.sql_dag_layers(),
         "rich_club": g.sql_rich_club(),

@@ -794,6 +794,60 @@ def _harmonic_hll_rounds(edges_ds, *, m, max_depth, num_partitions,
         batch_format="pyarrow")
 
 
+_BROADCAST_FRONTIER_BYTES = 64 << 20
+
+
+def _frontier_join(sym, frontier, *, num_partitions: int):
+    """Messages for a frontier-based round: sym (src, dst) inner-join
+    frontier (vid = src, payload...) -> (vid = dst, payload...), the
+    frontier's column order preserved.
+
+    Small frontiers (by materialized byte size) are BROADCAST — one
+    ``ray.put`` of the concatenated frontier table, a vectorized
+    searchsorted gather per sym batch — instead of shuffle-joined:
+    late BFS rounds have tiny frontiers and a full hash join there is
+    (a) wasteful and (b) broken in Ray 2.49 when a join partition
+    receives zero right-side blocks (empty blocks are dropped before
+    the HashShuffleAggregator, whose pyarrow join then sees a
+    schema-less empty table: "No match ... FieldRef.Name(vid)").
+    Large frontiers take the ordinary shuffle join, whose partitions
+    are provably non-empty at that size in expectation and whose
+    all-to-all is the right plan when the payload no longer fits a
+    broadcast.  Returns None when the frontier is empty (no messages
+    this round).
+    """
+    fr = frontier.materialize()
+    if fr.count() == 0:
+        return None
+    if fr.size_bytes() <= _BROADCAST_FRONTIER_BYTES:
+        tbl = pa.concat_tables([ray.get(r) for r in fr.to_arrow_refs()])
+        tbl = tbl.sort_by("vid")  # unique vids (post-reduce state rows)
+        ref = ray.put(tbl)
+        payload = [c for c in tbl.column_names if c != "vid"]
+
+        def bj(b: pa.Table, _ref=ref, _payload=payload) -> pa.Table:
+            t = ray.get(_ref)  # shared-memory, zero-copy
+            vids = t["vid"].to_numpy(zero_copy_only=False)
+            src = _np_col(b, "src")
+            pos = np.minimum(np.searchsorted(vids, src), len(vids) - 1)
+            hit = vids[pos] == src
+            sel = pos[hit]
+            cols = {"vid": pa.array(_np_col(b, "dst")[hit], pa.int64())}
+            taken = t.take(sel)
+            for name in _payload:
+                cols[name] = taken[name]
+            return pa.table(cols)
+
+        return sym.map_batches(bj, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    payload = [c for c in fr.schema().names if c != "vid"]
+    return sym.join(fr, join_type="inner", num_partitions=num_partitions,
+                    on=("src",), right_on=("vid",))         .map_batches(lambda b, _p=payload: pa.table(
+            {"vid": b["dst"], **{n: b[n] for n in _p}}),
+            batch_format="pyarrow")
+
+
+
 # ---------- exact bit-parallel multi-source BFS, Dataset-resident ----------
 
 def msbfs_shuffle(edges_ds, *, max_depth: int, chunk_words: int = 16,
@@ -983,14 +1037,10 @@ def _msbfs_rounds(edges_ds, *, max_depth, chunk_words, harmonic_scale,
                     "nreach": z, "sumd": z})
 
             frontier = state.map_batches(to_msgs, batch_format="pyarrow")
-            msgs = sym.join(frontier, join_type="inner",
-                            num_partitions=num_partitions,
-                            on=("src",), right_on=("vid",)) \
-                .map_batches(lambda b: pa.table({
-                    "vid": b["dst"], "bits": b["bits"], "pop": b["pop"],
-                    "delta": b["delta"], "harmonic": b["harmonic"],
-                    "ecc": b["ecc"], "nreach": b["nreach"],
-                    "sumd": b["sumd"]}), batch_format="pyarrow")
+            msgs = _frontier_join(sym, frontier,
+                                  num_partitions=num_partitions)
+            if msgs is None:
+                break
 
             def group_or(b: pa.Table, _d=d, _wbytes=wbytes,
                          _invd=int(inv[d])) -> pa.Table:
@@ -1055,3 +1105,386 @@ def _msbfs_rounds(edges_ds, *, max_depth, chunk_words, harmonic_scale,
                       "n_chunks": n_chunks,
                       "wall_sec": time.perf_counter() - t0})
     return hist_table(), acc
+
+
+# ---------- Brandes betweenness, Dataset-resident, integer-exact ----------
+
+BC_Q = 10 ** 12  # fixed-point scale of the dependency accumulator
+
+
+def betweenness_shuffle(edges_ds, *, max_depth: int = 10_000,
+                        chunk_span: int = 128,
+                        sources: np.ndarray | list | None = None,
+                        num_partitions: int | None = None,
+                        checkpoint_dir: str | None = None,
+                        resume: bool = False, stats: dict | None = None):
+    """Dataset-resident Brandes betweenness (graph/betweenness.py's
+    10^12-V sibling): per-source-chunk ``(V, S)`` dist/sigma/dependency
+    state lives in a ``(vid, packed fixed_size_binary)`` state Dataset;
+    each forward BFS level and each backward dependency level is one
+    frontier join + hash-shuffle-by-vid elementwise reduce, exactly the
+    msbfs_shuffle plan with Brandes' two phases instead of one.
+
+    Unlike the dense kernel's float64 dependency sums (order-sensitive
+    at the ulp), this kernel is INTEGER END TO END — the repo's shuffle
+    convention (katz_shuffle's dyadic alpha, msbfs' popcounts):
+
+    - sigma: int64 shortest-path counts, exact under any reduction
+      order (documented bound: per-source path counts must stay below
+      2^63 — true under depth caps / web-scale sampling; a float
+      kernel would lose integer precision silently at 2^53 instead).
+    - dependency: delta_q = round-to-Q fixed point with an explicit
+      floor-division convention, delta_q(v) = sigma(v) * sum over
+      shortest-path successors w of (BC_Q + delta_q(w)) // sigma(w)
+      — deterministic, engine-independent, off from the dense float
+      kernel by <= 1 e6-unit (quantization 1/BC_Q per division).
+
+    Returns a Dataset (vid, betweenness_e6): endpoints excluded,
+    undirected unnormalized, V/|S| Brandes-Pich extrapolation when
+    ``sources`` is given (float conversion; the all-sources default
+    converts in pure integers: (acc_q + 5*10^5*2) // (2*10^6)).
+
+    ``checkpoint_dir`` / ``resume``: the per-vid accumulator Dataset
+    streams to parquet after every completed source chunk
+    (``save_state_ds``; iteration = chunks done), the same restart
+    unit as the dense kernel and msbfs_shuffle.
+    """
+    t0 = time.perf_counter()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    prev_strategy = edges_ds.context.shuffle_strategy
+    try:
+        return _betweenness_rounds(
+            edges_ds, max_depth=max_depth, chunk_span=chunk_span,
+            sources=sources, num_partitions=num_partitions,
+            checkpoint_dir=checkpoint_dir, resume=resume, stats=stats,
+            t0=t0)
+    finally:
+        edges_ds.context.shuffle_strategy = prev_strategy
+
+
+_BC_INF = np.int32(2 ** 31 - 1)
+
+
+def _betweenness_rounds(edges_ds, *, max_depth, chunk_span, sources,
+                        num_partitions, checkpoint_dir, resume, stats, t0):
+    from ray.data.aggregate import Count
+    from ray.data.context import ShuffleStrategy
+
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+
+    # shortest-path counting is a SIMPLE-graph notion (see
+    # betweenness._as_simple_graph): collapse to distinct canonical
+    # pairs, then symmetrize
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
+
+    sym = edges_ds.select_columns(["src", "dst"]) \
+        .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]) \
+        .map_batches(lambda b: pa.table({
+            "src": np.concatenate([_np_col(b, "src"), _np_col(b, "dst")]),
+            "dst": np.concatenate([_np_col(b, "dst"), _np_col(b, "src")])}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    vertices = _vertices_ds(sym, num_partitions)
+    V = vertices.count()
+
+    def finalize(acc_ds, S_total: int):
+        if S_total == 0 or S_total == V:
+            # pure-integer half-up: floor(q / (2*1e6) + 1/2)
+            def fin(b: pa.Table) -> pa.Table:
+                q = _np_col(b, "accq")
+                return pa.table({"vid": b["vid"],
+                                 "betweenness_e6": (q + 1_000_000)
+                                 // 2_000_000})
+        else:
+            scale = (V / S_total) / 2.0 / 1e6  # accq/BC_Q * 1e6 = accq/1e6
+            def fin(b: pa.Table) -> pa.Table:
+                q = _np_col(b, "accq").astype(np.float64)
+                return pa.table({"vid": b["vid"],
+                                 "betweenness_e6": np.floor(
+                                     q * scale + 0.5).astype(np.int64)})
+        return acc_ds.map_batches(fin, batch_format="pyarrow")
+
+    if V == 0:
+        return rd.from_arrow(pa.table({
+            "vid": pa.array([], pa.int64()),
+            "betweenness_e6": pa.array([], pa.int64())}))
+
+    if sources is not None:
+        src_arr = np.unique(np.asarray(sources, dtype=np.int64))
+        chunk_lists: list[np.ndarray | None] = \
+            [src_arr[i:i + chunk_span]
+             for i in range(0, len(src_arr), chunk_span)]
+        S_total = len(src_arr)
+        n_chunks = len(chunk_lists)
+    else:
+        S_total = V
+        n_chunks = max(1, (V + chunk_span - 1) // chunk_span)
+        chunk_lists = [None] * n_chunks  # hash classes, fetched lazily
+
+    params = {"kernel": "betweenness_shuffle", "max_depth": max_depth,
+              "chunk_span": chunk_span, "V": V, "S": S_total,
+              "n_chunks": n_chunks, "Q": BC_Q}
+
+    start_chunk = 0
+    acc = None
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_chunk, acc_ds, _ = found
+            acc = acc_ds.materialize()
+    if acc is None:
+        acc = vertices.map_batches(
+            lambda b: pa.table({"vid": b["vid"],
+                                "accq": np.zeros(len(b), np.int64)}),
+            batch_format="pyarrow").materialize()
+
+    def chunk_sources(ci: int) -> np.ndarray:
+        def f(b: pa.Table) -> pa.Table:
+            v = _np_col(b, "vid")
+            k = ((v * _MSBFS_CHUNK_HASH) % (2 ** 31)) % n_chunks == ci
+            return pa.table({"vid": v[k]})
+
+        refs = vertices.map_batches(f, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_arrow_refs()
+        t = pa.concat_tables([ray.get(r) for r in refs])
+        return np.sort(t["vid"].to_numpy(zero_copy_only=False))
+
+    def unpack(b: pa.Table, S: int):
+        dist = _fsb_to_np(b["dist"], 4 * S).view(np.int32)
+        sig = _fsb_to_np(b["sig"], 8 * S).view(np.int64)
+        return dist.reshape(-1, S), sig.reshape(-1, S)
+
+    rounds_total = 0
+    for ci in range(start_chunk, n_chunks):
+        chunk = chunk_lists[ci] if chunk_lists[ci] is not None \
+            else chunk_sources(ci)
+        if len(chunk) == 0:
+            continue
+        S = len(chunk)
+
+        def seed(b: pa.Table, _chunk=chunk, _S=S) -> pa.Table:
+            vids = _np_col(b, "vid")
+            n = len(vids)
+            dist = np.full((n, _S), _BC_INF, dtype=np.int32)
+            sig = np.zeros((n, _S), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(_chunk, vids), _S - 1)
+            is_src = _chunk[pos] == vids
+            rows = np.flatnonzero(is_src)
+            dist[rows, pos[is_src]] = 0
+            sig[rows, pos[is_src]] = 1
+            return pa.table({"vid": b["vid"],
+                             "dist": _np_to_fsb(dist.view(np.uint8)
+                                                .reshape(n, 4 * _S)),
+                             "sig": _np_to_fsb(sig.view(np.uint8)
+                                               .reshape(n, 8 * _S)),
+                             "nnew": is_src.astype(np.int64),
+                             "accq": b["accq"]})
+
+        state = acc.map_batches(seed, batch_format="pyarrow").materialize()
+
+        # ---------- forward: BFS levels with int64 path counting ----
+        depth = 0
+        for d in range(1, max_depth + 1):
+            def to_msgs(b: pa.Table, _S=S, _d=d) -> pa.Table:
+                keep = _np_col(b, "nnew") > 0
+                n = int(keep.sum())
+                dist, sig = unpack(b, _S)
+                payload = np.where(dist[keep] == _d - 1, sig[keep], 0)
+                z64 = np.zeros(n, dtype=np.int64)
+                inf = np.broadcast_to(
+                    np.full(_S, _BC_INF, np.int32),
+                    (n, _S)).reshape(n, _S).copy().view(np.uint8) \
+                    .reshape(n, 4 * _S)
+                return pa.table({
+                    "vid": _np_col(b, "vid")[keep],
+                    "dist": _np_to_fsb(np.ascontiguousarray(inf)),
+                    "sig": _np_to_fsb(np.zeros((n, 8 * _S), np.uint8)),
+                    "nnew": z64, "accq": z64,
+                    "inc": _np_to_fsb(payload.view(np.uint8)
+                                      .reshape(n, 8 * _S))})
+
+            frontier = state.map_batches(to_msgs, batch_format="pyarrow")
+            msgs = _frontier_join(sym, frontier,
+                                  num_partitions=num_partitions)
+            if msgs is None:
+                break
+
+            def with_inc(b: pa.Table, _S=S) -> pa.Table:
+                return pa.table({
+                    "vid": b["vid"], "dist": b["dist"], "sig": b["sig"],
+                    "nnew": b["nnew"], "accq": b["accq"],
+                    "inc": _np_to_fsb(np.zeros((len(b), 8 * _S),
+                                               np.uint8))})
+
+            def fwd_reduce(b: pa.Table, _S=S, _d=d) -> pa.Table:
+                vid = _np_col(b, "vid")
+                if len(vid) == 0:
+                    z = pa.array([], pa.int64())
+                    zfsb4 = _np_to_fsb(np.empty((0, 4 * _S), np.uint8))
+                    zfsb8 = _np_to_fsb(np.empty((0, 8 * _S), np.uint8))
+                    return pa.table({"vid": z, "dist": zfsb4,
+                                     "sig": zfsb8, "nnew": z, "accq": z})
+                order = np.argsort(vid, kind="stable")
+                vid_s = vid[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, vid_s[1:] != vid_s[:-1]])
+                dist, sig = unpack(b, _S)
+                dist, sig = dist[order], sig[order]
+                inc = _fsb_to_np(b["inc"], 8 * _S).view(np.int64) \
+                    .reshape(-1, _S)[order]
+                dmin = np.minimum.reduceat(dist, bounds, axis=0)
+                ssum = np.add.reduceat(sig, bounds, axis=0)
+                isum = np.add.reduceat(inc, bounds, axis=0)
+                accq = np.add.reduceat(_np_col(b, "accq")[order], bounds)
+                newly = (dmin == _BC_INF) & (isum > 0)
+                dmin[newly] = _d
+                ssum[newly] = isum[newly]
+                n = len(bounds)
+                return pa.table({
+                    "vid": pa.array(vid_s[bounds], pa.int64()),
+                    "dist": _np_to_fsb(dmin.view(np.uint8)
+                                       .reshape(n, 4 * _S)),
+                    "sig": _np_to_fsb(ssum.view(np.uint8)
+                                      .reshape(n, 8 * _S)),
+                    "nnew": newly.sum(axis=1).astype(np.int64),
+                    "accq": accq})
+
+            merged = msgs.union(state.map_batches(
+                with_inc, batch_format="pyarrow")) \
+                .repartition(n_blocks, keys=["vid"]) \
+                .map_batches(fwd_reduce, batch_format="pyarrow",
+                             batch_size=None)
+            merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            state = merged.materialize()
+            rounds_total += 1
+            if int(state.sum("nnew")) == 0:
+                break
+            depth = d
+
+        # ---------- backward: fixed-point dependency levels ----------
+        def add_dq(b: pa.Table, _S=S) -> pa.Table:
+            return pa.table({
+                "vid": b["vid"], "dist": b["dist"], "sig": b["sig"],
+                "accq": b["accq"],
+                "dq": _np_to_fsb(np.zeros((len(b), 8 * _S), np.uint8))})
+
+        state = state.map_batches(add_dq, batch_format="pyarrow") \
+                     .materialize()
+
+        for d in range(depth, 0, -1):
+            def to_bmsgs(b: pa.Table, _S=S, _d=d) -> pa.Table:
+                dist, sig = unpack(b, _S)
+                dq = _fsb_to_np(b["dq"], 8 * _S).view(np.int64) \
+                    .reshape(-1, _S)
+                keep = (dist == _d).any(axis=1)
+                n = int(keep.sum())
+                at_d = dist[keep] == _d
+                m = np.zeros((n, _S), dtype=np.int64)
+                if n:
+                    sk = sig[keep]
+                    np.floor_divide(BC_Q + dq[keep], sk, out=m,
+                                    where=at_d & (sk > 0))
+                    m[~at_d] = 0
+                z64 = np.zeros(n, dtype=np.int64)
+                inf = np.broadcast_to(
+                    np.full(_S, _BC_INF, np.int32),
+                    (n, _S)).reshape(n, _S).copy().view(np.uint8) \
+                    .reshape(n, 4 * _S)
+                return pa.table({
+                    "vid": _np_col(b, "vid")[keep],
+                    "dist": _np_to_fsb(np.ascontiguousarray(inf)),
+                    "sig": _np_to_fsb(np.zeros((n, 8 * _S), np.uint8)),
+                    "accq": z64,
+                    "dq": _np_to_fsb(np.zeros((n, 8 * _S), np.uint8)),
+                    "minc": _np_to_fsb(m.view(np.uint8).reshape(n, 8 * _S))})
+
+            bfront = state.map_batches(to_bmsgs, batch_format="pyarrow")
+            bmsgs = _frontier_join(sym, bfront,
+                                   num_partitions=num_partitions)
+            if bmsgs is None:  # unreachable for 1 <= d <= depth; guard
+                continue
+
+            def with_minc(b: pa.Table, _S=S) -> pa.Table:
+                return pa.table({
+                    "vid": b["vid"], "dist": b["dist"], "sig": b["sig"],
+                    "accq": b["accq"], "dq": b["dq"],
+                    "minc": _np_to_fsb(np.zeros((len(b), 8 * _S),
+                                                np.uint8))})
+
+            def bwd_reduce(b: pa.Table, _S=S, _d=d) -> pa.Table:
+                vid = _np_col(b, "vid")
+                if len(vid) == 0:
+                    z = pa.array([], pa.int64())
+                    zfsb4 = _np_to_fsb(np.empty((0, 4 * _S), np.uint8))
+                    zfsb8 = _np_to_fsb(np.empty((0, 8 * _S), np.uint8))
+                    return pa.table({"vid": z, "dist": zfsb4,
+                                     "sig": zfsb8, "accq": z,
+                                     "dq": zfsb8})
+                order = np.argsort(vid, kind="stable")
+                vid_s = vid[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, vid_s[1:] != vid_s[:-1]])
+                dist, sig = unpack(b, _S)
+                dist, sig = dist[order], sig[order]
+                dq = _fsb_to_np(b["dq"], 8 * _S).view(np.int64) \
+                    .reshape(-1, _S)[order]
+                minc = _fsb_to_np(b["minc"], 8 * _S).view(np.int64) \
+                    .reshape(-1, _S)[order]
+                dmin = np.minimum.reduceat(dist, bounds, axis=0)
+                ssum = np.add.reduceat(sig, bounds, axis=0)
+                dqsum = np.add.reduceat(dq, bounds, axis=0)
+                msum = np.add.reduceat(minc, bounds, axis=0)
+                accq = np.add.reduceat(_np_col(b, "accq")[order], bounds)
+                at_prev = dmin == _d - 1
+                dqsum[at_prev] += ssum[at_prev] * msum[at_prev]
+                n = len(bounds)
+                return pa.table({
+                    "vid": pa.array(vid_s[bounds], pa.int64()),
+                    "dist": _np_to_fsb(dmin.view(np.uint8)
+                                       .reshape(n, 4 * _S)),
+                    "sig": _np_to_fsb(ssum.view(np.uint8)
+                                      .reshape(n, 8 * _S)),
+                    "accq": accq,
+                    "dq": _np_to_fsb(dqsum.view(np.uint8)
+                                     .reshape(n, 8 * _S))})
+
+            merged = bmsgs.union(state.map_batches(
+                with_minc, batch_format="pyarrow")) \
+                .repartition(n_blocks, keys=["vid"]) \
+                .map_batches(bwd_reduce, batch_format="pyarrow",
+                             batch_size=None)
+            merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            state = merged.materialize()
+            rounds_total += 1
+
+        # fold the chunk's dependencies into the accumulator (the
+        # source's own column covers paths STARTING there — excluded,
+        # Brandes sums over w != s)
+        def fold(b: pa.Table, _S=S) -> pa.Table:
+            dist, _ = unpack(b, _S)
+            dq = _fsb_to_np(b["dq"], 8 * _S).view(np.int64) \
+                .reshape(-1, _S).copy()
+            dq[dist == 0] = 0
+            return pa.table({"vid": b["vid"],
+                             "accq": _np_col(b, "accq")
+                             + dq.sum(axis=1)})
+
+        acc = state.map_batches(fold, batch_format="pyarrow").materialize()
+        if checkpoint_dir:
+            ckpt.save_state_ds(checkpoint_dir, ci + 1, acc,
+                               metric_name="chunks_done",
+                               metric_value=float(ci + 1), params=params)
+    if stats is not None:
+        stats.update({"rounds": rounds_total, "V": V,
+                      "n_chunks": n_chunks,
+                      "wall_sec": time.perf_counter() - t0})
+    return finalize(acc, S_total)

@@ -1117,6 +1117,50 @@ def sql_betweenness_k2() -> str:
         "FROM verts v LEFT JOIN dep d ON d.vid = v.vid ORDER BY v.vid")
 
 
+def q_betweenness_k2_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident Brandes betweenness
+    (shuffle_kernels.betweenness_shuffle) at depth 2, all sources —
+    the 10^12-V sibling of q_betweenness_k2.  Integer end to end
+    (int64 sigma; BC_Q fixed-point dependency with explicit floor
+    division), so the SQL oracle below reproduces it bit for bit —
+    unlike the dense kernel's float64 sums, whose SQL agreement is
+    empirical."""
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    t = betweenness_shuffle(thinned_edges(sf_dir), max_depth=2) \
+        .sort("vid").to_pandas()
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def sql_betweenness_k2_shuffle() -> str:
+    from igpm_pem_ray.graph.shuffle_kernels import BC_Q
+
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "ue AS (SELECT src AS x, dst AS y FROM kept "
+        "UNION ALL SELECT dst AS x, src AS y FROM kept), "
+        "verts AS (SELECT DISTINCT x AS vid FROM ue), "
+        "w1 AS (SELECT x AS a, y AS b, CAST(1 AS BIGINT) AS sigma "
+        "FROM ue), "
+        "w2r AS (SELECT w.a, e.y AS b, sum(w.sigma) AS sigma "
+        "FROM w1 w JOIN ue e ON e.x = w.b WHERE e.y <> w.a "
+        "GROUP BY w.a, e.y), "
+        "p2 AS (SELECT w2r.a, w2r.b, w2r.sigma FROM w2r "
+        "LEFT JOIN w1 ON w1.a = w2r.a AND w1.b = w2r.b "
+        "WHERE w1.a IS NULL), "
+        # dep_q(v) = sum over (source a, dist-2 target b adjacent to
+        # v) of BC_Q // sigma(a,b) — the kernel's backward recurrence
+        # unrolled at depth 2 (delta_q of dist-2 rows is 0)
+        "dep AS (SELECT s.b AS vid, "
+        f"sum({BC_Q} // p.sigma) AS q "
+        "FROM w1 s JOIN w1 t ON t.a = s.b AND t.b <> s.a "
+        "JOIN p2 p ON p.a = s.a AND p.b = t.b "
+        "GROUP BY s.b) "
+        "SELECT v.vid, CAST((COALESCE(d.q, 0) + 1000000) // 2000000 "
+        "AS BIGINT) AS betweenness_e6 "
+        "FROM verts v LEFT JOIN dep d ON d.vid = v.vid ORDER BY v.vid")
+
+
 def q_betweenness_sampled(sf_dir: str) -> pa.Table:
     """Full-depth Brandes from every 4th vertex of the sorted domain
     (Brandes-Pich sampling, V/|S| extrapolation) — rows-only; the

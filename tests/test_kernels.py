@@ -1510,3 +1510,55 @@ def test_msbfs_shuffle_strategy_does_not_leak():
     before = edges.context.shuffle_strategy
     msbfs_shuffle(edges, max_depth=4)
     assert edges.context.shuffle_strategy == before
+
+
+# ---------- Dataset-resident Brandes betweenness (betweenness_shuffle) ------
+
+def test_betweenness_shuffle_parity_vs_dense():
+    """Integer fixed-point dependency (BC_Q floor-division convention)
+    vs the dense kernel's float64 sums: identical e6 output on graphs
+    whose sigma/delta magnitudes keep the float path exact (diff <= 1
+    e6-unit tolerance covers the documented 1/BC_Q quantization)."""
+    from igpm_pem_ray.graph.betweenness import betweenness
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    edges = _msbfs_fixture(v=90, e=260, seed=21)
+    for kw in ({}, {"max_depth": 2}):
+        dense = betweenness(edges, **kw).to_pandas() \
+            .sort_values("vid").reset_index(drop=True)
+        shuf = betweenness_shuffle(edges, chunk_span=40, **kw) \
+            .sort("vid").to_pandas().reset_index(drop=True)
+        assert dense["vid"].tolist() == shuf["vid"].tolist()
+        diff = np.abs(dense["betweenness_e6"].to_numpy()
+                      - shuf["betweenness_e6"].to_numpy())
+        assert diff.max() <= 1, kw
+
+
+def test_betweenness_shuffle_sampled_sources():
+    """Explicit sources + V/|S| Brandes-Pich extrapolation matches the
+    dense kernel given the same source set."""
+    from igpm_pem_ray.graph.betweenness import betweenness
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    edges = _msbfs_fixture(v=70, e=180, seed=4)
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in edges.to_arrow_refs()])
+    vids = np.unique(np.concatenate([tbl["src"].to_numpy(),
+                                     tbl["dst"].to_numpy()]))
+    srcs = vids[::4]
+    dense = betweenness(edges, sources=srcs).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    shuf = betweenness_shuffle(edges, sources=srcs, chunk_span=8) \
+        .sort("vid").to_pandas().reset_index(drop=True)
+    diff = np.abs(dense["betweenness_e6"].to_numpy()
+                  - shuf["betweenness_e6"].to_numpy())
+    assert diff.max() <= 1
+
+
+def test_betweenness_shuffle_strategy_does_not_leak():
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    edges = _msbfs_fixture(v=30, e=60, seed=2)
+    before = edges.context.shuffle_strategy
+    betweenness_shuffle(edges, max_depth=3).materialize()
+    assert edges.context.shuffle_strategy == before

@@ -327,3 +327,27 @@ def test_msbfs_shuffle_resume_equivalence(edges_ds, tmp_path):
                                       resume=True, stats=stats)
     assert full_hist.equals(res_hist)
     assert full.equals(res_acc.sort("vid").to_pandas())
+
+
+def test_betweenness_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """betweenness_shuffle restarts at source-chunk granularity: kill
+    after chunk 1 (delete later chunk checkpoints), resume, identical
+    accumulator — same protocol as msbfs_shuffle."""
+    import os
+    import shutil
+
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    full = betweenness_shuffle(edges_ds, max_depth=4, chunk_span=64) \
+        .sort("vid").to_pandas()
+    ck = str(tmp_path / "bc_ck")
+    betweenness_shuffle(edges_ds, max_depth=4, chunk_span=64,
+                        checkpoint_dir=ck)
+    iters = sorted(n for n in os.listdir(ck) if n.startswith("iter="))
+    assert len(iters) >= 2
+    for name in iters[1:]:
+        shutil.rmtree(os.path.join(ck, name))
+    resumed = betweenness_shuffle(edges_ds, max_depth=4, chunk_span=64,
+                                  checkpoint_dir=ck, resume=True) \
+        .sort("vid").to_pandas()
+    assert full.equals(resumed)
