@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_k2_shuffle": g.q_betweenness_k2_shuffle,
         "betweenness_sampled": g.q_betweenness_sampled,
+        "sssp": g.q_sssp,
+        "sssp_shuffle": g.q_sssp_shuffle,
         "mis": g.q_mis,
         "dag_layers": g.q_dag_layers,
         "rich_club": g.q_rich_club,
@@ -556,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "modularity": g.sql_modularity(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "betweenness_k2_shuffle": g.sql_betweenness_k2_shuffle(),
+        "sssp": g.sql_sssp(),
+        "sssp_shuffle": g.sql_sssp(),
         "mis": g.sql_mis(),
         "dag_layers": g.sql_dag_layers(),
         "rich_club": g.sql_rich_club(),

@@ -1488,3 +1488,115 @@ def _betweenness_rounds(edges_ds, *, max_depth, chunk_span, sources,
                       "n_chunks": n_chunks,
                       "wall_sec": time.perf_counter() - t0})
     return finalize(acc, S_total)
+
+
+def sssp_shuffle(edges_ds, *, source: int | None = None, n_iters: int = 8,
+                 num_partitions: int | None = None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 2,
+                 resume: bool = False,
+                 stats: dict | None = None):
+    """Weighted bounded-hop Bellman-Ford with (vid, dist) state rows —
+    the Dataset-resident sibling of ``graph/sssp.sssp`` (same
+    deterministic weight convention ``1 + (src+dst) % WEIGHT_MOD``,
+    same undirected view, same ``n_iters`` relaxation cap, bit-exact
+    int64 agreement under any reduction order).
+
+    Per round: one edges-state inner join on src routes every reached
+    vertex's distance over its incident edges as ``dist + w`` (the
+    weight reconstructed vectorized from the joined endpoint vids —
+    no weight column is ever materialized), one groupby(min), and one
+    left-outer merge into the state via ``min_element_wise``.  All
+    int64 end to end (a float round-trip would lose 63-bit vids and
+    break exactness).  Early-stops when a round relaxes nothing;
+    streamed parquet checkpoints via ``save_state_ds``.
+
+    Returns Dataset (vid, dist) for REACHED vertices only (matching
+    the dense kernel's output contract)."""
+    from igpm_pem_ray.graph.sssp import WEIGHT_MOD, _UNREACHED
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    edges = edges_ds.select_columns(["src", "dst"]) \
+        .map_batches(sym, batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    verts = _vertices_ds(edges, num_partitions)
+    if source is None:
+        source = int(verts.min("vid"))
+    src0 = np.int64(source)
+    state = verts.map_batches(
+        lambda b, _s=src0: pa.table({
+            "vid": b["vid"],
+            "dist": np.where(_np_col(b, "vid") == _s,
+                             np.int64(0), _UNREACHED)}),
+        batch_format="pyarrow").repartition(n_blocks).materialize()
+
+    params = {"kernel": "sssp_shuffle", "source": int(source),
+              "weight_mod": WEIGHT_MOD, "V": state.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, state_ds2, _m = found
+            state = state_ds2.materialize()
+
+    def relax_msgs(b: pa.Table) -> pa.Table:
+        # joined row = one directed copy of an edge + the src's dist;
+        # unreached senders are dropped (they carry no path yet)
+        s = _np_col(b, "src")
+        d = _np_col(b, "dst")
+        dist = _np_col(b, "dist")
+        m = dist < _UNREACHED
+        w = 1 + (s[m] + d[m]) % WEIGHT_MOD
+        return pa.table({"mvid": d[m], "cand": dist[m] + w})
+
+    rounds = start_round
+    for k in range(start_round, n_iters):
+        msgs = edges.join(state, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("vid",)) \
+            .map_batches(relax_msgs, batch_format="pyarrow") \
+            .groupby("mvid").aggregate(Min("cand", alias_name="cand"))
+        stepped = state.join(msgs, join_type="left_outer",
+                             num_partitions=num_partitions,
+                             on=("vid",), right_on=("mvid",)).map_batches(
+            lambda b: pa.table({
+                "vid": b["vid"],
+                "dist_old": b["dist"],
+                "dist": pc.min_element_wise(
+                    b["dist"], pc.coalesce(b["cand"], b["dist"])),
+            }),
+            batch_format="pyarrow").materialize()
+        changed = int(stepped.map_batches(
+            lambda b: pa.table({"c": (_np_col(b, "dist")
+                                      != _np_col(b, "dist_old")).astype(np.int64)}),
+            batch_format="pyarrow").sum("c"))
+        state = stepped.map_batches(
+            lambda b: pa.table({"vid": b["vid"], "dist": b["dist"]}),
+            batch_format="pyarrow")
+        rounds = k + 1
+        if checkpoint_dir and (rounds % checkpoint_every == 0 or changed == 0
+                               or rounds == n_iters):
+            ckpt.save_state_ds(checkpoint_dir, rounds, state,
+                               metric_name="changed", metric_value=changed,
+                               params=params)
+        if changed == 0:
+            break
+    if stats is not None:
+        stats.update({"rounds": rounds, "wall_sec": time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    return state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "dist": b["dist"]}),
+        batch_format="pyarrow").filter(
+        expr=f"dist < {int(_UNREACHED)}")

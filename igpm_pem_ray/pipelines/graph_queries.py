@@ -1709,3 +1709,55 @@ def q_katz_shuffle(sf_dir: str) -> pa.Table:
     pdf = ds.to_pandas().sort_values("vid")
     return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
                      "katz_scaled": pdf["x"].to_numpy().astype("int64")})
+
+
+# ---------------- weighted SSSP (bounded-hop Bellman-Ford) ----------------
+
+SSSP_ITERS = 8  # relaxation depth, shared by kernel / shuffle sibling / SQL
+
+
+def q_sssp(sf_dir: str) -> pa.Table:
+    """Weighted shortest paths from the smallest vid, undirected,
+    deterministic integer weights w(u,v) = 1 + (u+v) % WEIGHT_MOD,
+    paths capped at SSSP_ITERS hops (graph/sssp.py dense relaxation
+    plan).  Exact int64 distances — the oracle matches bit for bit."""
+    from igpm_pem_ray.graph import sssp as sssp_mod
+
+    return sssp_mod.sssp(cooccurrence_edges(sf_dir),
+                         n_iters=SSSP_ITERS).sort_by([("vid", "ascending")])
+
+
+def q_sssp_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident sibling (shuffle_kernels.sssp_shuffle: (vid,
+    dist) state rows, one edges-state join + groupby(min) per round) —
+    the 10^12-V alternate to q_sssp, bit-identical distances."""
+    from igpm_pem_ray.graph.shuffle_kernels import sssp_shuffle
+
+    t = sssp_shuffle(cooccurrence_edges(sf_dir), n_iters=SSSP_ITERS) \
+        .sort("vid").to_pandas()
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def sql_sssp(n_iters: int = SSSP_ITERS) -> str:
+    """Unrolled Bellman-Ford: d_k = min(d_{k-1}, min over in-edges of
+    d_{k-1}(u) + w) — every level MATERIALIZED (each is referenced
+    twice by the next; inlined, the chain would re-expand the lineitem
+    self-join 2^k times, the sql_hits fd-exhaustion failure mode)."""
+    from igpm_pem_ray.graph.sssp import WEIGHT_MOD
+
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "ue AS MATERIALIZED (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges)",
+        "d0 AS (SELECT (SELECT MIN(src) FROM edges) AS v, "
+        "CAST(0 AS BIGINT) AS d)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"d{k - 1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT v, MIN(d) AS d FROM ("
+            f"SELECT v, d FROM {p} UNION ALL "
+            f"SELECT e.y AS v, p.d + 1 + ((e.x + e.y) % {WEIGHT_MOD}) AS d "
+            f"FROM {p} p JOIN ue e ON e.x = p.v) GROUP BY v)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT v AS vid, d AS dist FROM d{n_iters} ORDER BY vid")

@@ -1562,3 +1562,54 @@ def test_betweenness_shuffle_strategy_does_not_leak():
     before = edges.context.shuffle_strategy
     betweenness_shuffle(edges, max_depth=3).materialize()
     assert edges.context.shuffle_strategy == before
+
+
+def test_sssp_vs_oracle_and_shuffle_parity():
+    """sssp == pure-Python bounded-hop Bellman-Ford on the undirected
+    weighted view (w = 1 + (u+v) % WEIGHT_MOD); sssp_shuffle returns
+    bit-identical distances; hop cap honored; unknown source raises."""
+    from igpm_pem_ray.graph import sssp as sssp_mod
+    from igpm_pem_ray.graph.shuffle_kernels import sssp_shuffle
+
+    rng = np.random.RandomState(71)
+    src = rng.randint(0, 90, size=260).astype(np.int64)
+    dst = rng.randint(0, 90, size=260).astype(np.int64)
+    src = np.concatenate([src, [300]])   # far component
+    dst = np.concatenate([dst, [301]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    M = sssp_mod.WEIGHT_MOD
+    INF = float("inf")
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    source = verts[0]
+
+    def oracle(n_hops):
+        d = {v: INF for v in verts}
+        d[source] = 0
+        und = set()
+        for a, b in zip(src.tolist(), dst.tolist()):
+            und.add((a, b))
+            und.add((b, a))
+        for _ in range(n_hops):
+            nd = dict(d)
+            for a, b in und:
+                w = 1 + (a + b) % M
+                if d[a] + w < nd[b]:
+                    nd[b] = d[a] + w
+            d = nd
+        return {v: int(x) for v, x in d.items() if x < INF}
+
+    for k in (1, 3, 8):
+        want = oracle(k)
+        got = sssp_mod.sssp(ds, n_iters=k)
+        gmap = dict(zip(got["vid"].to_pylist(), got["dist"].to_pylist()))
+        assert gmap == want, f"dense sssp diverges at n_iters={k}"
+
+    want = oracle(8)
+    sh = sssp_shuffle(ds, n_iters=8).to_pandas()
+    smap = dict(zip(sh["vid"].astype(int), sh["dist"].astype(int)))
+    assert smap == want
+    assert 300 not in smap and 301 not in smap
+
+    with pytest.raises(ValueError):
+        sssp_mod.sssp(ds, source=9999)

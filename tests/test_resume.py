@@ -351,3 +351,22 @@ def test_betweenness_shuffle_resume_equivalence(edges_ds, tmp_path):
                                   checkpoint_dir=ck, resume=True) \
         .sort("vid").to_pandas()
     assert full.equals(resumed)
+
+
+def test_sssp_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """sssp_shuffle interrupt/resume == uninterrupted run (same
+    save_state_ds protocol as its K1-K3/Katz siblings); distances
+    stay exact int64 through the parquet round-trip."""
+    from igpm_pem_ray.graph.shuffle_kernels import sssp_shuffle
+
+    full = sssp_shuffle(edges_ds, n_iters=6).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    ck = str(tmp_path / "sssp_ck")
+    sssp_shuffle(edges_ds, n_iters=2, checkpoint_dir=ck,
+                 checkpoint_every=2)
+    resumed = sssp_shuffle(edges_ds, n_iters=6,
+                           checkpoint_dir=ck, resume=True).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert (full["vid"].to_numpy() == resumed["vid"].to_numpy()).all()
+    assert (full["dist"].to_numpy().astype("int64")
+            == resumed["dist"].to_numpy().astype("int64")).all()
