@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": r.q_doc_dedup_exact,
         "doc_tokens": r.q_doc_tokens,
         "doc_quality": r.q_doc_quality,
+        "gopher_quality": r.q_gopher_quality,
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
         "embed_near_dup": r.q_embed_near_dup,
@@ -502,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": an.q_cube_revenue,
         "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
+        "bigram_lift": an.q_bigram_lift,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
     out.update(_link_graph_queries())
@@ -600,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": r.sql_doc_dedup_exact(),
         "doc_tokens": r.sql_doc_tokens(),
         "doc_quality": r.sql_doc_quality(),
+        "gopher_quality": r.sql_gopher_quality(),
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
         "embed_near_dup": r.sql_embed_near_dup(),
@@ -627,4 +630,5 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": an.sql_cube_revenue(),
         "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
+        "bigram_lift": an.sql_bigram_lift(),
     }

@@ -1450,3 +1450,86 @@ def sql_assoc_rules() -> str:
         "FROM top t JOIN item ia ON ia.l_partkey = t.a "
         "JOIN item ib ON ib.l_partkey = t.b "
         "ORDER BY support DESC, a, b")
+
+
+LIFT_K = 50
+LIFT_MIN_COUNT = 5
+
+
+def q_bigram_lift(sf_dir: str):
+    """Corpus adjacent-pair association (PMI without the log — exact
+    integer 'lift'): lift(x,y) = P(x,y) / (P(x) P(y)) over bigram
+    positions, e6 fixed point with floor division, computed in
+    arbitrary-precision Python ints so no 64-bit product overflows
+    (c_xy * N * 10^6 can exceed 2^63; the oracle uses HUGEINT for the
+    same reason).  Counting is the distributed part (per-block partial
+    bigram counts -> one groupby-sum, the q_word_bigrams plan); the
+    lift arithmetic runs on the aggregated table, which is bounded by
+    vocab^2 rows — O(1000) here, and capped by construction at any
+    corpus size with a bounded vocabulary.  Top-LIFT_K by (lift desc,
+    x, y), pairs with n >= LIFT_MIN_COUNT."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xs: list[str] = []
+        ys: list[str] = []
+        for txt in b["text"].to_pylist():
+            t = (txt or "").split()
+            xs.extend(t[:-1])
+            ys.extend(t[1:])
+        if not xs:
+            return pa.table({"x": pa.array([], type=pa.string()),
+                             "y": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        import pandas as pd
+
+        vc = pd.DataFrame({"x": xs, "y": ys}) \
+            .groupby(["x", "y"], sort=False).size().reset_index(name="n")
+        return pa.table({"x": pa.array(vc["x"], type=pa.string()),
+                         "y": pa.array(vc["y"], type=pa.string()),
+                         "n": vc["n"].to_numpy().astype(np.int64)})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()  # vocab^2-bounded by construction (see docstring)
+    if len(agg) == 0:
+        return pa.table({"x": pa.array([], pa.string()),
+                         "y": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "lift_e6": pa.array([], pa.int64())})
+    n = agg["n"].astype("int64")
+    total = int(n.sum())
+    cx = agg.groupby("x")["n"].transform("sum").astype("int64")
+    cy = agg.groupby("y")["n"].transform("sum").astype("int64")
+    # Python-int exact floor division (object dtype; no 64-bit overflow)
+    lift = [(int(a) * total * 1_000_000) // (int(b) * int(c))
+            for a, b, c in zip(n, cx, cy)]
+    agg = agg.assign(lift_e6=np.asarray(lift, dtype=np.int64))
+    agg = agg[n.to_numpy() >= LIFT_MIN_COUNT] \
+        .sort_values(["lift_e6", "x", "y"],
+                     ascending=[False, True, True]).head(LIFT_K) \
+        .reset_index(drop=True)
+    return pa.table({"x": agg["x"].to_numpy(),
+                     "y": agg["y"].to_numpy(),
+                     "n": agg["n"].to_numpy().astype(np.int64),
+                     "lift_e6": agg["lift_e6"].to_numpy()})
+
+
+def sql_bigram_lift() -> str:
+    return (
+        r"WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '') AS toks FROM documents), "
+        "ix AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t WHERE len(toks) >= 2), "
+        "g AS (SELECT toks[i] AS x, toks[i+1] AS y FROM ix), "
+        "c AS (SELECT x, y, count(*) AS n FROM g GROUP BY x, y), "
+        "tot AS (SELECT sum(n) AS nn FROM c), "
+        "m1 AS (SELECT x, sum(n) AS cx FROM c GROUP BY x), "
+        "m2 AS (SELECT y, sum(n) AS cy FROM c GROUP BY y) "
+        "SELECT c.x, c.y, CAST(c.n AS BIGINT) AS n, "
+        "CAST((CAST(c.n AS HUGEINT) * (SELECT nn FROM tot) * 1000000) "
+        "// (CAST(m1.cx AS HUGEINT) * m2.cy) AS BIGINT) AS lift_e6 "
+        "FROM c JOIN m1 USING (x) JOIN m2 USING (y) "
+        f"WHERE c.n >= {LIFT_MIN_COUNT} "
+        f"ORDER BY lift_e6 DESC, c.x, c.y LIMIT {LIFT_K}")

@@ -1638,3 +1638,53 @@ def sql_event_bigrams() -> str:
         "SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n "
         "FROM o WHERE prev_type IS NOT NULL "
         "GROUP BY prev_type, event_type ORDER BY prev_type, event_type")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition filters per document
+    (text/repetition.py): top-unigram / top-adjacent-bigram / distinct
+    fractions as e6 floor-division fixed point + the keep flag.  Pure
+    per-doc pandas kernels, no shuffle."""
+    from igpm_pem_ray.text.repetition import repetition_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_table(docs)
+
+
+def sql_gopher_quality() -> str:
+    from igpm_pem_ray.text.repetition import (
+        MAX_TOP_BIGRAM_E6, MAX_TOP_UNIGRAM_E6, MIN_DISTINCT_E6)
+
+    return (
+        "WITH docs AS (SELECT doc_id, trim(text) AS tt FROM documents), "
+        "toks AS (SELECT doc_id, string_split_regex(tt, '\\s+') AS ws "
+        "FROM docs WHERE tt <> ''), "
+        "uni AS (SELECT doc_id, w, count(*) AS c FROM toks, "
+        "unnest(ws) AS t(w) GROUP BY doc_id, w), "
+        "us AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n, "
+        "count(*) AS nd FROM uni GROUP BY doc_id), "
+        "big AS (SELECT t.doc_id, t.ws[g.i] || ' ' || t.ws[g.i+1] AS bg, "
+        "count(*) AS c FROM toks t, "
+        "unnest(generate_series(1, len(t.ws)-1)) AS g(i) "
+        "GROUP BY t.doc_id, bg), "
+        "bs AS (SELECT doc_id, max(c) AS maxb FROM big GROUP BY doc_id), "
+        "j AS (SELECT d.doc_id, COALESCE(u.n, 0) AS n_tokens, "
+        "CASE WHEN COALESCE(u.n, 0) > 0 THEN u.maxc*1000000//u.n "
+        "ELSE 0 END AS top_unigram_frac_e6, "
+        "CASE WHEN COALESCE(u.n, 0) > 1 "
+        "THEN COALESCE(b.maxb, 0)*1000000//(u.n-1) "
+        "ELSE 0 END AS top_bigram_frac_e6, "
+        "CASE WHEN COALESCE(u.n, 0) > 0 THEN u.nd*1000000//u.n "
+        "ELSE 0 END AS distinct_frac_e6 "
+        "FROM docs d LEFT JOIN us u USING (doc_id) "
+        "LEFT JOIN bs b USING (doc_id)) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(top_unigram_frac_e6 AS BIGINT) AS top_unigram_frac_e6, "
+        "CAST(top_bigram_frac_e6 AS BIGINT) AS top_bigram_frac_e6, "
+        "CAST(distinct_frac_e6 AS BIGINT) AS distinct_frac_e6, "
+        "CAST(CASE WHEN n_tokens > 0 "
+        f"AND top_unigram_frac_e6 <= {MAX_TOP_UNIGRAM_E6} "
+        f"AND top_bigram_frac_e6 <= {MAX_TOP_BIGRAM_E6} "
+        f"AND distinct_frac_e6 >= {MIN_DISTINCT_E6} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM j ORDER BY doc_id")

@@ -448,3 +448,50 @@ def test_kmeans_matches_numpy_lloyds():
     d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     assert (assign.sort_values("vec_id")["cluster"].to_numpy()
             == d2.argmin(axis=1)).all()
+
+
+def test_repetition_stats_edge_cases():
+    """Gopher repetition signals: hand-computed fractions, floor-div
+    e6 convention, empty / single-token / all-same docs."""
+    from igpm_pem_ray.text import repetition as rep
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b a b a b",          # 6 toks: max uni 3, 2 distinct, max bigram 'a b' 3/5
+            "x",                     # 1 token: no bigrams
+            "",                      # empty
+            None,                    # null text
+            "w w w w",               # all same
+        ],
+    })
+    out = rep.repetition_stats(df).set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 6
+    assert out.loc[1, "top_unigram_frac_e6"] == 3 * 1_000_000 // 6
+    assert out.loc[1, "top_bigram_frac_e6"] == 3 * 1_000_000 // 5
+    assert out.loc[1, "distinct_frac_e6"] == 2 * 1_000_000 // 6
+    assert out.loc[2, "n_tokens"] == 1
+    assert out.loc[2, "top_bigram_frac_e6"] == 0
+    assert out.loc[2, "top_unigram_frac_e6"] == 1_000_000
+    for d in (3, 4):
+        assert out.loc[d, "n_tokens"] == 0
+        assert out.loc[d, "keep"] == 0
+    assert out.loc[5, "top_unigram_frac_e6"] == 1_000_000
+    assert out.loc[5, "distinct_frac_e6"] == 250_000
+    assert out.loc[5, "keep"] == 0
+
+
+def test_repetition_batch_independence():
+    """Per-doc stats are identical whether docs share a batch or not
+    (the stage is embarrassingly parallel — no cross-doc state)."""
+    from igpm_pem_ray.text import repetition as rep
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["p q p q r", "r r r q"],
+    })
+    whole = rep.repetition_stats(df)
+    split = pd.concat([rep.repetition_stats(df.iloc[[0]]),
+                       rep.repetition_stats(df.iloc[[1]])],
+                      ignore_index=True)
+    pd.testing.assert_frame_equal(whole, split)
