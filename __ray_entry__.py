@@ -97,6 +97,12 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         return build.pages_to_extracted(pages, concurrency=4, batch_size=256) \
             .select_columns(["url", "text", "n_links"])
 
+    def link_anchor_terms(sf_dir: str):
+        from igpm_pem_ray.graph import build
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        return build.anchor_term_counts(pages, concurrency=4, batch_size=256)
+
     def link_host_graph(sf_dir: str):
         from igpm_pem_ray.graph import build
 
@@ -126,6 +132,7 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": link_triangles,
         "link_extract_text": link_text,
         "link_host_graph": link_host_graph,
+        "link_anchor_terms": link_anchor_terms,
         "link_host_stats": link_host_stats,
     }
 

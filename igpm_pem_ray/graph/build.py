@@ -248,3 +248,38 @@ def host_edges(extracted_ds):
                                  zero_copy_batch=True) \
         .groupby(["src_host", "dst_host"]) \
         .aggregate(Count(alias_name="n_links"))
+
+
+def anchor_term_counts(pages_ds, *, concurrency=4, batch_size: int = 256):
+    """pages -> anchor-text index: (dst, term, n) — for every target
+    page (hashed vid), how often each whitespace term occurs in the
+    anchor text of links POINTING AT it.  The classic web-search
+    anchor index (target pages are described by their in-link anchors
+    better than by their own text).
+
+    Plan: AnchorExtractor actor pool re-parses (href, inner-text)
+    spans -> hash dst urls vectorized -> Arrow split_pattern_regex +
+    list_parent_indices explode (no Python loop) -> ONE (dst, term)
+    count groupby.  Term explosion happens before the shuffle but
+    after per-batch counting would gain nothing (terms per anchor are
+    tiny); the single groupby is the only all-to-all."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.stages.extract import extract_anchors
+
+    pairs = extract_anchors(pages_ds, concurrency=concurrency,
+                            batch_size=batch_size)
+
+    def explode_terms(batch: pa.Table) -> pa.Table:
+        dst = pa.array(urls_to_vids(batch["dst_url"]), type=pa.int64())
+        toks = pc.split_pattern_regex(batch["anchor"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        t = pa.table({"dst": pc.take(dst, parents), "term": flat})
+        return t.filter(pc.not_equal(t["term"], ""))
+
+    return pairs.map_batches(explode_terms, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["dst", "term"]).aggregate(Count(alias_name="n"))

@@ -67,3 +67,38 @@ def extract_hrefs(html_bytes: bytes, base_url: str) -> list[str]:
         if absu.startswith("http://") or absu.startswith("https://"):
             out.append(absu)
     return out
+
+
+# full <a href=...>inner</a> element: href (3 quoting forms) + inner HTML
+_APAIR = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+    rb"[^>]*>(.*?)</a\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_anchor_pairs(html_bytes: bytes, base_url: str) -> list[tuple[str, str]]:
+    """All (<a href> target, anchor text) pairs: href resolved/filtered
+    exactly like ``extract_hrefs`` (urljoin, fragment dropped, http(s)
+    only, duplicates preserved); anchor text goes through the same spec
+    as ``extract_text`` (inner tags -> space, entities unescaped,
+    whitespace collapsed, stripped).  Anchors whose element never
+    closes are not pairs and are skipped — so this can return FEWER
+    rows than extract_hrefs; the edge table stays extract_hrefs-based
+    and this feeds the anchor-text index only.
+    """
+    if not html_bytes:
+        return []
+    out: list[tuple[str, str]] = []
+    for m in _APAIR.finditer(html_bytes):
+        raw = next(g for g in m.groups()[:3] if g is not None)
+        href = _html.unescape(raw.decode("utf-8", errors="replace").strip())
+        if not href:
+            continue
+        absu = urldefrag(urljoin(base_url, href))[0]
+        if not (absu.startswith("http://") or absu.startswith("https://")):
+            continue
+        inner = m.group(4).decode("utf-8", errors="replace")
+        text = _WS.sub(" ", _html.unescape(_TAG.sub(" ", inner))).strip()
+        out.append((absu, text))
+    return out

@@ -72,3 +72,43 @@ def extract_pages(pages_ds, *, concurrency: int | tuple[int, int] = 4,
         num_cpus=num_cpus,
         zero_copy_batch=True,
     )
+
+
+class AnchorExtractor:
+    """Actor-pool callable: pages batch (url, html) -> one row per
+    anchor element, (src_url, dst_url, anchor).  Separate stage from
+    HtmlExtractor because the anchor-text index re-parses for the
+    <a ...>inner</a> SPAN (href + inner text), which the (text, links)
+    surface deliberately does not carry; pipelines that need both run
+    both pools over the same pages read.
+    """
+
+    def __init__(self) -> None:
+        self._pairs = html_extract.extract_anchor_pairs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for dst, text in self._pairs(h, u):
+                srcs.append(u)
+                dsts.append(dst)
+                anchors.append(text)
+        return pa.table({"src_url": pa.array(srcs, type=pa.string()),
+                         "dst_url": pa.array(dsts, type=pa.string()),
+                         "anchor": pa.array(anchors, type=pa.string())})
+
+
+def extract_anchors(pages_ds, *, concurrency: int | tuple[int, int] = 4,
+                    batch_size: int = 256, num_cpus: float = 0.5):
+    """pages Dataset -> (src_url, dst_url, anchor) Dataset (same pool
+    sizing rationale as extract_pages)."""
+    return pages_ds.map_batches(
+        AnchorExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )

@@ -271,3 +271,69 @@ def test_hive_partitioned_edge_sink(tmp_path):
     per_bucket = rd.read_parquet(out).to_pandas()["bucket"] \
         .astype("int64").value_counts().to_dict()
     assert one == per_bucket[0]
+
+
+def _stdlib_anchor_pairs(html_bytes: bytes, base_url: str):
+    """Independent oracle: stdlib html.parser walk collecting
+    (resolved href, collapsed anchor text) — a genuinely different
+    implementation path from the regex extractor."""
+    from html.parser import HTMLParser
+    from urllib.parse import urldefrag, urljoin
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.out = []
+            self._stack = []  # (href or None, [text parts])
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = dict(attrs).get("href")
+                self._stack.append((href, []))
+
+        def handle_data(self, data):
+            for _, parts in self._stack:
+                parts.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self._stack:
+                href, parts = self._stack.pop()
+                if href is None or not href.strip():
+                    return
+                absu = urldefrag(urljoin(base_url, href.strip()))[0]
+                if absu.startswith(("http://", "https://")):
+                    self.out.append((absu, " ".join("".join(parts).split())))
+
+    p = P()
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    return p.out
+
+
+def test_anchor_pairs_match_stdlib_parser(synth):
+    """extract_anchor_pairs == the stdlib HTMLParser oracle on every
+    fixture page (the malformed-utf8 edge page has no anchors, so the
+    decode-path difference never shows)."""
+    for u, h in zip(synth.table["url"].to_pylist(),
+                    synth.table["html"].to_pylist()):
+        got = html_extract.extract_anchor_pairs(h, u)
+        want = _stdlib_anchor_pairs(h, u)
+        assert got == want, f"anchor pairs diverge on {u}"
+
+
+def test_anchor_term_counts_vs_oracle(synth, pages_ds):
+    """anchor_term_counts == per-(dst vid, term) counts derived from
+    the stdlib-parser pairs over the whole fixture."""
+    from collections import Counter
+
+    want: Counter = Counter()
+    for u, h in zip(synth.table["url"].to_pylist(),
+                    synth.table["html"].to_pylist()):
+        for dst, text in _stdlib_anchor_pairs(h, u):
+            vid = ids.urls_to_vids([dst])[0]
+            for term in text.split():
+                want[(vid, term)] += 1
+
+    got = build.anchor_term_counts(pages_ds, concurrency=2,
+                                   batch_size=64).to_pandas()
+    gmap = {(int(r.dst), r.term): int(r.n) for r in got.itertuples()}
+    assert gmap == dict(want)
