@@ -167,6 +167,18 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(Fingerprinter, batch_format="pandas", concurrency=2) \
                    .select_columns(["doc_id", "fp64"])
 
+    def bpe_merges(sf_dir: str):
+        """Learned BPE merge table over the documents corpus
+        (text/bpe.py): corpus-scale word-count groupby once, then
+        vocab-bounded Dataset merge rounds.  Rows-only (iterative
+        argmax; pytest-oracle-backed against the single-process
+        Sennrich reference)."""
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.bpe import learn_bpe
+
+        docs = read_table(sf_dir, "documents", columns=["text"])
+        return learn_bpe(docs, 12)
+
     def ann_lsh(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -315,6 +327,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "simhash": simhash,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "bpe_merges": bpe_merges,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "embed_near_dup_groups": embed_near_dup_groups,

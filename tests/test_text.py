@@ -495,3 +495,59 @@ def test_repetition_batch_independence():
                        rep.repetition_stats(df.iloc[[1]])],
                       ignore_index=True)
     pd.testing.assert_frame_equal(whole, split)
+
+
+def test_learn_bpe_matches_reference_algorithm():
+    """learn_bpe == a direct single-process Sennrich reference
+    (counter + greedy left-to-right rescan) including the
+    deterministic tie-break (count desc, then lexicographic pair) and
+    the stop-below-2 rule."""
+    from collections import Counter
+
+    from igpm_pem_ray.text.bpe import END, learn_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide wide widest",
+        "low newer wide",
+        "",
+    ]
+
+    def reference(texts, k):
+        wc = Counter()
+        for t in texts:
+            wc.update(t.split())
+        words = {w: list(w) + [END] for w in wc}
+        merges = []
+        for r in range(k):
+            pc_ = Counter()
+            for w, syms in words.items():
+                f = wc[w]
+                for a, b in zip(syms[:-1], syms[1:]):
+                    pc_[(a, b)] += f
+            if not pc_:
+                break
+            (l, rgt), n = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < 2:
+                break
+            merges.append((r, l, rgt, n))
+            m = l + rgt
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    ds = rd.from_arrow(pa.table({"text": texts}))
+    got = learn_bpe(ds, 12)
+    gm = list(zip(got["rank"].to_pylist(), got["left"].to_pylist(),
+                  got["right"].to_pylist(), got["n"].to_pylist()))
+    assert gm == reference(texts, 12)
+    assert len(gm) > 3  # the corpus supports several merges
