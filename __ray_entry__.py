@@ -103,6 +103,32 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         pages = rd.read_parquet(_pages_dir(2_000))
         return build.anchor_term_counts(pages, concurrency=4, batch_size=256)
 
+    def link_surt_index(sf_dir: str):
+        """Canonical + SURT keys for every URL in the link graph
+        (pages + link targets), sorted by surt — the CDX index layout
+        (one registered domain's pages cluster under a range
+        partitioner)."""
+        import pyarrow as pa
+        from igpm_pem_ray.graph import build
+        from igpm_pem_ray.text.urlnorm import url_canonical_table
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        ex = build.pages_to_extracted(pages, concurrency=4, batch_size=256)
+        edges = build.extracted_to_edges(ex, keep_urls=True)
+
+        def both(b: pa.Table) -> pa.Table:
+            import numpy as np
+            u = np.concatenate([b["src_url"].to_numpy(zero_copy_only=False),
+                                b["dst_url"].to_numpy(zero_copy_only=False)])
+            return pa.table({"url": np.unique(u)})
+
+        from ray.data.aggregate import Count
+
+        urls = edges.map_batches(both, batch_format="pyarrow") \
+            .groupby("url").aggregate(Count(alias_name="_n")) \
+            .drop_columns(["_n"])
+        return url_canonical_table(urls).sort("surt")
+
     def link_host_graph(sf_dir: str):
         from igpm_pem_ray.graph import build
 
@@ -133,6 +159,7 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         "link_extract_text": link_text,
         "link_host_graph": link_host_graph,
         "link_anchor_terms": link_anchor_terms,
+        "link_surt_index": link_surt_index,
         "link_host_stats": link_host_stats,
     }
 
@@ -495,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": r.q_doc_tokens,
         "doc_quality": r.q_doc_quality,
         "gopher_quality": r.q_gopher_quality,
+        "quality_sample": r.q_quality_sample,
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
         "embed_near_dup": r.q_embed_near_dup,
@@ -524,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
         "bigram_lift": an.q_bigram_lift,
+        "decontaminate": an.q_decontaminate,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
     out.update(_link_graph_queries())
@@ -623,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": r.sql_doc_tokens(),
         "doc_quality": r.sql_doc_quality(),
         "gopher_quality": r.sql_gopher_quality(),
+        "quality_sample": r.sql_quality_sample(),
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
         "embed_near_dup": r.sql_embed_near_dup(),
@@ -651,4 +681,5 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
         "bigram_lift": an.sql_bigram_lift(),
+        "decontaminate": an.sql_decontaminate(),
     }

@@ -143,6 +143,10 @@ def run_bench() -> dict:
 
     timings["hits_5iter"], _ = best_of(lambda: hits(edges, n_iters=5))
 
+    from igpm_pem_ray.graph.sssp import sssp
+
+    timings["sssp_8iter"], _ = best_of(lambda: sssp(edges, n_iters=8))
+
     timings["link_predict_top100"], _ = best_of(
         lambda: common_neighbors_topk(edges, k=100))
 
@@ -237,7 +241,8 @@ def run_bench() -> dict:
                      ("doc_dedup_exact", r.q_doc_dedup_exact),
                      ("ann_cosine", r.q_ann_cosine),
                      ("filter_project", r.q_filter_project),
-                     ("topk_orders", r.q_topk_orders)]:
+                     ("topk_orders", r.q_topk_orders),
+                     ("gopher_quality", r.q_gopher_quality)]:
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         timings[name] = time.perf_counter() - t0

@@ -1533,3 +1533,79 @@ def sql_bigram_lift() -> str:
         "FROM c JOIN m1 USING (x) JOIN m2 USING (y) "
         f"WHERE c.n >= {LIFT_MIN_COUNT} "
         f"ORDER BY lift_e6 DESC, c.x, c.y LIMIT {LIFT_K}")
+
+
+CONTAM_N = 5          # token n-gram length (13 in the GPT-3 rule;
+                      # 5 keeps the unrolled SQL oracle readable —
+                      # the plumbing is length-independent)
+CONTAM_EVERY = 100    # benchmark set = first n-gram of every 100th doc
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (Brown et al. GPT-3 appendix C
+    shape): flag every document sharing a token CONTAM_N-gram with a
+    benchmark set.  The benchmark here is derived deterministically
+    from the corpus itself (the leading n-gram of every
+    CONTAM_EVERY-th doc) — no external data, same rule in the oracle.
+
+    Scale shape: the benchmark set is SMALL by construction, so it is
+    collected once and broadcast into the stage closure (ray.put via
+    capture); each batch explodes its docs' n-grams vectorized-ish
+    (token lists are tiny per doc) and counts hits with a hash-set
+    probe — no shuffle except the final per-doc sum, which only
+    carries matching rows.  Output: (doc_id, n_hits) for contaminated
+    docs, self-matches included (they prove the plumbing)."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = ids % CONTAM_EVERY == 0
+        out = []
+        for txt in np.asarray(b["text"].to_pylist(), dtype=object)[sel]:
+            t = (txt or "").split()
+            if len(t) >= CONTAM_N:
+                out.append(" ".join(t[:CONTAM_N]))
+        return pa.table({"gram": pa.array(sorted(set(out)), pa.string())})
+
+    bench = set(docs.map_batches(bench_grams, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .to_pandas()["gram"])  # small by construction
+    bench_ref = ray.put(bench)
+
+    def probe(b: pa.Table, _r=bench_ref) -> pa.Table:
+        bs = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        ids_out: list[int] = []
+        hits_out: list[int] = []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = (txt or "").split()
+            n = 0
+            for i in range(len(t) - CONTAM_N + 1):
+                if " ".join(t[i:i + CONTAM_N]) in bs:
+                    n += 1
+            if n:
+                ids_out.append(did)
+                hits_out.append(n)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "n_hits": pa.array(hits_out, pa.int64())})
+
+    return docs.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_decontaminate() -> str:
+    gram_i = " || ' ' || ".join(f"t.toks[g.i+{j}]" for j in range(CONTAM_N))
+    gram_1 = " || ' ' || ".join(f"toks[{j + 1}]" for j in range(CONTAM_N))
+    return (
+        r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        r"'\s+'), x -> x <> '') AS toks FROM documents), "
+        f"bench AS (SELECT DISTINCT {gram_1} AS gram FROM t "
+        f"WHERE doc_id % {CONTAM_EVERY} = 0 AND len(toks) >= {CONTAM_N}), "
+        f"grams AS (SELECT t.doc_id, {gram_i} AS gram FROM t, "
+        f"unnest(generate_series(1, len(t.toks)-{CONTAM_N - 1})) AS g(i) "
+        f"WHERE len(t.toks) >= {CONTAM_N}) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_hits FROM grams "
+        "WHERE gram IN (SELECT gram FROM bench) "
+        "GROUP BY doc_id ORDER BY doc_id")

@@ -1688,3 +1688,50 @@ def sql_gopher_quality() -> str:
         f"AND distinct_frac_e6 >= {MIN_DISTINCT_E6} "
         "THEN 1 ELSE 0 END AS BIGINT) AS keep "
         "FROM j ORDER BY doc_id")
+
+
+def q_quality_sample(sf_dir: str):
+    """Quality-weighted deterministic corpus sampling (the mixture /
+    reweighting step of corpus curation, CCNet/DoReMi shape): keep a
+    document with probability proportional to its quality weight —
+    here the Gopher distinct-token fraction — decided by the same
+    RNG-free affine hash ring as train_val_split, so the sample is
+    reproducible across engines and reruns and needs NO global state:
+    keep iff (doc_id*A + B) mod M, folded to e6, < distinct_frac_e6.
+    One per-doc pandas stage (repetition signals) + a vectorized hash
+    filter; no shuffle."""
+    from igpm_pem_ray.text.repetition import repetition_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        st = repetition_stats(df)
+        ids = st["doc_id"].to_numpy().astype(np.int64)
+        h_e6 = ((ids * SPLIT_A + SPLIT_B) % SPLIT_M) * 1_000_000 // SPLIT_M
+        keep = h_e6 < st["distinct_frac_e6"].to_numpy()
+        out = st.loc[keep, ["doc_id", "distinct_frac_e6"]].copy()
+        out["hash_e6"] = h_e6[keep]
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_quality_sample() -> str:
+    return (
+        "WITH docs AS (SELECT doc_id, trim(text) AS tt FROM documents), "
+        "toks AS (SELECT doc_id, string_split_regex(tt, '\\s+') AS ws "
+        "FROM docs WHERE tt <> ''), "
+        "uni AS (SELECT doc_id, w, count(*) AS c FROM toks, "
+        "unnest(ws) AS t(w) GROUP BY doc_id, w), "
+        "us AS (SELECT doc_id, sum(c) AS n, count(*) AS nd "
+        "FROM uni GROUP BY doc_id), "
+        "j AS (SELECT d.doc_id, "
+        "CASE WHEN COALESCE(u.n, 0) > 0 THEN u.nd*1000000//u.n ELSE 0 END "
+        "AS distinct_frac_e6, "
+        f"((d.doc_id*{SPLIT_A} + {SPLIT_B}) % {SPLIT_M}) * 1000000 "
+        f"// {SPLIT_M} AS hash_e6 "
+        "FROM docs d LEFT JOIN us u USING (doc_id)) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(distinct_frac_e6 AS BIGINT) AS distinct_frac_e6, "
+        "CAST(hash_e6 AS BIGINT) AS hash_e6 "
+        "FROM j WHERE hash_e6 < distinct_frac_e6 ORDER BY doc_id")

@@ -551,3 +551,57 @@ def test_learn_bpe_matches_reference_algorithm():
                   got["right"].to_pylist(), got["n"].to_pylist()))
     assert gm == reference(texts, 12)
     assert len(gm) > 3  # the corpus supports several merges
+
+
+def test_url_normalize_vs_stdlib_oracle():
+    """normalize_urls / surt_keys == an independent stdlib
+    urllib.parse implementation of the same documented spec, over
+    adversarial cases + the fixture URL shapes."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    from igpm_pem_ray.text.urlnorm import normalize_urls, surt_keys
+
+    cases = [
+        "HTTPS://Sub.Example.COM:443/a/b?z=1&utm_source=x&a=2#frag",
+        "http://example.com:8080",
+        "http://example.com:80/x?gclid=99",
+        "https://site0.example/p0",
+        "http://h/?b=2&a=1&a=0",
+        "https://a.b/c?utm_campaign=z",
+        "https://a.b/c?UTM_X=1&k",          # uppercase tracking + bare key
+        "http://x.y:81/p?fbclid=1&real=2",
+        "https://one/",
+        "http://dom.tld/path/with?msclkid=7",
+    ]
+
+    def oracle_norm(u):
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = sp.hostname or ""
+        port = sp.port
+        default = {"http": 80, "https": 443}.get(scheme)
+        hostport = host if port is None or port == default else f"{host}:{port}"
+        path = sp.path or "/"
+        pairs = [p for p in sp.query.split("&") if p]
+        kept = sorted(p for p in pairs
+                      if not (p.split("=", 1)[0].lower().startswith("utm_")
+                              or p.split("=", 1)[0].lower()
+                              in ("gclid", "fbclid", "msclkid")))
+        q = "&".join(kept)
+        return f"{scheme}://{hostport}{path}" + (f"?{q}" if q else "")
+
+    def oracle_surt(u):
+        c = urlsplit(oracle_norm(u))
+        host = c.hostname or ""
+        rev = ",".join(reversed(host.split(".")))
+        if c.port is not None:
+            rev += f":{c.port}"
+        return f"{rev}){c.path or '/'}" + (f"?{c.query}" if c.query else "")
+
+    s = pd.Series(cases)
+    assert normalize_urls(s).tolist() == [oracle_norm(u) for u in cases]
+    assert surt_keys(s).tolist() == [oracle_surt(u) for u in cases]
+    # non-URLs: canonical passes through, surt empty
+    junk = pd.Series(["not a url", ""])
+    assert normalize_urls(junk).tolist() == ["not a url", ""]
+    assert surt_keys(junk).tolist() == ["", ""]
