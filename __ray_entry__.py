@@ -463,6 +463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": g.q_effective_diameter,
         "effective_diameter_shuffle": g.q_effective_diameter_shuffle,
         "random_walks": g.q_random_walks,
+        "walk_pairs": g.q_walk_pairs,
+        "msf_forest": g.q_msf_forest,
+        "msf_shuffle": g.q_msf_shuffle,
+        "quad_count": g.q_quad_count,
         "pagerank_weighted": g.q_pagerank_weighted,
         "pagerank_topic": g.q_pagerank_topic,
         "katz": g.q_katz,
@@ -523,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": r.q_doc_quality,
         "gopher_quality": r.q_gopher_quality,
         "quality_sample": r.q_quality_sample,
+        "span_dedup": r.q_span_dedup,
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
         "embed_near_dup": r.q_embed_near_dup,
@@ -552,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
         "bigram_lift": an.q_bigram_lift,
+        "doc_rarity": an.q_doc_rarity,
+        "inverted_index": an.q_inverted_index,
         "decontaminate": an.q_decontaminate,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -600,6 +607,8 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": g.sql_harmonic_centrality(),
         "harmonic_shuffle": g.sql_harmonic_centrality(),
         "random_walks": g.sql_random_walks(),
+        "walk_pairs": g.sql_walk_pairs(),
+        "quad_count": g.sql_quad_count(),
         "pagerank_weighted": g.sql_pagerank_weighted(),
         "pagerank_topic": g.sql_pagerank_topic(),
         "katz": g.sql_katz(),
@@ -653,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": r.sql_doc_quality(),
         "gopher_quality": r.sql_gopher_quality(),
         "quality_sample": r.sql_quality_sample(),
+        "span_dedup": r.sql_span_dedup(),
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
         "embed_near_dup": r.sql_embed_near_dup(),
@@ -681,5 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
         "bigram_lift": an.sql_bigram_lift(),
+        "doc_rarity": an.sql_doc_rarity(),
+        "inverted_index": an.sql_inverted_index(),
         "decontaminate": an.sql_decontaminate(),
     }

@@ -1600,3 +1600,151 @@ def sssp_shuffle(edges_ds, *, source: int | None = None, n_iters: int = 8,
         lambda b: pa.table({"vid": b["vid"], "dist": b["dist"]}),
         batch_format="pyarrow").filter(
         expr=f"dist < {int(_UNREACHED)}")
+
+
+# ---------------- minimum spanning forest (Dataset-resident Boruvka) --
+
+
+def msf_shuffle(edges_ds, *, num_partitions: int | None = None,
+                max_rounds: int = 64,
+                checkpoint_dir: str | None = None,
+                resume: bool = False,
+                stats: dict | None = None):
+    """Dataset-resident Boruvka: the V-unbounded sibling of
+    ``graph/msf.msf`` — identical forest (the strict key (w(u,v), u,
+    v) makes the MSF unique; parity-tested in tests/test_kernels.py).
+
+    Per round (O(log V) rounds total): label both endpoints with their
+    component (two hash joins against the (vid, label) state), emit
+    each live edge to BOTH components, take the per-component minimum
+    by (w, src, dst) via the sort+block-rank plan
+    (stages/ranked.topk_per_group — raw 63-bit vids don't fit a packed
+    int64 min, so the exact lexicographic min is a rank, not an
+    aggregate), dedupe edges chosen by both sides with one groupby,
+    then CONTRACT by running the hash-to-min component kernel on the
+    tiny chosen-edge component graph (component count halves per
+    round, so the nested CC runs on a geometrically shrinking input).
+    Settled edges are filtered out each round, so the scanned frontier
+    also shrinks geometrically.
+
+    Checkpoint/resume: the accumulated FOREST is the whole state — the
+    component labels are recomputed from it as connected components —
+    so ``save_state_ds`` streams one dataset per round and resume
+    needs no second manifest."""
+    from igpm_pem_ray.graph.sssp import edge_weights
+    from igpm_pem_ray.stages.ranked import topk_per_group
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        k = lo != hi
+        arr = np.unique(np.stack([lo[k], hi[k]], axis=1), axis=0)
+        return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+
+    live = edges_ds.select_columns(["src", "dst"]) \
+        .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(Min("dst", alias_name="_m")) \
+        .drop_columns(["_m"]).materialize()
+    vertices = _vertices_ds(live, num_partitions)
+
+    def with_w(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        return pa.table({"src": s, "dst": d, "w": edge_weights(s, d)})
+
+    live = live.map_batches(with_w, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def relabel(comp_graph, comp):
+        """comp after contracting the chosen component graph: labels
+        follow their component's new min label."""
+        cc = connected_components_shuffle(
+            comp_graph, num_partitions=num_partitions)
+        return comp.join(
+            cc.rename_columns({"vid": "clab"}), join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("label",), right_on=("clab",)).map_batches(
+            lambda b: pa.table({
+                "vid": b["vid"],
+                "label": pc.coalesce(b["component"], b["label"])}),
+            batch_format="pyarrow").materialize()
+
+    comp = vertices.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "label": b["vid"]}),
+        batch_format="pyarrow").materialize()
+    forest = None
+    params = {"kernel": "msf_shuffle", "V": vertices.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, forest, _m = found
+            forest = forest.materialize()
+            comp = relabel(forest, comp)
+
+    rounds = start_round
+    for k in range(start_round, max_rounds):
+        lab = live.join(comp.rename_columns({"vid": "v1", "label": "ca"}),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("v1",)) \
+            .join(comp.rename_columns({"vid": "v2", "label": "cb"}),
+                  join_type="inner", num_partitions=num_partitions,
+                  on=("dst",), right_on=("v2",))
+
+        def alive(b: pa.Table) -> pa.Table:
+            m = _np_col(b, "ca") != _np_col(b, "cb")
+            return pa.table({c: b[c].to_numpy(zero_copy_only=False)[m]
+                             for c in ("src", "dst", "w", "ca", "cb")})
+
+        lab = lab.map_batches(alive, batch_format="pyarrow").materialize()
+        n_live = lab.count()
+        if stats is not None:
+            stats.setdefault("live_per_round", []).append(int(n_live))
+        if n_live == 0:
+            break
+        rounds = k + 1
+
+        def both_sides(b: pa.Table) -> pa.Table:
+            cols = {c: _np_col(b, c) for c in ("src", "dst", "w", "ca", "cb")}
+            return pa.table({
+                "comp": np.concatenate([cols["ca"], cols["cb"]]),
+                "w": np.concatenate([cols["w"], cols["w"]]),
+                "src": np.concatenate([cols["src"], cols["src"]]),
+                "dst": np.concatenate([cols["dst"], cols["dst"]]),
+                "ca": np.concatenate([cols["ca"], cols["ca"]]),
+                "cb": np.concatenate([cols["cb"], cols["cb"]])})
+
+        cand = lab.map_batches(both_sides, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        best = topk_per_group(cand, key="comp", order=["w", "src", "dst"],
+                              descending=[False, False, False], k=1)
+        chosen = best.groupby(["src", "dst"]).aggregate(
+            Min("w", alias_name="w"), Min("ca", alias_name="ca"),
+            Min("cb", alias_name="cb")).materialize()
+        picked = chosen.select_columns(["src", "dst", "w"]).materialize()
+        forest = picked if forest is None else \
+            forest.union(picked).materialize()
+        comp = relabel(
+            chosen.map_batches(
+                lambda b: pa.table({"src": b["ca"], "dst": b["cb"]}),
+                batch_format="pyarrow"), comp)
+        live = lab.select_columns(["src", "dst", "w"]).materialize()
+        if checkpoint_dir:
+            ckpt.save_state_ds(checkpoint_dir, rounds, forest,
+                               metric_name="n_live", metric_value=n_live,
+                               params=params)
+
+    if forest is None:
+        forest = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                         "dst": pa.array([], pa.int64()),
+                                         "w": pa.array([], pa.int64())}))
+    if stats is not None:
+        stats.update({"rounds": rounds,
+                      "wall_sec": time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    return forest

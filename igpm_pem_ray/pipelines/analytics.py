@@ -1609,3 +1609,156 @@ def sql_decontaminate() -> str:
         "CAST(count(*) AS BIGINT) AS n_hits FROM grams "
         "WHERE gram IN (SELECT gram FROM bench) "
         "GROUP BY doc_id ORDER BY doc_id")
+
+
+# ---------------- unigram-LM rarity score (perplexity proxy) ----------
+
+def q_doc_rarity(sf_dir: str):
+    """Per-document mean inverse token frequency — the integer-exact
+    stand-in for a unigram-LM perplexity filter (the CCNet/KenLM
+    curation step, Wenzek et al. 1911.00359 §3.3, with rarity
+    ``N // c(w)`` replacing ``-log p(w)`` so the score is bit-exact
+    under any reduction order and SQL-expressible).  High score =
+    rare-token-heavy document (boilerplate scores low).
+
+    Scale shape: per-doc tf partials FIRST (shuffle carries O(doc x
+    distinct-token) rows, not O(tokens)); ONE vocab-keyed groupby for
+    corpus counts; corpus total N is a driver SCALAR (one tiny
+    aggregate); tf joins counts on the token key (both sides already
+    vocab-keyed) and the final per-doc sum is one groupby."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf(df):
+        import pandas as pd
+        e = pd.DataFrame({"doc_id": df["doc_id"],
+                          "token": df["text"].str.split()}).explode(
+            "token", ignore_index=True)
+        e = e[e["token"].notna()]
+        g = e.groupby(["doc_id", "token"], sort=False).size()
+        out = g.reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        # hand back Arrow: downstream join/rename Projects operate on
+        # blocks and Ray 2.49 chokes on pandas blocks there
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tfd = docs.map_batches(tf, batch_format="pandas").materialize()
+    counts = tfd.groupby("token").aggregate(
+        _Sum("tf", alias_name="c")).materialize()
+    n_total = int(counts.sum("c"))
+    np_join = 1 if n_total < 200_000 else 16
+    j = tfd.join(counts.rename_columns({"token": "token2"}),
+                 join_type="inner", num_partitions=np_join,
+                 on=("token",), right_on=("token2",))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_toks": tfv,
+                         "rarity_sum": tfv * (n_total // c)})
+
+    per_doc = j.map_batches(score, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(_Sum("n_toks", alias_name="n_tokens"),
+                                     _Sum("rarity_sum", alias_name="rs"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = b["rs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": n,
+                         "rarity_mean": rs // n})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_doc_rarity() -> str:
+    return (
+        r"WITH e AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf "
+        "FROM e GROUP BY doc_id, token), "
+        "c AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token), "
+        "n AS (SELECT sum(c) AS n_total FROM c) "
+        "SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, "
+        "CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+        "CAST(sum(tf.tf * (n.n_total // c.c)) // sum(tf.tf) AS BIGINT) "
+        "AS rarity_mean "
+        "FROM tf JOIN c USING (token) CROSS JOIN n "
+        "GROUP BY tf.doc_id ORDER BY doc_id")
+
+
+# ---------------- inverted index (posting lists) ----------------
+
+PIDX_K = 30     # emit the top-K document-frequency terms
+PIDX_CAP = 25   # postings truncated to the first CAP doc ids (df exact)
+
+
+def q_inverted_index(sf_dir: str):
+    """Search-engine posting lists: for the PIDX_K highest-df terms,
+    the ascending doc-id posting list (truncated at PIDX_CAP entries —
+    web-scale hot terms would otherwise make one group unbounded; df
+    stays EXACT) rendered as a comma-joined string so the driver's
+    value-hash compares engine-independently.
+
+    Scale shape: per-batch distinct (token, doc_id) partials, one
+    groupby for exact df, posting truncation via the sort+block-rank
+    plan (stages/ranked.topk_per_group) so no reducer ever holds a hot
+    term's full posting list, tiny top-K merge at the end."""
+    from igpm_pem_ray.stages.ranked import topk_per_group
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df):
+        import pandas as pd
+        e = pd.DataFrame({"doc_id": df["doc_id"],
+                          "token": df["text"].str.split()}).explode(
+            "token", ignore_index=True)
+        e = e[e["token"].notna()].drop_duplicates()
+        return pa.Table.from_pandas(e[["token", "doc_id"]],
+                                    preserve_index=False)
+
+    e = docs.map_batches(pairs, batch_format="pandas") \
+        .groupby(["token", "doc_id"]).aggregate(
+            Count(alias_name="_n")).drop_columns(["_n"]).materialize()
+    df_tbl = e.groupby("token").aggregate(Count(alias_name="df"))
+    top = topk_per_group(e, key="token", order=["doc_id"],
+                         descending=[False], k=PIDX_CAP)
+
+    def assemble(g):
+        import pandas as pd
+        ids = sorted(int(x) for x in g["doc_id"])
+        return pa.table({"token": [str(g["token"].iloc[0])],
+                         "postings": [",".join(map(str, ids))]})
+
+    post = top.groupby("token").map_groups(assemble, batch_format="pandas")
+    j = df_tbl.join(post.rename_columns({"token": "token2"}),
+                    join_type="inner", num_partitions=1,
+                    on=("token",), right_on=("token2",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"],
+                         "df": b["df"].cast(pa.int64()),
+                         "postings": b["postings"]})
+
+    return j.map_batches(fin, batch_format="pyarrow") \
+        .sort(["df", "token"], descending=[True, False]).limit(PIDX_K)
+
+
+def sql_inverted_index() -> str:
+    return (
+        r"WITH e AS (SELECT DISTINCT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "df AS (SELECT token, count(*) AS df FROM e GROUP BY token), "
+        "r AS (SELECT token, doc_id, row_number() OVER "
+        "(PARTITION BY token ORDER BY doc_id) AS rn FROM e), "
+        "p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        f"ORDER BY doc_id) AS postings FROM r WHERE rn <= {PIDX_CAP} "
+        "GROUP BY token) "
+        "SELECT d.token, CAST(d.df AS BIGINT) AS df, p.postings "
+        "FROM df d JOIN p USING (token) "
+        f"ORDER BY df DESC, token LIMIT {PIDX_K}")

@@ -917,7 +917,10 @@ def q_random_walks(sf_dir: str) -> pa.Table:
         [("walker", "ascending"), ("step", "ascending")])
 
 
-def sql_random_walks() -> str:
+def _sql_walks_cte() -> str:
+    """CTE body building `walks(walker, step, vid)` — the unrolled
+    deterministic-walk construction shared by sql_random_walks and
+    sql_walk_pairs."""
     parts = [
         "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
         "ue AS (SELECT DISTINCT x, y FROM (SELECT src AS x, dst AS y "
@@ -934,14 +937,75 @@ def sql_random_walks() -> str:
             f"JOIN nbr n ON n.src = w.v "
             f"AND n.r = ((w.walker % 2147483647)*1000003 + {k}*7919) "
             f"% d.deg)")
-    body = ", ".join(parts)
     selects = " UNION ALL ".join(
         f"SELECT walker, {k} AS step, v AS vid FROM w{k}"
         for k in range(0, WALK_LEN + 1))
-    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {body} "
+    parts.append(f"walks AS ({selects})")
+    return ", ".join(parts)
+
+
+def sql_random_walks() -> str:
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()} "
             f"SELECT CAST(walker AS BIGINT) AS walker, "
             f"CAST(step AS BIGINT) AS step, CAST(vid AS BIGINT) AS vid "
-            f"FROM ({selects}) u ORDER BY walker, step")
+            f"FROM walks ORDER BY walker, step")
+
+
+# ---------- skip-gram pair corpus from the walks (word2vec input) ----
+
+WALK_WIN = 2  # skip-gram context window over the walk sequence
+
+
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram (center, context) training-pair counts from the
+    deterministic walks — the DeepWalk/node2vec corpus-generation step
+    (Perozzi et al. KDD 2014 §4.2): for every walk position, emit the
+    vertices within WALK_WIN steps either side, count by ordered pair.
+
+    Scale shape: walks are materialized ONCE (O(V·walk_len) rows,
+    Dataset-resident / spillable), then ONE self hash-join on walker
+    with fan-out bounded by (walk_len+1)·2·WALK_WIN per walker — no
+    driver materialization, one count groupby at the end.  The r3
+    zero-right-block join pitfall is avoided the same way as
+    graph/walks.py: tiny inputs collapse to one join partition."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir),
+                                walk_len=WALK_LEN).materialize()
+    num_partitions = 1 if ds.count() < 64 * 8 * (WALK_LEN + 1) else 8
+    a = ds.rename_columns({"step": "sa", "vid": "center"})
+    b = ds.rename_columns({"walker": "walker2", "step": "sb",
+                           "vid": "context"})
+    j = a.join(b, join_type="inner", num_partitions=num_partitions,
+               on=("walker",), right_on=("walker2",))
+
+    def win(t: pa.Table) -> pa.Table:
+        sa = t["sa"].to_numpy(zero_copy_only=False)
+        sb = t["sb"].to_numpy(zero_copy_only=False)
+        d = np.abs(sb - sa)
+        k = (d >= 1) & (d <= WALK_WIN)
+        return pa.table({"center": t["center"].to_numpy(
+                             zero_copy_only=False)[k],
+                         "context": t["context"].to_numpy(
+                             zero_copy_only=False)[k]})
+
+    return j.map_batches(win, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["center", "context"]) \
+        .aggregate(Count(alias_name="n")) \
+        .sort(["center", "context"])
+
+
+def sql_walk_pairs() -> str:
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()} "
+            "SELECT CAST(a.vid AS BIGINT) AS center, "
+            "CAST(b.vid AS BIGINT) AS context, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM walks a JOIN walks b ON a.walker = b.walker "
+            f"AND abs(a.step - b.step) BETWEEN 1 AND {WALK_WIN} "
+            "GROUP BY a.vid, b.vid ORDER BY center, context")
 
 
 # ---------- weighted PageRank (multigraph multiplicity) ----------
@@ -1761,3 +1825,88 @@ def sql_sssp(n_iters: int = SSSP_ITERS) -> str:
             f"FROM {p} p JOIN ue e ON e.x = p.v) GROUP BY v)")
     return ("WITH " + ", ".join(parts) +
             f" SELECT v AS vid, d AS dist FROM d{n_iters} ORDER BY vid")
+
+
+# ---------- minimum spanning forest (graph/msf.py) ----------
+
+def q_msf_forest(sf_dir: str) -> pa.Table:
+    """Unique minimum spanning forest of the co-occurrence graph under
+    the shared strict edge key (w(u,v) = 1 + (u+v) mod 7, u, v) —
+    distributed-Boruvka kernel, Kruskal-oracle-tested
+    (tests/test_kernels.py::test_msf_matches_kruskal_oracle).
+    Rows-only query: sequential union-find has no SQL form."""
+    from igpm_pem_ray.graph import msf as msf_mod
+
+    return msf_mod.msf(cooccurrence_edges(sf_dir))
+
+
+def q_msf_shuffle(sf_dir: str):
+    """The Dataset-resident Boruvka sibling over the thinned graph —
+    identical forest to q_msf_forest restricted to the thinned edge
+    set (unique MSF under the strict key); rows-only (sequential
+    union-find has no SQL form; dense/shuffle parity is the oracle,
+    tests/test_kernels.py::test_msf_shuffle_parity_and_resume)."""
+    from igpm_pem_ray.graph.shuffle_kernels import msf_shuffle
+
+    return msf_shuffle(thinned_edges(sf_dir)).sort(["w", "src", "dst"])
+
+
+# ---------- quadrilateral (4-cycle) count ----------
+
+def q_quad_count(sf_dir: str) -> pa.Table:
+    """Exact 4-cycle count of the thinned undirected graph via the
+    common-neighbor identity  C4 = (1/2) * sum over unordered vertex
+    pairs {u,w} of C(cn(u,w), 2)  — every quadrilateral contributes
+    exactly one pair of opposite corners twice.  Plan: one mid-keyed
+    self-join of the distinct undirected edge list (fan-out sum of
+    deg^2 over mids — hub-split at web scale, same note as q_two_hop),
+    one (u,w) count groupby, then a one-row integer reduce.  All
+    arithmetic exact int64."""
+    from ray.data.aggregate import Count, Sum
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": np.concatenate([s, d]),
+                         "y": np.concatenate([d, s])})
+
+    from ray.data.aggregate import Min
+
+    ue = thinned_edges(sf_dir).map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["x", "y"]).aggregate(Min("y", alias_name="_m")) \
+        .drop_columns(["_m"]).materialize()
+
+    wedges = ue.rename_columns({"x": "u", "y": "mid"}) \
+        .join(ue.rename_columns({"x": "mid2", "y": "w"}),
+              join_type="inner", num_partitions=8,
+              on=("mid",), right_on=("mid2",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        k = u < w
+        return pa.table({"u": u[k], "w": w[k]})
+
+    cn = wedges.map_batches(ordered, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["u", "w"]).aggregate(Count(alias_name="c"))
+
+    def choose2(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p": c * (c - 1) // 2})
+
+    total = int(cn.map_batches(choose2, batch_format="pyarrow").sum("p"))
+    return pa.table({"n_quads": pa.array([total // 2], pa.int64())})
+
+
+def sql_quad_count() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "ue AS (SELECT DISTINCT x, y FROM (SELECT src AS x, dst AS y "
+        "FROM kept UNION ALL SELECT dst AS x, src AS y FROM kept) b), "
+        "cn AS (SELECT a.x AS u, b.x AS w, count(*) AS c "
+        "FROM ue a JOIN ue b ON a.y = b.y AND a.x < b.x "
+        "GROUP BY a.x, b.x) "
+        "SELECT CAST(COALESCE(sum(c*(c-1)//2), 0)//2 AS BIGINT) "
+        "AS n_quads FROM cn")

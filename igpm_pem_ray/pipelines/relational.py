@@ -1735,3 +1735,90 @@ def sql_quality_sample() -> str:
         "CAST(distinct_frac_e6 AS BIGINT) AS distinct_frac_e6, "
         "CAST(hash_e6 AS BIGINT) AS hash_e6 "
         "FROM j WHERE hash_e6 < distinct_frac_e6 ORDER BY doc_id")
+
+
+# ---------------- C4-style duplicate-span removal ----------------
+
+SEG_W = 10           # tokens per segment (C4 used 3-sentence spans;
+                     # the corpus has no sentence boundaries, so a
+                     # fixed-width deterministic segmentation stands
+                     # in — the plumbing is segmentation-independent)
+SEG_NO_BITS = 20     # pack = doc_id << 20 | seg_no  (docs < 2^43,
+                     # segments per doc < 2^20 — asserted below)
+
+
+def q_span_dedup(sf_dir: str):
+    """C4-style corpus-level duplicate-span removal (Raffel et al.
+    1910.10683 §2.2 shape): segment every document into fixed-width
+    SEG_W-token spans, keep only the globally-FIRST occurrence of each
+    distinct span (first = min (doc_id, seg_no)), and reassemble the
+    surviving spans per document in order.
+
+    Scale shape — ONE groupby, ZERO joins: because the winner id
+    ``pack = doc_id*2^20 + seg_no`` encodes the kept instance, the
+    (seg, min(pack)) aggregate alone reconstructs the kept rows; no
+    join-back of the exploded segment table is needed.  Segment
+    explode is per-batch pandas C kernels (split/explode/groupby-
+    join); reassembly is one groupby(doc_id) over the SURVIVORS only
+    (<= corpus distinct spans, not corpus spans).  At 100 TB the
+    segment strings in the groupby key would be replaced by a 128-bit
+    fingerprint (text/dedup fp convention); kept verbatim here so the
+    DuckDB oracle compares the actual strings."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def segments(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()  # whitespace, drops empties
+        e = pd.DataFrame({"doc_id": df["doc_id"], "tok": toks}).explode(
+            "tok", ignore_index=True)
+        e = e[e["tok"].notna()]
+        if not len(e):
+            return pd.DataFrame({"seg": pd.Series([], dtype=object),
+                                 "pack": pd.Series([], dtype=np.int64)})
+        tok_no = e.groupby("doc_id").cumcount()
+        seg_no = (tok_no // SEG_W).to_numpy()
+        assert seg_no.max() < (1 << SEG_NO_BITS)
+        g = e.assign(seg_no=seg_no).groupby(["doc_id", "seg_no"])
+        seg = g["tok"].agg(" ".join).reset_index()
+        pack = (seg["doc_id"].to_numpy().astype(np.int64)
+                << SEG_NO_BITS) | seg["seg_no"].to_numpy()
+        return pd.DataFrame({"seg": seg["tok"], "pack": pack})
+
+    win = docs.map_batches(segments, batch_format="pandas") \
+        .groupby("seg").aggregate(Min("pack", alias_name="pack"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        p = b["pack"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": p >> SEG_NO_BITS,
+                         "seg_no": p & ((1 << SEG_NO_BITS) - 1),
+                         "seg": b["seg"]})
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seg_no", kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": [np.int64(df["doc_id"].iloc[0])],
+            "clean_text": [" ".join(df["seg"])],
+            "n_kept": [np.int64(len(df))]})
+
+    return win.map_batches(decode, batch_format="pyarrow") \
+        .groupby("doc_id").map_groups(reassemble, batch_format="pandas") \
+        .sort("doc_id")
+
+
+def sql_span_dedup() -> str:
+    m = 1 << SEG_NO_BITS
+    return (
+        r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        r"'\s+'), x -> x <> '') AS toks FROM documents), "
+        "seg AS (SELECT doc_id, g.i AS seg_no, "
+        f"array_to_string(toks[g.i*{SEG_W}+1 : g.i*{SEG_W}+{SEG_W}], ' ') "
+        "AS seg FROM t, unnest(generate_series(0, "
+        f"CAST(floor((len(toks)-1)/{SEG_W}) AS BIGINT))) AS g(i) "
+        "WHERE len(toks) > 0), "
+        f"win AS (SELECT seg, min(doc_id*{m} + seg_no) AS pack "
+        "FROM seg GROUP BY seg), "
+        f"kept AS (SELECT pack//{m} AS doc_id, pack%{m} AS seg_no, seg "
+        "FROM win) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "string_agg(seg, ' ' ORDER BY seg_no) AS clean_text, "
+        "CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM kept GROUP BY doc_id ORDER BY doc_id")

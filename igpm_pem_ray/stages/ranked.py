@@ -24,8 +24,14 @@ def _key_bounds(tbl: pa.Table, key: str):
     k = tbl[key].to_numpy(zero_copy_only=False)
     first_run = int(np.argmax(k != k[0])) if (k != k[0]).any() else len(k)
     last_run = int(np.argmax(k[::-1] != k[-1])) if (k != k[-1]).any() else len(k)
-    return {"first_key": int(k[0]), "first_run": first_run,
-            "last_key": int(k[-1]), "last_run": last_run, "n": len(k)}
+    # keys only ever compared for equality across blocks — keep string
+    # (or any hashable) keys as-is, coerce numpy ints to Python ints so
+    # the driver-side == works across block dtypes
+    def py(x):
+        return int(x) if isinstance(x, (int, np.integer)) else x
+
+    return {"first_key": py(k[0]), "first_run": first_run,
+            "last_key": py(k[-1]), "last_run": last_run, "n": len(k)}
 
 
 @ray.remote

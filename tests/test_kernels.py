@@ -1613,3 +1613,103 @@ def test_sssp_vs_oracle_and_shuffle_parity():
 
     with pytest.raises(ValueError):
         sssp_mod.sssp(ds, source=9999)
+
+
+def test_msf_matches_kruskal_oracle():
+    """msf == independent pure-Python Kruskal under the shared strict
+    edge key (w(u,v), u, v) — the key has no ties, so the forest is
+    unique and comparable edge for edge; spans every component; total
+    weight minimal; multigraph/self-loop input collapsed."""
+    from igpm_pem_ray.graph import msf as msf_mod
+    from igpm_pem_ray.graph.sssp import WEIGHT_MOD
+
+    rng = np.random.RandomState(83)
+    src = rng.randint(0, 80, size=300).astype(np.int64)
+    dst = rng.randint(0, 80, size=300).astype(np.int64)
+    # dupes + reversed dupes + self loops + far component
+    src = np.concatenate([src, src[:20], dst[:10], [500, 7], [600]])
+    dst = np.concatenate([dst, dst[:20], src[:10], [500, 7], [601]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    und = sorted({(min(a, b), max(a, b))
+                  for a, b in zip(src.tolist(), dst.tolist()) if a != b})
+
+    def kruskal():
+        keyed = sorted((1 + (a + b) % WEIGHT_MOD, a, b) for a, b in und)
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for w, a, b in keyed:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                out.append((w, a, b))
+        return out
+
+    want = kruskal()
+    stats = {}
+    got = msf_mod.msf(ds, stats=stats)
+    gl = list(zip(got["w"].to_pylist(), got["src"].to_pylist(),
+                  got["dst"].to_pylist()))
+    assert gl == sorted(want)
+    verts = {x for a, b in und for x in (a, b)}
+    n_comp = stats["n_components"]
+    assert len(gl) == len(verts) - n_comp          # spanning forest
+    assert stats["total_weight"] == sum(w for w, _, _ in want)
+    assert stats["rounds"] >= 1
+
+
+def test_msf_empty_and_single_edge():
+    from igpm_pem_ray.graph import msf as msf_mod
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert msf_mod.msf(empty).num_rows == 0
+
+    one = rd.from_arrow(pa.table({"src": pa.array([5], pa.int64()),
+                                  "dst": pa.array([2], pa.int64())}))
+    t = msf_mod.msf(one)
+    assert t["src"].to_pylist() == [2] and t["dst"].to_pylist() == [5]
+
+
+def test_msf_shuffle_parity_and_resume(tmp_path):
+    """msf_shuffle == dense msf edge for edge (the strict key makes
+    the forest unique), and a run resumed from a round-1 forest
+    checkpoint completes to the identical forest."""
+    from igpm_pem_ray.graph import msf as msf_mod
+    from igpm_pem_ray.graph.shuffle_kernels import msf_shuffle
+
+    rng = np.random.RandomState(91)
+    src = rng.randint(0, 60, size=200).astype(np.int64)
+    dst = rng.randint(0, 60, size=200).astype(np.int64)
+    src = np.concatenate([src, [400]])
+    dst = np.concatenate([dst, [401]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    want = msf_mod.msf(ds)
+    wset = set(zip(want["src"].to_pylist(), want["dst"].to_pylist(),
+                   want["w"].to_pylist()))
+
+    stats = {}
+    got = msf_shuffle(ds, stats=stats).to_pandas()
+    gset = set(zip(got["src"].astype(int), got["dst"].astype(int),
+                   got["w"].astype(int)))
+    assert gset == wset
+    assert stats["rounds"] >= 1
+    # live frontier shrinks monotonically
+    lp = stats["live_per_round"]
+    assert all(a >= b for a, b in zip(lp, lp[1:]))
+
+    ck = str(tmp_path / "msf_ck")
+    partial = msf_shuffle(ds, max_rounds=1, checkpoint_dir=ck).to_pandas()
+    assert 0 < len(partial) <= len(wset)
+    resumed = msf_shuffle(ds, checkpoint_dir=ck, resume=True).to_pandas()
+    rset = set(zip(resumed["src"].astype(int), resumed["dst"].astype(int),
+                   resumed["w"].astype(int)))
+    assert rset == wset

@@ -605,3 +605,38 @@ def test_url_normalize_vs_stdlib_oracle():
     junk = pd.Series(["not a url", ""])
     assert normalize_urls(junk).tolist() == ["not a url", ""]
     assert surt_keys(junk).tolist() == ["", ""]
+
+
+def test_span_dedup_planted_duplicates(ray_session, tmp_path):
+    """Planted-corpus semantics: a span repeated across docs survives
+    only at its first (doc_id, seg_no) occurrence; unique spans all
+    survive; fully-duplicate docs vanish; reassembly preserves
+    in-doc order."""
+    import pyarrow.parquet as pq
+
+    from igpm_pem_ray.pipelines.relational import SEG_W, q_span_dedup
+
+    dup = " ".join(f"d{i}" for i in range(SEG_W))      # one full span
+    uniq = {k: " ".join(f"u{k}_{i}" for i in range(SEG_W))
+            for k in range(3)}
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            dup + " " + uniq[0],          # doc0: dup (first) + unique
+            uniq[1] + " " + dup,          # doc1: dup again at seg 1
+            dup,                          # doc2: ONLY the dup -> gone
+            uniq[2] + " tail",            # doc3: unique + short tail
+        ], pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    out = q_span_dedup(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == dup + " " + uniq[0]
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "clean_text"] == uniq[1]         # dup removed
+    assert out.loc[1, "n_kept"] == 1
+    assert 2 not in out.index                          # nothing left
+    assert out.loc[3, "clean_text"] == uniq[2] + " tail"
+    assert out.loc[3, "n_kept"] == 2                   # partial span kept
