@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_forest": g.q_msf_forest,
         "msf_shuffle": g.q_msf_shuffle,
         "quad_count": g.q_quad_count,
+        "coloring": g.q_coloring,
         "pagerank_weighted": g.q_pagerank_weighted,
         "pagerank_topic": g.q_pagerank_topic,
         "katz": g.q_katz,
@@ -528,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": r.q_gopher_quality,
         "quality_sample": r.q_quality_sample,
         "span_dedup": r.q_span_dedup,
+        "blocklist_filter": r.q_blocklist_filter,
         "lang_dist": r.q_lang_dist,
         "ann_cosine": r.q_ann_cosine,
         "embed_near_dup": r.q_embed_near_dup,
@@ -559,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lift": an.q_bigram_lift,
         "doc_rarity": an.q_doc_rarity,
         "inverted_index": an.q_inverted_index,
+        "embed_covariance": an.q_embed_covariance,
         "decontaminate": an.q_decontaminate,
         "approx_distinct_users": an.q_approx_distinct_users,
     }
@@ -663,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": r.sql_gopher_quality(),
         "quality_sample": r.sql_quality_sample(),
         "span_dedup": r.sql_span_dedup(),
+        "blocklist_filter": r.sql_blocklist_filter(),
         "lang_dist": r.sql_lang_dist(),
         "ann_cosine": r.sql_ann_cosine(),
         "embed_near_dup": r.sql_embed_near_dup(),
@@ -693,5 +697,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lift": an.sql_bigram_lift(),
         "doc_rarity": an.sql_doc_rarity(),
         "inverted_index": an.sql_inverted_index(),
+        "embed_covariance": an.sql_embed_covariance(),
         "decontaminate": an.sql_decontaminate(),
     }

@@ -147,6 +147,10 @@ def run_bench() -> dict:
 
     timings["sssp_8iter"], _ = best_of(lambda: sssp(edges, n_iters=8))
 
+    from igpm_pem_ray.graph.msf import msf
+
+    timings["msf"], _ = best_of(lambda: msf(edges))
+
     timings["link_predict_top100"], _ = best_of(
         lambda: common_neighbors_topk(edges, k=100))
 
@@ -242,7 +246,8 @@ def run_bench() -> dict:
                      ("ann_cosine", r.q_ann_cosine),
                      ("filter_project", r.q_filter_project),
                      ("topk_orders", r.q_topk_orders),
-                     ("gopher_quality", r.q_gopher_quality)]:
+                     ("gopher_quality", r.q_gopher_quality),
+                     ("span_dedup", r.q_span_dedup)]:
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         timings[name] = time.perf_counter() - t0

@@ -1660,14 +1660,17 @@ def msf_shuffle(edges_ds, *, num_partitions: int | None = None,
     live = live.map_batches(with_w, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
 
-    def relabel(comp_graph, comp):
+    def relabel(comp_graph, comp, n_pairs):
         """comp after contracting the chosen component graph: labels
-        follow their component's new min label."""
+        follow their component's new min label.  Tiny contraction
+        graphs collapse to one join partition — the Ray 2.49
+        zero-right-block hash-join failure (see graph/walks.py)."""
         cc = connected_components_shuffle(
-            comp_graph, num_partitions=num_partitions)
+            comp_graph,
+            num_partitions=1 if n_pairs < 4096 else num_partitions)
         return comp.join(
             cc.rename_columns({"vid": "clab"}), join_type="left_outer",
-            num_partitions=num_partitions,
+            num_partitions=1 if n_pairs < 4096 else num_partitions,
             on=("label",), right_on=("clab",)).map_batches(
             lambda b: pa.table({
                 "vid": b["vid"],
@@ -1685,15 +1688,19 @@ def msf_shuffle(edges_ds, *, num_partitions: int | None = None,
         if found is not None:
             start_round, forest, _m = found
             forest = forest.materialize()
-            comp = relabel(forest, comp)
+            comp = relabel(forest, comp, forest.count())
 
     rounds = start_round
+    n_live = live.count()
     for k in range(start_round, max_rounds):
+        # shrink the join fan-in with the live frontier: tiny inputs
+        # collapse to one partition (zero-block hash-join pitfall)
+        np_round = 1 if n_live < 4096 else num_partitions
         lab = live.join(comp.rename_columns({"vid": "v1", "label": "ca"}),
-                        join_type="inner", num_partitions=num_partitions,
+                        join_type="inner", num_partitions=np_round,
                         on=("src",), right_on=("v1",)) \
             .join(comp.rename_columns({"vid": "v2", "label": "cb"}),
-                  join_type="inner", num_partitions=num_partitions,
+                  join_type="inner", num_partitions=np_round,
                   on=("dst",), right_on=("v2",))
 
         def alive(b: pa.Table) -> pa.Table:
@@ -1732,7 +1739,7 @@ def msf_shuffle(edges_ds, *, num_partitions: int | None = None,
         comp = relabel(
             chosen.map_batches(
                 lambda b: pa.table({"src": b["ca"], "dst": b["cb"]}),
-                batch_format="pyarrow"), comp)
+                batch_format="pyarrow"), comp, chosen.count())
         live = lab.select_columns(["src", "dst", "w"]).materialize()
         if checkpoint_dir:
             ckpt.save_state_ds(checkpoint_dir, rounds, forest,

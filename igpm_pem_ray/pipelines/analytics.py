@@ -1762,3 +1762,73 @@ def sql_inverted_index() -> str:
         "SELECT d.token, CAST(d.df AS BIGINT) AS df, p.postings "
         "FROM df d JOIN p USING (token) "
         f"ORDER BY df DESC, token LIMIT {PIDX_K}")
+
+
+# ---------------- embedding covariance (PCA sufficient statistics) ----
+
+def q_embed_covariance(sf_dir: str):
+    """Upper-triangle population covariance matrix of the embedding
+    columns — the sufficient-statistics step of distributed
+    PCA/whitening: each block emits ONE (d+1)x(d+1) integer Gram
+    partial (the constant-1 augmentation makes X'^T X' carry Sxy, Sx
+    and n together), so the shuffle is O(blocks x d^2) scalars and
+    the driver merge is a d^2-size groupby — row data never moves.
+    cov numerator n*Sxy - Sx*Sy on e3-scaled values is exact int64;
+    the division truncates toward zero in BOTH engines (numpy floors
+    negatives, DuckDB's // truncates — sign*(|num|//den) pins them).
+    Output (i, j, n, cov_e6), i <= j."""
+    from ray.data.aggregate import Sum as _Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def gram(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        d = len(flat) // n
+        x = scale_col(flat, 1e3).reshape(n, d)
+        aug = np.concatenate([x, np.ones((n, 1), np.int64)], axis=1)
+        gm = aug.T @ aug                    # exact int64 Gram
+        iu, ju = np.triu_indices(d + 1)
+        return pa.table({"i": iu.astype(np.int64),
+                         "j": ju.astype(np.int64),
+                         "g": gm[iu, ju]})
+
+    agg = emb.map_batches(gram, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["i", "j"]).aggregate(_Sum("g", alias_name="g"))
+    pdf = agg.to_pandas()                  # O(d^2) rows
+    d = int(pdf["i"].max())                # augmented col index == d
+    G = np.zeros((d + 1, d + 1), dtype=np.int64)
+    G[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = \
+        pdf["g"].to_numpy().astype(np.int64)
+    n = G[d, d]
+    sx = G[:d, d]
+    iu, ju = np.triu_indices(d)
+    num = n * G[iu, ju] - sx[iu] * sx[ju]
+    cov = np.sign(num) * (np.abs(num) // (n * n))
+    return pa.table({"i": iu.astype(np.int64), "j": ju.astype(np.int64),
+                     "n": np.full(len(iu), n, np.int64),
+                     "cov_e6": cov})
+
+
+def sql_embed_covariance() -> str:
+    return (
+        "WITH u AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) - 1 AS dim, "
+        "CAST(floor(unnest(embedding)*1e3+0.5) AS BIGINT) AS x "
+        "FROM embeddings), "
+        "p AS (SELECT a.dim AS i, b.dim AS j, sum(a.x*b.x) AS sxy, "
+        "count(*) AS n FROM u a JOIN u b ON a.vec_id = b.vec_id "
+        "AND a.dim <= b.dim GROUP BY a.dim, b.dim), "
+        "s AS (SELECT dim, sum(x) AS sx FROM u GROUP BY dim) "
+        "SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, "
+        "CAST(p.n AS BIGINT) AS n, "
+        "CAST((p.n*p.sxy - si.sx*sj.sx) // (p.n*p.n) AS BIGINT) "
+        "AS cov_e6 "
+        "FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j "
+        "ORDER BY i, j")

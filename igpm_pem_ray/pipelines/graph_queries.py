@@ -1910,3 +1910,14 @@ def sql_quad_count() -> str:
         "GROUP BY a.x, b.x) "
         "SELECT CAST(COALESCE(sum(c*(c-1)//2), 0)//2 AS BIGINT) "
         "AS n_quads FROM cn")
+
+
+def q_coloring(sf_dir: str) -> pa.Table:
+    """Deterministic Jones-Plassmann greedy coloring of the
+    co-occurrence graph (graph/coloring.py) — rows-only (the
+    sequential smallest-absent-color rule has no tractable SQL form;
+    an independent pure-Python reference pins the kernel,
+    tests/test_kernels.py::test_greedy_coloring_vs_reference_rule)."""
+    from igpm_pem_ray.graph.coloring import greedy_coloring
+
+    return greedy_coloring(cooccurrence_edges(sf_dir))

@@ -1822,3 +1822,46 @@ def sql_span_dedup() -> str:
         "string_agg(seg, ' ' ORDER BY seg_no) AS clean_text, "
         "CAST(count(*) AS BIGINT) AS n_kept "
         "FROM kept GROUP BY doc_id ORDER BY doc_id")
+
+
+# ---------------- blocklist page filter (C4 "bad words" rule) --------
+
+BLOCKLIST = ("slow", "dup")   # deterministic in-code list (the rule is
+                              # list-independent; C4 ships ~400 terms)
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist filtering (Raffel et al. 1910.10683 §2.2:
+    drop any page containing a blocklisted term): per document the
+    exact-token blocklist hit count and the keep flag.  Per-batch
+    pandas explode + isin C kernels, no shuffle, docs with zero
+    tokens kept."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"doc_id": df["doc_id"],
+                          "token": df["text"].str.split()}).explode(
+            "token", ignore_index=True)
+        hits = e[e["token"].isin(BLOCKLIST)].groupby("doc_id").size()
+        n_bad = df["doc_id"].map(hits).fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_bad": n_bad,
+            "keep": (n_bad == 0).astype(np.int64)})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_blocklist_filter() -> str:
+    lst = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return (
+        r"WITH e AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        f"b AS (SELECT doc_id, count(*) AS n_bad FROM e "
+        f"WHERE token IN ({lst}) GROUP BY doc_id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(b.n_bad, 0) AS BIGINT) AS n_bad, "
+        "CAST(CASE WHEN COALESCE(b.n_bad, 0) = 0 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS keep "
+        "FROM documents d LEFT JOIN b USING (doc_id) ORDER BY doc_id")

@@ -1713,3 +1713,58 @@ def test_msf_shuffle_parity_and_resume(tmp_path):
     rset = set(zip(resumed["src"].astype(int), resumed["dst"].astype(int),
                    resumed["w"].astype(int)))
     assert rset == wset
+
+
+def test_greedy_coloring_vs_reference_rule():
+    """greedy_coloring == an independent pure-Python Jones-Plassmann
+    with the same published priority rule; proper; bounded by
+    maxdeg+1; deterministic across runs."""
+    from igpm_pem_ray.graph.coloring import greedy_coloring
+
+    rng = np.random.RandomState(97)
+    src = rng.randint(0, 70, size=240).astype(np.int64)
+    dst = rng.randint(0, 70, size=240).astype(np.int64)
+    src = np.concatenate([src, [900], dst[:15]])   # dupes + far edge
+    dst = np.concatenate([dst, [901], src[:15]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    und = sorted({(min(a, b), max(a, b))
+                  for a, b in zip(src.tolist(), dst.tolist()) if a != b})
+    verts = sorted({x for e in und for x in e})
+    nbrs = {x: set() for x in verts}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+
+    M = (1 << 31) - 1
+    rank = {x: i for i, x in enumerate(verts)}
+    prio = {x: (((x % M) * 1_103_515_245) % M << 31) | rank[x]
+            for x in verts}
+
+    def reference():
+        color = {}
+        while len(color) < len(verts):
+            winners = [x for x in verts if x not in color
+                       and all(prio[x] > prio[y] for y in nbrs[x]
+                               if y not in color)]
+            assert winners
+            for x in winners:
+                used = {color[y] for y in nbrs[x] if y in color}
+                c = 0
+                while c in used:
+                    c += 1
+                color[x] = c
+        return color
+
+    want = reference()
+    stats = {}
+    got = greedy_coloring(ds, stats=stats)
+    gmap = dict(zip(got["vid"].to_pylist(), got["color"].to_pylist()))
+    assert gmap == want
+    for a, b in und:                       # proper
+        assert gmap[a] != gmap[b]
+    maxdeg = max(len(s) for s in nbrs.values())
+    assert stats["n_colors"] <= maxdeg + 1
+    again = greedy_coloring(ds)
+    assert dict(zip(again["vid"].to_pylist(),
+                    again["color"].to_pylist())) == gmap
