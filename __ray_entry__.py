@@ -136,6 +136,43 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         ex = build.pages_to_extracted(pages, concurrency=4, batch_size=256)
         return build.host_edges(ex)
 
+    def link_host_rank(sf_dir: str):
+        """HostRank: PageRank over the host-level link graph (the
+        standard site-authority signal) — host_edges composed with the
+        dense kernel; host names hash to vids via the shared id
+        convention, ranks joined back to hosts."""
+        import numpy as np
+        import pyarrow as pa
+
+        from igpm_pem_ray.graph import build
+        from igpm_pem_ray.graph.pagerank import pagerank
+        from igpm_pem_ray.ids import urls_to_vids
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        ex = build.pages_to_extracted(pages, concurrency=4, batch_size=256)
+        hedges = build.host_edges(ex).materialize()
+
+        def to_vids(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": urls_to_vids(b["src_host"].to_pandas()),
+                "dst": urls_to_vids(b["dst_host"].to_pandas())})
+
+        ranks = pagerank(hedges.map_batches(to_vids, batch_format="pyarrow"),
+                         tol=1e-9)
+        # hosts are few: map vid -> host with one driver-side dict
+        hp = hedges.to_pandas()
+        names = {}
+        for col in ("src_host", "dst_host"):
+            s = hp[col]
+            for h, v in zip(s, urls_to_vids(s)):
+                names[int(v)] = h
+        host = [names[int(v)] for v in ranks["vid"].to_pylist()]
+        return pa.table({"host": pa.array(host, pa.string()),
+                         "rank_e9": pa.array(
+                             (np.asarray(ranks["rank"].to_pylist())
+                              * 1e9 + 0.5).astype(np.int64))}) \
+            .sort_by([("rank_e9", "descending"), ("host", "ascending")])
+
     def link_host_stats(sf_dir: str):
         import pyarrow as pa
         from ray.data.aggregate import Count
@@ -161,6 +198,7 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         "link_anchor_terms": link_anchor_terms,
         "link_surt_index": link_surt_index,
         "link_host_stats": link_host_stats,
+        "link_host_rank": link_host_rank,
     }
 
 

@@ -1735,8 +1735,12 @@ def q_inverted_index(sf_dir: str):
                          "postings": [",".join(map(str, ids))]})
 
     post = top.groupby("token").map_groups(assemble, batch_format="pandas")
+    # vocab-keyed join: partitions scale with the vocab, tiny inputs
+    # collapse to one (Ray 2.49 zero-block hash-join pitfall)
+    n_vocab = df_tbl.count()
     j = df_tbl.join(post.rename_columns({"token": "token2"}),
-                    join_type="inner", num_partitions=1,
+                    join_type="inner",
+                    num_partitions=1 if n_vocab < 100_000 else 16,
                     on=("token",), right_on=("token2",))
 
     def fin(b: pa.Table) -> pa.Table:
