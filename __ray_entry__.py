@@ -472,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": g.q_component_sizes,
         "label_propagation": g.q_label_propagation,
         "triangle_count": g.q_triangle_count,
+        "doulion_triangles": g.q_doulion_triangles,
+        "salsa": g.q_salsa,
         "star_count": g.q_star_count,
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
@@ -582,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_funcs": an.q_string_funcs,
         "rollup_revenue": an.q_rollup_revenue,
         "jaccard_pairs": an.q_jaccard_pairs,
+        "containment_pairs": an.q_containment_pairs,
         "top_tokens": an.q_top_tokens,
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
         "tfidf_terms": an.q_tfidf_terms,
@@ -623,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
         "component_sizes": g.sql_component_sizes(),
         "label_propagation": g.sql_label_propagation(),
         "triangle_count": g.sql_triangle_count(),
+        "doulion_triangles": g.sql_doulion_triangles(),
+        "salsa": g.sql_salsa(),
         "star_count": g.sql_star_count(),
         "clustering_coeff": g.sql_clustering_coeff(),
         "link_predict": g.sql_link_predict(),
@@ -718,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs": an.sql_string_funcs(),
         "rollup_revenue": an.sql_rollup_revenue(),
         "jaccard_pairs": an.sql_jaccard_pairs(),
+        "containment_pairs": an.sql_containment_pairs(),
         "top_tokens": an.sql_top_tokens(),
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
         "tfidf_terms": an.sql_tfidf_terms(),

@@ -469,6 +469,28 @@ def q_jaccard_pairs(sf_dir: str):
     `verify_pairs`, or a document-frequency cut on hot grams before
     the join.
     """
+    out = _gram_pair_counts(sf_dir)
+
+    def jac(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.floor(c * 1e6 / (na + nb - c) + 0.5).astype(np.int64)
+        keep = e6 >= JACCARD_E6_MIN
+        return pa.table({
+            "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
+            "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
+            "jaccard_e6": e6[keep]})
+
+    return out.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gram_pair_counts(sf_dir: str):
+    """Shared inverted-index pair-count plan: Dataset of
+    (doc_a, doc_b, c=|A∩B|, n_a=|A|, n_b=|B|) over distinct word
+    JACCARD_N-grams, ordered doc_a < doc_b.  Exact integers — the
+    final similarity metric (Jaccard / containment) is one stateless
+    map on top."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def grams(b: pa.Table) -> pa.Table:
@@ -511,21 +533,37 @@ def q_jaccard_pairs(sf_dir: str):
                            batch_format="pyarrow")
     sb = sizes.map_batches(lambda t: t.rename_columns(["doc_b", "n_b"]),
                            batch_format="pyarrow")
-    out = inter.join(sa, join_type="inner", num_partitions=8, on=("doc_a",)) \
-               .join(sb, join_type="inner", num_partitions=8, on=("doc_b",))
+    return inter.join(sa, join_type="inner", num_partitions=8, on=("doc_a",)) \
+                .join(sb, join_type="inner", num_partitions=8, on=("doc_b",))
 
-    def jac(t: pa.Table) -> pa.Table:
+
+CONTAIN_E6_MIN = 600_000  # containment >= 0.6
+
+
+def q_containment_pairs(sf_dir: str):
+    """Exact n-gram CONTAINMENT near-duplicate pairs: |A∩B| / min(|A|,
+    |B|) over the same distinct word-3-gram sets as `jaccard_pairs`.
+    Containment is the asymmetric dedup signal Jaccard misses — a
+    short document fully embedded in a long one (quote, boilerplate
+    wrapper, truncated mirror) scores ~1.0 here but arbitrarily low
+    Jaccard (Broder's resemblance-vs-containment distinction,
+    SEQUENCES'97).  Same inverted-index plan + one stateless metric
+    map; integer-exact e6 fixed point, floor(x+0.5) in both engines."""
+    out = _gram_pair_counts(sf_dir)
+
+    def cont(t: pa.Table) -> pa.Table:
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        e6 = np.floor(c * 1e6 / (na + nb - c) + 0.5).astype(np.int64)
-        keep = e6 >= JACCARD_E6_MIN
+        e6 = np.floor(c * 1e6 / np.minimum(na, nb) + 0.5).astype(np.int64)
+        keep = e6 >= CONTAIN_E6_MIN
         return pa.table({
             "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
             "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
-            "jaccard_e6": e6[keep]})
+            "containment_e6": e6[keep]})
 
-    return out.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(cont, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 TOP_TOKENS_K = 20
@@ -751,6 +789,32 @@ def sql_jaccard_pairs() -> str:
         "JOIN sz sb ON sb.doc_id = i.doc_b "
         "WHERE CAST(floor(i.c*1e6/(sa.n + sb.n - i.c)+0.5) AS BIGINT) "
         f">= {JACCARD_E6_MIN}")
+
+
+def sql_containment_pairs() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "ix AS (SELECT doc_id, toks, "
+        f"unnest(generate_series(1, greatest(len(toks)-{JACCARD_N - 1}, 1))) "
+        "AS i FROM t), "
+        f"g AS (SELECT doc_id, CASE WHEN len(toks) < {JACCARD_N} "
+        "THEN array_to_string(toks, ' ') "
+        f"ELSE array_to_string(toks[i:i+{JACCARD_N - 1}], ' ') END AS gram "
+        "FROM ix), "
+        "gd AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram <> ''), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS c FROM gd a JOIN gd b ON a.gram = b.gram "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "CAST(floor(i.c*1e6/least(sa.n, sb.n)+0.5) AS BIGINT) "
+        "AS containment_e6 "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a "
+        "JOIN sz sb ON sb.doc_id = i.doc_b "
+        "WHERE CAST(floor(i.c*1e6/least(sa.n, sb.n)+0.5) AS BIGINT) "
+        f">= {CONTAIN_E6_MIN}")
 
 
 # -------- BM25 ranking (log-free ratio-idf variant) --------

@@ -1921,3 +1921,109 @@ def q_coloring(sf_dir: str) -> pa.Table:
     from igpm_pem_ray.graph.coloring import greedy_coloring
 
     return greedy_coloring(cooccurrence_edges(sf_dir))
+
+
+# ---------- SALSA hub/authority (integer fixed-point) ----------
+
+SALSA_ITERS = 3
+
+
+def q_salsa(sf_dir: str) -> pa.Table:
+    """SALSA hub/authority scores (Lempel-Moran WWW'00) on the
+    directed co-occurrence graph — the degree-normalized random-walk
+    counterpart of HITS (graph/salsa.py).  int64 fixed-point with
+    floor division BEFORE each sum, so both engines compute the exact
+    same integers under any reduction order (no e-scale rounding of a
+    float at all)."""
+    from igpm_pem_ray.graph.salsa import salsa
+
+    return salsa(cooccurrence_edges(sf_dir), n_iters=SALSA_ITERS)
+
+
+def sql_salsa(n_iters: int = SALSA_ITERS) -> str:
+    from igpm_pem_ray.graph.salsa import SALSA_SCALE
+
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "od AS MATERIALIZED (SELECT src AS vid, "
+        "CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)",
+        "idg AS MATERIALIZED (SELECT dst AS vid, "
+        "CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)",
+        f"h0 AS MATERIALIZED (SELECT vid, "
+        f"CAST({SALSA_SCALE} AS BIGINT) AS h FROM verts)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"CAST(sum(h.h // od.d) AS BIGINT) AS a "
+            f"FROM edges e JOIN {p} h ON e.src = h.vid "
+            f"JOIN od ON od.vid = e.src GROUP BY e.dst), "
+            f"h{k} AS MATERIALIZED (SELECT e.src AS vid, "
+            f"CAST(sum(a.a // idg.d) AS BIGINT) AS h "
+            f"FROM edges e JOIN a{k} a ON e.dst = a.vid "
+            f"JOIN idg ON idg.vid = e.dst GROUP BY e.src)"
+        )
+    body = ", ".join(parts)
+    return (
+        f"WITH {body} "
+        f"SELECT v.vid, COALESCE(h.h, 0) AS hub_q, "
+        f"COALESCE(a.a, 0) AS auth_q "
+        f"FROM verts v LEFT JOIN h{n_iters} h ON v.vid = h.vid "
+        f"LEFT JOIN a{n_iters} a ON v.vid = a.vid ORDER BY v.vid")
+
+
+# ---------- DOULION sampled triangle estimate ----------
+
+# keep each edge iff hash(src,dst) % DOULION_Q == 0  (p = 1/Q);
+# estimate = sampled_count * Q^3 (Tsourakakis et al., KDD'09).
+# Ids are pre-reduced mod 2^31-1 before the multiply (the MIS/walks
+# overflow convention) so kernel and SQL agree at 63-bit vids.
+DOULION_Q = 3
+DOULION_A, DOULION_B = 2654435761, 97
+DOULION_M = (1 << 31) - 1
+
+
+def q_doulion_triangles(sf_dir: str) -> pa.Table:
+    """Approximate triangle count by deterministic edge sampling
+    (DOULION): hash-sample the edge table at p=1/DOULION_Q with an
+    affine hash (RNG-free, identical expression in SQL), run the
+    exact degree-oriented wedge-join triangle kernel on the sample,
+    scale by Q^3.  The sampled count and the estimate are both exact
+    integers — the sampling is the approximation, not the arithmetic.
+    At web scale this is the one-pass cheap first answer before the
+    exact kernel: the sample is Q× smaller and the wedge join
+    (Σ deg²) shrinks ~Q²."""
+    edges = cooccurrence_edges(sf_dir)
+
+    def samp(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        h = ((s % DOULION_M) * DOULION_A + (d % DOULION_M) * 131
+             + DOULION_B) % DOULION_M
+        keep = (h % DOULION_Q) == 0
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    sampled = edges.map_batches(samp, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    n = tri_mod.triangle_count(sampled)
+    return pa.table({
+        "n_sampled": pa.array([n], type=pa.int64()),
+        "est_triangles": pa.array([n * DOULION_Q**3], type=pa.int64())})
+
+
+def sql_doulion_triangles() -> str:
+    h = (f"(((src % {DOULION_M}) * {DOULION_A} + "
+         f"(dst % {DOULION_M}) * 131 + {DOULION_B}) % {DOULION_M})")
+    return _with_edges(
+        f"samp AS (SELECT src, dst FROM edges "
+        f"WHERE {h} % {DOULION_Q} = 0), "
+        "t AS (SELECT 1 FROM samp e1 "
+        "JOIN samp e2 ON e1.dst = e2.src "
+        "JOIN samp e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sampled, "
+        f"CAST(count(*) * {DOULION_Q**3} AS BIGINT) AS est_triangles "
+        "FROM t")

@@ -1768,3 +1768,81 @@ def test_greedy_coloring_vs_reference_rule():
     again = greedy_coloring(ds)
     assert dict(zip(again["vid"].to_pylist(),
                     again["color"].to_pylist())) == gmap
+
+
+def test_salsa_vs_exact_integer_oracle():
+    """salsa() == an explicit per-edge integer replay of the pinned
+    fixed-point recurrence (floor-divide BEFORE the sum), and the
+    rankings track float textbook SALSA: top-5 authority sets agree
+    on a random multigraph.  Pure hubs get auth 0, pure sinks hub 0."""
+    from igpm_pem_ray.graph import salsa as salsa_mod
+
+    rng = np.random.RandomState(73)
+    src = rng.randint(0, 50, size=300).astype(np.int64)
+    dst = rng.randint(0, 50, size=300).astype(np.int64)
+    src = np.concatenate([src, [100, 100]])
+    dst = np.concatenate([dst, [0, 1]])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    n_iters, scale = 3, salsa_mod.SALSA_SCALE
+    t = salsa_mod.salsa(ds, n_iters=n_iters)
+    vids = np.array(t["vid"].to_pylist())
+    pos = {v: i for i, v in enumerate(vids)}
+    V = len(vids)
+
+    outdeg = np.zeros(V, dtype=np.int64)
+    indeg = np.zeros(V, dtype=np.int64)
+    for a, b in zip(src, dst):
+        outdeg[pos[a]] += 1
+        indeg[pos[b]] += 1
+    hub = np.full(V, scale, dtype=np.int64)
+    fh = np.full(V, 1.0, dtype=np.float64)
+    for _ in range(n_iters):
+        auth = np.zeros(V, dtype=np.int64)
+        fa = np.zeros(V)
+        for a, b in zip(src, dst):
+            auth[pos[b]] += hub[pos[a]] // outdeg[pos[a]]
+            fa[pos[b]] += fh[pos[a]] / outdeg[pos[a]]
+        hub = np.zeros(V, dtype=np.int64)
+        fh = np.zeros(V)
+        for a, b in zip(src, dst):
+            hub[pos[a]] += auth[pos[b]] // indeg[pos[b]]
+            fh[pos[a]] += fa[pos[b]] / indeg[pos[b]]
+    got_h = np.array(t["hub_q"].to_pylist())
+    got_a = np.array(t["auth_q"].to_pylist())
+    assert (got_h == hub).all()
+    assert (got_a == auth).all()
+    # fixed-point vs float: same top-5 authorities (loses < 1 unit of
+    # SCALE per division, negligible at 1e9)
+    ftop = set(np.argsort(-fa)[:5])
+    qtop = set(np.argsort(-got_a)[:5])
+    assert ftop == qtop
+    assert got_a[pos[100]] == 0  # pure hub: no in-edges
+
+
+def test_doulion_sample_is_exact_subgraph_count():
+    """The DOULION query's sampled count equals a brute-force triangle
+    count of the hash-sampled edge set (the sampling is the only
+    approximation), and the estimate is count * Q^3."""
+    from itertools import combinations
+
+    from igpm_pem_ray.graph import triangles as tri_mod
+    from igpm_pem_ray.pipelines.graph_queries import (
+        DOULION_A, DOULION_B, DOULION_M, DOULION_Q)
+
+    rng = np.random.RandomState(79)
+    e = sorted({(int(a), int(b)) for a, b in
+                zip(rng.randint(0, 40, 500), rng.randint(0, 40, 500))
+                if a < b})
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    h = ((src % DOULION_M) * DOULION_A + (dst % DOULION_M) * 131
+         + DOULION_B) % DOULION_M
+    keep = (h % DOULION_Q) == 0
+    kept = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    verts = sorted({v for p in kept for v in p})
+    brute = sum(1 for a, b, c in combinations(verts, 3)
+                if (a, b) in kept and (b, c) in kept and (a, c) in kept)
+
+    ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+    assert tri_mod.triangle_count(ds) == brute
