@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": r.q_event_gaps,
         "approx_quantiles_price": r.q_approx_quantiles_price,
         "heavy_hitter_tokens": r.q_heavy_hitter_tokens,
+        "approx_token_freq": r.q_approx_token_freq,
+        "user_retention": r.q_user_retention,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -600,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
         "bigram_lift": an.q_bigram_lift,
+        "lang_source_chi2": an.q_lang_source_chi2,
         "doc_rarity": an.q_doc_rarity,
         "inverted_index": an.q_inverted_index,
         "embed_covariance": an.q_embed_covariance,
@@ -739,6 +742,8 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
         "bigram_lift": an.sql_bigram_lift(),
+        "lang_source_chi2": an.sql_lang_source_chi2(),
+        "user_retention": r.sql_user_retention(),
         "doc_rarity": an.sql_doc_rarity(),
         "inverted_index": an.sql_inverted_index(),
         "embed_covariance": an.sql_embed_covariance(),

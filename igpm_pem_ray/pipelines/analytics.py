@@ -1900,3 +1900,69 @@ def sql_embed_covariance() -> str:
         "AS cov_e6 "
         "FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j "
         "ORDER BY i, j")
+
+
+# -------- chi-square independence test (lang x source) --------
+
+CHI2_E6 = 10**6
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Pearson chi-square independence statistic between
+    ``documents.lang`` and ``documents.source`` — the categorical
+    drift / balance check a corpus pipeline runs before mixing
+    sources.  ONE (lang, source) count groupby (O(cells) shuffle);
+    margins and the statistic in exact arbitrary-precision Python
+    ints on the tiny contingency table: per cell over the FULL
+    margin cross product (zero-observed cells included),
+
+        term_e6 = floor((o*n - r*c)^2 * 1e6 / (r*c*n) + 0.5)
+                = (2*(o*n - r*c)^2 * 1e6 + r*c*n) // (2*r*c*n)
+
+    then an integer sum — reduction-order-free, bit-identical to the
+    HUGEINT oracle ((o*n)^2 overflows BIGINT at sf0.1, the
+    bigram_lift convention).  Returns (chi2_e6, dof)."""
+    from ray.data.aggregate import Count
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cells = docs.groupby(["lang", "source"]) \
+        .aggregate(Count(alias_name="o")).to_pandas()
+    obs = {(l, s): int(o) for l, s, o in
+           zip(cells["lang"], cells["source"], cells["o"])}
+    langs = sorted({k[0] for k in obs})
+    srcs = sorted({k[1] for k in obs})
+    row = {l: sum(v for (a, _), v in obs.items() if a == l) for l in langs}
+    col = {s: sum(v for (_, b), v in obs.items() if b == s) for s in srcs}
+    n = sum(obs.values())
+    chi2_e6 = 0
+    for l in langs:
+        for s in srcs:
+            o = obs.get((l, s), 0)
+            num = (o * n - row[l] * col[s]) ** 2 * CHI2_E6
+            den = row[l] * col[s] * n
+            chi2_e6 += (2 * num + den) // (2 * den)
+    dof = (len(langs) - 1) * (len(srcs) - 1)
+    return pa.table({"chi2_e6": pa.array([chi2_e6], pa.int64()),
+                     "dof": pa.array([dof], pa.int64())})
+
+
+def sql_lang_source_chi2() -> str:
+    return (
+        "WITH o AS (SELECT lang, source, count(*) AS o "
+        "FROM documents GROUP BY 1, 2), "
+        "r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1), "
+        "c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "cells AS (SELECT r.lang, c.source, "
+        "COALESCE(o.o, 0) AS o, r.r, c.c, (SELECT n FROM n) AS n "
+        "FROM r CROSS JOIN c LEFT JOIN o "
+        "ON o.lang = r.lang AND o.source = c.source), "
+        "terms AS (SELECT (2*power_num + den) // (2*den) AS t FROM ("
+        "SELECT (CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)"
+        "*(CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)"
+        f"*{CHI2_E6} AS power_num, "
+        "CAST(r AS HUGEINT)*c*n AS den FROM cells) q), "
+        "dof AS (SELECT (CAST((SELECT count(*) FROM r) AS BIGINT)-1)"
+        "*(CAST((SELECT count(*) FROM c) AS BIGINT)-1) AS dof) "
+        "SELECT CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_e6, "
+        "(SELECT dof FROM dof) AS dof")

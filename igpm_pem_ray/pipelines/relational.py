@@ -1113,6 +1113,20 @@ def q_heavy_hitter_tokens(sf_dir: str):
     return heavy_hitters(docs, col="text", k=32, tokenize=True)
 
 
+def q_approx_token_freq(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed probe list —
+    rows-only (approximate by construction; never-undercount +
+    overcount bound + exact linear-merge algebra pinned by
+    tests/test_text.py::test_count_min_*).  The bounded-memory
+    lookup companion to `heavy_hitter_tokens`."""
+    from igpm_pem_ray.text.sketch import approx_token_freq
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return approx_token_freq(docs, col="text",
+                             probes=["join", "hash", "stream", "the",
+                                     "window", "zzz_absent"])
+
+
 # -------- stratified sampling (per-group deterministic fractions) --------
 
 _STRATA_PERMILLE = {"BUILDING": 300, "AUTOMOBILE": 200}
@@ -1865,3 +1879,65 @@ def sql_blocklist_filter() -> str:
         "CAST(CASE WHEN COALESCE(b.n_bad, 0) = 0 THEN 1 ELSE 0 END "
         "AS BIGINT) AS keep "
         "FROM documents d LEFT JOIN b USING (doc_id) ORDER BY doc_id")
+
+
+# -------- hourly active-user retention (cohort next-bucket return) --------
+
+RETAIN_US = 3_600_000_000  # 1h buckets
+
+
+def q_user_retention(sf_dir: str):
+    """Per-hour active users and how many return in the NEXT hour —
+    the classic cohort-retention shape.  Join-free plan: one
+    groupby(user_id).map_groups computes each user's distinct active
+    hours and flags hours followed by activity (np.isin(hrs+1, hrs) —
+    per-group work is O(user's hours), user activity is naturally
+    bounded so no skew), then one O(hours) groupby-sum.  The
+    equivalent SQL is a distinct + self-join on (user, hr+1); the
+    Ray plan ships each user once instead of joining the activity
+    table against itself."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_hr(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "hr": us // RETAIN_US})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        hrs = np.unique(g["hr"].to_numpy())
+        return pd.DataFrame({
+            "hr": hrs,
+            "ret": np.isin(hrs + 1, hrs,
+                           assume_unique=True).astype(np.int64)})
+
+    act = ev.map_batches(to_hr, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = act.groupby("hr").aggregate(Count(alias_name="n_active"),
+                                      Sum("ret", alias_name="n_retained"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"hr": b["hr"],
+                         "n_active": b["n_active"].cast(pa.int64()),
+                         "n_retained": b["n_retained"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_user_retention() -> str:
+    return (
+        f"WITH au AS (SELECT DISTINCT epoch_us(ts) // {RETAIN_US} AS hr, "
+        "user_id FROM events), "
+        "ret AS (SELECT a.hr, count(*) AS n_retained FROM au a "
+        "JOIN au b ON b.user_id = a.user_id AND b.hr = a.hr + 1 "
+        "GROUP BY 1) "
+        "SELECT au.hr, CAST(count(*) AS BIGINT) AS n_active, "
+        "CAST(COALESCE(any_value(ret.n_retained), 0) AS BIGINT) "
+        "AS n_retained "
+        "FROM au LEFT JOIN ret ON ret.hr = au.hr "
+        "GROUP BY au.hr ORDER BY au.hr")

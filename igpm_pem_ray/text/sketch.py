@@ -238,3 +238,86 @@ def heavy_hitters(ds, *, col: str, k: int = 64,
     order = np.lexsort((np.asarray(u, dtype=object), -c))
     return pa.table({"item": pa.array([u[i] for i in order], pa.string()),
                      "est_count": pa.array(c[order], pa.int64())})
+
+
+# ---------- Count-Min: mergeable point-frequency sketch ----------
+
+CMS_D, CMS_W = 4, 2048  # depth x width: overcount <= e*N/W w.p. 1-e^-D
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_hash_items(items: np.ndarray) -> np.ndarray:
+    """Stable uint64 per item (pandas SipHash-1-3, the repo's string
+    hash convention — ids.py / text/dedup.py)."""
+    return pd.util.hash_array(np.asarray(items, dtype=object),
+                              categorize=False)
+
+
+def cms_partial(items: np.ndarray, *, d: int = CMS_D,
+                w: int = CMS_W) -> np.ndarray:
+    """(d, w) int64 counter matrix of one block.  Count-Min (Cormode
+    & Muthukrishnan, J.Alg 2005) is a LINEAR sketch: the merge is an
+    elementwise sum, exact under any grouping/order — per-block
+    partials then one groupby-sum reproduce the single-pass sketch
+    bit for bit (unlike MG, whose merge only preserves the bound)."""
+    tab = np.zeros((d, w), dtype=np.int64)
+    if len(items) == 0:
+        return tab
+    h = _cms_hash_items(items)
+    for r in range(d):
+        hr = _hash64(h ^ _CMS_SALTS[r]) % np.uint64(w)
+        np.add.at(tab[r], hr.astype(np.int64), 1)
+    return tab
+
+
+def cms_query(tab: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows.  Never
+    undercounts; overcounts by <= e*N/w with prob 1 - e^-d."""
+    d, w = tab.shape
+    h = _cms_hash_items(probes)
+    ests = np.empty((d, len(probes)), dtype=np.int64)
+    for r in range(d):
+        hr = _hash64(h ^ _CMS_SALTS[r]) % np.uint64(w)
+        ests[r] = tab[r][hr.astype(np.int64)]
+    return ests.min(axis=0)
+
+
+def approx_token_freq(ds, *, col: str, probes: list[str],
+                      tokenize: bool = True,
+                      d: int = CMS_D, w: int = CMS_W) -> pa.Table:
+    """(token, est_count) Count-Min frequency estimates for the probe
+    tokens over ``col`` (whitespace-tokenized by default): per-block
+    (row, slot, count) sparse partials, ONE groupby-sum bounded by
+    O(d*w) rows regardless of stream length, driver assembles the
+    d x w table and answers the probes.  The bounded-memory point-
+    lookup companion to `heavy_hitters` (which finds WHICH items are
+    hot; this answers HOW OFTEN for a known item)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[col].to_pylist()
+        if tokenize:
+            toks: list = []
+            for v in vals:
+                toks.extend((v or "").split())
+            arr = np.asarray(toks, dtype=object)
+        else:
+            arr = np.asarray(vals, dtype=object)
+        tab = cms_partial(arr, d=d, w=w)
+        r, s = np.nonzero(tab)
+        return pa.table({"slot": (r * w + s).astype(np.int64),
+                         "c": tab[r, s]})
+
+    pdf = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("slot").aggregate(Sum("c", alias_name="c")).to_pandas()
+    tab = np.zeros((d, w), dtype=np.int64)
+    if len(pdf):
+        slots = pdf["slot"].to_numpy()
+        tab[slots // w, slots % w] = pdf["c"].to_numpy()
+    est = cms_query(tab, np.asarray(probes, dtype=object))
+    return pa.table({"token": pa.array(probes, pa.string()),
+                     "est_count": pa.array(est, pa.int64())})

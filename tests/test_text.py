@@ -640,3 +640,63 @@ def test_span_dedup_planted_duplicates(ray_session, tmp_path):
     assert 2 not in out.index                          # nothing left
     assert out.loc[3, "clean_text"] == uniq[2] + " tail"
     assert out.loc[3, "n_kept"] == 2                   # partial span kept
+
+
+def test_count_min_merge_is_exact_linear():
+    """CMS is a linear sketch: summing per-chunk partials reproduces
+    the single-pass table BIT FOR BIT (stronger than MG's
+    bound-preserving merge)."""
+    from igpm_pem_ray.text import sketch
+
+    rng = np.random.RandomState(83)
+    items = np.asarray([f"tok{v}" for v in
+                        rng.zipf(1.5, size=5000) % 400], dtype=object)
+    whole = sketch.cms_partial(items)
+    merged = sum(sketch.cms_partial(items[i:i + 700])
+                 for i in range(0, len(items), 700))
+    assert (whole == merged).all()
+
+
+def test_count_min_never_undercounts_and_overcount_bound():
+    from collections import Counter
+
+    from igpm_pem_ray.text import sketch
+
+    rng = np.random.RandomState(89)
+    items = np.asarray([f"w{v}" for v in
+                        rng.randint(0, 1000, size=20000)], dtype=object)
+    true = Counter(items.tolist())
+    tab = sketch.cms_partial(items)
+    probes = np.asarray(["w1", "w5", "w999", "absent_token"], dtype=object)
+    est = sketch.cms_query(tab, probes)
+    n, w = len(items), sketch.CMS_W
+    for p, e in zip(probes, est):
+        t = true.get(str(p), 0)
+        assert e >= t                      # CMS never undercounts
+        assert e - t <= max(5 * n // w, 8)  # generous e*N/w-style bound
+
+
+def test_approx_token_freq_dataset_path():
+    """Dataset plan (per-block sparse partials -> one groupby-sum ->
+    driver probe) equals the single-process sketch exactly, and the
+    planted counts come back within the bound."""
+    from igpm_pem_ray.text import sketch
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["alpha beta gamma " * 5 + ("hot " * 10 if i % 2 else "")
+                 for i in range(40)]})
+    ds = rd.from_pandas(docs)
+    out = sketch.approx_token_freq(
+        ds, col="text", probes=["alpha", "hot", "zzz"]).to_pandas()
+    got = dict(zip(out["token"], out["est_count"]))
+    # single-process oracle sketch over the same token stream
+    toks = []
+    for t in docs["text"]:
+        toks.extend(t.split())
+    tab = sketch.cms_partial(np.asarray(toks, dtype=object))
+    ref = sketch.cms_query(tab, np.asarray(["alpha", "hot", "zzz"],
+                                           dtype=object))
+    assert [got["alpha"], got["hot"], got["zzz"]] == ref.tolist()
+    assert got["alpha"] >= 200 and got["hot"] >= 200
+    assert got["zzz"] <= 8
