@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": r.q_heavy_hitter_tokens,
         "approx_token_freq": r.q_approx_token_freq,
         "user_retention": r.q_user_retention,
+        "outlier_events": r.q_outlier_events,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -744,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lift": an.sql_bigram_lift(),
         "lang_source_chi2": an.sql_lang_source_chi2(),
         "user_retention": r.sql_user_retention(),
+        "outlier_events": r.sql_outlier_events(),
         "doc_rarity": an.sql_doc_rarity(),
         "inverted_index": an.sql_inverted_index(),
         "embed_covariance": an.sql_embed_covariance(),

@@ -1941,3 +1941,113 @@ def sql_user_retention() -> str:
         "AS n_retained "
         "FROM au LEFT JOIN ret ON ret.hr = au.hr "
         "GROUP BY au.hr ORDER BY au.hr")
+
+
+# -------- IQR outlier counts per event_type (Tukey fences) --------
+
+def q_outlier_events(sf_dir: str):
+    """Per-event-type Tukey-fence outlier counts: exact q25/q75 via
+    the rank-selection quantile plan (quantile_disc convention) on
+    e2-scaled integer values, fences kept in DOUBLED units
+    (lo2 = 5*q1 - 3*q3, hi2 = 5*q3 - 3*q1) so 1.5*IQR never leaves
+    integer arithmetic; the tiny per-type fence table is broadcast by
+    closure into one counting map (per-block partials, one O(types)
+    groupby-sum).  Outlier iff 2*v < lo2 or 2*v > hi2 — bit-identical
+    in both engines."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "etk": codes,
+            "event_type": b["event_type"],
+            "value_e2": scale_col(b["value"].to_numpy(zero_copy_only=False),
+                                  100.0),
+            "event_id": b["event_id"].cast(pa.int64()),
+        })
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ranked = rank_per_group(rows, key="etk",
+                            order=["value_e2", "event_id"],
+                            descending=[False, False]).materialize()
+    counts = rows.groupby("etk").aggregate(Count(alias_name="n"))
+    joined = ranked.join(counts, join_type="inner", num_partitions=2,
+                         on=("etk",))
+
+    def pick(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        rank = b["rank"].to_numpy(zero_copy_only=False)
+        v = b["value_e2"].to_numpy(zero_copy_only=False)
+        t25 = np.maximum(1, np.ceil(0.25 * n).astype(np.int64))
+        t75 = np.maximum(1, np.ceil(0.75 * n).astype(np.int64))
+        is25 = rank == t25
+        is75 = rank == t75
+        keep = is25 | is75
+        big = np.int64(np.iinfo(np.int64).min)
+        return pa.table({
+            "event_type": b["event_type"].take(
+                pa.array(np.flatnonzero(keep))),
+            "q1_e2": np.where(is25[keep], v[keep], big),
+            "q3_e2": np.where(is75[keep], v[keep], big),
+        })
+
+    qt = joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Max("q1_e2", alias_name="q1_e2"),
+            Max("q3_e2", alias_name="q3_e2")).to_pandas()
+    fences = {et: (5 * int(q1) - 3 * int(q3), 5 * int(q3) - 3 * int(q1))
+              for et, q1, q3 in zip(qt["event_type"], qt["q1_e2"],
+                                    qt["q3_e2"])}
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v2 = 2 * scale_col(b["value"].to_numpy(zero_copy_only=False), 100.0)
+        lo = np.array([fences[e][0] for e in et], dtype=np.int64)
+        hi = np.array([fences[e][1] for e in et], dtype=np.int64)
+        out = (v2 < lo) | (v2 > hi)
+        u, idx = np.unique(et, return_inverse=True)
+        cnt = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cnt, idx, out.astype(np.int64))
+        return pa.table({
+            "event_type": pa.array(list(u), pa.string()),
+            "c": cnt,
+            "lo2_e2": np.array([fences[e][0] for e in u], dtype=np.int64),
+            "hi2_e2": np.array([fences[e][1] for e in u], dtype=np.int64)})
+
+    out = ev.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Sum("c", alias_name="n_outliers"),
+            Max("lo2_e2", alias_name="lo2_e2"),
+            Max("hi2_e2", alias_name="hi2_e2"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "n_outliers": b["n_outliers"].cast(pa.int64()),
+                         "lo2_e2": b["lo2_e2"].cast(pa.int64()),
+                         "hi2_e2": b["hi2_e2"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_outlier_events() -> str:
+    v = "CAST(floor(value*100.0+0.5) AS BIGINT)"
+    return (
+        f"WITH q AS (SELECT event_type, "
+        f"CAST(quantile_disc({v}, 0.25) AS BIGINT) AS q1, "
+        f"CAST(quantile_disc({v}, 0.75) AS BIGINT) AS q3 "
+        "FROM events GROUP BY 1) "
+        "SELECT e.event_type, "
+        f"CAST(sum(CASE WHEN 2*{v.replace('value', 'e.value')} "
+        "< 5*q.q1 - 3*q.q3 "
+        f"OR 2*{v.replace('value', 'e.value')} > 5*q.q3 - 3*q.q1 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        "5*q.q1 - 3*q.q3 AS lo2_e2, 5*q.q3 - 3*q.q1 AS hi2_e2 "
+        "FROM events e JOIN q ON q.event_type = e.event_type "
+        "GROUP BY 1, 3, 4 ORDER BY 1")
