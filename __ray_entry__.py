@@ -556,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_token_freq": r.q_approx_token_freq,
         "user_retention": r.q_user_retention,
         "outlier_events": r.q_outlier_events,
+        "event_rate_anomaly": r.q_event_rate_anomaly,
+        "transitivity": g.q_transitivity,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
         "sliding_window": r.q_sliding_window,
@@ -746,6 +748,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": an.sql_lang_source_chi2(),
         "user_retention": r.sql_user_retention(),
         "outlier_events": r.sql_outlier_events(),
+        "event_rate_anomaly": r.sql_event_rate_anomaly(),
+        "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),
         "inverted_index": an.sql_inverted_index(),
         "embed_covariance": an.sql_embed_covariance(),

@@ -2027,3 +2027,54 @@ def sql_doulion_triangles() -> str:
         "SELECT CAST(count(*) AS BIGINT) AS n_sampled, "
         f"CAST(count(*) * {DOULION_Q**3} AS BIGINT) AS est_triangles "
         "FROM t")
+
+
+# ---------- global transitivity (wedge-closure ratio) ----------
+
+def q_transitivity(sf_dir: str) -> pa.Table:
+    """Global transitivity 3·triangles / wedges of the co-occurrence
+    graph — the corpus-level clustering summary next to the
+    per-vertex `clustering_coeff`.  Wedges = Σ_v C(deg_v, 2) from one
+    endpoint-explode degree groupby + per-block integer partials;
+    closed wedges = 3 × the exact wedge-join triangle kernel.  All
+    counts exact int64, the ratio one e6 fixed point."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": np.concatenate([s, d])})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("vid").aggregate(Count(alias_name="d"))
+
+    def choose2(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wedges = int(deg.map_batches(choose2, batch_format="pyarrow").sum("w"))
+    closed = 3 * tri_mod.triangle_count(edges)
+    t_e6 = (2 * closed * 10**6 + wedges) // (2 * wedges) if wedges else 0
+    return pa.table({
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "n_closed": pa.array([closed], pa.int64()),
+        "transitivity_e6": pa.array([t_e6], pa.int64())})
+
+
+def sql_transitivity() -> str:
+    return _with_edges(
+        "deg AS (SELECT vid, count(*) AS d FROM "
+        "(SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u GROUP BY 1), "
+        "w AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS n_wedges "
+        "FROM deg), "
+        "t AS (SELECT 3*CAST(count(*) AS BIGINT) AS n_closed FROM ("
+        "SELECT 1 FROM edges e1 JOIN edges e2 ON e1.dst = e2.src "
+        "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) q) "
+        "SELECT w.n_wedges, t.n_closed, "
+        "CAST((2*t.n_closed*1000000 + w.n_wedges) // (2*w.n_wedges) "
+        "AS BIGINT) AS transitivity_e6 FROM w, t")

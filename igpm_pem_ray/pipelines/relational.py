@@ -2051,3 +2051,51 @@ def sql_outlier_events() -> str:
         "5*q.q1 - 3*q.q3 AS lo2_e2, 5*q.q3 - 3*q.q1 AS hi2_e2 "
         "FROM events e JOIN q ON q.event_type = e.event_type "
         "GROUP BY 1, 3, 4 ORDER BY 1")
+
+
+# -------- hourly event-rate anomaly flags (2-sigma, exact ints) --------
+
+def q_event_rate_anomaly(sf_dir: str):
+    """Hours whose event count deviates from the all-hours mean by
+    more than 2 standard deviations — the pipeline-monitoring shape.
+    One O(hours) count groupby; mean/variance as exact integer
+    sufficient statistics (N, S=Σc, S2=Σc²) and the 2σ test kept in
+    cross-multiplied integer form,
+
+        (c·N − S)² · N  >  4 · (N·S2 − S²) · N   ≡   (c−μ)² > 4σ²
+        → (c·N − S)²  >  4 · (N·S2 − S²)
+
+    so no float ever appears (population σ, the group_stats
+    convention).  Returns the anomalous (hr, n_events) rows."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def to_hr(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"hr": us // RETAIN_US})
+
+    counts = ev.map_batches(to_hr, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("hr").aggregate(Count(alias_name="c")).to_pandas()
+    c = counts["c"].to_numpy().astype(np.int64)
+    n = int(len(c))
+    s, s2 = int(c.sum()), int((c * c).sum())
+    dev = c.astype(object) * n - s           # python ints: no overflow
+    var4 = 4 * (n * s2 - s * s)
+    flag = np.array([int(d) * int(d) > var4 for d in dev])
+    out = counts[flag].sort_values("hr")
+    return pa.table({"hr": out["hr"].to_numpy().astype(np.int64),
+                     "n_events": out["c"].to_numpy().astype(np.int64)})
+
+
+def sql_event_rate_anomaly() -> str:
+    return (
+        f"WITH hc AS (SELECT epoch_us(ts) // {RETAIN_US} AS hr, "
+        "count(*) AS c FROM events GROUP BY 1), "
+        "st AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(c) AS HUGEINT) AS s, "
+        "CAST(sum(c*c) AS HUGEINT) AS s2 FROM hc) "
+        "SELECT hc.hr, CAST(hc.c AS BIGINT) AS n_events FROM hc, st "
+        "WHERE (hc.c*st.n - st.s)*(hc.c*st.n - st.s) "
+        "> 4*(st.n*st.s2 - st.s*st.s) ORDER BY hc.hr")
