@@ -188,6 +188,25 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         return pages.map_batches(to_host, batch_format="pyarrow") \
             .groupby(["host", "lang"]).aggregate(Count(alias_name="n_pages"))
 
+    def link_mirror_hosts(sf_dir: str):
+        """Mirror-host discovery (Bharat-Broder): host pairs whose
+        outlink-TARGET sets overlap heavily, after cutting hub targets
+        (the df-cut that makes the self-join scale and the metric
+        discriminative).  Rows-only: hosts come from the synthetic
+        pages, not a DuckDB view; the kernel itself is SQL-oracled via
+        `mirror_suppliers`."""
+        import pyarrow as pa
+
+        from igpm_pem_ray.graph import build
+        from igpm_pem_ray.graph.mirror import neighbor_jaccard_pairs
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        ex = build.pages_to_extracted(pages, concurrency=4, batch_size=256)
+        adj = build.host_edges(ex).drop_columns(["n_links"]) \
+            .rename_columns({"src_host": "v", "dst_host": "n"})
+        return neighbor_jaccard_pairs(adj, min_jaccard_e6=300_000,
+                                      max_neighbor_indeg=64)
+
     return {
         "link_extract_edges": link_extract_edges,
         "link_pagerank": link_pagerank,
@@ -199,6 +218,7 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         "link_surt_index": link_surt_index,
         "link_host_stats": link_host_stats,
         "link_host_rank": link_host_rank,
+        "link_mirror_hosts": link_mirror_hosts,
     }
 
 
@@ -557,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": r.q_user_retention,
         "outlier_events": r.q_outlier_events,
         "event_rate_anomaly": r.q_event_rate_anomaly,
+        "event_debounce": r.q_event_debounce,
+        "percent_rank_orders": r.q_percent_rank_orders,
+        "mirror_suppliers": g.q_mirror_suppliers,
+        "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
         "latest_events": r.q_latest_events,
         "topk_per_customer": r.q_topk_per_customer,
@@ -749,6 +773,10 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": r.sql_user_retention(),
         "outlier_events": r.sql_outlier_events(),
         "event_rate_anomaly": r.sql_event_rate_anomaly(),
+        "event_debounce": r.sql_event_debounce(),
+        "percent_rank_orders": r.sql_percent_rank_orders(),
+        "mirror_suppliers": g.sql_mirror_suppliers(),
+        "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),
         "inverted_index": an.sql_inverted_index(),

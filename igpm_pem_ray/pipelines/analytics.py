@@ -1966,3 +1966,120 @@ def sql_lang_source_chi2() -> str:
         "*(CAST((SELECT count(*) FROM c) AS BIGINT)-1) AS dof) "
         "SELECT CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_e6, "
         "(SELECT dof FROM dof) AS dof")
+
+
+# ---------- TF-weighted cosine near-dup pairs (inverted index) ----------
+
+def q_cosine_gram_pairs(sf_dir: str):
+    """TF-weighted cosine near-duplicate pairs over word-3-gram COUNT
+    vectors — the weighted sibling of `jaccard_pairs` (set Jaccard
+    ignores repetition; cosine over tf vectors catches boilerplate
+    that repeats the same shingles).  Threshold cos >= 0.5 applied as
+    the INTEGER cross-multiplication 4*dot^2 >= |A|^2*|B|^2 (dot >= 0),
+    so no sqrt and no fixed-point boundary exists anywhere; outputs
+    are the raw exact integers (dot, n2_a, n2_b).
+
+    Same inverted-index scale shape as `_gram_pair_counts`: per-doc tf
+    needs no shuffle (a doc lives in one row), the gram self-join is
+    Sigma_gram df^2 (hot grams cut by the LSH prefilter route at web
+    scale), one groupby-sum per pair, two size joins, one stateless
+    integer filter.  Pair arithmetic in object ints: 4*dot^2 can pass
+    2^63 on long documents (the oracle uses HUGEINT)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_tf(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_out, grams_out, tf_out = [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            w = (txt or "").split()
+            if not w:
+                continue
+            if len(w) < JACCARD_N:
+                cnt = Counter([" ".join(w)])
+            else:
+                cnt = Counter(" ".join(w[i:i + JACCARD_N])
+                              for i in range(len(w) - JACCARD_N + 1))
+            cnt.pop("", None)
+            ids_out.extend([did] * len(cnt))
+            grams_out.extend(cnt.keys())
+            tf_out.extend(cnt.values())
+        return pa.table({"doc_id": np.asarray(ids_out, dtype=np.int64),
+                         "gram": pa.array(grams_out, type=pa.string()),
+                         "tf": np.asarray(tf_out, dtype=np.int64)})
+
+    gd = docs.map_batches(gram_tf, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "t2": tf * tf})
+
+    norms = gd.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(Sum("t2", alias_name="n2"))
+
+    ga = gd.rename_columns({"doc_id": "doc_a", "tf": "tf_a"})
+    gb = gd.rename_columns({"doc_id": "doc_b", "gram": "gram_b",
+                            "tf": "tf_b"})
+    j = ga.join(gb, join_type="inner", num_partitions=8,
+                on=("gram",), right_on=("gram_b",))
+
+    def prod(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        ta = t["tf_a"].to_numpy(zero_copy_only=False)[keep]
+        tb = t["tf_b"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"doc_a": a[keep], "doc_b": b[keep],
+                         "p": (ta * tb).astype(np.int64)})
+
+    dots = j.map_batches(prod, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["doc_a", "doc_b"]).aggregate(Sum("p", alias_name="dot"))
+    na = norms.rename_columns({"doc_id": "_da", "n2": "n2_a"})
+    nb = norms.rename_columns({"doc_id": "_db", "n2": "n2_b"})
+    full = dots.join(na, join_type="inner", num_partitions=8,
+                     on=("doc_a",), right_on=("_da",)) \
+               .join(nb, join_type="inner", num_partitions=8,
+                     on=("doc_b",), right_on=("_db",))
+
+    def cos_filter(t: pa.Table) -> pa.Table:
+        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2a = t["n2_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2b = t["n2_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array([4 * int(d) * int(d) >= int(x) * int(y)
+                         for d, x, y in zip(dot, n2a, n2b)], dtype=bool) \
+            if len(dot) else np.zeros(0, dtype=bool)
+        return pa.table({
+            "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
+            "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
+            "dot": dot[keep], "n2_a": n2a[keep], "n2_b": n2b[keep]})
+
+    return full.map_batches(cos_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_cosine_gram_pairs() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "ix AS (SELECT doc_id, toks, "
+        f"unnest(generate_series(1, greatest(len(toks)-{JACCARD_N - 1}, 1))) "
+        "AS i FROM t), "
+        f"g AS (SELECT doc_id, CASE WHEN len(toks) < {JACCARD_N} "
+        "THEN array_to_string(toks, ' ') "
+        f"ELSE array_to_string(toks[i:i+{JACCARD_N - 1}], ' ') END AS gram "
+        "FROM ix), "
+        "tf AS (SELECT doc_id, gram, count(*) AS tf FROM g "
+        "WHERE gram <> '' GROUP BY 1, 2), "
+        "nm AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1), "
+        "d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "sum(a.tf*b.tf) AS dot FROM tf a JOIN tf b ON a.gram = b.gram "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot, "
+        "CAST(na.n2 AS BIGINT) AS n2_a, CAST(nb.n2 AS BIGINT) AS n2_b "
+        "FROM d JOIN nm na ON d.doc_a = na.doc_id "
+        "JOIN nm nb ON d.doc_b = nb.doc_id "
+        "WHERE 4*CAST(dot AS HUGEINT)*CAST(dot AS HUGEINT) "
+        ">= CAST(na.n2 AS HUGEINT)*CAST(nb.n2 AS HUGEINT)")

@@ -2078,3 +2078,42 @@ def sql_transitivity() -> str:
         "SELECT w.n_wedges, t.n_closed, "
         "CAST((2*t.n_closed*1000000 + w.n_wedges) // (2*w.n_wedges) "
         "AS BIGINT) AS transitivity_e6 FROM w, t")
+
+
+# ---------------- mirror detection (structural equivalence) ----------------
+
+MIRROR_E6_MIN = 150_000
+
+
+def q_mirror_suppliers(sf_dir: str):
+    """Mirror detection on the supplier->part bipartite graph: supplier
+    pairs whose distinct part catalogs have Jaccard >= 0.15 — the
+    structural-equivalence kernel (graph/mirror.py) whose web-graph
+    instance is mirror-HOST discovery (`link_mirror_hosts`); this
+    bipartite instance gives it a DuckDB oracle.  Raw integers (c,
+    n_a, n_b) ride along so the oracle comparison is exact."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.graph.mirror import neighbor_jaccard_pairs
+    from igpm_pem_ray.pipelines.common import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    adj = li.rename_columns({"l_suppkey": "v", "l_partkey": "n"}) \
+        .groupby(["v", "n"]).aggregate(Count(alias_name="_d")) \
+        .drop_columns(["_d"])
+    return neighbor_jaccard_pairs(adj, min_jaccard_e6=MIRROR_E6_MIN)
+
+
+def sql_mirror_suppliers() -> str:
+    jac = "floor(i.c*1e6/(sa.sz + sb.sz - i.c)+0.5)"
+    return (
+        "WITH adj AS (SELECT DISTINCT l_suppkey AS v, l_partkey AS n "
+        "FROM lineitem), "
+        "sz AS (SELECT v, count(*) AS sz FROM adj GROUP BY 1), "
+        "i AS (SELECT a.v AS v_a, b.v AS v_b, count(*) AS c "
+        "FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v GROUP BY 1, 2) "
+        "SELECT v_a, v_b, CAST(i.c AS BIGINT) AS c, "
+        "CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b, "
+        f"CAST({jac} AS BIGINT) AS jaccard_e6 "
+        "FROM i JOIN sz sa ON sa.v = i.v_a JOIN sz sb ON sb.v = i.v_b "
+        f"WHERE CAST({jac} AS BIGINT) >= {MIRROR_E6_MIN}")

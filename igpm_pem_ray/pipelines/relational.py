@@ -2099,3 +2099,81 @@ def sql_event_rate_anomaly() -> str:
         "SELECT hc.hr, CAST(hc.c AS BIGINT) AS n_events FROM hc, st "
         "WHERE (hc.c*st.n - st.s)*(hc.c*st.n - st.s) "
         "> 4*(st.n*st.s2 - st.s*st.s) ORDER BY hc.hr")
+
+
+# -------- lag-window debounce (streaming duplicate suppression) --------
+
+DEBOUNCE_GAP_US = 6 * 3600 * 1_000_000  # 6 h (p10 inter-event gap ~5.5 h)
+
+
+def q_event_debounce(sf_dir: str):
+    """Debounced events: drop any event whose previous same-(user,
+    type) event is within DEBOUNCE_GAP_US — retry-storm / double-fire
+    suppression, the keep-only-meaningful-transitions dedup that
+    precedes sessionization in clickstream pipelines.  One global
+    sort + O(1)-per-block boundary patch (stages/temporal.py
+    ``debounce_per_key``)."""
+    from igpm_pem_ray.stages.temporal import debounce_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    return debounce_per_key(ev, gap_us=DEBOUNCE_GAP_US)
+
+
+def sql_event_debounce() -> str:
+    return (
+        "WITH o AS (SELECT CAST(event_id AS BIGINT) AS event_id, "
+        "CAST(user_id AS BIGINT) AS user_id, event_type, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us, "
+        "lag(CAST(epoch_us(ts) AS BIGINT)) OVER "
+        "(PARTITION BY user_id, event_type "
+        "ORDER BY epoch_us(ts), event_id) AS prev FROM events) "
+        "SELECT event_id, user_id, event_type, us FROM o "
+        f"WHERE prev IS NULL OR us - prev > {DEBOUNCE_GAP_US}")
+
+
+# ------------- percent-rank window (distribution position) -------------
+
+def q_percent_rank_orders(sf_dir: str):
+    """Each order's percent-rank of o_totalprice within its priority
+    class — the percentile-position window op (price-band features,
+    per-segment outlier screens).  Deterministic total order via the
+    (o_totalprice, o_orderkey) tie-break; pr_e6 = floor((rn-1)*1e6 /
+    (n-1)) integer fixed point.  Plan: the stages/ranked.py sorted-
+    block rank (no per-group Python) + an O(groups) driver count map
+    (5 priority classes) broadcast into one stateless batch map."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ranked = rank_per_group(orders, key="o_orderpriority",
+                            order=["o_totalprice", "o_orderkey"],
+                            descending=[False, False])
+    counts = {r["o_orderpriority"]: r["n"]
+              for r in orders.groupby("o_orderpriority")
+              .aggregate(Count(alias_name="n")).take_all()}
+
+    def pr(b: pa.Table) -> pa.Table:
+        rn = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray([counts[p] for p in
+                        b["o_orderpriority"].to_pylist()], dtype=np.int64)
+        pr_e6 = np.where(n > 1, (rn - 1) * 1_000_000 // np.maximum(n - 1, 1),
+                         0).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "pr_e6": pr_e6})
+
+    return ranked.map_batches(pr, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_percent_rank_orders() -> str:
+    return (
+        "WITH r AS (SELECT o_orderkey, o_orderpriority, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS rn, "
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) "
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(CASE WHEN n > 1 THEN ((rn-1)*1000000) // (n-1) "
+        "ELSE 0 END AS BIGINT) AS pr_e6 FROM r")

@@ -544,3 +544,84 @@ def adjacent_pair_counts(ds, *, target_blocks: int | None = None):
     allparts = parts.union(rd.from_arrow(boundary if len(bp) else empty))
     return allparts.groupby(["prev", "curr"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+# ----------------------------- debounce -----------------------------
+
+@ray.remote(num_returns=2)
+def _debounce_block(block: pa.Table, gap_us: int, key_cols: tuple):
+    """Per-block lag-debounce keep mask (row 0 provisionally kept);
+    returns (kept rows, boundary summary).  Input is a slice of the
+    (key..., us, id)-sorted table."""
+    if block.num_rows == 0:
+        return None, None
+    us = block["us"].to_numpy(zero_copy_only=False)
+    same = np.ones(block.num_rows - 1, dtype=bool)
+    for kc in key_cols:
+        k = block[kc].to_numpy(zero_copy_only=False)
+        same &= k[1:] == k[:-1]
+    keep = np.r_[True, ~same | ((us[1:] - us[:-1]) > gap_us)]
+    first = tuple(block[kc][0].as_py() for kc in key_cols)
+    last = tuple(block[kc][block.num_rows - 1].as_py() for kc in key_cols)
+    summary = {"first_key": first, "first_us": int(us[0]),
+               "last_key": last, "last_us": int(us[-1])}
+    return block.filter(pa.array(keep)), summary
+
+
+@ray.remote
+def _drop_first_row(tbl: pa.Table) -> pa.Table:
+    return tbl.slice(1)
+
+
+def debounce_per_key(events_ds, *, gap_us: int,
+                     key_cols: tuple = ("user_id", "event_type"),
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     target_blocks: int | None = None):
+    """Lag-based debounce — drop every event whose immediately
+    preceding event of the SAME key (in (ts, id) order) is within
+    ``gap_us``; the streaming duplicate-suppression operator (double
+    clicks, sensor chatter, retry storms).  Lag semantics (each row is
+    compared with its raw predecessor, kept or not) are exactly
+    ``us - lag(us) OVER (PARTITION BY key ORDER BY us, id) > gap``, so
+    the SQL oracle is one window function.
+
+    Scale shape: ONE global sort by (key..., us, id), per-block
+    vectorized keep masks, and an O(1)-per-block driver patch: only a
+    block's FIRST row depends on cross-block state (its lag row is the
+    previous block's last row), so the driver drops that single row
+    when the previous block ends with the same key within gap — the
+    stages/sessionize.py stitch family.  Returns the kept rows with
+    ``us`` (int64 microseconds) replacing ``ts``.
+    """
+    cols = [id_col, *key_cols]
+
+    def pre(b: pa.Table) -> pa.Table:
+        out = {c: b[c] for c in cols}
+        out["us"] = b[ts_col].cast(pa.int64())
+        return pa.table(out)
+
+    srt = events_ds.map_batches(pre, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .sort([*key_cols, "us", id_col])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+    outs = [_debounce_block.remote(r, gap_us, tuple(key_cols))
+            for r in refs]
+    kept_refs = [o[0] for o in outs]
+    summaries = ray.get([o[1] for o in outs])
+
+    final = []
+    prev = None
+    for kref, s in zip(kept_refs, summaries):
+        if s is None:
+            continue
+        if prev is not None and prev["last_key"] == s["first_key"] \
+                and s["first_us"] - prev["last_us"] <= gap_us:
+            kref = _drop_first_row.remote(kref)
+        final.append(kref)
+        prev = s
+    return rd.from_arrow_refs(final)

@@ -191,3 +191,105 @@ def test_overlap_join_count_boundaries():
     for i in range(40):
         exp = int(((a_s[i] < bu[:, 1]) & (bu[:, 0] < a_e[i])).sum())
         assert got.get(i, 0) == exp
+
+
+# --------------------------- debounce_per_key ---------------------------
+
+def _debounce_oracle(df: pd.DataFrame, gap_us: int) -> set:
+    """lag-based debounce: keep rows whose predecessor in
+    (user,type,us,id) order is a different key or > gap away."""
+    d = df.sort_values(["user_id", "event_type", "us", "event_id"])
+    kept = set()
+    prev = None
+    for row in d.itertuples(index=False):
+        k = (row.user_id, row.event_type)
+        if prev is None or prev[0] != k or row.us - prev[1] > gap_us:
+            kept.add(row.event_id)
+        prev = (k, row.us)
+    return kept
+
+
+@pytest.mark.parametrize("target_blocks", [None, 7])
+def test_debounce_per_key(ray_session, target_blocks):
+    from igpm_pem_ray.stages.temporal import debounce_per_key
+
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": RNG.integers(0, 6, n).astype(np.int64),
+        "event_type": np.array(["a", "b"])[RNG.integers(0, 2, n)],
+        "us": RNG.integers(0, 3_000, n).astype(np.int64),
+    })
+    gap = 120
+    ds = rd.from_pandas(df.rename(columns={"us": "ts"}))
+    # ts col already int64 -> cast in stage is a no-op
+    out = debounce_per_key(ds, gap_us=gap, target_blocks=target_blocks) \
+        .to_pandas()
+    assert set(out["event_id"]) == _debounce_oracle(df, gap)
+    # kept rows carry the key/us columns unchanged
+    merged = out.merge(df, on="event_id", suffixes=("", "_in"))
+    assert (merged["us"] == merged["us_in"]).all()
+
+
+def test_debounce_boundary_drop(ray_session):
+    """Force a same-key pair to straddle a block boundary within gap:
+    the second block's first row must be dropped by the driver patch."""
+    from igpm_pem_ray.stages.temporal import debounce_per_key
+
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "user_id": np.array([1] * 8, dtype=np.int64),
+        "event_type": ["a"] * 8,
+        "ts": np.arange(0, 800, 100, dtype=np.int64),
+    })
+    out = debounce_per_key(rd.from_pandas(df), gap_us=100,
+                           target_blocks=4).to_pandas()
+    # every gap is exactly 100 <= gap -> only the first event survives
+    assert sorted(out["event_id"]) == [0]
+
+
+# ------------------------ neighbor_jaccard_pairs ------------------------
+
+def test_neighbor_jaccard_pairs_planted(ray_session):
+    """Planted mirrors: vertices 100/101 share all neighbors, 102
+    shares half; brute-force set oracle over random adjacency."""
+    from igpm_pem_ray.graph.mirror import neighbor_jaccard_pairs
+
+    rows = [(100, n) for n in range(20)] + [(101, n) for n in range(20)] \
+        + [(102, n) for n in range(10)]
+    for v in range(30):
+        for n in RNG.choice(2000, size=8, replace=False):
+            rows.append((int(v), 1000 + int(n)))
+    df = pd.DataFrame(rows, columns=["v", "n"]).drop_duplicates()
+    out = neighbor_jaccard_pairs(rd.from_pandas(df),
+                                 min_jaccard_e6=300_000).to_pandas()
+    sets = df.groupby("v")["n"].agg(set).to_dict()
+    expect = {}
+    vs = sorted(sets)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            c = len(sets[a] & sets[b])
+            if not c:
+                continue
+            e6 = int(np.floor(c * 1e6 / (len(sets[a]) + len(sets[b]) - c)
+                              + 0.5))
+            if e6 >= 300_000:
+                expect[(a, b)] = (c, len(sets[a]), len(sets[b]), e6)
+    got = {(r.v_a, r.v_b): (r.c, r.n_a, r.n_b, r.jaccard_e6)
+           for r in out.itertuples(index=False)}
+    assert got == expect
+    assert (100, 101) in got and got[(100, 101)][3] == 1_000_000
+
+
+def test_neighbor_jaccard_indeg_cut(ray_session):
+    """The df-cut removes hub neighbors from both sets and sizes."""
+    from igpm_pem_ray.graph.mirror import neighbor_jaccard_pairs
+
+    df = pd.DataFrame({"v": [1, 1, 2, 2, 3, 3],
+                       "n": [10, 11, 10, 11, 10, 12]})
+    out = neighbor_jaccard_pairs(rd.from_pandas(df), min_jaccard_e6=1,
+                                 max_neighbor_indeg=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.v_a, r.v_b, r.c, r.n_a, r.n_b, r.jaccard_e6) == \
+        (1, 2, 1, 1, 1, 1_000_000)
