@@ -578,6 +578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": r.q_outlier_events,
         "event_rate_anomaly": r.q_event_rate_anomaly,
         "event_debounce": r.q_event_debounce,
+        "rolling_events": r.q_rolling_events,
+        "phrase_search": an.q_phrase_search,
         "percent_rank_orders": r.q_percent_rank_orders,
         "mirror_suppliers": g.q_mirror_suppliers,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
@@ -774,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
         "outlier_events": r.sql_outlier_events(),
         "event_rate_anomaly": r.sql_event_rate_anomaly(),
         "event_debounce": r.sql_event_debounce(),
+        "rolling_events": r.sql_rolling_events(),
+        "phrase_search": an.sql_phrase_search(),
         "percent_rank_orders": r.sql_percent_rank_orders(),
         "mirror_suppliers": g.sql_mirror_suppliers(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

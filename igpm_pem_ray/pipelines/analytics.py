@@ -2083,3 +2083,80 @@ def sql_cosine_gram_pairs() -> str:
         "JOIN nm nb ON d.doc_b = nb.doc_id "
         "WHERE 4*CAST(dot AS HUGEINT)*CAST(dot AS HUGEINT) "
         ">= CAST(na.n2 AS HUGEINT)*CAST(nb.n2 AS HUGEINT)")
+
+
+# --------------- phrase search (positional inverted index) ---------------
+
+PHRASE = ("data", "join")
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search: documents containing the query phrase as
+    CONSECUTIVE tokens, with occurrence counts — the positional-
+    inverted-index operator (an unordered term index, `inverted_index`
+    / `bm25_topk`, cannot distinguish "data join" from "join data").
+
+    Plan: explode docs to (doc_id, pos, token) FILTERED to the phrase
+    terms at extraction (for ad-hoc phrases over a stored corpus the
+    production route materializes the full positional index once and
+    prunes by term at read); one hash join per phrase gap on the
+    composite key (doc_id, pos) after shifting term i's positions by
+    -i, so surviving rows are exactly the phrase start positions; one
+    groupby counts occurrences per doc.  Join fan-out is bounded by
+    term frequency — no position ever joins more than once per term.
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(PHRASE)
+
+    def positions(b: pa.Table) -> pa.Table:
+        ids, ps, ws = [], [], []
+        want = set(terms)
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for i, w in enumerate((txt or "").split()):
+                if w in want:
+                    ids.append(did)
+                    ps.append(i)
+                    ws.append(w)
+        return pa.table({"doc_id": np.asarray(ids, dtype=np.int64),
+                         "p": np.asarray(ps, dtype=np.int64),
+                         "w": pa.array(ws, type=pa.string())})
+
+    ix = docs.map_batches(positions, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    # tiny postings collapse the joins to one partition (Ray 2.49
+    # zero-block hash-join pitfall); hot-term phrases scale out
+    np_join = 1 if ix.count() < 65_536 else 16
+
+    def term_ds(i: int):
+        def pick(t: pa.Table, _w=terms[i], _i=i) -> pa.Table:
+            keep = pc.equal(t["w"], _w)
+            f = t.filter(keep)
+            return pa.table({
+                "doc_id": f["doc_id"],
+                "p": pc.subtract(f["p"], pa.scalar(_i, pa.int64()))})
+        return ix.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    cur = term_ds(0)
+    for i in range(1, len(terms)):
+        nxt = term_ds(i).rename_columns({"doc_id": "d2", "p": "p2"})
+        cur = cur.join(nxt, join_type="inner", num_partitions=np_join,
+                       on=("doc_id", "p"), right_on=("d2", "p2"))
+    return cur.groupby("doc_id").aggregate(Count(alias_name="n_occ")) \
+        .map_batches(lambda b: pa.table({
+            "doc_id": b["doc_id"], "n_occ": b["n_occ"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_phrase_search() -> str:
+    conds = " AND ".join(
+        f"toks[i+{k}] = '{t}'" for k, t in enumerate(PHRASE))
+    return (
+        r"WITH t AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "ix AS (SELECT doc_id, toks, "
+        f"unnest(generate_series(1, len(toks)-{len(PHRASE) - 1})) AS i "
+        f"FROM t WHERE len(toks) >= {len(PHRASE)}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM ix "
+        f"WHERE {conds} GROUP BY doc_id")

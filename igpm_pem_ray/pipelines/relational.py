@@ -2177,3 +2177,51 @@ def sql_percent_rank_orders() -> str:
         "SELECT o_orderkey, o_orderpriority, "
         "CAST(CASE WHEN n > 1 THEN ((rn-1)*1000000) // (n-1) "
         "ELSE 0 END AS BIGINT) AS pr_e6 FROM r")
+
+
+# ------------- trailing ROWS window (per-key rolling feature) -------------
+
+ROLL_K = 5
+
+
+def q_rolling_events(sf_dir: str):
+    """Per-user trailing-5-event rolling count and value sum at every
+    event — the per-row rolling-feature window (trailing spend,
+    rolling z-score numerators) in (ts, event_id) order.  Values
+    scaled to e2 integers BEFORE the window sum, so the result is
+    reduction-order-exact.  One global sort + vectorized cumsum
+    windows + an O(k)-rows-per-block tail chain
+    (stages/temporal.rolling_per_key)."""
+    from igpm_pem_ray.stages.temporal import rolling_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "us": b["ts"].cast(pa.int64()),
+            "v_e2": scale_col(
+                b["value"].to_numpy(zero_copy_only=False), 1e2)})
+
+    out = rolling_per_key(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        k=ROLL_K, key_col="user_id", ts_col="us", id_col="event_id",
+        val_col="v_e2")
+    return out.rename_columns({"key": "user_id", "w_sum": "w_sum_e2"})
+
+
+def sql_rolling_events() -> str:
+    from igpm_pem_ray.pipelines.common import sql_scale
+
+    v = sql_scale("value", "1e2")
+    return (
+        f"WITH o AS (SELECT CAST(event_id AS BIGINT) AS event_id, "
+        f"CAST(user_id AS BIGINT) AS user_id, "
+        f"CAST(epoch_us(ts) AS BIGINT) AS us, {v} AS v_e2 FROM events) "
+        "SELECT event_id, user_id, us, "
+        "CAST(count(*) OVER w AS BIGINT) AS w_n, "
+        "CAST(sum(v_e2) OVER w AS BIGINT) AS w_sum_e2 FROM o "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id "
+        f"ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)")

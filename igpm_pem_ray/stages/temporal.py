@@ -625,3 +625,98 @@ def debounce_per_key(events_ds, *, gap_us: int,
         final.append(kref)
         prev = s
     return rd.from_arrow_refs(final)
+
+
+# ----------------------- trailing ROWS window -----------------------
+
+def _empty_roll(id_col: str) -> pa.Table:
+    z = np.empty(0, dtype=np.int64)
+    return pa.table({id_col: z, "key": z, "us": z, "val": z})
+
+
+@ray.remote
+def _chain_tail(prev_tail: pa.Table, block: pa.Table, k: int) -> pa.Table:
+    """Last ``k`` rows of concat(prev_tail, block) — chained across
+    blocks so a run of tiny blocks still yields the true trailing
+    context (O(k) rows shipped per link)."""
+    t = pa.concat_tables([prev_tail, block]) if prev_tail.num_rows \
+        else block
+    return t.slice(max(0, t.num_rows - k))
+
+
+@ray.remote
+def _roll_block(block: pa.Table, prev_tail: pa.Table, k: int,
+                id_col: str) -> pa.Table:
+    """Trailing k-row count/sum per key over one sorted block, with
+    ``prev_tail`` (<= k-1 true predecessor rows) prepended so windows
+    crossing the block boundary are exact; the prepended rows are
+    sliced off the output."""
+    skip = prev_tail.num_rows
+    t = pa.concat_tables([prev_tail, block]) if skip else block
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "key": pa.array([], pa.int64()),
+                         "us": pa.array([], pa.int64()),
+                         "w_n": pa.array([], pa.int64()),
+                         "w_sum": pa.array([], pa.int64())})
+    key = t["key"].to_numpy(zero_copy_only=False)
+    val = t["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    new = np.r_[True, key[1:] != key[:-1]]
+    starts = np.flatnonzero(new)
+    pos = np.arange(len(key)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(key)]))
+    m = np.minimum(pos, k - 1)              # rows looking back
+    c = np.r_[0, np.cumsum(val)]            # c[i+1]-c[j] = sum(val[j:i+1])
+    idx = np.arange(len(key))
+    w_sum = c[idx + 1] - c[idx - m]
+    w_n = m + 1
+    out = pa.table({id_col: t[id_col], "key": t["key"], "us": t["us"],
+                    "w_n": w_n.astype(np.int64),
+                    "w_sum": w_sum.astype(np.int64)})
+    return out.slice(skip)
+
+
+def rolling_per_key(ds, *, k: int, key_col: str = "key",
+                    ts_col: str = "us", id_col: str = "rid",
+                    val_col: str = "val",
+                    target_blocks: int | None = None):
+    """Trailing ROWS-window aggregate — per key, each row's count and
+    sum over the last ``k`` rows (itself included) in (ts, id) order:
+    ``sum(val) OVER (PARTITION BY key ORDER BY us, id ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW)``.  The per-row rolling-feature
+    shape (trailing spend, rolling z-score numerators) that tumbling /
+    sliding TIME windows (q_window_events / q_sliding_window) don't
+    cover.
+
+    Scale shape: ONE global sort, per-block vectorized cumsum windows,
+    and an O(k)-rows-per-block remote tail CHAIN (not just the
+    previous block's tail: a run of sub-k blocks must pass true
+    context through, so tails chain sequentially — k is a small
+    constant, the chain tasks are trivially cheap).  Integer-exact:
+    callers pre-scale float values.
+    """
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "key": b[key_col].cast(pa.int64()),
+                         "us": b[ts_col].cast(pa.int64()),
+                         "val": b[val_col].cast(pa.int64())})
+
+    srt = ds.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .sort(["key", "us", id_col])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+    empty = ray.put(_empty_roll(id_col))
+    tails = []
+    prev = empty
+    for r in refs:
+        prev = _chain_tail.remote(prev, r, k - 1)
+        tails.append(prev)
+    prev_tails = [empty, *tails[:-1]]
+    return rd.from_arrow_refs(
+        [_roll_block.remote(r, t, k, id_col)
+         for r, t in zip(refs, prev_tails)])

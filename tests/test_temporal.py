@@ -293,3 +293,34 @@ def test_neighbor_jaccard_indeg_cut(ray_session):
     r = out.iloc[0]
     assert (r.v_a, r.v_b, r.c, r.n_a, r.n_b, r.jaccard_e6) == \
         (1, 2, 1, 1, 1, 1_000_000)
+
+
+# ---------------------------- rolling_per_key ----------------------------
+
+@pytest.mark.parametrize("target_blocks", [None, 11])
+def test_rolling_per_key(ray_session, target_blocks):
+    """Trailing k-row count/sum vs a pandas rolling oracle; many small
+    blocks force the tail chain through sub-k blocks."""
+    from igpm_pem_ray.stages.temporal import rolling_per_key
+
+    n, k = 300, 5
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "key": RNG.integers(0, 4, n).astype(np.int64),
+        "us": RNG.integers(0, 500, n).astype(np.int64),
+        "val": RNG.integers(-50, 50, n).astype(np.int64),
+    })
+    out = rolling_per_key(rd.from_pandas(df), k=k,
+                          target_blocks=target_blocks).to_pandas() \
+        .set_index("rid").sort_index()
+    d = df.sort_values(["key", "us", "rid"])
+    g = d.groupby("key")["val"]
+    exp_sum = g.rolling(k, min_periods=1).sum().reset_index(level=0,
+                                                            drop=True)
+    exp_n = g.rolling(k, min_periods=1).count().reset_index(level=0,
+                                                            drop=True)
+    d = d.assign(w_sum=exp_sum.astype(np.int64), w_n=exp_n.astype(np.int64))
+    d = d.set_index("rid").sort_index()
+    assert (out["w_sum"] == d["w_sum"]).all()
+    assert (out["w_n"] == d["w_n"]).all()
+    assert (out["key"] == d["key"]).all()
