@@ -579,7 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rate_anomaly": r.q_event_rate_anomaly,
         "event_debounce": r.q_event_debounce,
         "rolling_events": r.q_rolling_events,
+        "event_trigrams": r.q_event_trigrams,
         "phrase_search": an.q_phrase_search,
+        "boilerplate_terms": an.q_boilerplate_terms,
+        "pack_docs": an.q_pack_docs,
         "percent_rank_orders": r.q_percent_rank_orders,
         "mirror_suppliers": g.q_mirror_suppliers,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
@@ -777,7 +780,10 @@ def oracle_sql() -> dict[str, str]:
         "event_rate_anomaly": r.sql_event_rate_anomaly(),
         "event_debounce": r.sql_event_debounce(),
         "rolling_events": r.sql_rolling_events(),
+        "event_trigrams": r.sql_event_trigrams(),
         "phrase_search": an.sql_phrase_search(),
+        "boilerplate_terms": an.sql_boilerplate_terms(),
+        "pack_docs": an.sql_pack_docs(),
         "percent_rank_orders": r.sql_percent_rank_orders(),
         "mirror_suppliers": g.sql_mirror_suppliers(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

@@ -2160,3 +2160,128 @@ def sql_phrase_search() -> str:
         f"FROM t WHERE len(toks) >= {len(PHRASE)}) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM ix "
         f"WHERE {conds} GROUP BY doc_id")
+
+
+# ------------- per-source boilerplate terms (df-ratio filter) -------------
+
+BOILER_PCT = 90
+
+
+def q_boilerplate_terms(sf_dir: str):
+    """Per-source boilerplate terms: tokens present in >= 90% of a
+    source's documents — the CCNet/C4-style per-domain boilerplate
+    detector (terms a template stamps on nearly every page of a site
+    carry no content signal and are stripped or down-weighted before
+    training).  Integer threshold via cross-multiplication
+    (c*100 >= 90*n_docs), no ratio fixed point.
+
+    Scale shape: per-doc distinct terms explode with NO dedup shuffle
+    (a doc lives in one row, set() inside the batch), one
+    (source, term) groupby-count, one O(sources) count join, one
+    stateless filter — all traffic O(distinct (source, term))."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source",
+                                                    "text"])
+
+    def terms(b: pa.Table) -> pa.Table:
+        src_out, w_out = [], []
+        for src, txt in zip(b["source"].to_pylist(),
+                            b["text"].to_pylist()):
+            ws = set((txt or "").split())
+            src_out.extend([src] * len(ws))
+            w_out.extend(ws)
+        return pa.table({"source": pa.array(src_out, pa.string()),
+                         "w": pa.array(w_out, pa.string())})
+
+    df = docs.map_batches(terms, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["source", "w"]).aggregate(Count(alias_name="c"))
+    nd = docs.groupby("source").aggregate(Count(alias_name="n_docs")) \
+        .rename_columns({"source": "_s"})
+    j = df.join(nd, join_type="inner", num_partitions=1,
+                on=("source",), right_on=("_s",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = c * 100 >= BOILER_PCT * n
+        return pa.table({
+            "source": t["source"].to_numpy(zero_copy_only=False)[m],
+            "w": t["w"].to_numpy(zero_copy_only=False)[m],
+            "c": c[m], "n_docs": n[m]})
+
+    return j.map_batches(keep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def sql_boilerplate_terms() -> str:
+    return (
+        r"WITH dt AS (SELECT DISTINCT doc_id, source, "
+        r"unnest(list_filter(string_split_regex(text, '\s+'), "
+        "x -> x <> '')) AS w FROM documents), "
+        "df AS (SELECT source, w, count(*) AS c FROM dt GROUP BY 1, 2), "
+        "nd AS (SELECT source, count(*) AS n_docs FROM documents "
+        "GROUP BY 1) "
+        "SELECT df.source, df.w, CAST(df.c AS BIGINT) AS c, "
+        "CAST(nd.n_docs AS BIGINT) AS n_docs "
+        "FROM df JOIN nd ON df.source = nd.source "
+        f"WHERE df.c*100 >= {BOILER_PCT}*nd.n_docs")
+
+
+# --------------- sequence packing (concat-then-chunk layout) ---------------
+
+PACK_BUDGET = 2048
+
+
+def q_pack_docs(sf_dir: str):
+    """Training-batch sequence packing, concat-then-chunk layout: all
+    documents are conceptually concatenated in doc_id order and cut
+    into PACK_BUDGET-token chunks; each doc gets its global start
+    offset, owning chunk id, and the number of chunks it spans — the
+    standard LLM pretraining pack (GPT-style token-stream chunking),
+    computed as ONE distributed prefix sum (stages/temporal.
+    cumsum_per_key with a constant key: per-block vectorized cumsum +
+    O(1)-per-block driver carry), never a driver-side loop."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lens(b: pa.Table) -> pa.Table:
+        nt = np.asarray([len((t or "").split())
+                         for t in b["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": np.zeros(len(nt), np.int64),
+                         "us": b["doc_id"].cast(pa.int64()),
+                         "val": nt, "n_tokens": nt})
+
+    cum = cumsum_per_key(
+        docs.map_batches(lens, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        payload_cols=["doc_id", "n_tokens"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = t["cum_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = c - n
+        chunk = start // PACK_BUDGET
+        endc = np.where(n > 0, (c - 1) // PACK_BUDGET, chunk)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n,
+                         "start_off": start, "chunk_id": chunk,
+                         "n_chunks": (endc - chunk + 1).astype(np.int64)})
+
+    return cum.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_pack_docs() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, CAST(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(cum - n_tokens AS BIGINT) AS start_off, "
+        f"CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_id, "
+        "CAST(CASE WHEN n_tokens > 0 THEN "
+        f"(cum - 1) // {PACK_BUDGET} - (cum - n_tokens) // {PACK_BUDGET} "
+        "+ 1 ELSE 1 END AS BIGINT) AS n_chunks FROM c")

@@ -2225,3 +2225,40 @@ def sql_rolling_events() -> str:
         "CAST(sum(v_e2) OVER w AS BIGINT) AS w_sum_e2 FROM o "
         "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id "
         f"ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)")
+
+
+# ------------- second-order sequence mining (event trigrams) -------------
+
+def q_event_trigrams(sf_dir: str):
+    """Second-order Markov transition counts of event types per user
+    (three CONSECUTIVE events in (ts, event_id) order) — the 3-gram
+    sequence-mining extension of `event_bigrams`, via
+    stages/temporal.adjacent_triple_counts (sort + per-block triples +
+    O(2)-rows tail chain)."""
+    from igpm_pem_ray.stages.temporal import adjacent_triple_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "tie": b["event_id"].cast(pa.int64()),
+                         "val": b["event_type"]})
+
+    out = adjacent_triple_counts(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True))
+    return out.map_batches(lambda b: pa.table({
+        "a": b["a"], "b": b["b"], "c": b["c"],
+        "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_event_trigrams() -> str:
+    return (
+        "WITH o AS (SELECT event_type AS c, "
+        "lag(event_type, 2) OVER win AS a, "
+        "lag(event_type, 1) OVER win AS b FROM events "
+        "WINDOW win AS (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id)) "
+        "SELECT a, b, c, CAST(count(*) AS BIGINT) AS n FROM o "
+        "WHERE a IS NOT NULL GROUP BY a, b, c")

@@ -720,3 +720,78 @@ def rolling_per_key(ds, *, k: int, key_col: str = "key",
     return rd.from_arrow_refs(
         [_roll_block.remote(r, t, k, id_col)
          for r, t in zip(refs, prev_tails)])
+
+
+# ----------------------- adjacent triple counts -----------------------
+
+@ray.remote
+def _triple_block(block: pa.Table, prev_tail: pa.Table) -> pa.Table:
+    """(a, b, c) counts of per-key value triples whose LAST row lies
+    in ``block``; ``prev_tail`` (<= 2 true predecessor rows) supplies
+    the cross-boundary context."""
+    skip = prev_tail.num_rows
+    t = pa.concat_tables([prev_tail, block]) if skip else block
+    n = t.num_rows
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "c": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if n < 3:
+        return empty
+    k = t["key"].to_numpy(zero_copy_only=False)
+    v = t["val"].to_numpy(zero_copy_only=False)
+    i = np.arange(2, n)
+    ok = (k[i] == k[i - 1]) & (k[i - 1] == k[i - 2]) & (i >= max(skip, 2))
+    i = i[ok]
+    if not len(i):
+        return empty
+    import pandas as pd
+
+    vc = pd.DataFrame({"a": v[i - 2], "b": v[i - 1], "c": v[i]}) \
+        .groupby(["a", "b", "c"], sort=False).size().reset_index(name="n")
+    return pa.table({"a": pa.array(vc["a"], pa.string()),
+                     "b": pa.array(vc["b"], pa.string()),
+                     "c": pa.array(vc["c"], pa.string()),
+                     "n": vc["n"].to_numpy().astype(np.int64)})
+
+
+def adjacent_triple_counts(ds, *, target_blocks: int | None = None):
+    """Second-order Markov transition counts: how often value X, Y, Z
+    occur as three CONSECUTIVE rows of one key in (us, tie) order —
+    the 3-gram sequence-mining sibling of :func:`adjacent_pair_counts`.
+    Input columns: key (int64), us, tie, val (string).
+
+    Scale shape: one global sort, per-block vectorized triple counts,
+    and the same O(2)-rows remote tail CHAIN as
+    :func:`rolling_per_key` — a run of 1-row blocks still threads true
+    context through, where a naive previous-block-only stitch would
+    drop triples.  One O(distinct triples) merge groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    srt = ds.sort(["key", "us", "tie"])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "c": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not refs:
+        return rd.from_arrow(empty)
+    tails, prev = [], None
+    for r in refs:
+        prev = _chain_tail.remote(prev, r, 2) if prev is not None \
+            else _chain_tail.remote(_first_empty.remote(r), r, 2)
+        tails.append(prev)
+    firsts = [_first_empty.remote(refs[0]), *tails[:-1]]
+    outs = [_triple_block.remote(r, t) for r, t in zip(refs, firsts)]
+    return rd.from_arrow_refs(outs).groupby(["a", "b", "c"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+@ray.remote
+def _first_empty(block: pa.Table) -> pa.Table:
+    """Zero-row table with the block's schema (typed empty tail)."""
+    return block.slice(0, 0)

@@ -324,3 +324,32 @@ def test_rolling_per_key(ray_session, target_blocks):
     assert (out["w_sum"] == d["w_sum"]).all()
     assert (out["w_n"] == d["w_n"]).all()
     assert (out["key"] == d["key"]).all()
+
+
+# ------------------------ adjacent_triple_counts ------------------------
+
+@pytest.mark.parametrize("target_blocks", [None, 29])
+def test_adjacent_triple_counts(ray_session, target_blocks):
+    """3-gram sequence counts vs a brute-force oracle; 29 blocks over
+    60 rows forces 1-2 row blocks so the tail CHAIN (not just the
+    previous block) is exercised."""
+    from igpm_pem_ray.stages.temporal import adjacent_triple_counts
+
+    n = 60
+    df = pd.DataFrame({
+        "key": RNG.integers(0, 3, n).astype(np.int64),
+        "us": RNG.integers(0, 40, n).astype(np.int64),
+        "tie": np.arange(n, dtype=np.int64),
+        "val": np.array(list("xyz"))[RNG.integers(0, 3, n)],
+    })
+    out = adjacent_triple_counts(rd.from_pandas(df),
+                                 target_blocks=target_blocks).to_pandas()
+    got = {(r.a, r.b, r.c): r.n for r in out.itertuples(index=False)}
+    exp: dict = {}
+    d = df.sort_values(["key", "us", "tie"])
+    vals = list(zip(d["key"], d["val"]))
+    for i in range(2, len(vals)):
+        if vals[i][0] == vals[i - 1][0] == vals[i - 2][0]:
+            t = (vals[i - 2][1], vals[i - 1][1], vals[i][1])
+            exp[t] = exp.get(t, 0) + 1
+    assert got == exp
