@@ -380,6 +380,34 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         }))
         return decode_images(media, concurrency=2, batch_size=16)
 
+    def audio_near_dup(sf_dir: str):
+        """Spectral-fingerprint audio near-dup pairs over a
+        deterministic synthetic WAV corpus with planted gain-scaled
+        copies (multimodal/afp.py: framed rFFT band peaks -> int64
+        frame hashes -> the mirror kernel's inverted-index Jaccard
+        join)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from igpm_pem_ray.multimodal.afp import audio_near_dup_pairs
+        from igpm_pem_ray.multimodal.codec import encode_wav
+
+        rate, n = 16_000, 16_000  # 1 s clips
+        t = np.arange(n) / rate
+        payloads = []
+        for i in range(24):
+            f1, f2 = 180.0 + 111.0 * i, 500.0 + 137.0 * i
+            x = 0.6 * np.sin(2 * np.pi * f1 * t) \
+                + 0.3 * np.sin(2 * np.pi * f2 * t)
+            payloads.append(encode_wav(x, rate))
+            if i % 4 == 0:  # planted near-dup: volume-scaled copy
+                payloads.append(encode_wav(0.5 * x, rate))
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "payload": pa.array(payloads, pa.binary())}))
+        return audio_near_dup_pairs(media, min_jaccard_e6=600_000)
+
     def image_phash_near_dup(sf_dir: str):
         """Perceptual-hash image near-dup pairs over a deterministic
         synthetic corpus with planted edited copies (DCT pHash + 8x8
@@ -423,6 +451,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "image_phash_near_dup": image_phash_near_dup,
+        "audio_near_dup": audio_near_dup,
         "pattern_match": pattern_match,
         "extract_paths": extract_paths,
     }

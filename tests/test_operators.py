@@ -614,3 +614,78 @@ def test_phash_near_dup_planted():
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dup_pairs(media, max_hamming=20)
+
+
+# --------------------- audio fingerprint near-dup ---------------------
+
+def test_audio_fingerprint_gain_invariant():
+    """Frame hashes are peak LOCATIONS, so a volume-scaled copy
+    fingerprints identically; distinct tone mixes diverge."""
+    import numpy as np
+
+    from igpm_pem_ray.multimodal.afp import frame_hashes
+
+    rate = 16_000
+    t = np.arange(rate) / rate
+    x = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 1700 * t)
+    y = 0.6 * np.sin(2 * np.pi * 523 * t) + 0.3 * np.sin(2 * np.pi * 2100 * t)
+    hx, hx2, hy = frame_hashes(x), frame_hashes(0.5 * x), frame_hashes(y)
+    assert np.array_equal(hx, hx2)
+    assert len(hx) and len(hy)
+    assert set(hx.tolist()) != set(hy.tolist())
+    # short clip (< one frame) -> no hashes, no crash
+    assert len(frame_hashes(x[:100])) == 0
+
+
+def test_audio_near_dup_planted():
+    """Planted gain-scaled copies are found at Jaccard 1e6; unrelated
+    tone mixes produce no pair above the threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.multimodal.afp import audio_near_dup_pairs
+    from igpm_pem_ray.multimodal.codec import encode_wav
+
+    rate = 16_000
+    t = np.arange(rate) / rate
+    payloads, dup_of = [], {}
+    for i in range(8):
+        f1, f2 = 220.0 * (1 + i), 500.0 + 137.0 * i
+        x = 0.6 * np.sin(2 * np.pi * f1 * t) \
+            + 0.3 * np.sin(2 * np.pi * f2 * t)
+        payloads.append(encode_wav(x, rate))
+        if i % 2 == 0:
+            dup_of[len(payloads)] = len(payloads) - 1
+            payloads.append(encode_wav(0.5 * x, rate))
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(list(range(len(payloads))), pa.int64()),
+        "payload": pa.array(payloads, pa.binary())}))
+    out = audio_near_dup_pairs(media, min_jaccard_e6=600_000).to_pandas()
+    got = {tuple(sorted((r.v_a, r.v_b))) for r in out.itertuples(index=False)}
+    exp = {tuple(sorted((d, o))) for d, o in dup_of.items()}
+    assert got == exp
+    assert (out["jaccard_e6"] == 1_000_000).all()
+
+
+def test_audio_fingerprinter_skips_bad_payloads():
+    import numpy as np
+    import pyarrow as pa
+
+    from igpm_pem_ray.multimodal.afp import AudioFingerprinter
+    from igpm_pem_ray.multimodal.codec import encode_wav
+
+    rate = 16_000
+    t = np.arange(rate) / rate
+    good = encode_wav(np.sin(2 * np.pi * 440 * t), rate)
+    batch = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([good, b"not a wav"],
+                                          pa.binary())})
+    fp = AudioFingerprinter()
+    out = fp(batch)
+    assert set(out["media_id"].to_pylist()) == {1}
+    assert fp.skipped == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        AudioFingerprinter(strict=True)(batch)
