@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quartile_orders": r.q_quartile_orders,
         "event_bigrams": r.q_event_bigrams,
         "kmeans_embed": r.q_kmeans_embed,
+        "kcenter_sample": r.q_kcenter_sample,
+        "embed_quantize": an.q_embed_quantize,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -797,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_price_qty": an.sql_corr_price_qty(),
         "ols_price_qty": an.sql_ols_price_qty(),
         "embed_dim_stats": an.sql_embed_dim_stats(),
+        "embed_quantize": an.sql_embed_quantize(),
         "dq_checks": an.sql_dq_checks(),
         "table_diff": an.sql_table_diff(),
         "cube_revenue": an.sql_cube_revenue(),

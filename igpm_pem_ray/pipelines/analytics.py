@@ -2285,3 +2285,96 @@ def sql_pack_docs() -> str:
         "CAST(CASE WHEN n_tokens > 0 THEN "
         f"(cum - 1) // {PACK_BUDGET} - (cum - n_tokens) // {PACK_BUDGET} "
         "+ 1 ELSE 1 END AS BIGINT) AS n_chunks FROM c")
+
+
+# ------------- int8 scalar quantization calibration (ANN infra) -------------
+
+def q_embed_quantize(sf_dir: str):
+    """Per-dimension int8 scalar-quantizer calibration + code checksum
+    — the compression pass ANN indexes run before storing vectors
+    (min/max per dim -> code = round(255*(x-min)/(max-min))).  All
+    arithmetic integer-exact: values go to e6 fixed point FIRST, the
+    code rounding is the pure-integer half-up
+    ``(2*diff*255 + span) // (2*span)``, so both engines agree
+    bit-for-bit with no float-division boundary anywhere.
+
+    Scale shape: two passes — (1) per-block (d,)-vector min/max/count
+    partials -> one O(blocks x d) groupby; (2) the tiny (d,)
+    calibration broadcast back into a stateless map that emits
+    per-block code-sum partials -> one more O(blocks x d) groupby.
+    Row data never shuffles."""
+    from ray.data.aggregate import Max, Min, Sum as _Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"]) \
+        .materialize()
+
+    def _vecs(b: pa.Table) -> np.ndarray:
+        flat = b["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        d = len(flat) // max(b.num_rows, 1)
+        return scale_col(flat, 1e6).reshape(b.num_rows, d) if b.num_rows \
+            else np.zeros((0, 0), np.int64)
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        x = _vecs(b)
+        d = x.shape[1]
+        return pa.table({"dim": np.arange(d, dtype=np.int64),
+                         "mn": x.min(axis=0), "mx": x.max(axis=0),
+                         "n": np.full(d, x.shape[0], np.int64)})
+
+    calib = emb.map_batches(mm_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                  Max("mx", alias_name="mx"),
+                                  _Sum("n", alias_name="n")).take_all()
+    mn = np.asarray([r["mn"] for r in sorted(calib,
+                                             key=lambda r: r["dim"])],
+                    dtype=np.int64)
+    mx = np.asarray([r["mx"] for r in sorted(calib,
+                                             key=lambda r: r["dim"])],
+                    dtype=np.int64)
+    n = {r["dim"]: r["n"] for r in calib}
+
+    def code_partial(b: pa.Table, _mn=mn, _mx=mx) -> pa.Table:
+        x = _vecs(b)
+        d = x.shape[1]
+        span = _mx - _mn
+        diff = x - _mn[None, :]
+        codes = np.where(span[None, :] > 0,
+                         (2 * diff * 255 + span[None, :])
+                         // np.maximum(2 * span[None, :], 1), 0)
+        return pa.table({"dim": np.arange(d, dtype=np.int64),
+                         "cs": codes.sum(axis=0).astype(np.int64)})
+
+    sums = emb.map_batches(code_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("dim").aggregate(_Sum("cs", alias_name="code_sum"))
+
+    def fin(t: pa.Table, _mn=mn, _mx=mx, _n=n) -> pa.Table:
+        dims = t["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "dim": dims,
+            "min_e6": _mn[dims], "max_e6": _mx[dims],
+            "n": np.asarray([_n[int(d)] for d in dims], np.int64),
+            "code_sum": t["code_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    return sums.map_batches(fin, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_embed_quantize() -> str:
+    x = "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT)"
+    return (
+        f"WITH u AS (SELECT {x} AS x_e6, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+        "mm AS (SELECT dim, min(x_e6) AS mn, max(x_e6) AS mx, "
+        "count(*) AS n FROM u GROUP BY 1) "
+        "SELECT CAST(u.dim AS BIGINT) AS dim, "
+        "CAST(mm.mn AS BIGINT) AS min_e6, CAST(mm.mx AS BIGINT) AS max_e6, "
+        "CAST(mm.n AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN mm.mx > mm.mn THEN "
+        "(2*(u.x_e6 - mm.mn)*255 + (mm.mx - mm.mn)) "
+        "// (2*(mm.mx - mm.mn)) ELSE 0 END) AS BIGINT) AS code_sum "
+        "FROM u JOIN mm ON u.dim = mm.dim "
+        "GROUP BY u.dim, mm.mn, mm.mx, mm.n")

@@ -2262,3 +2262,22 @@ def sql_event_trigrams() -> str:
         "ORDER BY epoch_us(ts), event_id)) "
         "SELECT a, b, c, CAST(count(*) AS BIGINT) AS n FROM o "
         "WHERE a IS NOT NULL GROUP BY a, b, c")
+
+
+# ---------------- k-center diversity sampling (coreset) ----------------
+
+KCENTER_K = 8
+
+
+def q_kcenter_sample(sf_dir: str):
+    """Greedy k-center (Gonzalez) diversity sample of the embedding
+    table — the coreset-selection pass that picks a maximally-spread
+    subset for curation/eval (ann/kcenter.py: k one-pass rounds, tiny
+    center broadcast, O(blocks) candidate rows per round).  Rows-only:
+    the greedy is inherently sequential in k, no SQL window expresses
+    it; exact parity vs a brute-force numpy greedy is pytest-pinned
+    (tests/test_operators.py)."""
+    from igpm_pem_ray.ann.kcenter import kcenter_sample
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_sample(emb, KCENTER_K)

@@ -689,3 +689,40 @@ def test_audio_fingerprinter_skips_bad_payloads():
 
     with _pytest.raises(Exception):
         AudioFingerprinter(strict=True)(batch)
+
+
+# ------------------------ k-center diversity sample ------------------------
+
+def test_kcenter_sample_matches_brute_force():
+    """Distributed Gonzalez greedy == single-process numpy greedy
+    (same seed rule: min vec_id; same tie-break: dist desc, id asc)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.ann.kcenter import kcenter_sample
+
+    rng = np.random.RandomState(31)
+    n, d, k = 200, 8, 6
+    x = rng.randn(n, d).astype(np.float32)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": pa.array(x.tolist(),
+                                             pa.list_(pa.float32()))}))
+    got = kcenter_sample(ds.repartition(7), k).to_pandas()
+
+    xf = x.astype(np.float64)
+    order = [int(np.argmin(ids))]
+    dmin = np.square(xf - xf[order[0]]).sum(1)
+    exp_d = [0.0]
+    for _ in range(1, k):
+        # max dist, min id tie-break
+        best = np.lexsort((ids, -dmin))[0]
+        exp_d.append(float(np.sqrt(max(dmin[best], 0.0))))
+        order.append(int(best))
+        dmin = np.minimum(dmin, np.square(xf - xf[best]).sum(1))
+    assert got["vec_id"].tolist() == [int(ids[i]) for i in order]
+    assert got["dist_e6"].tolist() == \
+        [int(np.floor(v * 1e6 + 0.5)) for v in exp_d]
+    # coverage radius is non-increasing across selections
+    assert (np.diff(got["dist_e6"].to_numpy()[1:]) <= 0).all()
