@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": r.q_kmeans_embed,
         "kcenter_sample": r.q_kcenter_sample,
         "embed_quantize": an.q_embed_quantize,
+        "knn_label_agreement": an.q_knn_label_agreement,
         "window_events": r.q_window_events,
         "ts_rebase": r.q_ts_rebase,
         "ts_window_filter": r.q_ts_window_filter,
@@ -800,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_price_qty": an.sql_ols_price_qty(),
         "embed_dim_stats": an.sql_embed_dim_stats(),
         "embed_quantize": an.sql_embed_quantize(),
+        "knn_label_agreement": an.sql_knn_label_agreement(),
         "dq_checks": an.sql_dq_checks(),
         "table_diff": an.sql_table_diff(),
         "cube_revenue": an.sql_cube_revenue(),

@@ -2378,3 +2378,58 @@ def sql_embed_quantize() -> str:
         "// (2*(mm.mx - mm.mn)) ELSE 0 END) AS BIGINT) AS code_sum "
         "FROM u JOIN mm ON u.dim = mm.dim "
         "GROUP BY u.dim, mm.mn, mm.mx, mm.n")
+
+
+# ------------- kNN label agreement (mislabel detection) -------------
+
+KNN_AGREE_K = 5
+KNN_AGREE_MAX_ID = 300  # oracle cost is O(n^2 d); cap the checked subset
+
+
+def q_knn_label_agreement(sf_dir: str):
+    """Per-label kNN label-agreement stats over the embedding table
+    (ann/label_noise.py): for every vector, how many of its 5 nearest
+    neighbors share its label; vectors with majority disagreement are
+    flagged as probable label noise (Wilson-editing / dataset-
+    curation).  Distances are exact integers (e6 fixed point before
+    squaring), so the neighbor ranking is bit-identical to the SQL
+    oracle's — no float tie ambiguity.  Subset vec_id < 300 keeps the
+    oracle's O(n^2 d) pair join bounded; the kernel itself takes any
+    Dataset."""
+    from igpm_pem_ray.ann.label_noise import knn_label_agreement
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"]) \
+        .filter(expr=f"vec_id < {KNN_AGREE_MAX_ID}")
+    out = knn_label_agreement(emb, k=KNN_AGREE_K)
+    return out.map_batches(lambda b: pa.table({
+        "label": b["label"].cast(pa.int64()),
+        "n_vecs": b["n_vecs"].cast(pa.int64()),
+        "agree_sum": b["agree_sum"].cast(pa.int64()),
+        "n_flagged": b["n_flagged"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_knn_label_agreement() -> str:
+    e6 = "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT)"
+    return (
+        f"WITH u AS (SELECT vec_id, label, {e6} AS x, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings "
+        f"WHERE vec_id < {KNN_AGREE_MAX_ID}), "
+        "d AS (SELECT a.vec_id AS qa, b.vec_id AS qb, "
+        "sum((a.x-b.x)*(a.x-b.x)) AS d2 FROM u a JOIN u b "
+        "ON a.dim = b.dim AND a.vec_id <> b.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT qa, qb, row_number() OVER "
+        "(PARTITION BY qa ORDER BY d2, qb) AS rn FROM d), "
+        "v AS (SELECT DISTINCT vec_id, label FROM u), "
+        "j AS (SELECT r.qa, va.label AS la, vb.label AS lb FROM r "
+        "JOIN v va ON va.vec_id = r.qa JOIN v vb ON vb.vec_id = r.qb "
+        f"WHERE r.rn <= {KNN_AGREE_K}), "
+        "g AS (SELECT qa, any_value(la) AS label, "
+        "sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree "
+        "FROM j GROUP BY qa) "
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(agree) AS BIGINT) AS agree_sum, "
+        f"CAST(sum(CASE WHEN 2*agree < {KNN_AGREE_K} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_flagged FROM g GROUP BY label")
