@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": an.q_pack_docs,
         "percent_rank_orders": r.q_percent_rank_orders,
         "mirror_suppliers": g.q_mirror_suppliers,
+        "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
         "latest_events": r.q_latest_events,

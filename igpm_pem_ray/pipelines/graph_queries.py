@@ -2117,3 +2117,15 @@ def sql_mirror_suppliers() -> str:
         f"CAST({jac} AS BIGINT) AS jaccard_e6 "
         "FROM i JOIN sz sa ON sa.v = i.v_a JOIN sz sb ON sb.v = i.v_b "
         f"WHERE CAST({jac} AS BIGINT) >= {MIRROR_E6_MIN}")
+
+
+def q_densest_subgraph(sf_dir: str):
+    """Charikar greedy densest subgraph of the co-occurrence graph —
+    the spam-farm / link-exchange core detector (graph/densest.py).
+    Rows-only: the greedy is an inherently sequential peel with an
+    exact-rational argmax over prefixes (no SQL form); the planted-
+    clique recovery and the 1/2-approximation bound vs subset
+    enumeration are pytest-pinned (tests/test_kernels.py)."""
+    from igpm_pem_ray.graph.densest import densest_subgraph
+
+    return densest_subgraph(cooccurrence_edges(sf_dir))

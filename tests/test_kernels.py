@@ -1846,3 +1846,68 @@ def test_doulion_sample_is_exact_subgraph_count():
 
     ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
     assert tri_mod.triangle_count(ds) == brute
+
+
+# --------------------------- densest subgraph ---------------------------
+
+def test_densest_subgraph_planted_clique():
+    """A K10 planted among sparse noise is recovered exactly (density
+    4.5 dominates); stats report the exact rational best density."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.densest import densest_subgraph
+
+    rng = np.random.RandomState(7)
+    clique = list(range(100, 110))
+    edges = [(a, b) for i, a in enumerate(clique)
+             for b in clique[i + 1:]]
+    for v in range(40):  # sparse noise: 2 random edges each
+        for _ in range(2):
+            w = int(rng.randint(0, 40))
+            if w != v:
+                edges.append((v, w))
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    stats = {}
+    out = densest_subgraph(rd.from_pandas(df), stats=stats).to_pandas()
+    assert out["vid"].tolist() == clique
+    assert (stats["n_vertices"], stats["n_edges"]) == (10, 45)
+    assert stats["density_e6"] == 4_500_000
+
+
+def test_densest_subgraph_half_approx():
+    """Greedy density >= 1/2 of the exact optimum (Charikar bound),
+    checked against subset enumeration on small random graphs."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.densest import densest_subgraph
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n = 12
+        m = rng.rand(n, n) < 0.3
+        edges = [(i, j) for i in range(n) for j in range(i + 1, n)
+                 if m[i, j]]
+        if not edges:
+            continue
+        eset = set(edges)
+        best = 0.0
+        verts = list(range(n))
+        for r in range(1, n + 1):
+            for sub in itertools.combinations(verts, r):
+                ss = set(sub)
+                e = sum(1 for a, b in eset if a in ss and b in ss)
+                best = max(best, e / r)
+        stats = {}
+        densest_subgraph(
+            rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+            stats=stats)
+        got = stats["n_edges"] / max(stats["n_vertices"], 1)
+        assert got >= best / 2 - 1e-9
+        assert got <= best + 1e-9
