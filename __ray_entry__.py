@@ -264,6 +264,19 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         docs = read_table(sf_dir, "documents", columns=["text"])
         return learn_bpe(docs, 12)
 
+    def bpe_encode(sf_dir: str):
+        """Tokenizer APPLICATION: learn 12 merges, then encode the
+        corpus with a BpeEncoder actor pool (rank dict + per-actor
+        word cache built once in __init__) -> per-doc word and BPE
+        token counts.  Rows-only; exact parity with a single-process
+        reference encode is pytest-pinned (tests/test_text.py)."""
+        from igpm_pem_ray.pipelines.common import read_table
+        from igpm_pem_ray.text.bpe import encode_bpe, learn_bpe
+
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        merges = learn_bpe(docs, 12)
+        return encode_bpe(docs, merges)
+
     def ann_lsh(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -441,6 +454,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "bpe_merges": bpe_merges,
+        "bpe_encode": bpe_encode,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "embed_near_dup_groups": embed_near_dup_groups,

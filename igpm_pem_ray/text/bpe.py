@@ -130,3 +130,69 @@ def learn_bpe(docs_ds, n_merges: int, *, stats: dict | None = None) -> pa.Table:
                      "left": pa.array(lefts, pa.string()),
                      "right": pa.array(rights, pa.string()),
                      "n": pa.array(ns, pa.int64())})
+
+
+def _encode_word(word: str, rank_of: dict) -> list[str]:
+    """Published BPE encode: repeatedly merge the LOWEST-RANK adjacent
+    pair present (all its occurrences, greedy left to right) until no
+    learned pair remains."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms[:-1], syms[1:]):
+            r = rank_of.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        syms = _merge_word(syms, best_pair[0], best_pair[1],
+                           best_pair[0] + best_pair[1])
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool stage: documents (doc_id, text) -> (doc_id,
+    n_words, n_bpe_tokens) under a learned merge table.
+
+    Stateful on purpose: the rank dict is built once per actor from
+    the (small, broadcast) merge table, and a per-actor word->length
+    cache exploits the Zipfian corpus (hot words encode once per
+    actor, not once per occurrence)."""
+
+    def __init__(self, merges: pa.Table) -> None:
+        self.rank_of = {(l, r): k for k, l, r in
+                        zip(merges["rank"].to_pylist(),
+                            merges["left"].to_pylist(),
+                            merges["right"].to_pylist())}
+        self.cache: dict[str, int] = {}
+
+    def _tokens_of(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(_encode_word(word, self.rank_of))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_words: list[int] = []
+        n_bpe: list[int] = []
+        for txt in df["text"].fillna(""):
+            ws = txt.split()
+            n_words.append(len(ws))
+            n_bpe.append(sum(self._tokens_of(w) for w in ws))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": pd.Series(n_words, dtype="int64"),
+            "n_bpe_tokens": pd.Series(n_bpe, dtype="int64")})
+
+
+def encode_bpe(docs_ds, merges: pa.Table, *, concurrency=2,
+               batch_size: int = 128):
+    """documents -> per-doc BPE token counts under ``merges`` (the
+    learn_bpe output).  The merge table is tiny and ships once per
+    actor via the callable-class constructor arg (fn_constructor_args
+    — Ray serializes it into the actor, not per batch)."""
+    return docs_ds.map_batches(
+        BpeEncoder, fn_constructor_args=(merges,),
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pandas")

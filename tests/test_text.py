@@ -700,3 +700,53 @@ def test_approx_token_freq_dataset_path():
     assert [got["alpha"], got["hot"], got["zzz"]] == ref.tolist()
     assert got["alpha"] >= 200 and got["hot"] >= 200
     assert got["zzz"] <= 8
+
+
+def test_encode_bpe_matches_reference_encode():
+    """Distributed BpeEncoder == a direct single-process encode under
+    the same learned merge table (lowest-rank-first, greedy
+    left-to-right within a rank)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.text.bpe import (END, _merge_word, encode_bpe,
+                                       learn_bpe)
+
+    rng = np.random.RandomState(23)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new",
+             "widening", "er", "e"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 20)))
+             for _ in range(40)]
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_pandas(docs).repartition(5)
+    merges = learn_bpe(ds, 10)
+    got = encode_bpe(ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    rank_of = {(l, r): k for k, l, r in zip(merges["rank"].to_pylist(),
+                                            merges["left"].to_pylist(),
+                                            merges["right"].to_pylist())}
+
+    def ref_encode(word):
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            cand = [(rank_of[(a, b)], (a, b))
+                    for a, b in zip(syms[:-1], syms[1:])
+                    if (a, b) in rank_of]
+            if not cand:
+                break
+            _, (a, b) = min(cand)
+            syms = _merge_word(syms, a, b, a + b)
+        return syms
+
+    for _, row in got.iterrows():
+        ws = docs.loc[docs.doc_id == row.doc_id, "text"].iloc[0].split()
+        assert row.n_words == len(ws)
+        assert row.n_bpe_tokens == sum(len(ref_encode(w)) for w in ws)
+    # merges actually compress: some doc must beat char+END length
+    raw = docs["text"].str.split().map(
+        lambda ws: sum(len(w) + 1 for w in ws))
+    assert (got["n_bpe_tokens"].to_numpy() < raw.to_numpy()).any()
