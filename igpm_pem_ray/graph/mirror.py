@@ -1,37 +1,80 @@
 """Mirror detection — vertex pairs with near-identical neighbor sets
 (structural equivalence).  The classic web-graph use is mirror-site /
-alias-host discovery: two hosts whose outlink-target sets overlap
-almost completely are mirrors of one another (Bharat & Broder,
-WWW8 1999 "mirror detection on the web"); the same kernel over a
-bipartite relation finds entities with near-identical link profiles
-(suppliers sharing a part catalog, users sharing an item set).
+alias-host discovery (Bharat & Broder, WWW8 1999): two hosts whose
+outlink-target sets overlap almost completely are mirrors; the same
+kernel over a bipartite relation finds entities with near-identical
+link profiles (suppliers sharing a part catalog, users sharing an
+item set).
 
 Reference tie-in: IGPM-PEM has no mirror operator; this generalizes
-its neighbor-set machinery (``patternmatching/graph/...`` adjacency
-lookups) into a set-similarity self-join, the missing dedup primitive
-for a link graph.
+its neighbor-set machinery (adjacency lookups in
+``patternmatching/graph``) into a set-similarity self-join — the
+missing dedup primitive for a link graph.
 
 Scale shape (the `q_jaccard_pairs` inverted-index plan, applied to
-adjacency instead of shingles): the input (v, n) adjacency rows are
-already the exploded inverted index — a hash self-join on the
-neighbor column yields one row per co-neighbored ordered pair, a
-groupby counts |A∩B|, two hash joins attach |A| and |B|, and one
-stateless map computes Jaccard.  Cost is Σ_n indeg(n)² over the
-*neighbor* side; at web scale hub targets (a neighbor linked by
-millions of hosts) dominate, so callers cut them with
+adjacency instead of shingles): the (v, n) adjacency rows ARE the
+exploded inverted index — a hash self-join on the neighbor column
+yields one row per co-neighbored ordered pair, per-block combiners
+partial-count pairs, a merge produces |A∩B|, and one stateless map
+computes Jaccard.  Cost is Σ_n indeg(n)² over the *neighbor* side; at
+web scale hub targets dominate, so callers cut them with
 ``max_neighbor_indeg`` — the standard document-frequency cut: the
 metric becomes Jaccard over the discriminative (rare) neighbors,
-which is exactly what mirror detection wants (everyone links to the
-hub; it carries no signal).  The cut is part of the operator's
-definition, so the SQL oracle applies the identical cut.
+which is what mirror detection wants (everyone links to the hub; it
+carries no signal).  The cut is part of the operator's definition, so
+the SQL oracle applies the identical cut.
+
+Merge strategy: the combiner output is bounded by
+min(Σ_n df², blocks × |pairs|).  When it is SMALL (measured, not
+guessed), ONE remote reduce task finishes pairs + sizes + Jaccard in
+vectorized pandas/numpy — Ray's sort-based groupby on a 3.5M-row
+two-key table measured 84 s at sf0.1 where the single task takes
+~2 s, and the size join becomes an O(|V|) dict broadcast.  Above the
+threshold the kernel falls back to the groupby-sum + two-hash-join
+shuffle plan, which is the right shape when pairs don't fit one task.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
+import ray.data as rd
 
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
+
+SINGLE_TASK_PAIR_ROWS = 20_000_000  # combiner rows one reduce task absorbs
+
+
+def _out_schema(va_arr) -> pa.Table:
+    z = np.empty(0, np.int64)
+    return pa.table({"v_a": va_arr[:0], "v_b": va_arr[:0], "c": z,
+                     "n_a": z, "n_b": z, "jaccard_e6": z})
+
+
+@ray.remote
+def _reduce_pairs(sizes_tbl: pa.Table, min_e6: int,
+                  *parts: pa.Table) -> pa.Table:
+    """Single-task finish: merge combiner partials, attach set sizes
+    via an O(|V|) dict, compute Jaccard — all vectorized."""
+    pdf = pa.concat_tables(parts).to_pandas()
+    if not len(pdf):
+        return _out_schema(sizes_tbl["v"].combine_chunks())
+    g = pdf.groupby(["v_a", "v_b"], sort=False)["c_p"].sum().reset_index()
+    sz = dict(zip(sizes_tbl["v"].to_pylist(),
+                  sizes_tbl["sz"].to_pylist()))
+    c = g["c_p"].to_numpy().astype(np.int64)
+    na = g["v_a"].map(sz).to_numpy().astype(np.int64)
+    nb = g["v_b"].map(sz).to_numpy().astype(np.int64)
+    e6 = np.floor(c.astype(np.float64) * 1e6 / (na + nb - c)
+                  + 0.5).astype(np.int64)
+    keep = e6 >= min_e6
+    out = pa.table({"v_a": pa.array(g["v_a"].to_numpy()[keep]),
+                    "v_b": pa.array(g["v_b"].to_numpy()[keep]),
+                    "c": c[keep], "n_a": na[keep], "n_b": nb[keep],
+                    "jaccard_e6": e6[keep]})
+    return out
 
 
 def neighbor_jaccard_pairs(adj_ds, *, min_jaccard_e6: int = 500_000,
@@ -53,8 +96,14 @@ def neighbor_jaccard_pairs(adj_ds, *, min_jaccard_e6: int = 500_000,
                                 batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
     # tiny inputs collapse the hash joins to one partition (the Ray
-    # 2.49 zero-block hash-join pitfall, same guard as msf_shuffle)
-    num_partitions = 1 if adj_ds.count() < 65_536 else num_partitions
+    # 2.49 zero-block hash-join pitfall, same guard as msf_shuffle);
+    # large inputs scale partitions with the adjacency size (the join
+    # fan-out is Sigma_n df^2, much larger than the input)
+    n_adj = adj_ds.count()
+    if n_adj < 65_536:
+        num_partitions = 1
+    else:
+        num_partitions = min(64, max(num_partitions, n_adj // 100_000))
     if max_neighbor_indeg is not None:
         indeg = adj_ds.groupby("n").aggregate(Count(alias_name="_id"))
         keep = indeg.filter(
@@ -72,14 +121,36 @@ def neighbor_jaccard_pairs(adj_ds, *, min_jaccard_e6: int = 500_000,
                on=("n",), right_on=("n2",))
 
     def ordered(t: pa.Table) -> pa.Table:
+        # per-block COMBINER: partial-count pairs before the merge —
+        # co-neighbored pairs repeat once per shared neighbor, so the
+        # downstream volume shrinks by the mean overlap factor
         va = t["v_a"].to_numpy(zero_copy_only=False)
         vb = t["v_b"].to_numpy(zero_copy_only=False)
         keep = va < vb
-        return pa.table({"v_a": va[keep], "v_b": vb[keep]})
+        if not keep.any():
+            return pa.table({"v_a": va[:0], "v_b": vb[:0],
+                             "c_p": np.empty(0, np.int64)})
+        g = pd.DataFrame({"v_a": va[keep], "v_b": vb[keep]}) \
+            .groupby(["v_a", "v_b"], sort=False).size() \
+            .reset_index(name="c_p")
+        return pa.table({"v_a": g["v_a"].to_numpy(),
+                         "v_b": g["v_b"].to_numpy(),
+                         "c_p": g["c_p"].to_numpy().astype(np.int64)})
 
-    inter = j.map_batches(ordered, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby(["v_a", "v_b"]).aggregate(Count(alias_name="c"))
+    partials = j.map_batches(ordered, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    if partials.count() <= SINGLE_TASK_PAIR_ROWS:
+        szp = sizes.to_pandas()  # O(|V|) in the single-task regime
+        sizes_tbl = pa.table({"v": szp["v"],
+                              "sz": szp["sz"].astype("int64")})
+        refs = partials.to_arrow_refs()
+        return rd.from_arrow_refs(
+            [_reduce_pairs.remote(sizes_tbl, min_jaccard_e6, *refs)])
+
+    # shuffle path: pair space too large for one task
+    inter = partials.groupby(["v_a", "v_b"]) \
+        .aggregate(Sum("c_p", alias_name="c"))
     sa = sizes.rename_columns({"v": "_va", "sz": "n_a"})
     sb = sizes.rename_columns({"v": "_vb", "sz": "n_b"})
     full = inter.join(sa, join_type="inner", num_partitions=num_partitions,

@@ -2018,38 +2018,92 @@ def q_cosine_gram_pairs(sf_dir: str):
     norms = gd.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("doc_id").aggregate(Sum("t2", alias_name="n2"))
 
+    # join partitions scale with the posting count (the self-join
+    # fan-out is Sigma_gram df^2, much larger than the input)
+    n_gd = gd.count()
+    np_join = 1 if n_gd < 65_536 else min(64, max(8, n_gd // 100_000))
+
     ga = gd.rename_columns({"doc_id": "doc_a", "tf": "tf_a"})
     gb = gd.rename_columns({"doc_id": "doc_b", "gram": "gram_b",
                             "tf": "tf_b"})
-    j = ga.join(gb, join_type="inner", num_partitions=8,
+    j = ga.join(gb, join_type="inner", num_partitions=np_join,
                 on=("gram",), right_on=("gram_b",))
 
     def prod(t: pa.Table) -> pa.Table:
+        # per-block combiner: partial dot sums per pair before the
+        # global groupby (pairs repeat once per shared gram)
+        import pandas as pd
+
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         keep = a < b
         ta = t["tf_a"].to_numpy(zero_copy_only=False)[keep]
         tb = t["tf_b"].to_numpy(zero_copy_only=False)[keep]
-        return pa.table({"doc_a": a[keep], "doc_b": b[keep],
-                         "p": (ta * tb).astype(np.int64)})
+        g = pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep],
+                          "p": (ta * tb).astype(np.int64)}) \
+            .groupby(["doc_a", "doc_b"], sort=False)["p"].sum() \
+            .reset_index()
+        return pa.table({"doc_a": g["doc_a"].to_numpy(),
+                         "doc_b": g["doc_b"].to_numpy(),
+                         "p": g["p"].to_numpy().astype(np.int64)})
 
-    dots = j.map_batches(prod, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .groupby(["doc_a", "doc_b"]).aggregate(Sum("p", alias_name="dot"))
+    partials = j.map_batches(prod, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def _cos_keep(dot, n2a, n2b):
+        return np.array([4 * int(d) * int(d) >= int(x) * int(y)
+                         for d, x, y in zip(dot, n2a, n2b)], dtype=bool) \
+            if len(dot) else np.zeros(0, dtype=bool)
+
+    if partials.count() <= 20_000_000:
+        # single-task finish: Ray's sort-based two-key groupby on a
+        # multi-million-row partial table measured ~50x slower than
+        # one vectorized reduce task; norms attach as an O(docs) dict
+        # (the mirror-kernel merge strategy, graph/mirror.py)
+        import pandas as pd
+        import ray as _ray
+
+        nmp = norms.to_pandas()  # O(docs) in the single-task regime
+        norms_tbl = pa.table({"doc_id": nmp["doc_id"].astype("int64"),
+                              "n2": nmp["n2"].astype("int64")})
+
+        @_ray.remote
+        def _reduce(norms_t: pa.Table, *parts: pa.Table) -> pa.Table:
+            z = np.empty(0, np.int64)
+            if not parts or not sum(p.num_rows for p in parts):
+                return pa.table({"doc_a": z, "doc_b": z, "dot": z,
+                                 "n2_a": z, "n2_b": z})
+            pdf = pa.concat_tables(parts).to_pandas()
+            g = pdf.groupby(["doc_a", "doc_b"], sort=False)["p"].sum() \
+                .reset_index()
+            n2 = dict(zip(norms_t["doc_id"].to_pylist(),
+                          norms_t["n2"].to_pylist()))
+            dot = g["p"].to_numpy().astype(np.int64)
+            n2a = g["doc_a"].map(n2).to_numpy().astype(np.int64)
+            n2b = g["doc_b"].map(n2).to_numpy().astype(np.int64)
+            keep = _cos_keep(dot, n2a, n2b)
+            return pa.table({
+                "doc_a": g["doc_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": g["doc_b"].to_numpy()[keep].astype(np.int64),
+                "dot": dot[keep], "n2_a": n2a[keep], "n2_b": n2b[keep]})
+
+        return rd.from_arrow_refs(
+            [_reduce.remote(norms_tbl, *partials.to_arrow_refs())])
+
+    dots = partials.groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("p", alias_name="dot"))
     na = norms.rename_columns({"doc_id": "_da", "n2": "n2_a"})
     nb = norms.rename_columns({"doc_id": "_db", "n2": "n2_b"})
-    full = dots.join(na, join_type="inner", num_partitions=8,
+    full = dots.join(na, join_type="inner", num_partitions=np_join,
                      on=("doc_a",), right_on=("_da",)) \
-               .join(nb, join_type="inner", num_partitions=8,
+               .join(nb, join_type="inner", num_partitions=np_join,
                      on=("doc_b",), right_on=("_db",))
 
     def cos_filter(t: pa.Table) -> pa.Table:
         dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
         n2a = t["n2_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         n2b = t["n2_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.array([4 * int(d) * int(d) >= int(x) * int(y)
-                         for d, x, y in zip(dot, n2a, n2b)], dtype=bool) \
-            if len(dot) else np.zeros(0, dtype=bool)
+        keep = _cos_keep(dot, n2a, n2b)
         return pa.table({
             "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
             "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
