@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": r.q_event_debounce,
         "rolling_events": r.q_rolling_events,
         "event_trigrams": r.q_event_trigrams,
+        "temporal_pairs": r.q_temporal_pairs,
         "phrase_search": an.q_phrase_search,
         "boilerplate_terms": an.q_boilerplate_terms,
         "pack_docs": an.q_pack_docs,
@@ -830,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "event_debounce": r.sql_event_debounce(),
         "rolling_events": r.sql_rolling_events(),
         "event_trigrams": r.sql_event_trigrams(),
+        "temporal_pairs": r.sql_temporal_pairs(),
         "phrase_search": an.sql_phrase_search(),
         "boilerplate_terms": an.sql_boilerplate_terms(),
         "pack_docs": an.sql_pack_docs(),

@@ -2281,3 +2281,83 @@ def q_kcenter_sample(sf_dir: str):
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return kcenter_sample(emb, KCENTER_K)
+
+
+# ---------------- temporal motif pairs (A then B within dt) ----------------
+
+MOTIF_DT_US = 12 * 3600 * 1_000_000  # 12 h
+
+
+def q_temporal_pairs(sf_dir: str):
+    """Temporal motif pair counts: how often event type A is followed
+    by type B within 12 h for the SAME user — the 2-event temporal
+    motif (Paranjape-Benson-Leskovec, WSDM 2017), strictly more than
+    `event_bigrams` (which counts only ADJACENT successors).
+
+    Scale shape: the non-equi time-window join becomes ONE equi
+    shuffle via width-dt bucketing — the A side explodes to its bucket
+    and the next (a successor within dt lives in one of the two), the
+    B side keeps its single bucket, so every qualifying pair meets
+    EXACTLY once (no dedup pass); one hash join on (user, bucket), a
+    vectorized window filter, per-block combiners, and an O(types^2)
+    final groupby."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def a_side(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        bkt = us // MOTIF_DT_US
+        return pa.table({
+            "user_a": np.concatenate([uid, uid]),
+            "bkt": np.concatenate([bkt, bkt + 1]),
+            "type_a": np.concatenate([et, et]),
+            "us_a": np.concatenate([us, us])})
+
+    def b_side(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_b": b["user_id"].to_numpy(zero_copy_only=False),
+            "bkt_b": us // MOTIF_DT_US,
+            "type_b": b["event_type"].to_numpy(zero_copy_only=False),
+            "us_b": us})
+
+    n_ev = ev.count()  # parquet metadata count, no scan
+    np_join = 1 if n_ev < 65_536 else min(32, max(8, n_ev // 200_000))
+    a = ev.map_batches(a_side, batch_format="pyarrow", zero_copy_batch=True)
+    bb = ev.map_batches(b_side, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j = a.join(bb, join_type="inner", num_partitions=np_join,
+               on=("user_a", "bkt"), right_on=("user_b", "bkt_b"))
+
+    def window(t: pa.Table) -> pa.Table:
+        d = t["us_b"].to_numpy(zero_copy_only=False) \
+            - t["us_a"].to_numpy(zero_copy_only=False)
+        keep = (d > 0) & (d <= MOTIF_DT_US)
+        g = pd.DataFrame({
+            "type_a": t["type_a"].to_numpy(zero_copy_only=False)[keep],
+            "type_b": t["type_b"].to_numpy(zero_copy_only=False)[keep]}) \
+            .groupby(["type_a", "type_b"], sort=False).size() \
+            .reset_index(name="n_p")
+        return pa.table({"type_a": g["type_a"].to_numpy(),
+                         "type_b": g["type_b"].to_numpy(),
+                         "n_p": g["n_p"].to_numpy().astype(np.int64)})
+
+    return j.map_batches(window, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["type_a", "type_b"]).aggregate(Sum("n_p", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "type_a": b["type_a"], "type_b": b["type_b"],
+            "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_temporal_pairs() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_type, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n FROM e a JOIN e b "
+        "ON a.user_id = b.user_id AND b.us > a.us "
+        f"AND b.us - a.us <= {MOTIF_DT_US} "
+        "GROUP BY type_a, type_b")
