@@ -627,11 +627,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": r.q_rolling_events,
         "event_trigrams": r.q_event_trigrams,
         "temporal_pairs": r.q_temporal_pairs,
+        "temporal_triples": r.q_temporal_triples,
         "phrase_search": an.q_phrase_search,
         "boilerplate_terms": an.q_boilerplate_terms,
         "pack_docs": an.q_pack_docs,
         "percent_rank_orders": r.q_percent_rank_orders,
         "mirror_suppliers": g.q_mirror_suppliers,
+        "mirror_clusters": g.q_mirror_clusters,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -832,11 +834,13 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": r.sql_rolling_events(),
         "event_trigrams": r.sql_event_trigrams(),
         "temporal_pairs": r.sql_temporal_pairs(),
+        "temporal_triples": r.sql_temporal_triples(),
         "phrase_search": an.sql_phrase_search(),
         "boilerplate_terms": an.sql_boilerplate_terms(),
         "pack_docs": an.sql_pack_docs(),
         "percent_rank_orders": r.sql_percent_rank_orders(),
         "mirror_suppliers": g.sql_mirror_suppliers(),
+        "mirror_clusters": g.sql_mirror_clusters(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2129,3 +2129,44 @@ def q_densest_subgraph(sf_dir: str):
     from igpm_pem_ray.graph.densest import densest_subgraph
 
     return densest_subgraph(cooccurrence_edges(sf_dir))
+
+
+def q_mirror_clusters(sf_dir: str):
+    """Mirror CLUSTERS: the connected components of the mirror-pair
+    graph — detection (`mirror_suppliers`) composed with the CC kernel
+    to produce dedup groups, exactly how host-mirror pairs roll up to
+    mirror SITES (and how `near_dup_groups` closes LSH pairs).
+    (vid, component) with component = min member vid; vertices with no
+    qualifying mirror pair don't appear (no self-rows)."""
+    from igpm_pem_ray.graph.mirror import neighbor_jaccard_pairs
+    from igpm_pem_ray.pipelines.common import read_table
+    from ray.data.aggregate import Count
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    adj = li.rename_columns({"l_suppkey": "v", "l_partkey": "n"}) \
+        .groupby(["v", "n"]).aggregate(Count(alias_name="_d")) \
+        .drop_columns(["_d"])
+    pairs = neighbor_jaccard_pairs(adj, min_jaccard_e6=MIRROR_E6_MIN) \
+        .map_batches(lambda b: pa.table({"src": b["v_a"],
+                                         "dst": b["v_b"]}),
+                     batch_format="pyarrow")
+    return cc_mod.connected_components(pairs)
+
+
+def sql_mirror_clusters() -> str:
+    jac = "floor(i.c*1e6/(sa.sz + sb.sz - i.c)+0.5)"
+    return (
+        "WITH RECURSIVE adj AS (SELECT DISTINCT l_suppkey AS v, "
+        "l_partkey AS n FROM lineitem), "
+        "sz AS (SELECT v, count(*) AS sz FROM adj GROUP BY 1), "
+        "i AS (SELECT a.v AS v_a, b.v AS v_b, count(*) AS c "
+        "FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v GROUP BY 1, 2), "
+        "mp AS (SELECT v_a AS src, v_b AS dst FROM i "
+        "JOIN sz sa ON sa.v = i.v_a JOIN sz sb ON sb.v = i.v_b "
+        f"WHERE CAST({jac} AS BIGINT) >= {MIRROR_E6_MIN}), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM mp "
+        "UNION ALL SELECT dst AS src, src AS dst FROM mp) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src) "
+        "SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a")

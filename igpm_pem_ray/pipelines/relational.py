@@ -2361,3 +2361,114 @@ def sql_temporal_pairs() -> str:
         "ON a.user_id = b.user_id AND b.us > a.us "
         f"AND b.us - a.us <= {MOTIF_DT_US} "
         "GROUP BY type_a, type_b")
+
+
+def q_temporal_triples(sf_dir: str):
+    """3-event temporal motif counts: type sequences A -> B -> C by
+    one user with the whole motif inside the 12 h window
+    (us_a < us_b < us_c, us_c - us_a <= dt) — the WSDM'17 motif family
+    one size up from `temporal_pairs`.
+
+    Scale shape: two bucketed equi joins.  Stage 1 builds qualifying
+    (a, b) pairs exactly as `temporal_pairs` (pair meets once).  Stage
+    2 re-buckets each pair BY ITS FIRST EVENT's timestamp to its
+    bucket and the next, joins the single-bucket c side on
+    (user, bucket), and filters us_c > us_b AND us_c - us_a <= dt —
+    c's bucket is unique, so each (a, b, c) again meets exactly once.
+    Per-block combiners keep the final groupby O(types^3)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    n_ev = ev.count()
+    np_join = 1 if n_ev < 65_536 else min(32, max(8, n_ev // 200_000))
+
+    def a_side(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        bkt = us // MOTIF_DT_US
+        return pa.table({
+            "user_a": np.concatenate([uid, uid]),
+            "bkt": np.concatenate([bkt, bkt + 1]),
+            "type_a": np.concatenate([et, et]),
+            "us_a": np.concatenate([us, us])})
+
+    def ev_side(prefix):
+        def f(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                f"user_{prefix}": b["user_id"].to_numpy(
+                    zero_copy_only=False),
+                f"bkt_{prefix}": us // MOTIF_DT_US,
+                f"type_{prefix}": b["event_type"].to_numpy(
+                    zero_copy_only=False),
+                f"us_{prefix}": us})
+        return f
+
+    a = ev.map_batches(a_side, batch_format="pyarrow", zero_copy_batch=True)
+    bb = ev.map_batches(ev_side("b"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    jab = a.join(bb, join_type="inner", num_partitions=np_join,
+                 on=("user_a", "bkt"), right_on=("user_b", "bkt_b"))
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        d = t["us_b"].to_numpy(zero_copy_only=False) \
+            - t["us_a"].to_numpy(zero_copy_only=False)
+        keep = (d > 0) & (d <= MOTIF_DT_US)
+        us_a = t["us_a"].to_numpy(zero_copy_only=False)[keep]
+        bkt = us_a // MOTIF_DT_US
+        return pa.table({
+            "user_p": np.concatenate(
+                [t["user_a"].to_numpy(zero_copy_only=False)[keep]] * 2),
+            "bkt_p": np.concatenate([bkt, bkt + 1]),
+            "type_a": np.concatenate(
+                [t["type_a"].to_numpy(zero_copy_only=False)[keep]] * 2),
+            "type_b": np.concatenate(
+                [t["type_b"].to_numpy(zero_copy_only=False)[keep]] * 2),
+            "us_a": np.concatenate([us_a] * 2),
+            "us_b": np.concatenate(
+                [t["us_b"].to_numpy(zero_copy_only=False)[keep]] * 2)})
+
+    pairs = jab.map_batches(pair_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cc = ev.map_batches(ev_side("c"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j3 = pairs.join(cc, join_type="inner", num_partitions=np_join,
+                    on=("user_p", "bkt_p"), right_on=("user_c", "bkt_c"))
+
+    def triple_filter(t: pa.Table) -> pa.Table:
+        us_a = t["us_a"].to_numpy(zero_copy_only=False)
+        us_b = t["us_b"].to_numpy(zero_copy_only=False)
+        us_c = t["us_c"].to_numpy(zero_copy_only=False)
+        keep = (us_c > us_b) & (us_c - us_a <= MOTIF_DT_US)
+        g = pd.DataFrame({
+            "type_a": t["type_a"].to_numpy(zero_copy_only=False)[keep],
+            "type_b": t["type_b"].to_numpy(zero_copy_only=False)[keep],
+            "type_c": t["type_c"].to_numpy(zero_copy_only=False)[keep]}) \
+            .groupby(["type_a", "type_b", "type_c"], sort=False).size() \
+            .reset_index(name="n_p")
+        return pa.table({"type_a": g["type_a"].to_numpy(),
+                         "type_b": g["type_b"].to_numpy(),
+                         "type_c": g["type_c"].to_numpy(),
+                         "n_p": g["n_p"].to_numpy().astype(np.int64)})
+
+    return j3.map_batches(triple_filter, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["type_a", "type_b", "type_c"]) \
+        .aggregate(Sum("n_p", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "type_a": b["type_a"], "type_b": b["type_b"],
+            "type_c": b["type_c"], "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_temporal_triples() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_type, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "c.event_type AS type_c, CAST(count(*) AS BIGINT) AS n "
+        "FROM e a JOIN e b ON a.user_id = b.user_id AND b.us > a.us "
+        f"AND b.us - a.us <= {MOTIF_DT_US} "
+        "JOIN e c ON c.user_id = a.user_id AND c.us > b.us "
+        f"AND c.us - a.us <= {MOTIF_DT_US} "
+        "GROUP BY type_a, type_b, type_c")
