@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_orders": r.q_percent_rank_orders,
         "mirror_suppliers": g.q_mirror_suppliers,
         "mirror_clusters": g.q_mirror_clusters,
+        "robustness_attack": g.q_robustness_attack,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -841,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "percent_rank_orders": r.sql_percent_rank_orders(),
         "mirror_suppliers": g.sql_mirror_suppliers(),
         "mirror_clusters": g.sql_mirror_clusters(),
+        "robustness_attack": g.sql_robustness_attack(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2170,3 +2170,65 @@ def sql_mirror_clusters() -> str:
         "reach(a, b) AS (SELECT vid, vid FROM verts "
         "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src) "
         "SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a")
+
+
+ATTACK_K = 20
+
+
+def q_robustness_attack(sf_dir: str):
+    """Targeted-attack robustness: remove the ATTACK_K highest-degree
+    hubs (degree desc, vid asc tie-break) and report the surviving
+    component sizes — the classic scale-free-network resilience
+    experiment (Albert-Jeong-Barabasi, Nature 2000: hub removal
+    shatters a power-law graph where random removal barely dents it),
+    run as degrees -> tiny top-k -> broadcast filter -> the CC kernel
+    -> one O(components) count.  Vertices surviving only as isolates
+    (every incident edge removed) drop out, matching the oracle's
+    edge-derived vertex set."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def both(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+
+    deg = edges.map_batches(both, batch_format="pyarrow") \
+        .groupby("vid").aggregate(Count(alias_name="deg"))
+    hubs = deg.sort(["deg", "vid"], descending=[True, False]) \
+        .limit(ATTACK_K).to_pandas()["vid"].to_numpy()
+    hubs = np.sort(hubs.astype(np.int64))
+
+    def drop_hubs(b: pa.Table, _h=hubs) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, _h) | np.isin(d, _h))
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    surv = edges.map_batches(drop_hubs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    comp = cc_mod.connected_components(surv)  # pyarrow Table (vid, comp)
+    sizes = comp.group_by("component").aggregate([("vid", "count")])
+    return pa.table({"component": sizes["component"],
+                     "size": sizes["vid_count"].cast(pa.int64())})
+
+
+def sql_robustness_attack() -> str:
+    return _with_edges(
+        "allv AS (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst FROM edges), "
+        "deg AS (SELECT vid, count(*) AS d FROM allv GROUP BY 1), "
+        "hubs AS (SELECT vid FROM deg "
+        f"ORDER BY d DESC, vid LIMIT {ATTACK_K}), "
+        "se AS (SELECT src, dst FROM edges WHERE src NOT IN "
+        "(SELECT vid FROM hubs) AND dst NOT IN (SELECT vid FROM hubs)), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM se "
+        "UNION ALL SELECT dst AS src, src AS dst FROM se) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src), "
+        "comp AS (SELECT a AS vid, MIN(b) AS component FROM reach "
+        "GROUP BY a) "
+        "SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp "
+        "GROUP BY component")
