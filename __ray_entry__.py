@@ -635,6 +635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_suppliers": g.q_mirror_suppliers,
         "mirror_clusters": g.q_mirror_clusters,
         "robustness_attack": g.q_robustness_attack,
+        "random_attack": g.q_random_attack,
+        "hourly_profile": r.q_hourly_profile,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -843,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_suppliers": g.sql_mirror_suppliers(),
         "mirror_clusters": g.sql_mirror_clusters(),
         "robustness_attack": g.sql_robustness_attack(),
+        "random_attack": g.sql_random_attack(),
+        "hourly_profile": r.sql_hourly_profile(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

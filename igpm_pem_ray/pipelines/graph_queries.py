@@ -2232,3 +2232,61 @@ def sql_robustness_attack() -> str:
         "GROUP BY a) "
         "SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp "
         "GROUP BY component")
+
+
+def q_random_attack(sf_dir: str):
+    """RANDOM-failure counterpart of `robustness_attack`: remove the
+    same NUMBER of vertices chosen by a deterministic hash (lowest
+    ATTACK_K of ``(vid*2654435761) mod 2^31-1``, the Knuth
+    multiplicative hash reduced mod a Mersenne prime so the SQL BIGINT
+    expression cannot overflow), then surviving component sizes.
+    Contrast with the targeted attack demonstrates the scale-free
+    resilience asymmetry (Albert-Jeong-Barabasi): random failures
+    barely dent the giant component that hub removal shatters."""
+    from ray.data.aggregate import Count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def both(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+
+    verts = edges.map_batches(both, batch_format="pyarrow") \
+        .groupby("vid").aggregate(Count(alias_name="_d")) \
+        .drop_columns(["_d"]).to_pandas()["vid"].to_numpy().astype(np.int64)
+    h = ((verts % ((1 << 31) - 1)) * 2654435761) % ((1 << 31) - 1)
+    order = np.lexsort((verts, h))[:ATTACK_K]
+    removed = np.sort(verts[order])
+
+    def drop_rand(b: pa.Table, _h=removed) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, _h) | np.isin(d, _h))
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    surv = edges.map_batches(drop_rand, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    comp = cc_mod.connected_components(surv)
+    sizes = comp.group_by("component").aggregate([("vid", "count")])
+    return pa.table({"component": sizes["component"],
+                     "size": sizes["vid_count"].cast(pa.int64())})
+
+
+def sql_random_attack() -> str:
+    return _with_edges(
+        "verts0 AS (SELECT DISTINCT vid FROM (SELECT src AS vid "
+        "FROM edges UNION ALL SELECT dst FROM edges) u), "
+        "rm AS (SELECT vid FROM verts0 "
+        "ORDER BY ((vid % 2147483647) * 2654435761) % 2147483647, vid "
+        f"LIMIT {ATTACK_K}), "
+        "se AS (SELECT src, dst FROM edges WHERE src NOT IN "
+        "(SELECT vid FROM rm) AND dst NOT IN (SELECT vid FROM rm)), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM se "
+        "UNION ALL SELECT dst AS src, src AS dst FROM se) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src), "
+        "comp AS (SELECT a AS vid, MIN(b) AS component FROM reach "
+        "GROUP BY a) "
+        "SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp "
+        "GROUP BY component")

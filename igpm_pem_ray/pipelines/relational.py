@@ -2472,3 +2472,36 @@ def sql_temporal_triples() -> str:
         "JOIN e c ON c.user_id = a.user_id AND c.us > b.us "
         f"AND c.us - a.us <= {MOTIF_DT_US} "
         "GROUP BY type_a, type_b, type_c")
+
+
+# ----------------- hour-of-day seasonality profile -----------------
+
+def q_hourly_profile(sf_dir: str):
+    """Circular hour-of-day activity profile per event type — the
+    seasonality fingerprint (bot traffic is flat, human traffic
+    diurnal); one vectorized (us // 3600e6) mod 24 map and one
+    O(types x 24) groupby.  Unlike `window_events` (absolute tumbling
+    windows) this folds time onto the 24 h clock."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hod(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "hour": (us // 3_600_000_000) % 24})
+
+    return ev.map_batches(hod, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["event_type", "hour"]).aggregate(
+            Count(alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "hour": b["hour"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_hourly_profile() -> str:
+    return (
+        "SELECT event_type, "
+        "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, hour")
