@@ -636,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_clusters": g.q_mirror_clusters,
         "robustness_attack": g.q_robustness_attack,
         "random_attack": g.q_random_attack,
+        "degree_gini": g.q_degree_gini,
+        "vocab_growth": an.q_vocab_growth,
         "hourly_profile": r.q_hourly_profile,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
@@ -846,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_clusters": g.sql_mirror_clusters(),
         "robustness_attack": g.sql_robustness_attack(),
         "random_attack": g.sql_random_attack(),
+        "degree_gini": g.sql_degree_gini(),
+        "vocab_growth": an.sql_vocab_growth(),
         "hourly_profile": r.sql_hourly_profile(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),

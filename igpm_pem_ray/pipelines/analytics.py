@@ -2487,3 +2487,60 @@ def sql_knn_label_agreement() -> str:
         "CAST(sum(agree) AS BIGINT) AS agree_sum, "
         f"CAST(sum(CASE WHEN 2*agree < {KNN_AGREE_K} THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_flagged FROM g GROUP BY label")
+
+
+# ------------------ Heaps-law vocabulary growth curve ------------------
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth (Heaps' law): distinct tokens seen after
+    processing documents 0..d in doc_id order, one row per doc_id that
+    INTRODUCES vocabulary — the corpus-statistics curve data teams use
+    to size tokenizers and detect corpus drift.
+
+    Plan with ZERO sequential work over the corpus: each token's first
+    appearance is min(doc_id) (one groupby over exploded distinct
+    (token, doc) pairs — per-doc set() needs no dedup shuffle), counts
+    of first-appearances per doc feed ONE distributed prefix sum
+    (stages/temporal.cumsum_per_key, constant key), giving the
+    cumulative vocabulary size at every introducing doc."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+    from ray.data.aggregate import Min, Count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            s = set((txt or "").split())
+            ids.extend([did] * len(s))
+            ws.extend(s)
+        return pa.table({"doc_id": np.asarray(ids, np.int64),
+                         "w": pa.array(ws, pa.string())})
+
+    first = docs.map_batches(toks, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("w").aggregate(Min("doc_id", alias_name="first_doc"))
+    intro = first.groupby("first_doc").aggregate(
+        Count(alias_name="n_new")) \
+        .map_batches(lambda b: pa.table({
+            "doc_id": b["first_doc"].cast(pa.int64()),
+            "key": np.zeros(b.num_rows, np.int64),
+            "us": b["first_doc"].cast(pa.int64()),
+            "val": b["n_new"].cast(pa.int64())}), batch_format="pyarrow")
+    cum = cumsum_per_key(intro, payload_cols=["doc_id"])
+    return cum.map_batches(lambda t: pa.table({
+        "doc_id": t["doc_id"],
+        "vocab_size": t["cum_val"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_vocab_growth() -> str:
+    return (
+        r"WITH dt AS (SELECT DISTINCT doc_id, "
+        r"unnest(list_filter(string_split_regex(text, '\s+'), "
+        "x -> x <> '')) AS w FROM documents), "
+        "f AS (SELECT w, min(doc_id) AS first_doc FROM dt GROUP BY 1), "
+        "i AS (SELECT first_doc AS doc_id, count(*) AS n_new FROM f "
+        "GROUP BY 1) "
+        "SELECT doc_id, CAST(sum(n_new) OVER (ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size FROM i")

@@ -2290,3 +2290,67 @@ def sql_random_attack() -> str:
         "GROUP BY a) "
         "SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp "
         "GROUP BY component")
+
+
+def q_degree_gini(sf_dir: str):
+    """Gini coefficient of the degree distribution — the attention-
+    inequality scalar of a link graph (a perfectly equal graph scores
+    0; a hub-dominated web graph approaches 1).  Exact integers end to
+    end: G = (2*Sigma(i*d_i) - (n+1)*Sigma(d_i)) / (n*Sigma(d_i)) over
+    degrees sorted ascending (vid tie-break), reported as the exact
+    rational (gini_num, gini_den) plus the e6 floor fixed point.
+    Plan: one degree groupby, the stages/ranked.py sorted-block rank
+    for i (no driver sort), one weighted-sum aggregate."""
+    from ray.data.aggregate import Count, Sum
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    edges = cooccurrence_edges(sf_dir)
+
+    def both(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+
+    deg = edges.map_batches(both, batch_format="pyarrow") \
+        .groupby("vid").aggregate(Count(alias_name="deg")) \
+        .map_batches(lambda b: pa.table({
+            "vid": b["vid"], "deg": b["deg"].cast(pa.int64()),
+            "grp": np.zeros(b.num_rows, np.int64)}),
+            batch_format="pyarrow")
+    ranked = rank_per_group(deg, key="grp", order=["deg", "vid"],
+                            descending=[False, False])
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": np.zeros(len(d), np.int64),
+                         "id": i * d, "d": d,
+                         "one": np.ones(len(d), np.int64)})
+
+    agg = ranked.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("k").aggregate(Sum("id", alias_name="sid"),
+                                Sum("d", alias_name="sd"),
+                                Sum("one", alias_name="n")).take_all()[0]
+    sid, sd, n = int(agg["sid"]), int(agg["sd"]), int(agg["n"])
+    num = 2 * sid - (n + 1) * sd
+    den = n * sd
+    return pa.table({"gini_num": pa.array([num], pa.int64()),
+                     "gini_den": pa.array([den], pa.int64()),
+                     "gini_e6": pa.array([num * 1_000_000 // den if den
+                                          else 0], pa.int64())})
+
+
+def sql_degree_gini() -> str:
+    return _with_edges(
+        "allv AS (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst FROM edges), "
+        "deg AS (SELECT vid, count(*) AS d FROM allv GROUP BY 1), "
+        "r AS (SELECT d, row_number() OVER (ORDER BY d, vid) AS i "
+        "FROM deg), "
+        "s AS (SELECT CAST(sum(i*d) AS BIGINT) AS sid, "
+        "CAST(sum(d) AS BIGINT) AS sd, "
+        "CAST(count(*) AS BIGINT) AS n FROM r) "
+        "SELECT CAST(2*sid - (n+1)*sd AS BIGINT) AS gini_num, "
+        "CAST(n*sd AS BIGINT) AS gini_den, "
+        "CAST((2*sid - (n+1)*sd) * 1000000 // (n*sd) AS BIGINT) "
+        "AS gini_e6 FROM s")
