@@ -695,6 +695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_covariance": an.q_embed_covariance,
         "decontaminate": an.q_decontaminate,
         "approx_distinct_users": an.q_approx_distinct_users,
+        "bigram_lm": an.q_bigram_lm,
+        "kcore_peel": g.q_kcore_peel,
+        "eigen_walks": g.q_eigen_walks,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -857,4 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": an.sql_inverted_index(),
         "embed_covariance": an.sql_embed_covariance(),
         "decontaminate": an.sql_decontaminate(),
+        "bigram_lm": an.sql_bigram_lm(),
+        "kcore_peel": g.sql_kcore_peel(),
+        "eigen_walks": g.sql_eigen_walks(),
     }

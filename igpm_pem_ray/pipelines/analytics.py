@@ -2544,3 +2544,96 @@ def sql_vocab_growth() -> str:
         "GROUP BY 1) "
         "SELECT doc_id, CAST(sum(n_new) OVER (ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size FROM i")
+
+
+# ---------------- bigram-LM familiarity score ----------------
+
+def q_bigram_lm(sf_dir: str):
+    """Per-document mean corpus-bigram frequency — the bigram
+    extension of `q_doc_rarity`'s unigram-LM filter (the KenLM-style
+    curation score, Wenzek et al. 1911.00359 section 3.3, in the
+    integer-exact no-log convention: fam_mean = sum(tf * c(bigram)) //
+    n_bigrams, where c is the corpus count of the bigram).  LOW score
+    = improbable token transitions (gibberish / shuffled text); high =
+    boilerplate-like.  Docs with < 2 tokens emit no bigrams and are
+    absent from the output, matching the SQL groupby.
+
+    Scale shape (same as doc_rarity, on bigram keys): per-doc tf
+    partials first — the shuffle carries O(doc x distinct-bigram)
+    rows, not O(tokens); ONE bigram-keyed groupby for corpus counts;
+    one join on the bigram key; one per-doc groupby for the score."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf(b: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = (txt or "").split()
+            if len(t) < 2:
+                continue
+            gs = [f"{x} {y}" for x, y in zip(t[:-1], t[1:])]
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+        if not grams:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "bigram": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        import pandas as pd
+        g = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                          "bigram": grams}) \
+            .groupby(["doc_id", "bigram"], sort=False).size() \
+            .reset_index(name="tf")
+        return pa.table({"doc_id": g["doc_id"].to_numpy(np.int64),
+                         "bigram": pa.array(g["bigram"].tolist(),
+                                            pa.string()),
+                         "tf": g["tf"].to_numpy(np.int64)})
+
+    tfd = docs.map_batches(tf, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    counts = tfd.groupby("bigram").aggregate(
+        _Sum("tf", alias_name="c")).materialize()
+    np_join = 1 if counts.count() < 200_000 else 16
+    j = tfd.join(counts.rename_columns({"bigram": "bigram2"}),
+                 join_type="inner", num_partitions=np_join,
+                 on=("bigram",), right_on=("bigram2",))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bigrams": tfv,
+                         "fam_sum": tfv * c})
+
+    per_doc = j.map_batches(score, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(_Sum("n_bigrams", alias_name="n_bigrams"),
+                                     _Sum("fam_sum", alias_name="fs"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fs = b["fs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bigrams": n,
+                         "fam_mean": fs // n})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_bigram_lm() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        r"'\s+'), x -> x <> '') AS toks FROM documents), "
+        "ix AS (SELECT doc_id, toks, "
+        "unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t WHERE len(toks) >= 2), "
+        "g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram "
+        "FROM ix), "
+        "tf AS (SELECT doc_id, bigram, count(*) AS tf FROM g "
+        "GROUP BY doc_id, bigram), "
+        "c AS (SELECT bigram, sum(tf) AS c FROM tf GROUP BY bigram) "
+        "SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, "
+        "CAST(sum(tf.tf) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(tf.tf * c.c) // sum(tf.tf) AS BIGINT) AS fam_mean "
+        "FROM tf JOIN c USING (bigram) "
+        "GROUP BY tf.doc_id ORDER BY doc_id")

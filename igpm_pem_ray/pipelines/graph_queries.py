@@ -162,6 +162,86 @@ def q_kcore(sf_dir: str) -> pa.Table:
                      "layer": pdf["layer"].to_numpy().astype("int64")})
 
 
+KPEEL_K = 64      # degree threshold: dense co-occ graph peels in 2-3
+KPEEL_ROUNDS = 8  # rounds at k=64 (measured sf0.001/0.01); 8 = margin
+
+
+def q_kcore_peel(sf_dir: str) -> pa.Table:
+    """Bounded k-core peel (k = KPEEL_K, exactly <= KPEEL_ROUNDS
+    rounds): the vertex set surviving R rounds of "drop every vertex
+    whose degree in the current induced subgraph is < k".  Bounding
+    the rounds makes the iterative-deletion fixpoint SQL-expressible
+    (an unrolled induced-degree CTE per round) — the full-decomposition
+    sibling `q_kcore` stays rows-only.  Ray side is the Dataset-
+    resident `kcore_membership` strategy (one degree groupby + two
+    survivor joins per round, driver sees O(1) scalars); past the
+    fixpoint extra rounds are the identity, so converged-early and
+    bounded runs agree by construction."""
+    keep = kcore_mod.kcore_membership(cooccurrence_edges(sf_dir),
+                                      KPEEL_K, max_rounds=KPEEL_ROUNDS)
+    pdf = keep.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64")})
+
+
+def sql_kcore_peel(k: int = KPEEL_K, rounds: int = KPEEL_ROUNDS) -> str:
+    parts = [
+        "ue AS (SELECT src AS a, dst AS b FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        "a0 AS (SELECT DISTINCT a AS vid FROM ue)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        parts.append(
+            f"d{i} AS (SELECT u.a AS vid, count(*) AS d FROM ue u "
+            f"JOIN {p} x ON u.a = x.vid JOIN {p} y ON u.b = y.vid "
+            f"GROUP BY u.a), "
+            f"a{i} AS (SELECT vid FROM d{i} WHERE d >= {int(k)})")
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT vid FROM a{rounds} ORDER BY vid")
+
+
+EIGEN_ITERS = 4
+_EIGEN_MOD = 1 << 31
+
+
+def q_eigen_walks(sf_dir: str) -> pa.Table:
+    """Eigenvector-centrality power iteration in integer walk-count
+    form: z_0 = 1, z_k(v) = (sum over in-edges (u,v) of z_{k-1}(u))
+    mod 2^31 — z_K is the number of K-walks ending at v in the residue
+    ring, the unnormalized power-iteration iterate.  The mod keeps
+    every value < 2^31 so per-vertex int64 sums cannot overflow at ANY
+    graph scale (indeg < 2^31 => sum < 2^62) and the SQL oracle
+    reduces identically (DuckDB sums BIGINT into HUGEINT, then mods).
+    One dense msg_pass(sum) per iteration, same substrate as
+    `q_katz`."""
+    from igpm_pem_ray.graph.dense import msg_pass as _mp
+
+    g = build_dense_graph(cooccurrence_edges(sf_dir))
+    z = np.ones(g.num_vertices, dtype=np.int64)
+    for _ in range(EIGEN_ITERS):
+        z = _mp(g, z, reduce="sum", init=np.int64(0)) % _EIGEN_MOD
+    return pa.table({"vid": g.vids, "walks_mod": z})
+
+
+def sql_eigen_walks(n_iters: int = EIGEN_ITERS) -> str:
+    parts = [
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "z0 AS (SELECT vid, CAST(1 AS BIGINT) AS z FROM verts)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"z{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS vid, sum(r.z) AS s FROM edges e "
+            f"JOIN {p} r ON e.src = r.vid GROUP BY e.dst), "
+            f"z{k} AS (SELECT v.vid, CAST(COALESCE(m.s, 0) % {_EIGEN_MOD} "
+            f"AS BIGINT) AS z FROM verts v LEFT JOIN m{k} m ON v.vid = m.vid)")
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT vid, z AS walks_mod FROM z{n_iters} ORDER BY vid")
+
+
 LINK_PREDICT_K = 20
 
 
