@@ -698,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": an.q_bigram_lm,
         "kcore_peel": g.q_kcore_peel,
         "eigen_walks": g.q_eigen_walks,
+        "triad_census": g.q_triad_census,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -863,4 +864,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": an.sql_bigram_lm(),
         "kcore_peel": g.sql_kcore_peel(),
         "eigen_walks": g.sql_eigen_walks(),
+        "triad_census": g.sql_triad_census(),
     }

@@ -2561,36 +2561,37 @@ def q_bigram_lm(sf_dir: str):
     Scale shape (same as doc_rarity, on bigram keys): per-doc tf
     partials first — the shuffle carries O(doc x distinct-bigram)
     rows, not O(tokens); ONE bigram-keyed groupby for corpus counts;
-    one join on the bigram key; one per-doc groupby for the score."""
+    one join on the bigram key; one per-doc groupby for the score.
+    The tf stage is the explode+shift vectorization of the bigram
+    window: tokens of one doc are contiguous after explode, so
+    "token + shifted token where the shifted row is the same doc"
+    enumerates exactly the adjacent pairs with no per-row loop."""
     from ray.data.aggregate import Sum as _Sum
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def tf(b: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            t = (txt or "").split()
-            if len(t) < 2:
-                continue
-            gs = [f"{x} {y}" for x, y in zip(t[:-1], t[1:])]
-            ids.extend([did] * len(gs))
-            grams.extend(gs)
-        if not grams:
+    def tf(df):
+        import pandas as pd
+        e = pd.DataFrame({"doc_id": df["doc_id"],
+                          "token": df["text"].str.split()}).explode(
+            "token", ignore_index=True)
+        e = e[e["token"].notna()]
+        same = e["doc_id"].eq(e["doc_id"].shift(-1))
+        g = pd.DataFrame({
+            "doc_id": e["doc_id"][same],
+            "bigram": e["token"][same] + " " + e["token"].shift(-1)[same]})
+        if len(g) == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "bigram": pa.array([], type=pa.string()),
                              "tf": pa.array([], type=pa.int64())})
-        import pandas as pd
-        g = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
-                          "bigram": grams}) \
-            .groupby(["doc_id", "bigram"], sort=False).size() \
+        out = g.groupby(["doc_id", "bigram"], sort=False).size() \
             .reset_index(name="tf")
-        return pa.table({"doc_id": g["doc_id"].to_numpy(np.int64),
-                         "bigram": pa.array(g["bigram"].tolist(),
+        return pa.table({"doc_id": out["doc_id"].to_numpy(np.int64),
+                         "bigram": pa.array(out["bigram"].tolist(),
                                             pa.string()),
-                         "tf": g["tf"].to_numpy(np.int64)})
+                         "tf": out["tf"].to_numpy(np.int64)})
 
-    tfd = docs.map_batches(tf, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
+    tfd = docs.map_batches(tf, batch_format="pandas").materialize()
     counts = tfd.groupby("bigram").aggregate(
         _Sum("tf", alias_name="c")).materialize()
     np_join = 1 if counts.count() < 200_000 else 16

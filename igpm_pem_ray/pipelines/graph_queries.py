@@ -242,6 +242,125 @@ def sql_eigen_walks(n_iters: int = EIGEN_ITERS) -> str:
         f" SELECT vid, z AS walks_mod FROM z{n_iters} ORDER BY vid")
 
 
+def _triad_type(cab: int, cbc: int, cac: int) -> str:
+    """Holland-Leinhardt type of a COMPLETE triad a<b<c given dyad
+    codes (1 = low->high arc only, 2 = high->low only, 3 = mutual).
+    For the one-mutual-dyad family the suffix follows the odd vertex's
+    out-degree among the two single arcs: 2 -> 120D (it points down at
+    the mutual pair), 0 -> 120U, 1 -> 120C — the deterministic
+    convention both engines share."""
+    m = (cab == 3) + (cbc == 3) + (cac == 3)
+    if m == 3:
+        return "300"
+    if m == 2:
+        return "210"
+    if m == 1:
+        if cab == 3:          # odd vertex c; singles: a-c, b-c
+            out_z = (cac == 2) + (cbc == 2)
+        elif cbc == 3:        # odd vertex a; singles: a-b, a-c
+            out_z = (cab == 1) + (cac == 1)
+        else:                 # cac == 3; odd vertex b
+            out_z = (cab == 2) + (cbc == 1)
+        return {2: "120D", 0: "120U", 1: "120C"}[out_z]
+    out_a = (cab == 1) + (cac == 1)
+    out_b = (cab == 2) + (cbc == 1)
+    out_c = (cac == 2) + (cbc == 2)
+    return "030C" if out_a == 1 and out_b == 1 and out_c == 1 else "030T"
+
+
+# 27-entry lookup over (cab-1)*9 + (cbc-1)*3 + (cac-1); built once.
+_TRIAD_LUT = np.array([_triad_type(i // 9 + 1, i % 9 // 3 + 1, i % 3 + 1)
+                       for i in range(27)])
+
+
+def q_triad_census(sf_dir: str) -> pa.Table:
+    """Triad census (Holland-Leinhardt 1976) restricted to COMPLETE
+    triads — triples whose three dyads are all connected in the
+    reciprocal directed graph — classified into the 7 MAN types 300 /
+    210 / 120D / 120U / 120C / 030T / 030C.  The disconnected census
+    rows (003/012/102 etc.) are derivable from V, dyad counts and
+    these by the Batagelj-Mrvar complement identities and carry no new
+    joins, so the kernel measures exactly the triangle-shaped work.
+
+    Plan: arcs -> canonical dyad codes (one (lo,hi) groupby summing
+    direction bits, so code in {1,2,3}); wedge join dy(a,b) |X|
+    dy(b,c) on the shared middle (a<b<c for free from canonical
+    order); close with one (a,c)-keyed join carrying all three codes;
+    vectorized 27-entry LUT classify; O(7) count groupby.  Scale: the
+    same two-join plan as triangle_count; on hub-skewed webgraphs run
+    it degree-oriented (triangles.py:39) — here the canonical order
+    stands in since the census needs a<b<c anyway."""
+    from ray.data.aggregate import Count, Sum
+
+    def dyad_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": np.minimum(s, d), "hi": np.maximum(s, d),
+                         "bit": np.where(s < d, 1, 2).astype(np.int64)})
+
+    dy = directed_edges(sf_dir) \
+        .map_batches(dyad_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lo", "hi"]).aggregate(Sum("bit", alias_name="code")) \
+        .materialize()
+
+    wedges = dy.rename_columns({"lo": "a", "hi": "b", "code": "cab"}) \
+        .join(dy.rename_columns({"lo": "b2", "hi": "c", "code": "cbc"}),
+              join_type="inner", num_partitions=8,
+              on=("b",), right_on=("b2",))
+    tri = wedges.join(
+        dy.rename_columns({"lo": "a3", "hi": "c3", "code": "cac"}),
+        join_type="inner", num_partitions=8,
+        on=("a", "c"), right_on=("a3", "c3"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        cab = b["cab"].to_numpy(zero_copy_only=False)
+        cbc = b["cbc"].to_numpy(zero_copy_only=False)
+        cac = b["cac"].to_numpy(zero_copy_only=False)
+        idx = (cab - 1) * 9 + (cbc - 1) * 3 + (cac - 1)
+        return pa.table({"triad": pa.array(_TRIAD_LUT[idx], pa.string())})
+
+    counts = tri.map_batches(classify, batch_format="pyarrow") \
+        .groupby("triad").aggregate(Count(alias_name="n"))
+    pdf = counts.to_pandas().sort_values("triad")
+    return pa.table({"triad": pa.array(pdf["triad"].tolist(), pa.string()),
+                     "n": pdf["n"].to_numpy().astype("int64")})
+
+
+def sql_triad_census() -> str:
+    onemut = (
+        "CASE WHEN cab=3 THEN (CASE WHEN cac=2 THEN 1 ELSE 0 END)"
+        "+(CASE WHEN cbc=2 THEN 1 ELSE 0 END) "
+        "WHEN cbc=3 THEN (CASE WHEN cab=1 THEN 1 ELSE 0 END)"
+        "+(CASE WHEN cac=1 THEN 1 ELSE 0 END) "
+        "ELSE (CASE WHEN cab=2 THEN 1 ELSE 0 END)"
+        "+(CASE WHEN cbc=1 THEN 1 ELSE 0 END) END")
+    return _with_edges(
+        f"{_DIRECTED_SQL}, "
+        "dy AS (SELECT least(src,dst) AS lo, greatest(src,dst) AS hi, "
+        "sum(CASE WHEN src<dst THEN 1 ELSE 2 END) AS code "
+        "FROM directed GROUP BY 1, 2), "
+        "tri AS (SELECT d1.code AS cab, d2.code AS cbc, d3.code AS cac "
+        "FROM dy d1 JOIN dy d2 ON d1.hi = d2.lo "
+        "JOIN dy d3 ON d3.lo = d1.lo AND d3.hi = d2.hi), "
+        "m AS (SELECT cab, cbc, cac, "
+        "(CASE WHEN cab=3 THEN 1 ELSE 0 END)+(CASE WHEN cbc=3 THEN 1 "
+        "ELSE 0 END)+(CASE WHEN cac=3 THEN 1 ELSE 0 END) AS nm, "
+        "(CASE WHEN cab=1 THEN 1 ELSE 0 END)+(CASE WHEN cac=1 THEN 1 "
+        "ELSE 0 END) AS outa, "
+        "(CASE WHEN cab=2 THEN 1 ELSE 0 END)+(CASE WHEN cbc=1 THEN 1 "
+        "ELSE 0 END) AS outb, "
+        "(CASE WHEN cac=2 THEN 1 ELSE 0 END)+(CASE WHEN cbc=2 THEN 1 "
+        "ELSE 0 END) AS outc, "
+        f"{onemut} AS outz FROM tri) "
+        "SELECT CASE WHEN nm=3 THEN '300' WHEN nm=2 THEN '210' "
+        "WHEN nm=1 THEN (CASE WHEN outz=2 THEN '120D' "
+        "WHEN outz=0 THEN '120U' ELSE '120C' END) "
+        "WHEN outa=1 AND outb=1 AND outc=1 THEN '030C' ELSE '030T' END "
+        "AS triad, CAST(count(*) AS BIGINT) AS n "
+        "FROM m GROUP BY 1 ORDER BY triad")
+
+
 LINK_PREDICT_K = 20
 
 
@@ -582,17 +701,24 @@ def sql_scc() -> str:
 
 def directed_edges(sf_dir: str):
     """Directed graph WITH reciprocal pairs: both orientations of each
-    canonical pair are candidate edges, each kept independently by an
-    affine hash (keep iff (s*31+d*17)%3==0) — so ~1/9 of pairs keep
-    BOTH directions.  The parity orientation (``oriented_edges``)
-    can't express reciprocity: it emits one direction per pair by
-    construction.  Identical expression in both engines."""
+    canonical pair are candidate arcs, each kept by the PRODUCT-term
+    hash keep iff ((s%13)*(d%13) + 5*(s%13) + 2*(d%13)) % 13 < 5.
+    The product term is essential: any affine rule (p*s+q*d)%m is
+    direction-SYMMETRIC whenever p+q≡0 or p≡q (mod m) — the previous
+    (s*31+d*17)%3 rule satisfied 31+17≡0 (mod 3), so every kept dyad
+    was silently mutual (reciprocity exactly 1, triad census all-300).
+    The product rule realizes all 27 dyad-code combinations on the
+    triad support (measured at sf0.01) and an expected reciprocity of
+    5/13.  Residues are reduced BEFORE the multiply so the expression
+    is exact at 63-bit vids in both engines (the MIS/walks hash
+    convention).  Identical expression in the SQL oracle."""
     def both(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
         d = b["dst"].to_numpy(zero_copy_only=False)
         cs = np.concatenate([s, d])
         cd = np.concatenate([d, s])
-        keep = (cs * 31 + cd * 17) % 3 == 0
+        rs, rd = cs % 13, cd % 13
+        keep = (rs * rd + 5 * rs + 2 * rd) % 13 < 5
         return pa.table({"src": cs[keep], "dst": cd[keep]})
 
     return cooccurrence_edges(sf_dir).map_batches(
@@ -603,7 +729,7 @@ _DIRECTED_SQL = (
     "directed AS (SELECT s AS src, d AS dst FROM ("
     "SELECT src AS s, dst AS d FROM edges "
     "UNION ALL SELECT dst AS s, src AS d FROM edges) b "
-    "WHERE (s*31+d*17)%3=0)")
+    "WHERE ((s%13)*(d%13) + 5*(s%13) + 2*(d%13)) % 13 < 5)")
 
 
 def q_reciprocity(sf_dir: str) -> pa.Table:
