@@ -696,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": an.q_decontaminate,
         "approx_distinct_users": an.q_approx_distinct_users,
         "bigram_lm": an.q_bigram_lm,
+        "dsir_weights": an.q_dsir_weights,
         "kcore_peel": g.q_kcore_peel,
         "eigen_walks": g.q_eigen_walks,
         "triad_census": g.q_triad_census,
@@ -862,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_covariance": an.sql_embed_covariance(),
         "decontaminate": an.sql_decontaminate(),
         "bigram_lm": an.sql_bigram_lm(),
+        "dsir_weights": an.sql_dsir_weights(),
         "kcore_peel": g.sql_kcore_peel(),
         "eigen_walks": g.sql_eigen_walks(),
         "triad_census": g.sql_triad_census(),

@@ -2638,3 +2638,107 @@ def sql_bigram_lm() -> str:
         "CAST(sum(tf.tf * c.c) // sum(tf.tf) AS BIGINT) AS fam_mean "
         "FROM tf JOIN c USING (bigram) "
         "GROUP BY tf.doc_id ORDER BY doc_id")
+
+
+# ---------------- DSIR importance weights ----------------
+
+DSIR_SCALE = 1_000_000   # e6 fixed-point for the count ratio
+DSIR_CAP = 1_000_000     # saturate counts so SCALE*(c+1) stays < 2^63
+DSIR_TARGET_LANG = "en"  # the target corpus: English documents
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    with Importance Resampling, arXiv:2302.03169) in the repo's
+    integer-exact no-log convention: the target corpus is the lang=en
+    slice, the raw corpus is everything else, and each document scores
+    the tf-weighted mean of the Laplace-smoothed per-token count
+    ratio
+
+        ratio_e6(w) = (SCALE * min(c_tgt(w)+1, CAP))
+                       // min(c_raw(w)+1, CAP)
+
+    — the monotone integer stand-in for the hashed-n-gram
+    log-likelihood ratio the paper samples by (high = target-like
+    vocabulary).  Counts saturate at CAP on BOTH sides so
+    SCALE*(c+1) cannot overflow int64 at any corpus size (tokens past
+    1M occurrences are distribution-defining boilerplate whose true
+    ratio the cap barely moves).
+
+    Scale shape: per-doc tf partials carry an is-target split from
+    the SAME batch (no lang join); ONE vocab-keyed groupby produces
+    both conditional counts; one token-keyed join; one per-doc
+    groupby.  Identical op order in the SQL oracle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+
+    def tf(df):
+        import pandas as pd
+        e = pd.DataFrame({"doc_id": df["doc_id"],
+                          "tgt": (df["lang"] == DSIR_TARGET_LANG),
+                          "token": df["text"].str.split()}).explode(
+            "token", ignore_index=True)
+        e = e[e["token"].notna()]
+        g = e.groupby(["doc_id", "tgt", "token"], sort=False).size() \
+            .reset_index(name="tf")
+        tfv = g["tf"].to_numpy(np.int64)
+        tgt = g["tgt"].to_numpy(bool)
+        return pa.table({"doc_id": g["doc_id"].to_numpy(np.int64),
+                         "token": pa.array(g["token"].tolist(), pa.string()),
+                         "tf": tfv,
+                         "tft": np.where(tgt, tfv, 0),
+                         "tfr": np.where(tgt, 0, tfv)})
+
+    tfd = docs.map_batches(tf, batch_format="pandas").materialize()
+    counts = tfd.groupby("token").aggregate(
+        _Sum("tft", alias_name="ct"), _Sum("tfr", alias_name="cr")) \
+        .materialize()
+    np_join = 1 if counts.count() < 200_000 else 16
+    j = tfd.select_columns(["doc_id", "token", "tf"]) \
+        .join(counts.rename_columns({"token": "token2"}),
+              join_type="inner", num_partitions=np_join,
+              on=("token",), right_on=("token2",))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False)
+        ct = np.minimum(b["ct"].to_numpy(zero_copy_only=False) + 1, DSIR_CAP)
+        cr = np.minimum(b["cr"].to_numpy(zero_copy_only=False) + 1, DSIR_CAP)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_toks": tfv,
+                         "ws": tfv * ((DSIR_SCALE * ct) // cr)})
+
+    per_doc = j.map_batches(score, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(_Sum("n_toks", alias_name="n_tokens"),
+                                     _Sum("ws", alias_name="ws"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = b["ws"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": n,
+                         "dsir_e6": ws // n})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_dsir_weights() -> str:
+    return (
+        r"WITH e AS (SELECT doc_id, lang = '" + DSIR_TARGET_LANG + "' AS "
+        r"tgt, unnest(list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '')) AS token FROM documents), "
+        "tf AS (SELECT doc_id, tgt, token, count(*) AS tf "
+        "FROM e GROUP BY doc_id, tgt, token), "
+        "c AS (SELECT token, sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct, "
+        "sum(CASE WHEN tgt THEN 0 ELSE tf END) AS cr "
+        "FROM tf GROUP BY token), "
+        "s AS (SELECT tf.doc_id, tf.tf, "
+        f"tf.tf * (({DSIR_SCALE} * least(c.ct + 1, {DSIR_CAP})) "
+        f"// least(c.cr + 1, {DSIR_CAP})) AS ws "
+        "FROM tf JOIN c USING (token)) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(sum(tf) AS BIGINT) AS n_tokens, "
+        "CAST(sum(ws) // sum(tf) AS BIGINT) AS dsir_e6 "
+        "FROM s GROUP BY doc_id ORDER BY doc_id")
