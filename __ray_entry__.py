@@ -700,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_peel": g.q_kcore_peel,
         "eigen_walks": g.q_eigen_walks,
         "triad_census": g.q_triad_census,
+        "simrank_mc": g.q_simrank_mc,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -867,4 +868,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel": g.sql_kcore_peel(),
         "eigen_walks": g.sql_eigen_walks(),
         "triad_census": g.sql_triad_census(),
+        "simrank_mc": g.sql_simrank_mc(),
     }

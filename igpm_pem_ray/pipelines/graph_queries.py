@@ -1214,6 +1214,76 @@ def sql_walk_pairs() -> str:
             "GROUP BY a.vid, b.vid ORDER BY center, context")
 
 
+# ---------- Monte-Carlo SimRank from the shared walks ----------
+
+SIMRANK_C_NUM, SIMRANK_C_DEN = 4, 5   # decay c = 4/5, exact rational
+_SIMRANK_E6 = {t: 10**6 * SIMRANK_C_NUM**t // SIMRANK_C_DEN**t
+               for t in range(1, WALK_LEN + 1)}
+
+
+def q_simrank_mc(sf_dir: str):
+    """Monte-Carlo SimRank estimates (Fogaras-Racz, WWW 2005 "Scaling
+    link-based similarity search"): s(a,b) = E[c^tau] where tau is the
+    first time the two vertices' walks occupy the same vertex at the
+    same step.  One deterministic hash-walk per vertex (the shared
+    graph/walks.py substrate, identically replayed by the SQL oracle's
+    unrolled CTE) gives the 1-sample estimator; c = 4/5 keeps the
+    decay exact-rational so c^tau is integer-exact at e6 scale.
+
+    Scale shape: candidate pairs come from an inverted-index self-join
+    of the walk table on (step, vid) — only walkers that actually
+    co-locate ever pair, never all V^2 — then one (a,b) groupby takes
+    the FIRST meeting.  Fan-out per (step, vid) cell is the square of
+    its occupancy; on hub-heavy graphs cap hot cells exactly as the
+    LSH banding join does (text/dedup.py hot-bucket cap).  Step 0
+    never matches (each walk starts at its own distinct vertex)."""
+    from ray.data.aggregate import Min
+
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir),
+                                walk_len=WALK_LEN).materialize()
+    num_partitions = 1 if ds.count() < 64 * 8 * (WALK_LEN + 1) else 8
+    a = ds.rename_columns({"walker": "a", "step": "s", "vid": "v"})
+    b = ds.rename_columns({"walker": "b", "step": "s2", "vid": "v2"})
+    j = a.join(b, join_type="inner", num_partitions=num_partitions,
+               on=("s", "v"), right_on=("s2", "v2"))
+
+    def lt(t: pa.Table) -> pa.Table:
+        av = t["a"].to_numpy(zero_copy_only=False)
+        bv = t["b"].to_numpy(zero_copy_only=False)
+        k = av < bv
+        return pa.table({"a": av[k], "b": bv[k],
+                         "s": t["s"].to_numpy(zero_copy_only=False)[k]})
+
+    met = j.map_batches(lt, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["a", "b"]).aggregate(Min("s", alias_name="meet_step"))
+
+    lut = np.zeros(WALK_LEN + 1, dtype=np.int64)
+    for t, v in _SIMRANK_E6.items():
+        lut[t] = v
+
+    def score(t: pa.Table) -> pa.Table:
+        ms = t["meet_step"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"], "meet_step": ms,
+                         "simrank_e6": lut[ms]})
+
+    return met.map_batches(score, batch_format="pyarrow") \
+        .sort(["a", "b"])
+
+
+def sql_simrank_mc() -> str:
+    cases = " ".join(f"WHEN {t} THEN {v}" for t, v in _SIMRANK_E6.items())
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()} "
+            "SELECT CAST(w1.walker AS BIGINT) AS a, "
+            "CAST(w2.walker AS BIGINT) AS b, "
+            "CAST(min(w1.step) AS BIGINT) AS meet_step, "
+            f"CAST(CASE min(w1.step) {cases} END AS BIGINT) AS simrank_e6 "
+            "FROM walks w1 JOIN walks w2 ON w1.step = w2.step "
+            "AND w1.vid = w2.vid AND w1.walker < w2.walker "
+            "GROUP BY w1.walker, w2.walker ORDER BY a, b")
+
+
 # ---------- weighted PageRank (multigraph multiplicity) ----------
 
 def q_pagerank_weighted(sf_dir: str) -> pa.Table:
