@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_count": g.q_star_count,
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
+        "kcore_hindex": g.q_kcore_hindex,
         "link_predict": g.q_link_predict,
         "link_predict_jaccard": g.q_link_predict_jaccard,
         "link_predict_ra": g.q_link_predict_ra,

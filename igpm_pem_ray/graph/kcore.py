@@ -7,23 +7,23 @@ single-k, single-round version); cores are the standard link-graph
 robustness/spam-farm signal, so the engine carries them as a
 first-class kernel.
 
-Two strategies, mirroring the triangle kernel's split:
+Three strategies, mirroring the triangle kernel's split:
 - "dense" (default while the simple edge set fits one process): the
   O(E) Batagelj-Zaversnik bucket peel on a driver CSR built from a
   per-block canon+unique combiner pass — exact core numbers in one
   sweep.
-- "peel" (the unbounded-V shape): iterative Dataset rounds — drop all
-  vertices with current degree < k, recompute degrees (one groupby per
-  round), repeat until stable, then raise k; emits the k-core
-  membership per level.  O(max_core x diameter-ish) rounds of
-  degree-groupby shuffles; every per-vertex structure stays a Dataset.
-  Used for the `max_k` membership question rather than full
-  decomposition (asking for every vertex's core number that way would
-  pay the full peel per k).
+- "peel" (the unbounded-V shape for ONE k): iterative Dataset rounds —
+  drop all vertices with current degree < k, recompute degrees (one
+  groupby per round), repeat until stable (``kcore_membership``).
+- "hindex" (the unbounded-V shape for the FULL decomposition):
+  ``core_numbers_hindex`` — the Lu et al. 2016 h-index fixpoint,
+  per-vertex state a (vid, h) Dataset, every round pure
+  joins/aggregates, exact same core numbers as the dense peel.
 
 Correctness: tests/test_kernels.py pins the dense kernel to an
 independent set-based peeling oracle and pins strategy parity
-(dense core>=k membership == peel output) on random graphs.
+(dense core>=k membership == peel output; dense core == hindex core)
+on random graphs.
 """
 
 from __future__ import annotations
@@ -174,3 +174,137 @@ def kcore_membership(edges_ds, k: int, *, num_partitions: int | None = None,
         stats.update({"rounds": rounds, "k": k,
                       "survivors": 0 if n_prev is None else n})
     return keep
+
+
+def core_numbers_hindex(edges_ds, *, num_partitions: int | None = None,
+                        max_rounds: int = 10_000,
+                        checkpoint_dir: str | None = None,
+                        checkpoint_every: int = 5,
+                        resume: bool = False,
+                        stats: dict | None = None):
+    """Dataset-resident FULL k-core decomposition via the h-index
+    fixpoint (Lu, Zhou, Zhang, Stanley, Nature Physics 2016 "The
+    H-index of a network node"): h_0(v) = deg(v), h_{t+1}(v) = H-index
+    of the neighbors' h_t, which converges monotonically DOWN to the
+    exact core number of every vertex at once — the published
+    unbounded-V alternative to the driver-CSR Batagelj-Zaversnik peel
+    (``core_numbers``), completing the two-path story for the full
+    decomposition (``kcore_membership`` answers only a fixed k).
+
+    The per-vertex H-index is computed with PURE joins/aggregates (no
+    driver arrays, no map_groups): with cnt(v, hval, n) = neighbor
+    multiplicity per distinct h value, the identity
+
+        H(v) = max over distinct c of min(c, N>=(v, c)),
+        N>=(v, c) = sum of n over hval >= c
+
+    (take c* = the smallest distinct value >= H to see >=; any
+    min(c, N>=(c)) is an achievable k to see <=) turns one round into:
+    messages join + (vid, hval) count groupby + one DISTINCT-VALUE
+    self-join on vid + two groupbys.  The self-join fan-out is
+    sum_v distinct_h(v)^2 <= sum_v deg(v)^2 — the triangle-join hub
+    caveat applies; distinct-h collapses fast as rounds proceed.
+
+    Termination is exact and O(1) on the driver: sum_v h(v) is a
+    monotone non-increasing integer series, so "sum unchanged" IS the
+    fixpoint (the hyperball_shuffle register-sum trick).  Checkpoints
+    stream the (vid, h) state via ``save_state_ds`` every
+    ``checkpoint_every`` rounds; synchronous rounds depend only on the
+    previous state, so resume reproduces the uncheckpointed run
+    exactly."""
+    from ray.data.aggregate import Count, Max
+
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+
+    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
+        _canon_unique, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(Sum("src", alias_name="_s")) \
+        .map_batches(lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+                     batch_format="pyarrow")
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["src"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"vid": u, "c": c.astype(np.int64)})
+
+    state = sym_edges.map_batches(deg_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("vid").aggregate(Sum("c", alias_name="h")).materialize()
+
+    if state.count() == 0:
+        if stats is not None:
+            stats.update({"rounds": 0, "h_sum": 0})
+        return rd.from_arrow(pa.table({
+            "vid": pa.array([], type=pa.int64()),
+            "core": pa.array([], type=pa.int64())}))
+
+    params = {"kernel": "kcore_hindex", "V": state.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, state2, _m = found
+            state = state2.materialize()
+
+    h_sum = int(state.sum("h"))
+    rounds = start_round
+    for k in range(start_round, max_rounds):
+        msgs = sym_edges.join(state, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"vid": b["dst"],
+                                             "hval": b["h"]}),
+                         batch_format="pyarrow")
+        cnt = msgs.groupby(["vid", "hval"]) \
+            .aggregate(Count(alias_name="n")).materialize()
+        pairs = cnt.join(
+            cnt.map_batches(lambda b: pa.table({"vid2": b["vid"],
+                                                "c": b["hval"]}),
+                            batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("vid",), right_on=("vid2",))
+
+        def nge_partial(b: pa.Table) -> pa.Table:
+            hv = b["hval"].to_numpy(zero_copy_only=False)
+            c = b["c"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            return pa.table({"vid": b["vid"], "c": c,
+                             "nc": np.where(hv >= c, n, 0)})
+
+        hnew = pairs.map_batches(nge_partial, batch_format="pyarrow") \
+            .groupby(["vid", "c"]).aggregate(Sum("nc", alias_name="nge")) \
+            .map_batches(lambda b: pa.table({
+                "vid": b["vid"],
+                "k": np.minimum(b["c"].to_numpy(zero_copy_only=False),
+                                b["nge"].to_numpy(zero_copy_only=False))}),
+                         batch_format="pyarrow") \
+            .groupby("vid").aggregate(Max("k", alias_name="h")) \
+            .materialize()
+        rounds += 1
+        s_new = int(hnew.sum("h"))
+        state = hnew
+        if checkpoint_dir and rounds % checkpoint_every == 0:
+            ckpt.save_state_ds(checkpoint_dir, rounds, state,
+                               metric_name="h_sum", metric_value=s_new,
+                               params=params)
+        if s_new == h_sum:
+            break
+        h_sum = s_new
+    if stats is not None:
+        stats.update({"rounds": rounds, "h_sum": h_sum})
+    return state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "core": b["h"]}),
+        batch_format="pyarrow")

@@ -162,6 +162,22 @@ def q_kcore(sf_dir: str) -> pa.Table:
                      "layer": pdf["layer"].to_numpy().astype("int64")})
 
 
+def q_kcore_hindex(sf_dir: str) -> pa.Table:
+    """FULL core decomposition on the Dataset-resident h-index path
+    (kcore.core_numbers_hindex, Lu et al. 2016) — the unbounded-V twin
+    of the rows-only `kcore` query; exact equality with the dense
+    Batagelj-Zaversnik peel is pinned by test_kcore_hindex_parity, so
+    this registers the 10^12-V strategy itself against the driver's
+    rows check.  Runs on the thinned graph (like the distance-family
+    shuffle queries): the per-round cost is a fixed number of shuffle
+    ops, so the sandbox-scale wall time is round-count-bound, not
+    data-bound."""
+    ds = kcore_mod.core_numbers_hindex(thinned_edges(sf_dir))
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "core": pdf["core"].to_numpy().astype("int64")})
+
+
 KPEEL_K = 64      # degree threshold: dense co-occ graph peels in 2-3
 KPEEL_ROUNDS = 8  # rounds at k=64 (measured sf0.001/0.01); 8 = margin
 

@@ -335,6 +335,21 @@ def test_kcore_membership_parity(graph):
         assert got == {v for v, c in core.items() if c >= k}, k
 
 
+def test_kcore_hindex_parity(graph):
+    """Dataset-resident h-index fixpoint (Lu et al. 2016) == dense
+    Batagelj-Zaversnik core numbers, every vertex."""
+    from igpm_pem_ray.graph import kcore as kcore_mod
+
+    edges, vids, ds = graph
+    want = kcore_mod.core_numbers(ds).to_pandas()
+    stats: dict = {}
+    got = kcore_mod.core_numbers_hindex(ds, num_partitions=2,
+                                        stats=stats).to_pandas()
+    assert dict(zip(got["vid"], got["core"])) == dict(
+        zip(want["vid"], want["core"]))
+    assert stats["rounds"] >= 1
+
+
 def test_kcore_tiny_multigraph():
     """K4 + pendant + parallel edge + self loop: K4 is the 3-core."""
     from igpm_pem_ray.graph import kcore as kcore_mod

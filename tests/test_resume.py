@@ -370,3 +370,22 @@ def test_sssp_shuffle_resume_equivalence(edges_ds, tmp_path):
     assert (full["vid"].to_numpy() == resumed["vid"].to_numpy()).all()
     assert (full["dist"].to_numpy().astype("int64")
             == resumed["dist"].to_numpy().astype("int64")).all()
+
+def test_kcore_hindex_resume_equivalence(edges_ds, tmp_path):
+    """core_numbers_hindex: interrupt-at-2 / resume equals the
+    uninterrupted run (synchronous h-index rounds -> exact), same
+    save_state_ds protocol as the K1-K3 shuffle siblings."""
+    from igpm_pem_ray.graph.kcore import core_numbers_hindex
+
+    ck = str(tmp_path / "khx")
+    want = core_numbers_hindex(edges_ds, num_partitions=2).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    core_numbers_hindex(edges_ds, num_partitions=2, max_rounds=2,
+                        checkpoint_dir=ck, checkpoint_every=1)
+    stats: dict = {}
+    got = core_numbers_hindex(edges_ds, num_partitions=2,
+                              checkpoint_dir=ck, checkpoint_every=1,
+                              resume=True, stats=stats).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
+    assert stats["rounds"] >= 2
