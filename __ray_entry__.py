@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": g.q_clustering_coeff,
         "kcore": g.q_kcore,
         "kcore_hindex": g.q_kcore_hindex,
+        "kcore_hindex_r4": g.q_kcore_hindex_r4,
         "link_predict": g.q_link_predict,
         "link_predict_jaccard": g.q_link_predict_jaccard,
         "link_predict_ra": g.q_link_predict_ra,
@@ -870,4 +871,5 @@ def oracle_sql() -> dict[str, str]:
         "eigen_walks": g.sql_eigen_walks(),
         "triad_census": g.sql_triad_census(),
         "simrank_mc": g.sql_simrank_mc(),
+        "kcore_hindex_r4": g.sql_kcore_hindex_r4(),
     }

@@ -178,6 +178,48 @@ def q_kcore_hindex(sf_dir: str) -> pa.Table:
                      "core": pdf["core"].to_numpy().astype("int64")})
 
 
+HIX_ROUNDS = 4    # bounded h-index rounds for the SQL-oracled variant
+
+
+def q_kcore_hindex_r4(sf_dir: str) -> pa.Table:
+    """The h-index core-decomposition kernel CUT AT HIX_ROUNDS rounds,
+    which makes the recurrence SQL-expressible (one unrolled
+    count/self-join/argmax CTE block per round) — the same
+    bounded-unroll move that gave `kcore_peel` a hash oracle.  Rounds
+    past the fixpoint are the identity, so an early-converged kernel
+    run and the fixed-round SQL agree by construction; the
+    run-to-fixpoint sibling `kcore_hindex` stays rows-only."""
+    ds = kcore_mod.core_numbers_hindex(thinned_edges(sf_dir),
+                                       max_rounds=HIX_ROUNDS)
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "h": pdf["core"].to_numpy().astype("int64")})
+
+
+def sql_kcore_hindex_r4(rounds: int = HIX_ROUNDS) -> str:
+    parts = [
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
+        "ue AS (SELECT DISTINCT x AS src, y AS dst FROM (SELECT src AS x, "
+        "dst AS y FROM kept UNION ALL SELECT dst, src FROM kept) b "
+        "WHERE x <> y)",
+        "h0 AS (SELECT src AS vid, count(*) AS h FROM ue GROUP BY src)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS vid, s.h AS hval, count(*) AS n "
+            f"FROM ue e JOIN {p} s ON e.src = s.vid GROUP BY e.dst, s.h), "
+            f"n{k} AS (SELECT a.vid, b.hval AS c, "
+            f"sum(CASE WHEN a.hval >= b.hval THEN a.n ELSE 0 END) AS nge "
+            f"FROM c{k} a JOIN c{k} b ON a.vid = b.vid "
+            f"GROUP BY a.vid, b.hval), "
+            f"h{k} AS (SELECT vid, max(least(c, nge)) AS h FROM n{k} "
+            f"GROUP BY vid)")
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT vid, CAST(h AS BIGINT) AS h FROM h{rounds} ORDER BY vid")
+
+
 KPEEL_K = 64      # degree threshold: dense co-occ graph peels in 2-3
 KPEEL_ROUNDS = 8  # rounds at k=64 (measured sf0.001/0.01); 8 = margin
 
