@@ -200,6 +200,14 @@ def run_bench() -> dict:
     hyperball_shuffle(edges, max_depth=3)
     timings["hyperball_shuffle_3r"] = time.perf_counter() - t0
 
+    # Dataset-resident FULL core decomposition (h-index fixpoint),
+    # fixed 3 rounds for the same boundedness reason
+    from igpm_pem_ray.graph.kcore import core_numbers_hindex
+
+    t0 = time.perf_counter()
+    core_numbers_hindex(edges, max_rounds=3)
+    timings["kcore_hindex_3r"] = time.perf_counter() - t0
+
     # incremental batch-dynamic replay (graph reuse + O(batch)
     # invariants + warm starts; fixture-scaled, sf-independent)
     from igpm_pem_ray.graph.incremental import IncrementalRunner
