@@ -699,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": an.q_approx_distinct_users,
         "bigram_lm": an.q_bigram_lm,
         "dsir_weights": an.q_dsir_weights,
+        "domain_mix_sample": an.q_domain_mix_sample,
         "kcore_peel": g.q_kcore_peel,
         "eigen_walks": g.q_eigen_walks,
         "triad_census": g.q_triad_census,
@@ -867,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": an.sql_decontaminate(),
         "bigram_lm": an.sql_bigram_lm(),
         "dsir_weights": an.sql_dsir_weights(),
+        "domain_mix_sample": an.sql_domain_mix_sample(),
         "kcore_peel": g.sql_kcore_peel(),
         "eigen_walks": g.sql_eigen_walks(),
         "triad_census": g.sql_triad_census(),

@@ -2742,3 +2742,85 @@ def sql_dsir_weights() -> str:
         "CAST(sum(tf) AS BIGINT) AS n_tokens, "
         "CAST(sum(ws) // sum(tf) AS BIGINT) AS dsir_e6 "
         "FROM s GROUP BY doc_id ORDER BY doc_id")
+
+
+# ---------------- domain-mix quota resampling ----------------
+
+_MIX_SHARES = {"src1": 120, "src2": 80}   # permille of the output
+_MIX_DEFAULT = 40                         # every other source
+_MIX_M = (1 << 31) - 1                    # hash pre-reduction modulus
+
+
+def q_domain_mix_sample(sf_dir: str):
+    """EXACT quota resampling of the corpus to a target domain mix
+    (the DoReMi / Pile domain-reweighting step, Xie et al.
+    arXiv:2305.10429 applied as selection): given target permille
+    shares per source, budget = min over sources of N_s*1000//share_s
+    (the largest output for which every source can fill its share),
+    take_s = share_s*budget//1000, and the kept documents are the
+    take_s smallest by the RNG-free hash ring ((doc_id % M) *
+    2654435761 % M, doc_id) — deterministic across engines and reruns,
+    and the quota is EXACT, not binomial (the difference from
+    `stratified_sample`, whose per-row coin keeps a random-sized
+    sample at fixed rates).
+
+    Scale shape: one O(sources) count groupby (driver sees only the
+    per-source totals); the per-source k-smallest selection is
+    stages/ranked.topk_per_group — one global (source, h) sort plus
+    O(blocks) boundary offsets, no per-group Python.  At 100 TB the
+    sort can be replaced by per-source threshold refinement (2-3
+    histogram passes) at the cost of two extra scans; the sort form
+    is the exact single-shuffle default."""
+    from igpm_pem_ray.stages.ranked import topk_per_group
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    cnt = docs.groupby("source").count().to_pandas()
+    shares = {s: _MIX_SHARES.get(s, _MIX_DEFAULT) for s in cnt["source"]}
+    budget = min(int(n) * 1000 // shares[s]
+                 for s, n in zip(cnt["source"], cnt["count()"]))
+    take = {s: shares[s] * budget // 1000 for s in shares}
+
+    def pre(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = ((did % _MIX_M) * 2654435761) % _MIX_M
+        return pa.table({"source": b["source"], "doc_id": did, "h": h})
+
+    ranked = topk_per_group(
+        docs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        key="source", order=["h", "doc_id"],
+        descending=[False, False], k=max(take.values()))
+
+    def quota(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        rk = b["rank"].to_numpy(zero_copy_only=False)
+        keep = rk <= np.array([take[s] for s in src], np.int64)
+        return pa.table({
+            "source": pa.array([s for s, kp in zip(src, keep) if kp],
+                               pa.string()),
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)[keep]})
+
+    return ranked.map_batches(quota, batch_format="pyarrow") \
+        .sort(["source", "doc_id"])
+
+
+def sql_domain_mix_sample() -> str:
+    named = " UNION ALL ".join(
+        f"SELECT '{s}' AS source, {p} AS share"
+        for s, p in _MIX_SHARES.items())
+    return (
+        f"WITH named AS ({named}), "
+        "c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+        "sh AS (SELECT c.source, c.n, "
+        f"COALESCE(named.share, {_MIX_DEFAULT}) AS share "
+        "FROM c LEFT JOIN named USING (source)), "
+        "b AS (SELECT min(n * 1000 // share) AS budget FROM sh), "
+        "t AS (SELECT source, share * b.budget // 1000 AS take_s "
+        "FROM sh, b), "
+        "r AS (SELECT source, doc_id, row_number() OVER ("
+        "PARTITION BY source ORDER BY "
+        f"((doc_id % {_MIX_M}) * 2654435761) % {_MIX_M}, doc_id) AS rn "
+        "FROM documents) "
+        "SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id "
+        "FROM r JOIN t USING (source) WHERE r.rn <= t.take_s "
+        "ORDER BY source, doc_id")
