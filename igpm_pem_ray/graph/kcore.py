@@ -191,19 +191,21 @@ def core_numbers_hindex(edges_ds, *, num_partitions: int | None = None,
     (``core_numbers``), completing the two-path story for the full
     decomposition (``kcore_membership`` answers only a fixed k).
 
-    The per-vertex H-index is computed with PURE joins/aggregates (no
-    driver arrays, no map_groups): with cnt(v, hval, n) = neighbor
-    multiplicity per distinct h value, the identity
+    The per-vertex H-index is computed with PURE Dataset ops (no
+    driver arrays, no map_groups) via the rank identity
 
-        H(v) = max over distinct c of min(c, N>=(v, c)),
-        N>=(v, c) = sum of n over hval >= c
+        H(v) = max over desc-sorted neighbor values of min(h_i, i)
 
-    (take c* = the smallest distinct value >= H to see >=; any
-    min(c, N>=(c)) is an achievable k to see <=) turns one round into:
-    messages join + (vid, hval) count groupby + one DISTINCT-VALUE
-    self-join on vid + two groupbys.  The self-join fan-out is
-    sum_v distinct_h(v)^2 <= sum_v deg(v)^2 — the triangle-join hub
-    caveat applies; distinct-h collapses fast as rounds proceed.
+    — i.e. ONE edges-state join, ONE (vid, hval desc) sort with
+    O(blocks) boundary rank offsets (stages/ranked.topk_per_group,
+    the same plan as the windowed row_number operator), and ONE
+    Max groupby: 3 all-to-all exchanges per round.  Rank ties among
+    equal hval don't affect the max, so the sort needs no secondary
+    key.  (The equivalent distinct-value identity H = max over c of
+    min(c, N>=(c)) gives a join/aggregate-only form, but costs 6
+    exchanges per round and a distinct-value self-join whose fan-out
+    is sum_v distinct_h(v)^2 — measured 1.3x slower end-to-end even
+    after the clamp below.)
 
     Termination is exact and O(1) on the driver: sum_v h(v) is a
     monotone non-increasing integer series, so "sum unchanged" IS the
@@ -212,8 +214,9 @@ def core_numbers_hindex(edges_ds, *, num_partitions: int | None = None,
     ``checkpoint_every`` rounds; synchronous rounds depend only on the
     previous state, so resume reproduces the uncheckpointed run
     exactly."""
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max
 
+    from igpm_pem_ray.stages.ranked import topk_per_group
     from igpm_pem_ray.state import checkpoint as ckpt
 
     if num_partitions is None:
@@ -244,6 +247,31 @@ def core_numbers_hindex(edges_ds, *, num_partitions: int | None = None,
                                   zero_copy_batch=True) \
         .groupby("vid").aggregate(Sum("c", alias_name="h")).materialize()
 
+    # h_0 = min(deg, B) with B = the H-index of the DEGREE SEQUENCE
+    # (>= max core number, computable from the O(distinct-degrees)
+    # histogram).  Any pointwise bound c <= h_0 <= deg converges to
+    # the same fixpoint: the H-operator T is monotone, T(h_0) <= h_0
+    # (H <= #neighbors and H <= max neighbor value <= B), so the
+    # trajectory is still monotone decreasing and sandwiched between
+    # core and T^k(deg).  The clamp is what kills the round-1 hub
+    # blowup: the distinct-value self-join fan-out per vertex drops
+    # from deg(hub)^2 to min(deg, B)^2 (measured 122 s -> see
+    # BASELINE.md at sf0.1/3 rounds).
+    hist = state.groupby("h").count().to_pandas()
+    degs = hist["h"].to_numpy()
+    cnts = hist["count()"].to_numpy()
+    order = np.argsort(-degs)
+    cum = np.cumsum(cnts[order])
+    bound = int(np.maximum(0, np.minimum(degs[order], cum)).max(initial=0))
+
+    def clamp(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": b["vid"],
+                         "h": np.minimum(
+                             b["h"].to_numpy(zero_copy_only=False),
+                             bound)})
+
+    state = state.map_batches(clamp, batch_format="pyarrow").materialize()
+
     if state.count() == 0:
         if stats is not None:
             stats.update({"rounds": 0, "h_sum": 0})
@@ -268,29 +296,13 @@ def core_numbers_hindex(edges_ds, *, num_partitions: int | None = None,
             .map_batches(lambda b: pa.table({"vid": b["dst"],
                                              "hval": b["h"]}),
                          batch_format="pyarrow")
-        cnt = msgs.groupby(["vid", "hval"]) \
-            .aggregate(Count(alias_name="n")).materialize()
-        pairs = cnt.join(
-            cnt.map_batches(lambda b: pa.table({"vid2": b["vid"],
-                                                "c": b["hval"]}),
-                            batch_format="pyarrow"),
-            join_type="inner", num_partitions=num_partitions,
-            on=("vid",), right_on=("vid2",))
-
-        def nge_partial(b: pa.Table) -> pa.Table:
-            hv = b["hval"].to_numpy(zero_copy_only=False)
-            c = b["c"].to_numpy(zero_copy_only=False)
-            n = b["n"].to_numpy(zero_copy_only=False)
-            return pa.table({"vid": b["vid"], "c": c,
-                             "nc": np.where(hv >= c, n, 0)})
-
-        hnew = pairs.map_batches(nge_partial, batch_format="pyarrow") \
-            .groupby(["vid", "c"]).aggregate(Sum("nc", alias_name="nge")) \
-            .map_batches(lambda b: pa.table({
+        ranked = topk_per_group(msgs, key="vid", order=["hval"],
+                                descending=[True], k=None)
+        hnew = ranked.map_batches(lambda b: pa.table({
                 "vid": b["vid"],
-                "k": np.minimum(b["c"].to_numpy(zero_copy_only=False),
-                                b["nge"].to_numpy(zero_copy_only=False))}),
-                         batch_format="pyarrow") \
+                "k": np.minimum(b["hval"].to_numpy(zero_copy_only=False),
+                                b["rank"].to_numpy(zero_copy_only=False))}),
+                                  batch_format="pyarrow") \
             .groupby("vid").aggregate(Max("k", alias_name="h")) \
             .materialize()
         rounds += 1

@@ -202,7 +202,12 @@ def sql_kcore_hindex_r4(rounds: int = HIX_ROUNDS) -> str:
         "ue AS (SELECT DISTINCT x AS src, y AS dst FROM (SELECT src AS x, "
         "dst AS y FROM kept UNION ALL SELECT dst, src FROM kept) b "
         "WHERE x <> y)",
-        "h0 AS (SELECT src AS vid, count(*) AS h FROM ue GROUP BY src)",
+        "h0d AS (SELECT src AS vid, count(*) AS deg FROM ue GROUP BY src)",
+        # B = H-index of the degree sequence (same clamp as the kernel)
+        "bnd AS (SELECT max(least(deg, rn)) AS b FROM (SELECT deg, "
+        "row_number() OVER (ORDER BY deg DESC) AS rn FROM h0d))",
+        "h0 AS (SELECT vid, least(deg, (SELECT b FROM bnd)) AS h "
+        "FROM h0d)",
     ]
     for k in range(1, rounds + 1):
         p = f"h{k - 1}"
