@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigen_walks": g.q_eigen_walks,
         "triad_census": g.q_triad_census,
         "simrank_mc": g.q_simrank_mc,
+        "wl_refinement": g.q_wl_refinement,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -874,4 +875,5 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": g.sql_triad_census(),
         "simrank_mc": g.sql_simrank_mc(),
         "kcore_hindex_r4": g.sql_kcore_hindex_r4(),
+        "wl_refinement": g.sql_wl_refinement(),
     }

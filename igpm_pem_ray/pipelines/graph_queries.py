@@ -305,6 +305,68 @@ def sql_eigen_walks(n_iters: int = EIGEN_ITERS) -> str:
         f" SELECT vid, z AS walks_mod FROM z{n_iters} ORDER BY vid")
 
 
+WL_ROUNDS = 3
+_WL_M = (1 << 31) - 1
+_WL_MIX = 2654435761 % _WL_M
+_WL_SELF = 1000003
+
+
+def q_wl_refinement(sf_dir: str) -> pa.Table:
+    """1-WL (Weisfeiler-Lehman) color refinement on the undirected
+    co-occurrence graph — the graph-isomorphism-invariant vertex
+    signature (and the expressive ceiling of message-passing GNNs,
+    Xu et al. ICLR 2019): color_0 = deg mod M, color_{k+1}(v) =
+    (color_k(v)*1000003 + sum over neighbors of mix(color_k(u)))
+    mod M with mix(x) = x*2654435761 mod M.  The multiplicative mix
+    before the order-free sum stands in for WL's sorted-multiset
+    injection (collisions possible but deterministic and IDENTICAL
+    in both engines); every intermediate stays < 2^62 so int64 and
+    HUGEINT agree exactly.  One dense msg_pass(sum) per round — the
+    same substrate as `q_katz` / `q_eigen_walks`; the vertex-color
+    histogram after R rounds is the standard WL feature vector."""
+    from igpm_pem_ray.graph.dense import msg_pass as _mp
+
+    edges = cooccurrence_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    g = build_dense_graph(edges.map_batches(sym, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+    deg = _mp(g, np.ones(g.num_vertices, dtype=np.int64),
+              reduce="sum", init=np.int64(0))
+    color = deg % _WL_M
+    for _ in range(WL_ROUNDS):
+        mixed = (color * _WL_MIX) % _WL_M
+        nbr = _mp(g, mixed, reduce="sum", init=np.int64(0))
+        color = (color * _WL_SELF + nbr) % _WL_M
+    return pa.table({"vid": g.vids, "wl_color": color})
+
+
+def sql_wl_refinement(n_rounds: int = WL_ROUNDS) -> str:
+    parts = [
+        "ue AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        f"c0 AS (SELECT src AS vid, count(*) % {_WL_M} AS c "
+        "FROM ue GROUP BY src)",
+    ]
+    for k in range(1, n_rounds + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS vid, "
+            f"sum((r.c * {_WL_MIX}) % {_WL_M}) AS s "
+            f"FROM ue e JOIN {p} r ON e.src = r.vid GROUP BY e.dst), "
+            f"c{k} AS (SELECT v.vid, CAST((v.c * {_WL_SELF} + m.s) "
+            f"% {_WL_M} AS BIGINT) AS c "
+            f"FROM {p} v JOIN m{k} m ON v.vid = m.vid)")
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT vid, c AS wl_color FROM c{n_rounds} ORDER BY vid")
+
+
 def _triad_type(cab: int, cbc: int, cac: int) -> str:
     """Holland-Leinhardt type of a COMPLETE triad a<b<c given dyad
     codes (1 = low->high arc only, 2 = high->low only, 3 = mutual).
