@@ -705,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triad_census": g.q_triad_census,
         "simrank_mc": g.q_simrank_mc,
         "wl_refinement": g.q_wl_refinement,
+        "graph_churn": g.q_graph_churn,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -876,4 +877,5 @@ def oracle_sql() -> dict[str, str]:
         "simrank_mc": g.sql_simrank_mc(),
         "kcore_hindex_r4": g.sql_kcore_hindex_r4(),
         "wl_refinement": g.sql_wl_refinement(),
+        "graph_churn": g.sql_graph_churn(),
     }

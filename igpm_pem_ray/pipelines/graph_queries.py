@@ -2755,3 +2755,111 @@ def sql_degree_gini() -> str:
         "CAST(n*sd AS BIGINT) AS gini_den, "
         "CAST((2*sid - (n+1)*sd) * 1000000 // (n*sd) AS BIGINT) "
         "AS gini_e6 FROM s")
+
+
+# ---------------- temporal graph churn ----------------
+
+CHURN_SPLIT = "1998-01-01"   # epoch A: orders before; epoch B: after
+
+
+def q_graph_churn(sf_dir: str) -> pa.Table:
+    """Edge-set evolution of the co-occurrence graph between two
+    order-date epochs (the link-graph churn measurement: how much of
+    the graph survives a recrawl): build the canonical distinct edge
+    set from orders before / after CHURN_SPLIT, then report
+    |A|, |B|, |A∩B| and the Jaccard survival ratio (e6 half-up).
+
+    Plan: ONE lineitem⋈orders join tags every line with its epoch
+    (the only date column lives on orders), then the usual pair
+    self-join runs ONCE over the tagged lines with the epoch carried
+    through — edges present in both epochs appear with both tags, so
+    a single (src, dst) groupby with min/max-tag aggregates yields
+    all three counts with no second join over the edge sets."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    from igpm_pem_ray.pipelines.common import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    od = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        epoch = (ts >= np.datetime64(CHURN_SPLIT)).astype(np.int64)
+        return pa.table({"k": b["o_orderkey"].to_numpy(
+                             zero_copy_only=False).astype(np.int64),
+                         "epoch": epoch})
+
+    tagged = od.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lines = li.rename_columns({"l_orderkey": "k2", "l_partkey": "part"}) \
+        .join(tagged, join_type="inner", num_partitions=8,
+              on=("k2",), right_on=("k",))
+
+    left = lines.map_batches(
+        lambda b: pa.table({"ka": b["k2"], "src": b["part"],
+                            "epoch": b["epoch"]}),
+        batch_format="pyarrow")
+    right = lines.map_batches(
+        lambda b: pa.table({"kb": b["k2"], "dst": b["part"]}),
+        batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=8,
+                  on=("ka",), right_on=("kb",))
+
+    def lt(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s < d
+        return pa.table({"src": s[keep], "dst": d[keep],
+                         "epoch": b["epoch"].to_numpy(
+                             zero_copy_only=False)[keep]})
+
+    per_edge = j.map_batches(lt, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(
+            _Min("epoch", alias_name="emin"),
+            _Max("epoch", alias_name="emax"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        emin = b["emin"].to_numpy(zero_copy_only=False)
+        emax = b["emax"].to_numpy(zero_copy_only=False)
+        in_a = emin == 0
+        in_b = emax == 1
+        return pa.table({
+            "n_a": pa.array([int(in_a.sum())], pa.int64()),
+            "n_b": pa.array([int(in_b.sum())], pa.int64()),
+            "n_common": pa.array([int((in_a & in_b).sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = per_edge.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(_Sum("n_a", alias_name="n_a"),
+                   _Sum("n_b", alias_name="n_b"),
+                   _Sum("n_common", alias_name="n_common"))
+    n_a, n_b, n_c = int(agg["n_a"]), int(agg["n_b"]), int(agg["n_common"])
+    union = n_a + n_b - n_c
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_common": pa.array([n_c], pa.int64()),
+        "jaccard_e6": pa.array(
+            [int(np.floor(n_c * 1e6 / max(union, 1) + 0.5))], pa.int64()),
+    })
+
+
+def sql_graph_churn() -> str:
+    return (
+        "WITH tagged AS (SELECT l.l_orderkey AS k, l.l_partkey AS part, "
+        f"CASE WHEN o.o_orderdate >= DATE '{CHURN_SPLIT}' THEN 1 ELSE 0 "
+        "END AS epoch FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey), "
+        "pairs AS (SELECT a.part AS src, b.part AS dst, a.epoch "
+        "FROM tagged a JOIN tagged b ON a.k = b.k AND a.part < b.part), "
+        "pe AS (SELECT src, dst, min(epoch) AS emin, max(epoch) AS emax "
+        "FROM pairs GROUP BY src, dst), "
+        "c AS (SELECT sum(CASE WHEN emin = 0 THEN 1 ELSE 0 END) AS n_a, "
+        "sum(CASE WHEN emax = 1 THEN 1 ELSE 0 END) AS n_b, "
+        "sum(CASE WHEN emin = 0 AND emax = 1 THEN 1 ELSE 0 END) "
+        "AS n_common FROM pe) "
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+        "CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(floor(n_common * 1e6 / greatest(n_a + n_b - n_common, 1) "
+        "+ 0.5) AS BIGINT) AS jaccard_e6 FROM c")
