@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank_mc": g.q_simrank_mc,
         "wl_refinement": g.q_wl_refinement,
         "graph_churn": g.q_graph_churn,
+        "pagerank_mc": g.q_pagerank_mc,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -878,4 +879,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore_hindex_r4": g.sql_kcore_hindex_r4(),
         "wl_refinement": g.sql_wl_refinement(),
         "graph_churn": g.sql_graph_churn(),
+        "pagerank_mc": g.sql_pagerank_mc(),
     }

@@ -1339,6 +1339,46 @@ def sql_walk_pairs() -> str:
             "GROUP BY a.vid, b.vid ORDER BY center, context")
 
 
+# ---------- Monte-Carlo PageRank visit counts ----------
+
+def q_pagerank_mc(sf_dir: str):
+    """Monte-Carlo PageRank estimate by complete-path visit counting
+    (Avrachenkov et al. 2007 "Monte Carlo methods in PageRank
+    computation", the 'complete path' estimator with one walk per
+    vertex): visits(v) = number of (walker, step) positions at v over
+    the shared deterministic walk table; the stationary share is
+    visits / total positions.  A THIRD PageRank strategy beside the
+    dense and shuffle power iterations — and because the walks are
+    the RNG-free hash walks both engines replay exactly, the estimate
+    itself is hash-oracle-checked, not just rows-checked.  One count
+    groupby over the walk table; share_e6 uses the integer half-up
+    convention with the total a driver scalar."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir),
+                                walk_len=WALK_LEN).materialize()
+    total = ds.count()
+    visits = ds.groupby("vid").aggregate(Count(alias_name="visits"))
+    pdf = visits.to_pandas().sort_values("vid")
+    v = pdf["visits"].to_numpy().astype("int64")
+    return pa.table({
+        "vid": pdf["vid"].to_numpy().astype("int64"),
+        "visits": v,
+        "share_e6": np.floor(v * 1e6 / total + 0.5).astype(np.int64)})
+
+
+def sql_pagerank_mc() -> str:
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()}, "
+            "t AS (SELECT count(*) AS total FROM walks) "
+            "SELECT CAST(w.vid AS BIGINT) AS vid, "
+            "CAST(count(*) AS BIGINT) AS visits, "
+            "CAST(floor(count(*) * 1e6 / t.total + 0.5) AS BIGINT) "
+            "AS share_e6 "
+            "FROM walks w, t GROUP BY w.vid, t.total ORDER BY vid")
+
+
 # ---------- Monte-Carlo SimRank from the shared walks ----------
 
 SIMRANK_C_NUM, SIMRANK_C_DEN = 4, 5   # decay c = 4/5, exact rational
