@@ -707,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": g.q_wl_refinement,
         "graph_churn": g.q_graph_churn,
         "pagerank_mc": g.q_pagerank_mc,
+        "percolation_curve": g.q_percolation_curve,
     }
     out.update(_link_graph_queries())
     out.update(_text_queries())
@@ -880,4 +881,5 @@ def oracle_sql() -> dict[str, str]:
         "wl_refinement": g.sql_wl_refinement(),
         "graph_churn": g.sql_graph_churn(),
         "pagerank_mc": g.sql_pagerank_mc(),
+        "percolation_curve": g.sql_percolation_curve(),
     }

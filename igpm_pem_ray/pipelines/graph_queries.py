@@ -2903,3 +2903,81 @@ def sql_graph_churn() -> str:
         "CAST(n_common AS BIGINT) AS n_common, "
         "CAST(floor(n_common * 1e6 / greatest(n_a + n_b - n_common, 1) "
         "+ 0.5) AS BIGINT) AS jaccard_e6 FROM c")
+
+
+# ---------------- bond-percolation curve ----------------
+
+PERC_LEVELS = (200, 400, 600, 800, 1000)  # edge keep-permille levels
+_PERC_M = (1 << 31) - 1
+
+
+def _perc_hash(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    return ((s % _PERC_M) * 7919 + (d % _PERC_M) * 104729) % 1000
+
+
+def q_percolation_curve(sf_dir: str) -> pa.Table:
+    """Bond-percolation curve of the thinned co-occurrence graph:
+    keep each canonical edge iff its RNG-free hash lands under q
+    permille, for q in PERC_LEVELS, and report surviving edges and
+    the giant (largest) component size per level — the classic
+    percolation-transition measurement (Callaway et al. PRL 2000),
+    generalizing the single-point `random_attack` query to a curve.
+    Levels are nested by construction (hash < 200 implies < 400 ...),
+    so the curve is monotone.  One dense CC run per level; the driver
+    holds only the O(levels) summary."""
+    base = thinned_edges(sf_dir).materialize()
+    out_q, out_e, out_g = [], [], []
+    for q in PERC_LEVELS:
+        def keep(b: pa.Table, q=q) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            k = _perc_hash(s, d) < q
+            return pa.table({"src": s[k], "dst": d[k]})
+
+        sub = base.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+        n_edges = sub.count()
+        if n_edges == 0:
+            giant = 0
+        else:
+            comp = cc_mod.connected_components(sub)
+            _, counts = np.unique(np.asarray(comp["component"]),
+                                  return_counts=True)
+            giant = int(counts.max())
+        out_q.append(q)
+        out_e.append(n_edges)
+        out_g.append(giant)
+    return pa.table({"keep_permille": pa.array(out_q, pa.int64()),
+                     "n_edges": pa.array(out_e, pa.int64()),
+                     "giant_size": pa.array(out_g, pa.int64())})
+
+
+def sql_percolation_curve() -> str:
+    parts = [
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
+    ]
+    selects = []
+    for q in PERC_LEVELS:
+        parts.append(
+            f"k{q} AS (SELECT src, dst FROM kept WHERE "
+            f"((src % {_PERC_M}) * 7919 + (dst % {_PERC_M}) * 104729) "
+            f"% 1000 < {q}), "
+            f"ue{q} AS (SELECT DISTINCT src, dst FROM (SELECT src, dst "
+            f"FROM k{q} UNION ALL SELECT dst, src FROM k{q}) u), "
+            f"verts{q} AS (SELECT src AS vid FROM ue{q} GROUP BY src), "
+            f"reach{q}(a, b) AS (SELECT vid, vid FROM verts{q} "
+            f"UNION SELECT r.a, e.dst FROM reach{q} r "
+            f"JOIN ue{q} e ON r.b = e.src), "
+            f"comp{q} AS (SELECT a, MIN(b) AS c FROM reach{q} GROUP BY a), "
+            f"g{q} AS (SELECT COALESCE(max(n), 0) AS giant FROM "
+            f"(SELECT count(*) AS n FROM comp{q} GROUP BY c))")
+        selects.append(
+            f"SELECT {q} AS keep_permille, "
+            f"(SELECT count(*) FROM k{q}) AS n_edges, "
+            f"(SELECT giant FROM g{q}) AS giant_size")
+    return _with_edges(
+        ", ".join(parts) + " " +
+        "SELECT CAST(keep_permille AS BIGINT) AS keep_permille, "
+        "CAST(n_edges AS BIGINT) AS n_edges, "
+        "CAST(giant_size AS BIGINT) AS giant_size FROM (" +
+        " UNION ALL ".join(selects) + ") ORDER BY keep_permille")
