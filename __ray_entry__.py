@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": g.q_negative_samples,
         "katz_shuffle": g.q_katz_shuffle,
         "modularity": g.q_modularity,
+        "louvain": g.q_louvain,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_k2_shuffle": g.q_betweenness_k2_shuffle,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -765,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": g.sql_negative_samples(),
         "katz_shuffle": g.sql_katz(),
         "modularity": g.sql_modularity(),
+        "louvain": g.sql_louvain(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "betweenness_k2_shuffle": g.sql_betweenness_k2_shuffle(),
         "sssp": g.sql_sssp(),

@@ -1585,6 +1585,61 @@ def sql_modularity(rounds: int = LP_ROUNDS) -> str:
         "ORDER BY d.community")
 
 
+# ---------- Louvain-style greedy modularity (graph/louvain.py) ----------
+
+LOUVAIN_ROUNDS = 2
+
+
+def q_louvain(sf_dir: str) -> pa.Table:
+    """Synchronous greedy-modularity communities (the reference's
+    recursive-Louvain analog, incremental/query_call.py:130-177) on
+    the undirected co-occurrence graph, LOUVAIN_ROUNDS fixed rounds.
+    Integer-exact scores 2m*k - deg*(tot - [stay]*deg), ties to the
+    smallest community — identical convention in sql_louvain, so the
+    assignment is hash-verified bit for bit."""
+    from igpm_pem_ray.graph import louvain as louv_mod
+
+    t = louv_mod.louvain_communities(cooccurrence_edges(sf_dir),
+                                     max_rounds=LOUVAIN_ROUNDS)
+    return t.sort_by([("vid", "ascending")])
+
+
+def sql_louvain(rounds: int = LOUVAIN_ROUNDS) -> str:
+    parts = [
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges) u)",
+        "deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS d "
+        "FROM ue GROUP BY src)",
+        "m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ue)",
+        "cm0 AS (SELECT vid, vid AS c FROM deg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"cm{k - 1}"
+        parts.append(
+            f"tot{k} AS (SELECT p.c, SUM(d.d) AS tot FROM {p} p "
+            f"JOIN deg d ON p.vid = d.vid GROUP BY p.c), "
+            # neighbor-community counts k_{v,c} plus the own-community
+            # stay row at k=0 (duplicates never win: m2 > 0 makes the
+            # genuine count row strictly better — same in the kernel)
+            f"kc{k} AS (SELECT e.src AS vid, l.c AS c, "
+            f"CAST(count(*) AS BIGINT) AS kc FROM ue e "
+            f"JOIN {p} l ON e.dst = l.vid GROUP BY e.src, l.c), "
+            f"cand{k} AS (SELECT vid, c, kc FROM kc{k} UNION ALL "
+            f"SELECT vid, c, CAST(0 AS BIGINT) FROM {p}), "
+            f"sc{k} AS (SELECT a.vid, a.c, m2.m2 * a.kc - d.d * (t.tot - "
+            f"CASE WHEN p.c = a.c THEN d.d ELSE 0 END) AS s "
+            f"FROM cand{k} a JOIN deg d ON a.vid = d.vid "
+            f"JOIN {p} p ON a.vid = p.vid "
+            f"JOIN tot{k} t ON a.c = t.c CROSS JOIN m2), "
+            f"cm{k} AS (SELECT vid, c FROM (SELECT vid, c, "
+            f"row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) "
+            f"AS rn FROM sc{k}) WHERE rn = 1)"
+        )
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body} SELECT vid, c AS community FROM cm{rounds} ORDER BY vid")
+
+
 # ---------- betweenness centrality (graph/betweenness.py) ----------
 
 def q_betweenness_k2(sf_dir: str) -> pa.Table:

@@ -1926,3 +1926,71 @@ def test_densest_subgraph_half_approx():
         got = stats["n_edges"] / max(stats["n_vertices"], 1)
         assert got >= best / 2 - 1e-9
         assert got <= best + 1e-9
+
+
+def test_louvain_merges_planted_cliques():
+    """Two 4-cliques joined by one bridge edge: after two synchronous
+    greedy-modularity rounds every clique collapses to one community
+    and the bridge does NOT merge them (the classic Louvain sanity
+    case); labels are the smallest-vid representatives by the
+    deterministic tie-break."""
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.louvain import louvain_communities
+
+    c1 = [(a, b) for i, a in enumerate([0, 1, 2, 3])
+          for b in [0, 1, 2, 3][i + 1:]]
+    c2 = [(a, b) for i, a in enumerate([10, 11, 12, 13])
+          for b in [10, 11, 12, 13][i + 1:]]
+    edges = c1 + c2 + [(3, 10)]
+    t = louvain_communities(
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+        max_rounds=4)
+    comm = dict(zip(t["vid"].to_pylist(), t["community"].to_pylist()))
+    assert len({comm[v] for v in [0, 1, 2, 3]}) == 1
+    assert len({comm[v] for v in [10, 11, 12, 13]}) == 1
+    assert comm[0] != comm[10]
+
+
+def test_louvain_improves_or_matches_lp_modularity():
+    """On the deterministic BA fixture the greedy-modularity partition
+    must score global modularity >= the 2-round LP partition (it
+    optimizes Q directly; LP only counts neighbors)."""
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.louvain import louvain_communities
+
+    edges, vids, ds = _fixture_edges_cached()
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    def q_of(assign: dict[int, int]) -> float:
+        m = len(und)
+        intra: dict[int, int] = {}
+        dsum: dict[int, int] = {}
+        for a, b in und:
+            if assign[a] == assign[b]:
+                intra[assign[a]] = intra.get(assign[a], 0) + 1
+        for v, d in deg.items():
+            dsum[assign[v]] = dsum.get(assign[v], 0) + d
+        return sum(intra.get(c, 0) / m - (dsum[c] / (2 * m)) ** 2
+                   for c in dsum)
+
+    louv = louvain_communities(ds, max_rounds=2)
+    lp = lp_mod.label_propagation(ds, max_rounds=2)
+    a_l = dict(zip(louv["vid"].to_pylist(), louv["community"].to_pylist()))
+    a_p = dict(zip(lp["vid"].to_pylist(), lp["label"].to_pylist()))
+    assert q_of(a_l) >= q_of(a_p) - 1e-12
+
+
+def _fixture_edges_cached():
+    edges, vids = _fixture_graph()
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(8)
+    return edges, vids, ds
