@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": an.q_cube_revenue,
         "assoc_rules": an.q_assoc_rules,
         "word_bigrams": an.q_word_bigrams,
+        "textrank_terms": an.q_textrank_terms,
         "bigram_lift": an.q_bigram_lift,
         "lang_source_chi2": an.q_lang_source_chi2,
         "doc_rarity": an.q_doc_rarity,
@@ -845,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": an.sql_cube_revenue(),
         "assoc_rules": an.sql_assoc_rules(),
         "word_bigrams": an.sql_word_bigrams(),
+        "textrank_terms": an.sql_textrank(),
         "bigram_lift": an.sql_bigram_lift(),
         "lang_source_chi2": an.sql_lang_source_chi2(),
         "user_retention": r.sql_user_retention(),

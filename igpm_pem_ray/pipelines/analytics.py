@@ -654,6 +654,52 @@ def sql_word_bigrams() -> str:
         f"LIMIT {BIGRAM_K}")
 
 
+def q_textrank_terms(sf_dir: str):
+    """TextRank keyword extraction: integer dyadic-damping PageRank
+    over the adjacent-token word graph (text/textrank.py) — the
+    corpus-side twin of the link-graph PageRank family, exact under
+    any reduction order so the unrolled oracle matches bit for bit."""
+    from igpm_pem_ray.text.textrank import textrank_terms
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textrank_terms(docs)
+
+
+def sql_textrank(n_iters: int | None = None, k: int | None = None) -> str:
+    from igpm_pem_ray.text.textrank import (TEXTRANK_ITERS, TEXTRANK_K,
+                                            TEXTRANK_S)
+
+    n_iters = TEXTRANK_ITERS if n_iters is None else n_iters
+    k = TEXTRANK_K if k is None else k
+    parts = [
+        r"t AS (SELECT list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> '') AS toks FROM documents)",
+        "ix AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t WHERE len(toks) >= 2)",
+        "wp AS (SELECT toks[i] AS a, toks[i+1] AS b FROM ix "
+        "WHERE toks[i] <> toks[i+1])",
+        "up AS (SELECT DISTINCT CASE WHEN a < b THEN a ELSE b END AS a, "
+        "CASE WHEN a < b THEN b ELSE a END AS b FROM wp)",
+        "we AS (SELECT a, b FROM up UNION ALL SELECT b AS a, a AS b FROM up)",
+        "deg AS (SELECT a AS w, CAST(count(*) AS BIGINT) AS d "
+        "FROM we GROUP BY a)",
+        f"r0 AS (SELECT w, CAST({TEXTRANK_S} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT r.w, r.r // d.d AS c FROM {p} r "
+            f"JOIN deg d ON r.w = d.w), "
+            f"m{i} AS (SELECT e.b AS w, SUM(c.c) AS m FROM we e "
+            f"JOIN c{i} c ON e.a = c.w GROUP BY e.b), "
+            f"r{i} AS (SELECT d.w, {TEXTRANK_S} // 8 + "
+            f"(7 * COALESCE(m.m, 0)) // 8 AS r FROM deg d "
+            f"LEFT JOIN m{i} m ON d.w = m.w)")
+    body = ", ".join(parts)
+    return (f"WITH {body} SELECT w AS term, CAST(r AS BIGINT) AS rank "
+            f"FROM r{n_iters} ORDER BY rank DESC, term LIMIT {k}")
+
+
 def q_doc_tokens_bpe(sf_dir: str):
     """BPE-ish regex token count per document (words incl. simple
     contractions + individual punctuation, `text/analysis._TOKEN`) —

@@ -750,3 +750,40 @@ def test_encode_bpe_matches_reference_encode():
     raw = docs["text"].str.split().map(
         lambda ws: sum(len(w) + 1 for w in ws))
     assert (got["n_bpe_tokens"].to_numpy() < raw.to_numpy()).any()
+
+
+def test_textrank_hub_word_ranks_first():
+    """A star-shaped word graph: 'hub' is adjacent to 8 distinct
+    leaves that only ever touch 'hub', so TextRank must rank 'hub'
+    strictly first; leaves all tie (symmetric roles) and the integer
+    recurrence makes the tie exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.text.textrank import textrank_terms
+
+    leaves = [f"leaf{i}" for i in range(8)]
+    docs = rd.from_pandas(pd.DataFrame({
+        "text": [f"hub {w} hub" for w in leaves]}))
+    t = textrank_terms(docs, n_iters=5, k=10)
+    terms = t["term"].to_pylist()
+    ranks = t["rank"].to_pylist()
+    assert terms[0] == "hub"
+    assert ranks[0] > ranks[1]
+    assert len(set(ranks[1:])) == 1
+
+
+def test_textrank_pair_dedup_and_self_pairs():
+    """Repeated and self-adjacent tokens collapse: 'a a b' and
+    'b a' yield the single undirected pair (a, b) — two vertices
+    with equal rank."""
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.text.textrank import textrank_terms, word_pair_table
+
+    docs = rd.from_pandas(pd.DataFrame({"text": ["a a b", "b a"]}))
+    pairs = word_pair_table(docs).to_pandas()
+    assert sorted(map(tuple, pairs.values.tolist())) == [("a", "b")]
+    t = textrank_terms(docs, n_iters=3, k=10)
+    assert t["rank"].to_pylist()[0] == t["rank"].to_pylist()[1]
