@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_shuffle": g.q_katz_shuffle,
         "modularity": g.q_modularity,
         "louvain": g.q_louvain,
+        "spam_mass": g.q_spam_mass,
         "betweenness_k2": g.q_betweenness_k2,
         "betweenness_k2_shuffle": g.q_betweenness_k2_shuffle,
         "betweenness_sampled": g.q_betweenness_sampled,
@@ -768,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_shuffle": g.sql_katz(),
         "modularity": g.sql_modularity(),
         "louvain": g.sql_louvain(),
+        "spam_mass": g.sql_spam_mass(),
         "betweenness_k2": g.sql_betweenness_k2(),
         "betweenness_k2_shuffle": g.sql_betweenness_k2_shuffle(),
         "sssp": g.sql_sssp(),

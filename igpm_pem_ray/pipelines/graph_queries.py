@@ -1940,6 +1940,96 @@ def sql_pagerank_topic(n_iters: int = PR_ITERS,
         f"FROM r{n_iters} ORDER BY vid")
 
 
+SPAM_MASS_THRESHOLD_E6 = 500_000  # spam if more than half the rank is untrusted
+
+
+def q_spam_mass(sf_dir: str) -> pa.Table:
+    """Spam mass (Gyongyi, Garcia-Molina & Pedersen, VLDB 2006 /
+    TrustRank WWW 2004): the fraction of a page's PageRank NOT
+    explained by trust flowing from a whitelisted seed set —
+    sm = (PR - TR)/PR with TR the seed-personalized PageRank.  The
+    canonical link-spam detector on web link graphs.  Trusted seeds
+    here are the deterministic {vid % 10 == 0} stand-in shared with
+    `pagerank_topic` (a real deployment plugs in the vetted host
+    whitelist).  Both recurrences are the proven fixed-iteration
+    dense kernels; the combine is integer floor-division e6
+    fixed-point, identical in SQL, and pages with sm_e6 >=
+    SPAM_MASS_THRESHOLD_E6 carry is_spam = 1."""
+    edges = cooccurrence_edges(sf_dir)
+    g = build_dense_graph(edges)
+    pr = pr_mod.pagerank_dense(g, damping=PR_DAMPING, tol=0.0,
+                               max_iters=PR_ITERS)
+    seeds = g.vids % 10 == 0
+    ns = int(seeds.sum())
+    p0 = np.where(seeds, 1.0 / ns, 0.0)
+    tr = pr_mod.pagerank_dense(g, damping=PR_DAMPING, tol=0.0,
+                               max_iters=PR_ITERS, p0=p0)
+    pr_e8 = np.asarray(scale_col(pr, float(PR_SCALE)), dtype=np.int64)
+    tr_e8 = np.asarray(scale_col(tr, float(PR_SCALE)), dtype=np.int64)
+    # TRUNCATING division (DuckDB's BIGINT // truncates toward zero;
+    # numpy's // floors — they differ on the negative sm of trusted
+    # pages, measured off-by-one at sf0.001): teleport => pr_e8 > 0
+    q = (pr_e8 - tr_e8) * 1_000_000
+    sm_e6 = np.where(q >= 0, q // pr_e8, -((-q) // pr_e8))
+    return pa.table({"vid": g.vids,
+                     "pr_e8": pa.array(pr_e8, pa.int64()),
+                     "tr_e8": pa.array(tr_e8, pa.int64()),
+                     "sm_e6": pa.array(sm_e6, pa.int64()),
+                     "is_spam": pa.array(
+                         (sm_e6 >= SPAM_MASS_THRESHOLD_E6).astype(np.int64),
+                         pa.int64())})
+
+
+def sql_spam_mass(n_iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    d = repr(damping)
+    parts = [
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges "
+        "UNION ALL SELECT dst AS vid FROM edges) u)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts "
+        "WHERE vid % 10 = 0)",
+        "outdeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+        "p0 AS (SELECT vid, CASE WHEN vid % 10 = 0 "
+        "THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS p FROM verts)",
+        "a0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
+        "b0 AS (SELECT vid, p AS rank FROM p0)",
+    ]
+    for k in range(1, n_iters + 1):
+        pa_, pb = f"a{k - 1}", f"b{k - 1}"
+        parts.append(
+            f"da{k} AS (SELECT COALESCE(sum(r.rank), 0.0) AS mass "
+            f"FROM {pa_} r LEFT JOIN outdeg o ON r.vid = o.vid "
+            f"WHERE o.vid IS NULL), "
+            f"ma{k} AS (SELECT e.dst AS vid, sum(r.rank / o.od) AS s "
+            f"FROM edges e JOIN {pa_} r ON e.src = r.vid "
+            f"JOIN outdeg o ON o.vid = e.src GROUP BY e.dst), "
+            f"a{k} AS (SELECT v.vid, (1.0 - {d})/(SELECT n FROM nv) + {d} * "
+            f"(COALESCE(m.s, 0.0) + (SELECT mass FROM da{k})/(SELECT n FROM nv)) "
+            f"AS rank FROM verts v LEFT JOIN ma{k} m ON v.vid = m.vid), "
+            f"db{k} AS (SELECT COALESCE(sum(r.rank), 0.0) AS mass "
+            f"FROM {pb} r LEFT JOIN outdeg o ON r.vid = o.vid "
+            f"WHERE o.vid IS NULL), "
+            f"mb{k} AS (SELECT e.dst AS vid, sum(r.rank / o.od) AS s "
+            f"FROM edges e JOIN {pb} r ON e.src = r.vid "
+            f"JOIN outdeg o ON o.vid = e.src GROUP BY e.dst), "
+            f"b{k} AS (SELECT v.vid, (1.0 - {d}) * p0.p + {d} * "
+            f"(COALESCE(m.s, 0.0) + (SELECT mass FROM db{k})/(SELECT n FROM nv)) "
+            f"AS rank FROM verts v JOIN p0 ON p0.vid = v.vid "
+            f"LEFT JOIN mb{k} m ON v.vid = m.vid)")
+    body = ", ".join(parts)
+    return _with_edges(
+        f"{body}, fin AS (SELECT a.vid, "
+        f"{sql_scale('a.rank', PR_SCALE)} AS pr_e8, "
+        f"{sql_scale('b.rank', PR_SCALE)} AS tr_e8 "
+        f"FROM a{n_iters} a JOIN b{n_iters} b ON a.vid = b.vid) "
+        "SELECT vid, pr_e8, tr_e8, "
+        "((pr_e8 - tr_e8) * 1000000) // pr_e8 AS sm_e6, "
+        "CAST(CASE WHEN ((pr_e8 - tr_e8) * 1000000) // pr_e8 >= "
+        f"{SPAM_MASS_THRESHOLD_E6} THEN 1 ELSE 0 END AS BIGINT) AS is_spam "
+        "FROM fin ORDER BY vid")
+
+
 def q_ktruss(sf_dir: str) -> pa.Table:
     """Truss number per edge of the thinned co-occurrence graph —
     rows-only (iterated peeling is not SQL-expressible, mirroring

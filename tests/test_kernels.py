@@ -1994,3 +1994,17 @@ def _fixture_edges_cached():
         "dst": pa.array([e[1] for e in edges], type=pa.int64()),
     })).repartition(8)
     return edges, vids, ds
+
+
+def test_spam_mass_trusted_seeds_score_low():
+    """TrustRank semantics: the whitelisted seeds (vid%10==0) receive
+    concentrated restart mass, so their spam mass is non-positive and
+    strictly below the untrusted population mean."""
+    from igpm_pem_ray.pipelines.graph_queries import q_spam_mass
+
+    t = q_spam_mass("/root/testdata/sf0.001").to_pandas()
+    seeds = t[t.vid % 10 == 0]
+    rest = t[t.vid % 10 != 0]
+    assert (seeds.sm_e6 <= 0).all()
+    assert seeds.sm_e6.mean() < rest.sm_e6.mean()
+    assert (seeds.is_spam == 0).all()
