@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_gini": g.q_degree_gini,
         "vocab_growth": an.q_vocab_growth,
         "hourly_profile": r.q_hourly_profile,
+        "skyline_parts": r.q_skyline_parts,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -870,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_gini": g.sql_degree_gini(),
         "vocab_growth": an.sql_vocab_growth(),
         "hourly_profile": r.sql_hourly_profile(),
+        "skyline_parts": r.sql_skyline_parts(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

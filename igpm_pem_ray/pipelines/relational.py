@@ -2505,3 +2505,81 @@ def sql_hourly_profile() -> str:
         "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour, "
         "CAST(count(*) AS BIGINT) AS n FROM events "
         "GROUP BY event_type, hour")
+
+
+# ---------------- 2-D skyline (Pareto frontier) preference query ----------------
+
+def _skyline2d_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean skyline-membership mask for minimize-(price, size).
+
+    A point survives iff nothing dominates it: no point with both
+    coords <= and at least one strictly <.  Vectorized O(n log n):
+    lexsort by (price, size); within a price group only the group-min
+    size can survive; across groups a point needs size strictly below
+    the running min size of every strictly-cheaper group.  Duplicate
+    (price, size) pairs never dominate each other, so all copies of a
+    surviving pair are kept — matching SQL NOT EXISTS semantics."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((size, price))
+    p, s = price[order], size[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_min = s[new_grp]                      # sorted asc within group
+    cm = np.minimum.accumulate(grp_min)
+    prev_min = np.empty(len(grp_min), dtype=np.int64)
+    prev_min[0] = np.iinfo(np.int64).max
+    prev_min[1:] = cm[:-1]
+    keep_sorted = (s < prev_min[grp_id]) & (s == grp_min[grp_id])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_skyline_parts(sf_dir: str):
+    """Pareto-optimal parts minimizing (p_retailprice, p_size) — the
+    skyline / preference-query operator (cheapest-smallest frontier;
+    the classic BNL/SFS workload).  Distributed plan exploits that a
+    skyline point survives ANY local pass: per-block vectorized local
+    skyline (map_batches) shrinks each block to its frontier, then one
+    single-task global pass over the tiny union finishes — no shuffle,
+    no driver loop.  Prices compared as e2-scaled ints so the
+    dominance relation is identical in both engines."""
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local(b: pa.Table) -> pa.Table:
+        price = scale_col(b["p_retailprice"].to_numpy(zero_copy_only=False),
+                          100.0)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _skyline2d_mask(price, size)
+        return pa.table({
+            "p_partkey": pc.array_filter(b["p_partkey"], pa.array(m)),
+            "price_e2": price[m], "p_size": size[m]})
+
+    def final(b: pa.Table) -> pa.Table:
+        m = _skyline2d_mask(b["price_e2"].to_numpy(zero_copy_only=False),
+                            b["p_size"].to_numpy(zero_copy_only=False))
+        arr = pa.array(m)
+        return pa.table({"p_partkey": pc.array_filter(b["p_partkey"], arr),
+                         "price_e2": pc.array_filter(b["price_e2"], arr),
+                         "p_size": pc.array_filter(b["p_size"], arr)})
+
+    return (parts.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def sql_skyline_parts() -> str:
+    return (
+        "WITH p AS (SELECT p_partkey, "
+        "CAST(floor(p_retailprice*100.0+0.5) AS BIGINT) AS price_e2, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part) "
+        "SELECT a.p_partkey, a.price_e2, a.p_size FROM p a "
+        "WHERE NOT EXISTS (SELECT 1 FROM p b "
+        "WHERE b.price_e2 <= a.price_e2 AND b.p_size <= a.p_size "
+        "AND (b.price_e2 < a.price_e2 OR b.p_size < a.p_size))")

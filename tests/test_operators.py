@@ -726,3 +726,31 @@ def test_kcenter_sample_matches_brute_force():
         [int(np.floor(v * 1e6 + 0.5)) for v in exp_d]
     # coverage radius is non-increasing across selections
     assert (np.diff(got["dist_e6"].to_numpy()[1:]) <= 0).all()
+
+
+def test_skyline2d_mask_semantics():
+    """Planted frontier: duplicates of a surviving pair both stay; a
+    point tied with a cheaper group's min size is dominated (strict in
+    price); within a price group only the min-size rows survive."""
+    import numpy as np
+
+    from igpm_pem_ray.pipelines.relational import _skyline2d_mask
+
+    price = np.array([10, 10, 10, 20, 20, 30, 30, 40], dtype=np.int64)
+    size = np.array([5, 5, 9, 5, 3, 3, 2, 1], dtype=np.int64)
+    # (10,5) x2 survive (duplicates, nothing dominates them)
+    # (10,9) dominated within its group by (10,5)
+    # (20,5) dominated by (10,5) (strict in price, tie in size)
+    # (20,3) survives; (30,3) dominated by (20,3); (30,2) survives
+    # (40,1) survives
+    got = _skyline2d_mask(price, size)
+    assert got.tolist() == [True, True, False, False, True,
+                            False, True, True]
+    # brute-force oracle on a pseudo-random instance
+    rng = np.random.default_rng(7)
+    p = rng.integers(0, 12, 200).astype(np.int64)
+    s = rng.integers(0, 12, 200).astype(np.int64)
+    dom = ((p[:, None] >= p[None, :]) & (s[:, None] >= s[None, :])
+           & ((p[:, None] > p[None, :]) | (s[:, None] > s[None, :])))
+    expect = ~dom.any(axis=1)
+    assert (_skyline2d_mask(p, s) == expect).all()
