@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": an.q_vocab_growth,
         "hourly_profile": r.q_hourly_profile,
         "skyline_parts": r.q_skyline_parts,
+        "readability": an.q_readability,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -872,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": an.sql_vocab_growth(),
         "hourly_profile": r.sql_hourly_profile(),
         "skyline_parts": r.sql_skyline_parts(),
+        "readability": an.sql_readability(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

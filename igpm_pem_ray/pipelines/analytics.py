@@ -2870,3 +2870,60 @@ def sql_domain_mix_sample() -> str:
         "SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id "
         "FROM r JOIN t USING (source) WHERE r.rn <= t.take_s "
         "ORDER BY source, doc_id")
+
+
+# ---------------- Flesch reading-ease readability scoring ----------------
+
+_RE_WORD = r"[^ \t\n\r\f]+"        # RE2-safe explicit whitespace class
+_RE_SENT = r"[.!?]+"               # sentence-terminator runs
+_RE_SYL = r"[aeiouy]+"             # vowel groups on lowered text
+
+
+def q_readability(sf_dir: str):
+    """Per-document Flesch reading-ease score as an e3 fixed-point
+    integer — the classic corpus-quality readability signal (filtering
+    gibberish / keyword-stuffed pages before LLM training).  The three
+    counts (words, sentence-terminator runs, vowel-group syllable
+    proxy) are non-overlapping regex match counts, vectorized via
+    pandas str.count per block; the score
+
+        fre_e3 = 206835 - (1015*words)//sentences - (84600*syl)//words
+
+    uses only integer division on nonnegative terms so both engines
+    agree bit-for-bit regardless of reduction order.  Corpora without
+    terminator punctuation (the driver's synthetic documents) fall
+    back to fixed 16-word segments as the sentence proxy — expressed
+    identically in both engines.  No shuffle: one stateless map over
+    the documents table."""
+    import pandas as pd
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.count(_RE_WORD).to_numpy(np.int64)
+        sents = df["text"].str.count(_RE_SENT).to_numpy(np.int64)
+        sents = np.where(sents == 0, 1 + words // 16, sents)
+        syl = df["text"].str.lower().str.count(_RE_SYL).to_numpy(np.int64)
+        keep = (words >= 1) & (sents >= 1)
+        w, s, y = words[keep], sents[keep], syl[keep]
+        fre = 206_835 - (1_015 * w) // s - (84_600 * y) // w
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "words": w, "sentences": s, "syllables": y, "fre_e3": fre})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_readability() -> str:
+    return (
+        "WITH c AS (SELECT doc_id, "
+        f"CAST(length(regexp_extract_all(text, '{_RE_WORD}')) AS BIGINT) AS words, "
+        f"CAST(CASE WHEN length(regexp_extract_all(text, '{_RE_SENT}')) = 0 "
+        f"THEN 1 + length(regexp_extract_all(text, '{_RE_WORD}')) // 16 "
+        f"ELSE length(regexp_extract_all(text, '{_RE_SENT}')) END AS BIGINT) AS sentences, "
+        f"CAST(length(regexp_extract_all(lower(text), '{_RE_SYL}')) AS BIGINT) AS syllables "
+        "FROM documents) "
+        "SELECT doc_id, words, sentences, syllables, "
+        "CAST(206835 - (1015*words)//sentences - (84600*syllables)//words "
+        "AS BIGINT) AS fre_e3 "
+        "FROM c WHERE words >= 1 AND sentences >= 1")

@@ -787,3 +787,31 @@ def test_textrank_pair_dedup_and_self_pairs():
     assert sorted(map(tuple, pairs.values.tolist())) == [("a", "b")]
     t = textrank_terms(docs, n_iters=3, k=10)
     assert t["rank"].to_pylist()[0] == t["rank"].to_pylist()[1]
+
+
+def test_readability_counts_and_fallback():
+    """Punctuated text uses real terminator runs; terminator-free text
+    falls back to 1 + words//16 segments; the e3 score matches the
+    hand-computed integer formula."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.pipelines import analytics as an
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["The cat sat. The dog ran! Really?? ok",
+                 " ".join(["word"] * 40)],
+        "lang": ["en", "en"], "source": ["a", "a"],
+        "n_chars": [10, 10]})
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.to_parquet(os.path.join(d, "documents.parquet"))
+        out = an.q_readability(d).to_pandas().set_index("doc_id")
+    # doc 1: 8 whitespace-delimited words (punctuation attaches), 3
+    # terminator runs (".", "!", "??"), 9 vowel groups ("really" has 2)
+    assert out.loc[1, ["words", "sentences", "syllables"]].tolist() == [8, 3, 9]
+    assert out.loc[1, "fre_e3"] == 206835 - (1015 * 8) // 3 - (84600 * 9) // 8
+    # doc 2: 40 words, no terminators -> 1 + 40//16 = 3 segments
+    assert out.loc[2, "sentences"] == 3
