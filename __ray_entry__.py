@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_profile": r.q_hourly_profile,
         "skyline_parts": r.q_skyline_parts,
         "readability": an.q_readability,
+        "islands_orders": r.q_islands_orders,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -874,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_profile": r.sql_hourly_profile(),
         "skyline_parts": r.sql_skyline_parts(),
         "readability": an.sql_readability(),
+        "islands_orders": r.sql_islands_orders(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

