@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": r.q_skyline_parts,
         "readability": an.q_readability,
         "islands_orders": r.q_islands_orders,
+        "edit_dist_pairs": an.q_edit_dist_pairs,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -876,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": r.sql_skyline_parts(),
         "readability": an.sql_readability(),
         "islands_orders": r.sql_islands_orders(),
+        "edit_dist_pairs": an.sql_edit_dist_pairs(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

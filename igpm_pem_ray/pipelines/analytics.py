@@ -2927,3 +2927,68 @@ def sql_readability() -> str:
         "CAST(206835 - (1015*words)//sentences - (84600*syllables)//words "
         "AS BIGINT) AS fre_e3 "
         "FROM c WHERE words >= 1 AND sentences >= 1")
+
+
+# ---------------- <=1-edit-distance pair join (SymSpell deletion join) ----------------
+
+def q_edit_dist_pairs(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1 — the
+    fuzzy-match / entity-resolution join (typo'd usernames, OCR'd ids)
+    done WITHOUT an all-pairs scan: each name emits itself plus its
+    single-character deletions (SymSpell deletion neighborhood), one
+    Dataset hash self-join on the variant key proposes candidates, and
+    a fully vectorized byte-matrix verification (text/editdist.py)
+    keeps exact distances only.  Sequential 'Customer#NNNNNNNNN' names
+    make single-digit-substitution pairs plentiful and irregular.
+    Candidates found via several shared variants collapse through one
+    (pair)-keyed groupby-min.  The brute-force O(n^2) levenshtein scan
+    lives only in the DuckDB oracle."""
+    import pandas as pd
+
+    from igpm_pem_ray.text.editdist import deletion_variants, lev_le1
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def variants(df: pd.DataFrame) -> pa.Table:
+        out = deletion_variants(df["c_name"],
+                                df["c_custkey"].to_numpy(np.int64))
+        return pa.table({"v": pa.array(out["v"], type=pa.string()),
+                         "key": out["key"].to_numpy(np.int64),
+                         "name": pa.array(out["name"], type=pa.string())})
+
+    va = cust.map_batches(variants, batch_format="pandas")
+    left = va.rename_columns({"key": "custkey_a", "name": "na"})
+    right = va.rename_columns({"v": "v2", "key": "custkey_b", "name": "nb"})
+    j = left.join(right, join_type="inner", num_partitions=16,
+                  on=("v",), right_on=("v2",))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["custkey_a"].to_numpy() < df["custkey_b"].to_numpy()
+        df = df[keep]
+        if not len(df):
+            return pd.DataFrame({"custkey_a": pd.Series([], dtype="int64"),
+                                 "custkey_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        d = lev_le1(df["na"], df["nb"])
+        ok = d >= 0
+        return pd.DataFrame({
+            "custkey_a": df["custkey_a"].to_numpy(np.int64)[ok],
+            "custkey_b": df["custkey_b"].to_numpy(np.int64)[ok],
+            "dist": d[ok]})
+
+    return (j.map_batches(verify, batch_format="pandas")
+            .groupby(["custkey_a", "custkey_b"])
+            .aggregate(Min(on="dist", alias_name="dist"))
+            .map_batches(lambda b: pa.table({
+                "custkey_a": b["custkey_a"].cast(pa.int64()),
+                "custkey_b": b["custkey_b"].cast(pa.int64()),
+                "dist": b["dist"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def sql_edit_dist_pairs() -> str:
+    return (
+        "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1")

@@ -815,3 +815,34 @@ def test_readability_counts_and_fallback():
     assert out.loc[1, "fre_e3"] == 206835 - (1015 * 8) // 3 - (84600 * 9) // 8
     # doc 2: 40 words, no terminators -> 1 + 40//16 = 3 segments
     assert out.loc[2, "sentences"] == 3
+
+
+def test_lev_le1_all_edit_classes():
+    """Vectorized <=1-distance verification: equality, substitution,
+    insertion, deletion, shared-deletion false candidates ('ab'/'ba'),
+    gap-2, and last/first-char edits."""
+    import numpy as np
+    import pandas as pd
+
+    from igpm_pem_ray.text.editdist import deletion_variants, lev_le1
+
+    a = pd.Series(["cat", "cat", "cat", "cats", "ab", "cat", "a",
+                   "xcat", "cat", ""])
+    b = pd.Series(["cat", "bat", "cut", "cat", "ba", "catss", "",
+                   "cat", "ca", "a"])
+    got = lev_le1(a, b)
+    assert got.tolist() == [0, 1, 1, 1, -1, -1, 1, 1, 1, 1]
+
+    # deletion-neighborhood recall: every true <=1 pair shares a variant
+    names = pd.Series(["abc", "abd", "ab", "abcd", "zzz"])
+    keys = np.arange(5, dtype=np.int64)
+    v = deletion_variants(names, keys)
+    bucket = v.groupby("v")["key"].apply(set)
+    cand = set()
+    for ks in bucket:
+        cand |= {(i, j) for i in ks for j in ks if i < j}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            d = lev_le1(pd.Series([names[i]]), pd.Series([names[j]]))[0]
+            if d >= 0:
+                assert (i, j) in cand, (names[i], names[j])
