@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": an.q_readability,
         "islands_orders": r.q_islands_orders,
         "edit_dist_pairs": an.q_edit_dist_pairs,
+        "ppr_mc": g.q_ppr_mc,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -878,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": an.sql_readability(),
         "islands_orders": r.sql_islands_orders(),
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
+        "ppr_mc": g.sql_ppr_mc(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -3126,3 +3126,45 @@ def sql_percolation_curve() -> str:
         "CAST(n_edges AS BIGINT) AS n_edges, "
         "CAST(giant_size AS BIGINT) AS giant_size FROM (" +
         " UNION ALL ".join(selects) + ") ORDER BY keep_permille")
+
+
+# ---------- Monte-Carlo personalized PageRank from the shared walks ----------
+
+def q_ppr_mc(sf_dir: str):
+    """Monte-Carlo PERSONALIZED PageRank (Fogaras-Racz fingerprint
+    estimator): restrict the shared deterministic walk table to walks
+    started at the seed set (walker % 13 == 0 — a hash-defined teleport
+    set, expressed identically in SQL) and weight each visited position
+    by the dyadic restart decay (1/2)^step, so w_e6(step) =
+    1000000 >> step is integer-exact in any reduction order.  The
+    result ranks vertices by proximity to the seed set — the
+    topic-sensitive / TrustRank-personalization primitive, as a third
+    strategy beside the dense power iteration (q_pagerank_topic) and
+    the shuffle kernel.  One stateless weight map + one vid groupby."""
+    from ray.data.aggregate import Sum
+
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir), walk_len=WALK_LEN)
+
+    def w(b: pa.Table) -> pa.Table:
+        walker = b["walker"].to_numpy(zero_copy_only=False)
+        keep = (walker % 13) == 0
+        step = b["step"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "vid": b["vid"].to_numpy(zero_copy_only=False)[keep],
+            "w": (1_000_000 >> step).astype(np.int64)})
+
+    return (ds.map_batches(w, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vid").aggregate(Sum(on="w", alias_name="score_e6"))
+            .map_batches(lambda b: pa.table({
+                "vid": b["vid"].cast(pa.int64()),
+                "score_e6": b["score_e6"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def sql_ppr_mc() -> str:
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()} "
+            "SELECT CAST(vid AS BIGINT) AS vid, "
+            "CAST(sum(1000000 // (1 << step)) AS BIGINT) AS score_e6 "
+            "FROM walks WHERE walker % 13 = 0 GROUP BY vid")
