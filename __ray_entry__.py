@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "islands_orders": r.q_islands_orders,
         "edit_dist_pairs": an.q_edit_dist_pairs,
         "ppr_mc": g.q_ppr_mc,
+        "interval_cover": r.q_interval_cover,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -880,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "islands_orders": r.sql_islands_orders(),
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
         "ppr_mc": g.sql_ppr_mc(),
+        "interval_cover": r.sql_interval_cover(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2667,3 +2667,91 @@ def sql_islands_orders() -> str:
         "SELECT CAST(min(k) AS BIGINT) AS island_start, "
         "CAST(max(k) AS BIGINT) AS island_end, "
         "CAST(count(*) AS BIGINT) AS n_keys FROM r GROUP BY grp")
+
+
+# ---------------- interval-union coverage (sweep line) ----------------
+
+COVER_D_US = 600_000_000  # each event covers [ts, ts + 10 min)
+
+
+def q_interval_cover(sf_dir: str):
+    """Per-user union length of fixed-duration event intervals — the
+    sweep-line interval-union operator (total active time, ad-exposure
+    coverage, sensor uptime): each event covers [ts, ts+10min); output
+    (user_id, covered_us, n_blocks) where n_blocks counts maximal
+    merged intervals.  Differs from sessionize (which counts gaps
+    between POINTS) by measuring covered TIME of overlapping ranges.
+
+    Plan: one (user_id, ts) global sort, per-batch vectorized merge
+    into maximal blocks (fixed duration keeps interval ends monotone
+    within a user, so 'overlaps previous' is a single vectorized
+    compare + reduceat), then a single whole-block task stitches the
+    one possible boundary fragment per batch edge and reduces per
+    user.  O(blocks) fragments ever leave the batches."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "s": b["ts"].cast(pa.timestamp("us"))
+                                     .cast(pa.int64())})
+
+    def _merge_blocks(u, s, e):
+        brk = np.empty(len(u), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (s[1:] > e[:-1])
+        first = np.flatnonzero(brk)
+        return (u[first], s[first], np.maximum.reduceat(e, first))
+
+    def local(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"u": z, "bs": z, "be": z})
+        mu, ms, me = _merge_blocks(u, s, s + COVER_D_US)
+        return pa.table({"u": mu, "bs": ms, "be": me})
+
+    def final(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        bs = b["bs"].to_numpy(zero_copy_only=False)
+        be = b["be"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"user_id": z, "covered_us": z, "n_blocks": z})
+        order = np.lexsort((bs, u))
+        mu, ms, me = _merge_blocks(u[order], bs[order], be[order])
+        ub = np.empty(len(mu), dtype=bool)
+        ub[0] = True
+        ub[1:] = mu[1:] != mu[:-1]
+        uf = np.flatnonzero(ub)
+        return pa.table({
+            "user_id": mu[uf],
+            "covered_us": np.add.reduceat(me - ms, uf),
+            "n_blocks": np.diff(np.append(uf, len(mu))).astype(np.int64)})
+
+    return (ev.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["user_id", "s"])
+            .map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def sql_interval_cover() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + {COVER_D_US} AS e FROM events), "
+        "w AS (SELECT user_id, s, e, CASE WHEN s > max(e) OVER "
+        "(PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "THEN 1 ELSE 0 END AS brk FROM e), "
+        "g AS (SELECT user_id, s, e, sum(brk) OVER "
+        "(PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM w), "
+        "b AS (SELECT user_id, grp, max(e) - min(s) AS len "
+        "FROM g GROUP BY user_id, grp) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(sum(len) AS BIGINT) AS covered_us, "
+        "CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY user_id")

@@ -353,3 +353,37 @@ def test_adjacent_triple_counts(ray_session, target_blocks):
             t = (vals[i - 2][1], vals[i - 1][1], vals[i][1])
             exp[t] = exp.get(t, 0) + 1
     assert got == exp
+
+
+def test_interval_cover_semantics():
+    """Overlapping intervals merge, touching intervals merge, gapped
+    intervals split; coverage is the union length, per user."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from igpm_pem_ray.pipelines.relational import COVER_D_US, q_interval_cover
+
+    D = COVER_D_US
+    rows = [
+        # user 1: overlap (0, D/2), touch (D + D/2), far gap (10 D)
+        (1, 0), (1, D // 2), (1, D + D // 2), (1, 10 * D),
+        # user 2: single event
+        (2, 0),
+    ]
+    df = pd.DataFrame({"user_id": [u for u, _ in rows],
+                       "ts": pd.to_datetime([t for _, t in rows],
+                                            unit="us").astype("datetime64[us]")})
+    with tempfile.TemporaryDirectory() as d:
+        df.sample(frac=1.0, random_state=1).to_parquet(
+            os.path.join(d, "events.parquet"))
+        out = q_interval_cover(d).to_pandas().set_index("user_id")
+    # user 1 block 1: [0, D/2 + D) merged with [D + D/2, D + D/2 + D)
+    # because D + D/2 <= D/2 + D (touching) -> [0, 2.5 D); block 2:
+    # [10 D, 11 D).  covered = 2.5 D + D, 2 blocks.
+    assert out.loc[1, "covered_us"] == 5 * D // 2 + D
+    assert out.loc[1, "n_blocks"] == 2
+    assert out.loc[2, "covered_us"] == D
+    assert out.loc[2, "n_blocks"] == 1
