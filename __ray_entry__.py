@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dist_pairs": an.q_edit_dist_pairs,
         "ppr_mc": g.q_ppr_mc,
         "interval_cover": r.q_interval_cover,
+        "mad_outliers": r.q_mad_outliers,
+        "window_topk": r.q_window_topk,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -882,6 +884,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
         "ppr_mc": g.sql_ppr_mc(),
         "interval_cover": r.sql_interval_cover(),
+        "mad_outliers": r.sql_mad_outliers(),
+        "window_topk": r.sql_window_topk(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2755,3 +2755,168 @@ def sql_interval_cover() -> str:
         "SELECT CAST(user_id AS BIGINT) AS user_id, "
         "CAST(sum(len) AS BIGINT) AS covered_us, "
         "CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY user_id")
+
+
+# ---------------- robust MAD outlier screen per group ----------------
+
+def q_mad_outliers(sf_dir: str):
+    """Median / median-absolute-deviation robust outlier screen per
+    event type: med = quantile_disc(0.5) of the e2-scaled value, mad =
+    quantile_disc(0.5) of |v - med|, n_outliers = rows with
+    |v - med| > 3*mad — the robust twin of the 2-sigma/IQR screens
+    (immune to the very outliers it hunts).  Three streaming passes:
+    the exact rank-selection median (stages/ranked.py, the
+    quantile_events plan) run on v then on |v - med|, then one count
+    groupby; only O(groups) medians ever reach the driver, broadcast
+    back into the next pass's closure."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "etk": codes,
+            "event_type": b["event_type"],
+            "v": scale_col(b["value"].to_numpy(zero_copy_only=False), 100.0),
+            "event_id": b["event_id"].cast(pa.int64())})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def _median_per_type(ds, col: str) -> dict:
+        ranked = rank_per_group(ds, key="etk", order=[col, "event_id"],
+                                descending=[False, False])
+        counts = ds.groupby("etk").aggregate(Count(alias_name="n"))
+        joined = ranked.join(counts, join_type="inner", num_partitions=2,
+                             on=("etk",))
+
+        def pick(b: pa.Table) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False)
+            rank = b["rank"].to_numpy(zero_copy_only=False)
+            keep = rank == np.maximum(1, np.ceil(0.5 * n).astype(np.int64))
+            return pa.table({
+                "event_type": b["event_type"].take(
+                    pa.array(np.flatnonzero(keep))),
+                "med": b[col].to_numpy(zero_copy_only=False)[keep]})
+
+        out = joined.map_batches(pick, batch_format="pyarrow").to_pandas()
+        return dict(zip(out["event_type"], out["med"].astype(np.int64)))
+
+    meds = _median_per_type(rows, "v")
+
+    def add_ad(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pylist()
+        m = np.asarray([meds[t] for t in et], dtype=np.int64)
+        return pa.table({
+            "etk": b["etk"], "event_type": b["event_type"],
+            "ad": np.abs(b["v"].to_numpy(zero_copy_only=False) - m),
+            "event_id": b["event_id"]})
+
+    ads = rows.map_batches(add_ad, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    mads = _median_per_type(ads, "ad")
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pylist()
+        thr = np.asarray([3 * mads[t] for t in et], dtype=np.int64)
+        out = b["ad"].to_numpy(zero_copy_only=False) > thr
+        return pa.table({"event_type": b["event_type"],
+                         "is_out": out.astype(np.int64)})
+
+    outs = ads.map_batches(flag, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("event_type").aggregate(Sum(on="is_out",
+                                             alias_name="n_outliers")) \
+        .to_pandas()
+    n_out = dict(zip(outs["event_type"], outs["n_outliers"]))
+    types = sorted(meds)
+    return pa.table({
+        "event_type": types,
+        "med_e2": np.asarray([meds[t] for t in types], dtype=np.int64),
+        "mad_e2": np.asarray([mads[t] for t in types], dtype=np.int64),
+        "n_outliers": np.asarray([int(n_out.get(t, 0)) for t in types],
+                                 dtype=np.int64)})
+
+
+def sql_mad_outliers() -> str:
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS v FROM events), "
+        "m AS (SELECT event_type, CAST(quantile_disc(v, 0.5) AS BIGINT) "
+        "AS med FROM e GROUP BY event_type), "
+        "a AS (SELECT e.event_type, abs(e.v - m.med) AS ad, m.med "
+        "FROM e JOIN m USING (event_type)), "
+        "d AS (SELECT event_type, CAST(quantile_disc(ad, 0.5) AS BIGINT) "
+        "AS mad FROM a GROUP BY event_type) "
+        "SELECT a.event_type, max(a.med) AS med_e2, max(d.mad) AS mad_e2, "
+        "CAST(count(*) FILTER (a.ad > 3*d.mad) AS BIGINT) AS n_outliers "
+        "FROM a JOIN d USING (event_type) GROUP BY a.event_type")
+
+
+# ---------------- windowed top-k heavy hitters ----------------
+
+WINDOW_TOPK = 2
+
+
+def q_window_topk(sf_dir: str):
+    """Top-2 event types per tumbling 1-day window by count, with a
+    deterministic (count DESC, event_type ASC) tie-break — the
+    windowed heavy-hitter operator (trending topics per day, per-hour
+    top crawl hosts).  Composition: one (window, type) pre-aggregating
+    groupby shrinks the stream to O(windows x types), then the sorted-
+    block ranker (stages/ranked.py) ranks WITHIN each window without
+    any per-group Python; rank <= k filter is a stateless map."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = _ts_us(b)
+        return pa.table({"event_type": b["event_type"],
+                         "day_us": (us // DAY_US) * DAY_US})
+
+    counts = ev.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["event_type", "day_us"]).aggregate(
+            Count(alias_name="n"))
+
+    def neg(b: pa.Table) -> pa.Table:
+        # rank ascending on (-n, event_type): count DESC, name ASC
+        return pa.table({
+            "day_us": b["day_us"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "n": b["n"].cast(pa.int64()),
+            "negn": pc.negate(b["n"].cast(pa.int64()))})
+
+    ranked = rank_per_group(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        key="day_us", order=["negn", "event_type"],
+        descending=[False, False])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = b["rank"].to_numpy(zero_copy_only=False) <= WINDOW_TOPK
+        idx = pa.array(np.flatnonzero(m))
+        return pa.table({
+            "day_us": b["day_us"].take(idx),
+            "event_type": b["event_type"].take(idx),
+            "n": b["n"].take(idx),
+            "rnk": b["rank"].to_numpy(zero_copy_only=False)[m]})
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_window_topk() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, day_us), "
+        "r AS (SELECT day_us, event_type, n, row_number() OVER ("
+        "PARTITION BY day_us ORDER BY n DESC, event_type) AS rnk FROM c) "
+        f"SELECT day_us, event_type, n, CAST(rnk AS BIGINT) AS rnk "
+        f"FROM r WHERE rnk <= {WINDOW_TOPK}")
