@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_cover": r.q_interval_cover,
         "mad_outliers": r.q_mad_outliers,
         "window_topk": r.q_window_topk,
+        "weighted_sample": r.q_weighted_sample,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -886,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_cover": r.sql_interval_cover(),
         "mad_outliers": r.sql_mad_outliers(),
         "window_topk": r.sql_window_topk(),
+        "weighted_sample": r.sql_weighted_sample(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2920,3 +2920,58 @@ def sql_window_topk() -> str:
         "PARTITION BY day_us ORDER BY n DESC, event_type) AS rnk FROM c) "
         f"SELECT day_us, event_type, n, CAST(rnk AS BIGINT) AS rnk "
         f"FROM r WHERE rnk <= {WINDOW_TOPK}")
+
+
+# ---------------- deterministic weighted sampling without replacement ----------------
+
+WSAMPLE_K = 100
+WSAMPLE_M = 2_147_483_647  # 2^31 - 1
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample of 100 orders, selection probability increasing
+    with o_totalprice — the deterministic analog of Efraimidis-
+    Spirakis A-Res reservoir sampling: priority = hash(key) // weight
+    (a big-weight row gets a small priority), keep the k smallest
+    priorities with an orderkey tie-break.  Replayable (no RNG state),
+    expressed identically in SQL, and distributed as per-block partial
+    top-k selection (argpartition) + one tiny single-task merge — the
+    same partial-selection shape as every top-k in this repo, never a
+    global sort."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def pri(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0), 1)
+        p = ((k % WSAMPLE_M) * 2654435761) % WSAMPLE_M // w
+        if len(p) > WSAMPLE_K:
+            # keep the same (pri, orderkey) tie-break as the final
+            # merge, or a boundary tie could drop the globally-chosen row
+            idx = np.lexsort((k, p))[:WSAMPLE_K]
+            k, p = k[idx], p[idx]
+        return pa.table({"o_orderkey": k, "pri": p})
+
+    def merge(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = b["pri"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, p))[:WSAMPLE_K]
+        return pa.table({"o_orderkey": k[order], "pri": p[order]})
+
+    return (orders.map_batches(pri, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def sql_weighted_sample() -> str:
+    return (
+        "WITH p AS (SELECT o_orderkey, "
+        f"((o_orderkey % {WSAMPLE_M}) * 2654435761) % {WSAMPLE_M} // "
+        "greatest(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT), 1) "
+        "AS pri FROM orders) "
+        f"SELECT o_orderkey, CAST(pri AS BIGINT) AS pri FROM p "
+        f"ORDER BY pri, o_orderkey LIMIT {WSAMPLE_K}")
