@@ -652,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": r.q_mad_outliers,
         "window_topk": r.q_window_topk,
         "weighted_sample": r.q_weighted_sample,
+        "benford_prices": r.q_benford_prices,
+        "k_anonymity": r.q_k_anonymity,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -888,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": r.sql_mad_outliers(),
         "window_topk": r.sql_window_topk(),
         "weighted_sample": r.sql_weighted_sample(),
+        "benford_prices": r.sql_benford_prices(),
+        "k_anonymity": r.sql_k_anonymity(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2975,3 +2975,91 @@ def sql_weighted_sample() -> str:
         "AS pri FROM orders) "
         f"SELECT o_orderkey, CAST(pri AS BIGINT) AS pri FROM p "
         f"ORDER BY pri, o_orderkey LIMIT {WSAMPLE_K}")
+
+
+# ---------------- Benford first-digit distribution (data quality) ----------------
+
+def q_benford_prices(sf_dir: str):
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation — the classic fabricated-data / corruption
+    screen.  The digit is taken from the e2-scaled integer via string
+    slicing (no float log10 whose boundary rounding could differ
+    between engines); share_e6 uses the integer half-up convention
+    with the total count a driver scalar.  One stateless map + one
+    9-row groupby."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        v = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        v = v[v > 0]
+        # strip trailing magnitude: repeated // 10 until < 10, done
+        # arithmetically via the decimal digit count
+        nd = np.char.str_len(v.astype("U"))
+        d = v // 10 ** (nd.astype(np.int64) - 1)
+        return pa.table({"digit": d.astype(np.int64)})
+
+    counts = orders.map_batches(digit, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("digit").aggregate(Count(alias_name="n")).to_pandas()
+    total = int(counts["n"].sum())
+    counts = counts.sort_values("digit")
+    return pa.table({
+        "digit": counts["digit"].to_numpy(np.int64),
+        "n": counts["n"].to_numpy(np.int64),
+        "share_e6": np.floor(counts["n"].to_numpy(np.int64) * 1e6
+                             / total + 0.5).astype(np.int64)})
+
+
+def sql_benford_prices() -> str:
+    return (
+        "WITH v AS (SELECT CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) "
+        "AS x FROM orders), "
+        "d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) "
+        "AS digit FROM v WHERE x > 0), "
+        "t AS (SELECT count(*) AS total FROM d) "
+        "SELECT digit, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(floor(count(*) * 1e6 / t.total + 0.5) AS BIGINT) AS share_e6 "
+        "FROM d, t GROUP BY digit, t.total")
+
+
+# ---------------- k-anonymity audit (privacy data quality) ----------------
+
+KANON_K = 5
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit of the (nation, order-priority) quasi-
+    identifier over customers' orders: for each equivalence class its
+    size, plus a violates flag for classes smaller than k=5 — the
+    re-identification-risk screen run before releasing a dataset.
+    One join to attach the customer's nation (small side), one
+    two-key groupby; the flag is a stateless map."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                   "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey",
+                                                   "o_orderpriority"])
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    counts = j.groupby(["c_nationkey", "o_orderpriority"]).aggregate(
+        Count(alias_name="class_size"))
+
+    def flag(b: pa.Table) -> pa.Table:
+        n = b["class_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "nationkey": b["c_nationkey"].cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+            "class_size": n,
+            "violates": (n < KANON_K).astype(np.int64)})
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_k_anonymity() -> str:
+    return (
+        "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+        "o.o_orderpriority, CAST(count(*) AS BIGINT) AS class_size, "
+        f"CAST(CASE WHEN count(*) < {KANON_K} THEN 1 ELSE 0 END AS BIGINT) "
+        "AS violates "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_nationkey, o.o_orderpriority")
