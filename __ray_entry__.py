@@ -654,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": r.q_weighted_sample,
         "benford_prices": r.q_benford_prices,
         "k_anonymity": r.q_k_anonymity,
+        "cusum_events": r.q_cusum_events,
+        "gini_nation": r.q_gini_nation,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -892,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": r.sql_weighted_sample(),
         "benford_prices": r.sql_benford_prices(),
         "k_anonymity": r.sql_k_anonymity(),
+        "cusum_events": r.sql_cusum_events(),
+        "gini_nation": r.sql_gini_nation(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -3063,3 +3063,163 @@ def sql_k_anonymity() -> str:
         "AS violates "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_nationkey, o.o_orderpriority")
+
+
+# ---------------- CUSUM changepoint detection over hourly counts ----------------
+
+CUSUM_K_E0 = 3    # per-hour drift allowance (counts)
+CUSUM_H_E0 = 12   # alarm threshold
+
+
+def q_cusum_events(sf_dir: str):
+    """One-sided CUSUM changepoint statistic over the per-type hourly
+    event-count series: S_t = max(0, S_{t-1} + (x_t - k)) with alarm
+    when S_t > h — the classic sequential burst/shift detector (crawl
+    storms, bot onsets).  The recurrence has the closed form
+    S_t = P_t - min_{j<=t} P_j with P = cumsum(x - k), so BOTH engines
+    compute it without sequential row-at-a-time state: the oracle uses
+    window cumsum + running min; the Ray plan shrinks the stream with
+    one (type, hour) groupby (the only heavy step), then runs the
+    vectorized prefix form per type inside one whole-block task over
+    the tiny O(types x hours) series.  Missing hours contribute
+    nothing (both engines operate on observed hours only).  Integer
+    end-to-end."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = _ts_us(b)
+        return pa.table({"event_type": b["event_type"],
+                         "hour_us": (us // HOUR_US) * HOUR_US})
+
+    counts = ev.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["event_type", "hour_us"]).aggregate(
+            Count(alias_name="n"))
+
+    def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hour_us"],
+                            kind="mergesort").reset_index(drop=True)
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour_us": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "alarm": pd.Series([], dtype="int64")})
+        x = df["n"].to_numpy(np.int64) - CUSUM_K_E0
+        et = df["event_type"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = et[1:] != et[:-1]
+        s = np.empty(len(df), np.int64)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(df))
+        for a, bnd in zip(starts, ends):   # O(types) segments, each
+            pp = np.cumsum(x[a:bnd])       # fully vectorized inside
+            mm = np.minimum(np.minimum.accumulate(pp), 0)
+            s[a:bnd] = pp - mm
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour_us": df["hour_us"].astype(np.int64),
+            "s": s,
+            "alarm": (s > CUSUM_H_E0).astype(np.int64)})
+
+    return (counts.repartition(1)
+            .map_batches(cusum, batch_format="pandas", batch_size=None))
+
+
+def sql_cusum_events() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        f"CAST((epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS BIGINT) "
+        "AS hour_us, CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, hour_us), "
+        f"p AS (SELECT event_type, hour_us, sum(n - {CUSUM_K_E0}) OVER "
+        "(PARTITION BY event_type ORDER BY hour_us "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM c), "
+        "m AS (SELECT event_type, hour_us, cp, least(min(cp) OVER "
+        "(PARTITION BY event_type ORDER BY hour_us "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mn "
+        "FROM p) "
+        "SELECT event_type, hour_us, CAST(cp - mn AS BIGINT) AS s, "
+        f"CAST(CASE WHEN cp - mn > {CUSUM_H_E0} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS alarm FROM m")
+
+
+# ---------------- Gini inequality coefficient per group ----------------
+
+def q_gini_nation(sf_dir: str):
+    """Gini coefficient of customer spend within each nation — the
+    inequality / concentration metric (revenue concentration risk,
+    crawl-budget skew) via the exact rank formula on ascending-sorted
+    spend: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)).  All sums
+    integer (e2-scaled spend, dense ranks from stages/ranked.py with a
+    custkey tie-break); one float op at the very end under the shared
+    floor(x*1e6+0.5) convention.  Plan: custkey groupby-sum shrinks
+    orders to one row per customer, small join attaches the nation,
+    sorted-block rank within nation, one nation groupby."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey",
+                                                   "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                   "c_nationkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "x": scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                           100.0)})
+
+    spend = orders.map_batches(pre, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(Sum(on="x", alias_name="x"))
+    j = spend.join(cust, join_type="inner", num_partitions=4,
+                   on=("o_custkey",), right_on=("c_custkey",))
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"nk": b["c_nationkey"].cast(pa.int64()),
+                         "x": b["x"].cast(pa.int64()),
+                         "o_custkey": b["o_custkey"].cast(pa.int64())})
+
+    ranked = rank_per_group(
+        j.map_batches(shape, batch_format="pyarrow"),
+        key="nk", order=["x", "o_custkey"], descending=[False, False])
+
+    def weight(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        i = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({"nk": b["nk"], "x": x, "ix": i * x})
+
+    agg = ranked.map_batches(weight, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("nk").aggregate(Sum(on="x", alias_name="sx"),
+                                 Sum(on="ix", alias_name="six"),
+                                 Count(alias_name="n"))
+
+    def gini(b: pa.Table) -> pa.Table:
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        six = b["six"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = np.floor((2 * six - (n + 1) * sx) * 1e6 / (n * sx) + 0.5) \
+            .astype(np.int64)
+        return pa.table({"nationkey": b["nk"].cast(pa.int64()),
+                         "n_customers": n, "gini_e6": g})
+
+    return agg.map_batches(gini, batch_format="pyarrow")
+
+
+def sql_gini_nation() -> str:
+    return (
+        "WITH s AS (SELECT o_custkey, "
+        "sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)) AS x "
+        "FROM orders GROUP BY o_custkey), "
+        "j AS (SELECT c.c_nationkey AS nk, s.x, s.o_custkey "
+        "FROM s JOIN customer c ON s.o_custkey = c.c_custkey), "
+        "r AS (SELECT nk, x, row_number() OVER (PARTITION BY nk "
+        "ORDER BY x, o_custkey) AS i FROM j), "
+        "a AS (SELECT nk, sum(i*x) AS six, sum(x) AS sx, count(*) AS n "
+        "FROM r GROUP BY nk) "
+        "SELECT CAST(nk AS BIGINT) AS nationkey, "
+        "CAST(n AS BIGINT) AS n_customers, "
+        "CAST(floor((2*six - (n+1)*sx) * 1e6 / (n*sx) + 0.5) AS BIGINT) "
+        "AS gini_e6 FROM a")
