@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": r.q_k_anonymity,
         "cusum_events": r.q_cusum_events,
         "gini_nation": r.q_gini_nation,
+        "funnel_latency": r.q_funnel_latency,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -896,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": r.sql_k_anonymity(),
         "cusum_events": r.sql_cusum_events(),
         "gini_nation": r.sql_gini_nation(),
+        "funnel_latency": r.sql_funnel_latency(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

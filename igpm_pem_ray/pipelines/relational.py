@@ -3223,3 +3223,79 @@ def sql_gini_nation() -> str:
         "CAST(n AS BIGINT) AS n_customers, "
         "CAST(floor((2*six - (n+1)*sx) * 1e6 / (n*sx) + 0.5) AS BIGINT) "
         "AS gini_e6 FROM a")
+
+
+# ---------------- funnel conversion latency quantiles ----------------
+
+def q_funnel_latency(sf_dir: str):
+    """Time from a user's FIRST view to their first purchase at or
+    after it — the conversion-latency metric behind funnel dashboards,
+    reduced to exact p50/p90 seconds plus the converted-user count.
+    Two per-user Min groupbys (first view; first qualifying purchase
+    via one join + filter) shrink the stream to O(users) latencies;
+    the discrete quantiles (rank = max(1, ceil(q*n)), the
+    quantile_disc convention used repo-wide) come from one whole-block
+    task over that small table."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "us": _ts_us(b),
+                         "event_type": b["event_type"]})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def only(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            return t.select(["user_id", "us"])
+        return f
+
+    fv = rows.map_batches(only("view"), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min(on="us", alias_name="fv"))
+    pur = rows.map_batches(only("purchase"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    j = pur.join(fv, join_type="inner", num_partitions=4,
+                 on=("user_id",))
+
+    def after(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        f = b["fv"].to_numpy(zero_copy_only=False)
+        keep = us >= f
+        return pa.table({"user_id": b["user_id"].to_numpy(
+                             zero_copy_only=False)[keep],
+                         "lat_us": us[keep] - f[keep]})
+
+    lat = j.map_batches(after, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min(on="lat_us", alias_name="lat"))
+
+    def q(b: pa.Table) -> pa.Table:
+        v = np.sort(b["lat"].to_numpy(zero_copy_only=False) // 1_000_000)
+        n = len(v)
+        p50 = v[max(1, int(np.ceil(0.5 * n))) - 1]
+        p90 = v[max(1, int(np.ceil(0.9 * n))) - 1]
+        return pa.table({"n_converted": np.asarray([n], dtype=np.int64),
+                         "p50_s": np.asarray([p50], dtype=np.int64),
+                         "p90_s": np.asarray([p90], dtype=np.int64)})
+
+    return lat.repartition(1).map_batches(q, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def sql_funnel_latency() -> str:
+    return (
+        "WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS fv FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "fp AS (SELECT e.user_id, "
+        "min(epoch_us(e.ts)) - min(fv.fv) AS lat_us "
+        "FROM events e JOIN fv ON e.user_id = fv.user_id "
+        "AND epoch_us(e.ts) >= fv.fv "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+        "CAST(quantile_disc(lat_us // 1000000, 0.5) AS BIGINT) AS p50_s, "
+        "CAST(quantile_disc(lat_us // 1000000, 0.9) AS BIGINT) AS p90_s "
+        "FROM fp")
