@@ -657,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events": r.q_cusum_events,
         "gini_nation": r.q_gini_nation,
         "funnel_latency": r.q_funnel_latency,
+        "daily_autocorr": r.q_daily_autocorr,
+        "lexical_diversity": an.q_lexical_diversity,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -898,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": r.sql_cusum_events(),
         "gini_nation": r.sql_gini_nation(),
         "funnel_latency": r.sql_funnel_latency(),
+        "daily_autocorr": r.sql_daily_autocorr(),
+        "lexical_diversity": an.sql_lexical_diversity(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -2992,3 +2992,49 @@ def sql_edit_dist_pairs() -> str:
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
         "WHERE levenshtein(a.c_name, b.c_name) <= 1")
+
+
+# ---------------- lexical diversity (type-token ratio) ----------------
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-document type-token ratio (distinct tokens / tokens, e6
+    fixed point) — the lexical-diversity quality signal (template spam
+    and keyword stuffing score low; TTR complements the Gopher
+    repetition ratios).  Whitespace tokenization shared with
+    tfidf_terms; each document lives wholly in one row so the whole
+    computation is one stateless shuffle-free map (np.unique per doc,
+    the tf_part precedent)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(b: pa.Table) -> pa.Table:
+        ids, uu, tt = [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            t = (txt or "").split()
+            if not t:
+                continue
+            ids.append(did)
+            uu.append(len(np.unique(np.asarray(t, dtype=object))))
+            tt.append(len(t))
+        ids = np.asarray(ids, dtype=np.int64)
+        u = np.asarray(uu, dtype=np.int64)
+        t = np.asarray(tt, dtype=np.int64)
+        return pa.table({
+            "doc_id": ids, "n_types": u, "n_tokens": t,
+            "ttr_e6": np.floor(u * 1e6 / t + 0.5).astype(np.int64)})
+
+    return docs.map_batches(ttr, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_lexical_diversity() -> str:
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "a AS (SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS "
+        "n_types, CAST(count(*) AS BIGINT) AS n_tokens FROM tok "
+        "GROUP BY doc_id) "
+        "SELECT doc_id, n_types, n_tokens, "
+        "CAST(floor(n_types * 1e6 / n_tokens + 0.5) AS BIGINT) AS ttr_e6 "
+        "FROM a")

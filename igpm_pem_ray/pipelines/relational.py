@@ -3299,3 +3299,76 @@ def sql_funnel_latency() -> str:
         "CAST(quantile_disc(lat_us // 1000000, 0.5) AS BIGINT) AS p50_s, "
         "CAST(quantile_disc(lat_us // 1000000, 0.9) AS BIGINT) AS p90_s "
         "FROM fp")
+
+
+# ---------------- lag-1 autocorrelation of the daily series ----------------
+
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of the per-type DAILY event-count
+    series — the burstiness / momentum diagnostic for time series
+    (bot traffic autocorrelates, organic noise doesn't).  Consecutive-
+    day pairs only (a gap day breaks the pair, both engines identical
+    via the day arithmetic).  All five sufficient sums are integers;
+    the single final float expression follows the corr_price_qty
+    convention (identical IEEE expression both sides, e6 half-up).
+    Heavy step: one (type, day) groupby; the series itself is tiny and
+    pairs form in one whole-block task."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = _ts_us(b)
+        return pa.table({"event_type": b["event_type"],
+                         "day": us // DAY_US})
+
+    counts = ev.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["event_type", "day"]).aggregate(Count(alias_name="n"))
+
+    def corr(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "day"],
+                            kind="mergesort").reset_index(drop=True)
+        et = df["event_type"].to_numpy()
+        day = df["day"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        pair = (et[1:] == et[:-1]) & (day[1:] == day[:-1] + 1)
+        x, y = n[:-1][pair], n[1:][pair]
+        types = et[:-1][pair]
+        out_t, out_r, out_n = [], [], []
+        for t in pd.unique(types):                 # O(types) loop
+            m = types == t
+            xs, ys = x[m], y[m]
+            k = len(xs)
+            sx, sy = int(xs.sum()), int(ys.sum())
+            sxx = int((xs * xs).sum())
+            syy = int((ys * ys).sum())
+            sxy = int((xs * ys).sum())
+            r = (k * sxy - sx * sy) / np.sqrt(
+                (k * sxx - sx * sx) * (k * syy - sy * sy))
+            out_t.append(t)
+            out_r.append(int(np.floor(r * 1e6 + 0.5)))
+            out_n.append(k)
+        return pd.DataFrame({"event_type": out_t,
+                             "n_pairs": pd.Series(out_n, dtype="int64"),
+                             "r1_e6": pd.Series(out_r, dtype="int64")})
+
+    return (counts.repartition(1)
+            .map_batches(corr, batch_format="pandas", batch_size=None))
+
+
+def sql_daily_autocorr() -> str:
+    return (
+        f"WITH c AS (SELECT event_type, epoch_us(ts) // {DAY_US} AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, day), "
+        "p AS (SELECT event_type, day, n, "
+        "lag(day) OVER (PARTITION BY event_type ORDER BY day) AS pd, "
+        "lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pn "
+        "FROM c), "
+        "q AS (SELECT event_type, pn AS x, n AS y FROM p "
+        "WHERE pd = day - 1), "
+        "a AS (SELECT event_type, count(*) AS k, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, "
+        "sum(x*y) AS sxy FROM q GROUP BY event_type) "
+        "SELECT event_type, CAST(k AS BIGINT) AS n_pairs, "
+        "CAST(floor((k*sxy - sx*sy)/sqrt((k*sxx - sx*sx)"
+        "*(k*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS r1_e6 FROM a")
