@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "islands_orders": r.q_islands_orders,
         "edit_dist_pairs": an.q_edit_dist_pairs,
         "ppr_mc": g.q_ppr_mc,
+        "matching": g.q_matching,
         "interval_cover": r.q_interval_cover,
         "mad_outliers": r.q_mad_outliers,
         "window_topk": r.q_window_topk,
@@ -891,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "islands_orders": r.sql_islands_orders(),
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
         "ppr_mc": g.sql_ppr_mc(),
+        "matching": g.sql_matching(),
         "interval_cover": r.sql_interval_cover(),
         "mad_outliers": r.sql_mad_outliers(),
         "window_topk": r.sql_window_topk(),

@@ -3168,3 +3168,55 @@ def sql_ppr_mc() -> str:
             "SELECT CAST(vid AS BIGINT) AS vid, "
             "CAST(sum(1000000 // (1 << step)) AS BIGINT) AS score_e6 "
             "FROM walks WHERE walker % 13 = 0 GROUP BY vid")
+
+
+# ---------- bounded-round greedy maximal matching ----------
+
+MATCH_ROUNDS = 2
+
+
+def q_matching(sf_dir: str):
+    """Two rounds of the deterministic edge-centric matching rule
+    (graph/matching.py): an edge is matched iff it is the
+    (hash-priority, src, dst) minimum at BOTH endpoints, then incident
+    edges die — Israeli-Itai-style symmetry breaking, the scheduling /
+    pairing primitive.  Fully Dataset-resident (incidence map +
+    per-vertex rank + semi-joins + anti-join kill wave per round); the
+    oracle unrolls the identical rounds in SQL."""
+    from igpm_pem_ray.graph.matching import maximal_matching
+
+    return maximal_matching(cooccurrence_edges(sf_dir),
+                            rounds=MATCH_ROUNDS)
+
+
+def sql_matching() -> str:
+    A, B, C, M = 1_103_515_245, 69_069, 12_345, (1 << 31) - 1
+    parts = ["live0 AS (SELECT src, dst FROM edges)"]
+    for r in range(1, MATCH_ROUNDS + 1):
+        parts += [
+            f"p{r} AS (SELECT src, dst, ((src % {M}) * {A} + "
+            f"(dst % {M}) * {B} + {r} * {C}) % {M} AS pri "
+            f"FROM live{r - 1})",
+            f"i{r} AS (SELECT src AS v, pri, src, dst FROM p{r} "
+            f"UNION ALL SELECT dst AS v, pri, src, dst FROM p{r})",
+            f"c{r} AS (SELECT v, src, dst FROM (SELECT v, src, dst, "
+            "row_number() OVER (PARTITION BY v ORDER BY pri, src, dst) "
+            f"AS rn FROM i{r}) WHERE rn = 1)",
+            f"w{r} AS (SELECT p.src, p.dst FROM p{r} p "
+            f"JOIN c{r} a ON a.v = p.src AND a.src = p.src "
+            "AND a.dst = p.dst "
+            f"JOIN c{r} b ON b.v = p.dst AND b.src = p.src "
+            "AND b.dst = p.dst)",
+            f"mv{r} AS (SELECT src AS v FROM w{r} "
+            f"UNION SELECT dst AS v FROM w{r})",
+            f"live{r} AS (SELECT src, dst FROM p{r} "
+            f"WHERE src NOT IN (SELECT v FROM mv{r}) "
+            f"AND dst NOT IN (SELECT v FROM mv{r}))",
+        ]
+    sel = " UNION ALL ".join(
+        f"SELECT src, dst, {r} AS round FROM w{r}"
+        for r in range(1, MATCH_ROUNDS + 1))
+    return (f"WITH edges AS ({EDGES_SQL}), {', '.join(parts)} "
+            "SELECT CAST(src AS BIGINT) AS src, "
+            "CAST(dst AS BIGINT) AS dst, CAST(round AS BIGINT) AS round "
+            f"FROM ({sel})")

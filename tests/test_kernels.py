@@ -2008,3 +2008,27 @@ def test_spam_mass_trusted_seeds_score_low():
     assert (seeds.sm_e6 <= 0).all()
     assert seeds.sm_e6.mean() < rest.sm_e6.mean()
     assert (seeds.is_spam == 0).all()
+
+
+def test_maximal_matching_oracle_and_disjoint():
+    """Dataset matching == plain-Python replay of the identical rule;
+    matched edges are vertex-disjoint; more rounds only add edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.matching import maximal_matching, matching_oracle
+
+    rng = np.random.default_rng(11)
+    E = sorted({(int(a), int(b))
+                for a, b in rng.integers(0, 80, (220, 2)) if a < b})
+    ds = rd.from_arrow(pa.table({"src": [s for s, _ in E],
+                                 "dst": [d for _, d in E]}))
+    got = sorted(map(tuple, maximal_matching(ds, rounds=3)
+                     .to_pandas().values))
+    assert got == sorted(matching_oracle(E, rounds=3))
+    verts = [v for s, d, _ in got for v in (s, d)]
+    assert len(verts) == len(set(verts))        # vertex-disjoint
+    got2 = sorted(map(tuple, maximal_matching(ds, rounds=1)
+                      .to_pandas().values))
+    assert set(got2) <= set(got)                # monotone in rounds
