@@ -659,7 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_nation": r.q_gini_nation,
         "funnel_latency": r.q_funnel_latency,
         "daily_autocorr": r.q_daily_autocorr,
+        "km_interorder": r.q_km_interorder,
         "lexical_diversity": an.q_lexical_diversity,
+        "source_vocab_overlap": an.q_source_vocab_overlap,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -903,7 +905,9 @@ def oracle_sql() -> dict[str, str]:
         "gini_nation": r.sql_gini_nation(),
         "funnel_latency": r.sql_funnel_latency(),
         "daily_autocorr": r.sql_daily_autocorr(),
+        "km_interorder": r.sql_km_interorder(),
         "lexical_diversity": an.sql_lexical_diversity(),
+        "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

@@ -3038,3 +3038,84 @@ def sql_lexical_diversity() -> str:
         "SELECT doc_id, n_types, n_tokens, "
         "CAST(floor(n_types * 1e6 / n_tokens + 0.5) AS BIGINT) AS ttr_e6 "
         "FROM a")
+
+
+# ---------------- vocabulary overlap between sources ----------------
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Jaccard overlap of the distinct-token vocabularies of every
+    source pair — the corpus-similarity / domain-drift diagnostic
+    (two mirrors of one site overlap near 1; distinct domains don't).
+    Exact set algebra with one shuffle: distinct (source, token) pairs
+    via groupby, then per-token source lists fold into pair
+    intersection counts (tokens appear in at most |sources| lists, so
+    the per-token pair fan-out is tiny); union sizes come from the
+    per-source distinct counts by inclusion-exclusion.  jac_e6 uses
+    the shared e6 half-up convention."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        srcs, tok = [], []
+        for s, txt in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            t = np.unique(np.asarray((txt or "").split(), dtype=object))
+            srcs.append(np.full(len(t), s, dtype=object))
+            tok.append(t)
+        if not srcs:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "token": pa.array([], type=pa.string())})
+        return pa.table({
+            "source": pa.array(list(np.concatenate(srcs)),
+                               type=pa.string()),
+            "token": pa.array(list(np.concatenate(tok)),
+                              type=pa.string())})
+
+    st = docs.map_batches(toks, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["source", "token"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    sizes = {r["source"]: r["n"] for r in
+             st.groupby("source").aggregate(Count(alias_name="n"))
+             .take_all()}
+
+    def pairs(df) -> "pd.DataFrame":
+        # one group per token (groupby co-locates a token's sources);
+        # fan-out is |sources|^2 per token — tiny and bounded
+        import pandas as pd
+        out_a, out_b = [], []
+        ss = sorted(df["source"].unique())
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                out_a.append(ss[i])
+                out_b.append(ss[j])
+        return pd.DataFrame({"src_a": out_a, "src_b": out_b})
+
+    inter = st.groupby("token").map_groups(pairs, batch_format="pandas") \
+        .groupby(["src_a", "src_b"]).aggregate(Count(alias_name="n_inter")) \
+        .to_pandas()
+    a = inter["src_a"].to_numpy()
+    b = inter["src_b"].to_numpy()
+    ni = inter["n_inter"].to_numpy(np.int64)
+    na = np.asarray([sizes[s] for s in a], dtype=np.int64)
+    nb = np.asarray([sizes[s] for s in b], dtype=np.int64)
+    un = na + nb - ni
+    return pa.table({
+        "src_a": a, "src_b": b, "n_inter": ni, "n_union": un,
+        "jac_e6": np.floor(ni * 1e6 / un + 0.5).astype(np.int64)})
+
+
+def sql_source_vocab_overlap() -> str:
+    return (
+        r"WITH st AS (SELECT DISTINCT source, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "sz AS (SELECT source, count(*) AS n FROM st GROUP BY source), "
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "count(*) AS n_inter FROM st a JOIN st b ON a.token = b.token "
+        "AND a.source < b.source GROUP BY a.source, b.source) "
+        "SELECT i.src_a, i.src_b, CAST(i.n_inter AS BIGINT) AS n_inter, "
+        "CAST(x.n + y.n - i.n_inter AS BIGINT) AS n_union, "
+        "CAST(floor(i.n_inter * 1e6 / (x.n + y.n - i.n_inter) + 0.5) "
+        "AS BIGINT) AS jac_e6 "
+        "FROM i JOIN sz x ON x.source = i.src_a "
+        "JOIN sz y ON y.source = i.src_b")

@@ -3372,3 +3372,82 @@ def sql_daily_autocorr() -> str:
         "SELECT event_type, CAST(k AS BIGINT) AS n_pairs, "
         "CAST(floor((k*sxy - sx*sy)/sqrt((k*sxx - sx*sx)"
         "*(k*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS r1_e6 FROM a")
+
+
+# ---------------- Kaplan-Meier survival table of inter-order gaps ----------------
+
+def q_km_interorder(sf_dir: str):
+    """Kaplan-Meier sufficient statistics for customer inter-order
+    gaps: for every observed gap length d (days), n_events = gaps of
+    exactly d and n_at_risk = gaps >= d — the survival / churn table
+    (S(t) is a trivial client-side product over these integer rows;
+    the product itself is deliberately not emitted per the repo's
+    integer-exact convention).
+
+    Distributed lag without per-group Python: rank orders within each
+    customer (sorted-block ranker), one (custkey, rank) hash self-join
+    pairs each order with its successor, gaps fold through a
+    (gap)-keyed count groupby, and the tiny distinct-gap table gets
+    its suffix sum (n_at_risk) in one whole-block task."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_custkey",
+                                                   "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "day": us // DAY_US,
+                         "o_orderkey": b["o_orderkey"].cast(pa.int64())})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranked = rank_per_group(rows, key="ck",
+                            order=["day", "o_orderkey"],
+                            descending=[False, False]).materialize()
+    nxt = ranked.map_batches(
+        lambda b: pa.table({"ck2": b["ck"],
+                            "prev_rank": b["rank"].to_numpy(
+                                zero_copy_only=False) - 1,
+                            "day2": b["day"]}),
+        batch_format="pyarrow")
+    j = ranked.join(nxt, join_type="inner", num_partitions=4,
+                    on=("ck", "rank"), right_on=("ck2", "prev_rank"))
+
+    gaps = j.map_batches(
+        lambda b: pa.table({"gap_days": (
+            b["day2"].to_numpy(zero_copy_only=False)
+            - b["day"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow") \
+        .groupby("gap_days").aggregate(Count(alias_name="n_events"))
+
+    def survival(b: pa.Table) -> pa.Table:
+        g = b["gap_days"].to_numpy(zero_copy_only=False)
+        n = b["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g)
+        g, n = g[order], n[order]
+        at_risk = np.cumsum(n[::-1])[::-1]
+        return pa.table({"gap_days": g.astype(np.int64), "n_events": n,
+                         "n_at_risk": at_risk.astype(np.int64)})
+
+    return gaps.repartition(1).map_batches(
+        survival, batch_format="pyarrow", batch_size=None)
+
+
+def sql_km_interorder() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, "
+        f"epoch_us(o_orderdate) // {DAY_US} AS day, o_orderkey "
+        "FROM orders), "
+        "p AS (SELECT ck, day, lead(day) OVER (PARTITION BY ck "
+        "ORDER BY day, o_orderkey) AS nday FROM o), "
+        "g AS (SELECT nday - day AS gap_days FROM p "
+        "WHERE nday IS NOT NULL), "
+        "c AS (SELECT gap_days, CAST(count(*) AS BIGINT) AS n_events "
+        "FROM g GROUP BY gap_days) "
+        "SELECT CAST(gap_days AS BIGINT) AS gap_days, n_events, "
+        "CAST(sum(n_events) OVER (ORDER BY gap_days DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n_at_risk FROM c")
