@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dist_pairs": an.q_edit_dist_pairs,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
+        "local_bridges": g.q_local_bridges,
         "interval_cover": r.q_interval_cover,
         "mad_outliers": r.q_mad_outliers,
         "window_topk": r.q_window_topk,
@@ -895,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
+        "local_bridges": g.sql_local_bridges(),
         "interval_cover": r.sql_interval_cover(),
         "mad_outliers": r.sql_mad_outliers(),
         "window_topk": r.sql_window_topk(),

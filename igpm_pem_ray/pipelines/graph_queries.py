@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from igpm_pem_ray.graph import components as cc_mod
 from igpm_pem_ray.graph import labelprop as lp_mod
@@ -3220,3 +3221,85 @@ def sql_matching() -> str:
             "SELECT CAST(src AS BIGINT) AS src, "
             "CAST(dst AS BIGINT) AS dst, CAST(round AS BIGINT) AS round "
             f"FROM ({sel})")
+
+
+# ---------- local bridges (edges spanning no triangle) ----------
+
+def q_local_bridges(sf_dir: str):
+    """Edges whose endpoints share NO common neighbor — local bridges
+    in Granovetter's sense (span > 2): the weak ties whose removal
+    lengthens the shortest path between their endpoints, the classic
+    community-boundary / information-brokerage signal.  Plan: one
+    edges-x-adjacency hash join enumerates (u, v, w) wedges anchored
+    at existing edges, one canonical-pair semi-join marks wedges that
+    close into a triangle, a (src, dst) groupby counts each edge's
+    common neighbors, and one left-outer join flags the zero-support
+    edges — the triangle plan's join shape, all Dataset-resident, and
+    the per-edge output is never empty (schema-stable at every sf)."""
+    from ray.data.aggregate import Count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    np_ = 1 if edges.count() < 64 * 4 else 4
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": np.concatenate([s, d]),
+                         "w": np.concatenate([d, s])})
+
+    ue = edges.map_batches(both, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    half = edges.join(ue, join_type="inner", num_partitions=np_,
+                      on=("src",), right_on=("a",))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        keep = w != d
+        s, d, w = s[keep], d[keep], w[keep]
+        return pa.table({"src": s, "dst": d,
+                         "lo": np.minimum(d, w), "hi": np.maximum(d, w)})
+
+    wedges = half.map_batches(canon, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    e2 = edges.map_batches(
+        lambda b: pa.table({"lo2": b["src"], "hi2": b["dst"]}),
+        batch_format="pyarrow").materialize()
+    ncommon = wedges.join(e2, join_type="left_semi",
+                          num_partitions=np_,
+                          on=("lo", "hi"), right_on=("lo2", "hi2")) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="nc")) \
+        .map_batches(lambda b: pa.table({
+            "bs": b["src"], "bd": b["dst"],
+            "nc": b["nc"].cast(pa.int64())}), batch_format="pyarrow") \
+        .materialize()
+    flagged = edges.join(ncommon, join_type="left_outer",
+                         num_partitions=np_,
+                         on=("src", "dst"), right_on=("bs", "bd"))
+
+    def out(b: pa.Table) -> pa.Table:
+        nc = pc.fill_null(b["nc"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": b["src"].cast(pa.int64()),
+                         "dst": b["dst"].cast(pa.int64()),
+                         "n_common": nc,
+                         "is_bridge": (nc == 0).astype(np.int64)})
+
+    return flagged.map_batches(out, batch_format="pyarrow")
+
+
+def sql_local_bridges() -> str:
+    return (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "ue AS (SELECT src AS a, dst AS w FROM edges "
+        "UNION ALL SELECT dst AS a, src AS w FROM edges), "
+        "cn AS (SELECT e.src, e.dst, count(*) AS nc FROM edges e "
+        "JOIN ue x ON x.a = e.src JOIN ue y ON y.a = e.dst "
+        "AND y.w = x.w GROUP BY e.src, e.dst) "
+        "SELECT CAST(e.src AS BIGINT) AS src, "
+        "CAST(e.dst AS BIGINT) AS dst, "
+        "CAST(COALESCE(cn.nc, 0) AS BIGINT) AS n_common, "
+        "CAST(CASE WHEN cn.nc IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_bridge "
+        "FROM edges e LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst")
