@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": r.q_funnel_latency,
         "daily_autocorr": r.q_daily_autocorr,
         "km_interorder": r.q_km_interorder,
+        "max_concurrency": r.q_max_concurrency,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "densest_subgraph": g.q_densest_subgraph,
@@ -908,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": r.sql_funnel_latency(),
         "daily_autocorr": r.sql_daily_autocorr(),
         "km_interorder": r.sql_km_interorder(),
+        "max_concurrency": r.sql_max_concurrency(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

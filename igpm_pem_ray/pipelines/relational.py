@@ -3451,3 +3451,53 @@ def sql_km_interorder() -> str:
         "CAST(sum(n_events) OVER (ORDER BY gap_days DESC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS n_at_risk FROM c")
+
+
+# ---------------- maximum interval concurrency (sweep-line depth) ----------------
+
+def q_max_concurrency(sf_dir: str):
+    """Peak number of simultaneously-open 10-minute event intervals and
+    the earliest instant it is reached — the sweep-line depth operator
+    behind capacity sizing (max concurrent sessions, peak connection
+    count).  Each event contributes (+1 at ts, -1 at ts+D) deltas; the
+    running sum in (us, delta) order — ends sort before starts at the
+    same instant, so touching intervals never double-count — is the
+    live depth.  The distributed running total is
+    stages/temporal.cumsum_per_key (per-block vectorized partials,
+    O(1)-per-boundary stitch); the max and its argmin-time are two
+    scalar aggregates over the depth table."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    def deltas(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(us)
+        return pa.table({
+            "key": np.zeros(2 * n, dtype=np.int64),
+            "us": np.concatenate([us, us + COVER_D_US]),
+            "val": np.concatenate([np.ones(n, np.int64),
+                                   np.full(n, -1, np.int64)])})
+
+    pts = ev.map_batches(deltas, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    depth = cumsum_per_key(pts, payload_cols=[],
+                           order_cols=("us", "val")).materialize()
+    md = int(depth.max("cum_val"))
+    at = int(depth.filter(expr=f"cum_val == {md}").min("us"))
+    return pa.table({"max_depth": np.asarray([md], dtype=np.int64),
+                     "at_us": np.asarray([at], dtype=np.int64)})
+
+
+def sql_max_concurrency() -> str:
+    return (
+        "WITH pts AS (SELECT epoch_us(ts) AS us, 1 AS d FROM events "
+        f"UNION ALL SELECT epoch_us(ts) + {COVER_D_US}, -1 FROM events), "
+        "c AS (SELECT us, sum(d) OVER (ORDER BY us, d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth "
+        "FROM pts), "
+        "m AS (SELECT max(depth) AS md FROM c) "
+        "SELECT CAST(m.md AS BIGINT) AS max_depth, "
+        "CAST((SELECT min(us) FROM c WHERE c.depth = m.md) AS BIGINT) "
+        "AS at_us FROM m")
