@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": r.q_daily_autocorr,
         "km_interorder": r.q_km_interorder,
         "max_concurrency": r.q_max_concurrency,
+        "priority_transitions": r.q_priority_transitions,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "densest_subgraph": g.q_densest_subgraph,
@@ -910,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_autocorr": r.sql_daily_autocorr(),
         "km_interorder": r.sql_km_interorder(),
         "max_concurrency": r.sql_max_concurrency(),
+        "priority_transitions": r.sql_priority_transitions(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

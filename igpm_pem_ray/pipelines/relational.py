@@ -3501,3 +3501,57 @@ def sql_max_concurrency() -> str:
         "SELECT CAST(m.md AS BIGINT) AS max_depth, "
         "CAST((SELECT min(us) FROM c WHERE c.depth = m.md) AS BIGINT) "
         "AS at_us FROM m")
+
+
+# ---------------- categorical transition matrix (Markov counts) ----------------
+
+def q_priority_transitions(sf_dir: str):
+    """Transition counts between the order-priority classes of each
+    customer's consecutive orders — the empirical Markov matrix
+    (state-transition mining over per-entity ordered histories).
+    Same distributed-lag shape as km_interorder: sorted-block rank per
+    customer, one (custkey, rank) self-join to pair each order with
+    its successor, then one (from, to) groupby."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_orderpriority"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "day": pc.divide(us, DAY_US),
+                         "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                         "prio": b["o_orderpriority"]})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranked = rank_per_group(rows, key="ck",
+                            order=["day", "o_orderkey"],
+                            descending=[False, False]).materialize()
+    nxt = ranked.map_batches(
+        lambda b: pa.table({"ck2": b["ck"],
+                            "prev_rank": b["rank"].to_numpy(
+                                zero_copy_only=False) - 1,
+                            "to_prio": b["prio"]}),
+        batch_format="pyarrow")
+    j = ranked.join(nxt, join_type="inner", num_partitions=4,
+                    on=("ck", "rank"), right_on=("ck2", "prev_rank"))
+    return j.groupby(["prio", "to_prio"]) \
+        .aggregate(Count(alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "from_prio": b["prio"], "to_prio": b["to_prio"],
+            "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_priority_transitions() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, "
+        f"epoch_us(o_orderdate) // {DAY_US} AS day, o_orderkey, "
+        "o_orderpriority AS prio FROM orders), "
+        "p AS (SELECT ck, prio, lead(prio) OVER (PARTITION BY ck "
+        "ORDER BY day, o_orderkey) AS nprio FROM o) "
+        "SELECT prio AS from_prio, nprio AS to_prio, "
+        "CAST(count(*) AS BIGINT) AS n FROM p "
+        "WHERE nprio IS NOT NULL GROUP BY prio, nprio")
