@@ -665,6 +665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_transitions": r.q_priority_transitions,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
+        "label_centroids": an.q_label_centroids,
+        "walk_returns": g.q_walk_returns,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -914,6 +916,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_transitions": r.sql_priority_transitions(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
+        "label_centroids": an.sql_label_centroids(),
+        "walk_returns": g.sql_walk_returns(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

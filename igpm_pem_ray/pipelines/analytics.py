@@ -3119,3 +3119,61 @@ def sql_source_vocab_overlap() -> str:
         "AS BIGINT) AS jac_e6 "
         "FROM i JOIN sz x ON x.source = i.src_a "
         "JOIN sz y ON y.source = i.src_b")
+
+
+# ---------------- per-label embedding centroid statistics ----------------
+
+def q_label_centroids(sf_dir: str):
+    """Per-(label, dimension) integer centroid sufficient statistics
+    (n, sum_e6) of the embedding vectors — the class-separation /
+    cluster-profile primitive (LDA-style between-class geometry,
+    per-class drift monitoring).  Each block computes one
+    (labels x d) partial via the zero-copy list flatten + reshape and
+    an O(labels-in-block) add loop, so the shuffle is
+    O(blocks x labels x d) scalars, never row data; e6 scaling happens
+    per element BEFORE any sum so both engines agree bit for bit."""
+    emb = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = b["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        n = b.num_rows
+        if not n:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({"label": z, "dim": z, "n": z, "sum_e6": z})
+        d = len(flat) // n
+        x = scale_col(flat, 1e6).reshape(n, d)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs_l, outs_dim, outs_n, outs_s = [], [], [], []
+        for lb in np.unique(labels):           # O(labels) per block
+            m = labels == lb
+            outs_l.append(np.full(d, lb, np.int64))
+            outs_dim.append(np.arange(d, dtype=np.int64))
+            outs_n.append(np.full(d, int(m.sum()), np.int64))
+            outs_s.append(x[m].sum(axis=0))
+        return pa.table({
+            "label": np.concatenate(outs_l),
+            "dim": np.concatenate(outs_dim),
+            "n": np.concatenate(outs_n),
+            "sum_e6": np.concatenate(outs_s)})
+
+    return emb.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sum_e6", alias_name="sum_e6")) \
+        .map_batches(lambda b: pa.table({
+            "label": b["label"].cast(pa.int64()),
+            "dim": b["dim"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_e6": b["sum_e6"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_label_centroids() -> str:
+    return (
+        "WITH u AS (SELECT label, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings) "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(x*1e6+0.5) AS BIGINT)) AS BIGINT) AS sum_e6 "
+        "FROM u GROUP BY label, dim")

@@ -3303,3 +3303,50 @@ def sql_local_bridges() -> str:
         "CAST(CASE WHEN cn.nc IS NULL THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_bridge "
         "FROM edges e LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst")
+
+
+# ---------- walker return probability (mixing diagnostic) ----------
+
+def q_walk_returns(sf_dir: str):
+    """Fraction of walkers back at their start vertex at each step of
+    the shared deterministic walk table — the return-probability /
+    mixing-time diagnostic (high return mass = strong local clustering,
+    slow mixing).  One stateless compare map + one step groupby;
+    share_e6 under the repo's integer half-up convention with the
+    walker count a driver scalar."""
+    from ray.data.aggregate import Count, Sum
+
+    from igpm_pem_ray.graph import walks as walks_mod
+
+    ds = walks_mod.random_walks(thinned_edges(sf_dir),
+                                walk_len=WALK_LEN).materialize()
+    n_walkers = ds.map_batches(
+        lambda b: pa.table({"w": b["walker"]}), batch_format="pyarrow") \
+        .groupby("w").aggregate(Count(alias_name="_c")).count()
+
+    def ret(b: pa.Table) -> pa.Table:
+        w = b["walker"].to_numpy(zero_copy_only=False)
+        v = b["vid"].to_numpy(zero_copy_only=False)
+        return pa.table({"step": b["step"],
+                         "r": (w == v).astype(np.int64)})
+
+    agg = ds.map_batches(ret, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("step").aggregate(Sum("r", alias_name="n_returned")) \
+        .to_pandas().sort_values("step")
+    nr = agg["n_returned"].to_numpy(np.int64)
+    return pa.table({
+        "step": agg["step"].to_numpy(np.int64),
+        "n_returned": nr,
+        "share_e6": np.floor(nr * 1e6 / n_walkers + 0.5).astype(np.int64)})
+
+
+def sql_walk_returns() -> str:
+    return (f"WITH RECURSIVE edges AS ({EDGES_SQL}), {_sql_walks_cte()}, "
+            "t AS (SELECT count(DISTINCT walker) AS nw FROM walks) "
+            "SELECT CAST(step AS BIGINT) AS step, "
+            "CAST(sum(CASE WHEN walker = vid THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_returned, "
+            "CAST(floor(sum(CASE WHEN walker = vid THEN 1 ELSE 0 END) "
+            "* 1e6 / t.nw + 0.5) AS BIGINT) AS share_e6 "
+            "FROM walks, t GROUP BY step, t.nw")
