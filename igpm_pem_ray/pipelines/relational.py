@@ -3555,3 +3555,70 @@ def sql_priority_transitions() -> str:
         "SELECT prio AS from_prio, nprio AS to_prio, "
         "CAST(count(*) AS BIGINT) AS n FROM p "
         "WHERE nprio IS NOT NULL GROUP BY prio, nprio")
+
+
+# ---------------- hierarchical rollup over an implicit binary tree ----------------
+
+TREE_LEVELS = 3
+
+
+def q_tree_rollup(sf_dir: str):
+    """Revenue rollup over the implicit binary hierarchy node =
+    orderkey >> level (levels 1..3) — the hierarchical-aggregation
+    pattern (category trees, org charts, geo pyramids) expressed the
+    scalable way: level L aggregates the ALREADY-REDUCED level L-1
+    output (combiner reuse), so each successive groupby touches half
+    the keys of the previous one instead of re-scanning the fact
+    table.  Output (level, node, sum_e2, n_orders), integer-exact."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["o_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64) >> 1,
+            "sum_e2": scale_col(
+                b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "n_orders": np.ones(b.num_rows, dtype=np.int64)})
+
+    level = orders.map_batches(pre, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("node").aggregate(Sum("sum_e2", alias_name="sum_e2"),
+                                   Sum("n_orders", alias_name="n_orders"))
+    outs = []
+    for lv in range(1, TREE_LEVELS + 1):
+        outs.append(level.map_batches(
+            lambda b, _lv=lv: pa.table({
+                "level": np.full(b.num_rows, _lv, np.int64),
+                "node": b["node"].cast(pa.int64()),
+                "sum_e2": b["sum_e2"].cast(pa.int64()),
+                "n_orders": b["n_orders"].cast(pa.int64())}),
+            batch_format="pyarrow").materialize())
+        if lv < TREE_LEVELS:
+            level = level.map_batches(
+                lambda b: pa.table({
+                    "node": b["node"].cast(pa.int64()).to_numpy(
+                        zero_copy_only=False) >> 1,
+                    "sum_e2": b["sum_e2"].cast(pa.int64()),
+                    "n_orders": b["n_orders"].cast(pa.int64())}),
+                batch_format="pyarrow") \
+                .groupby("node").aggregate(
+                    Sum("sum_e2", alias_name="sum_e2"),
+                    Sum("n_orders", alias_name="n_orders"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def sql_tree_rollup() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {lv} AS level, o_orderkey // {1 << lv} AS node, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS v FROM orders"
+        for lv in range(1, TREE_LEVELS + 1))
+    return (
+        f"WITH u AS ({sel}) "
+        "SELECT CAST(level AS BIGINT) AS level, CAST(node AS BIGINT) "
+        "AS node, CAST(sum(v) AS BIGINT) AS sum_e2, "
+        "CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM u GROUP BY level, node")
