@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
+        "hapax_ratio": an.q_hapax_ratio,
         "walk_returns": g.q_walk_returns,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
@@ -919,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),
+        "hapax_ratio": an.sql_hapax_ratio(),
         "walk_returns": g.sql_walk_returns(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),

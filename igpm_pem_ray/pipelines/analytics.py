@@ -3177,3 +3177,69 @@ def sql_label_centroids() -> str:
         "CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CAST(floor(x*1e6+0.5) AS BIGINT)) AS BIGINT) AS sum_e6 "
         "FROM u GROUP BY label, dim")
+
+
+# ---------------- hapax legomena ratio per source ----------------
+
+def q_hapax_ratio(sf_dir: str):
+    """Per-source fraction of vocabulary words that occur exactly once
+    in that source (hapax legomena) — the long-tail vocabulary-health
+    signal (template/boilerplate corpora have few hapaxes, organic
+    text ~40-60%).  One (source, token) count groupby carries the
+    whole corpus weight; the vocabulary-sized result folds into
+    per-source (vocab, n_hapax) with a second tiny groupby.  e6
+    half-up ratio."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        srcs, tok = [], []
+        for s, txt in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            t = np.asarray((txt or "").split(), dtype=object)
+            srcs.append(np.full(len(t), s, dtype=object))
+            tok.append(t)
+        if not srcs:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "token": pa.array([], type=pa.string())})
+        return pa.table({
+            "source": pa.array(list(np.concatenate(srcs)),
+                               type=pa.string()),
+            "token": pa.array(list(np.concatenate(tok)),
+                              type=pa.string())})
+
+    counts = docs.map_batches(toks, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["source", "token"]).aggregate(Count(alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": b["source"],
+                         "vocab": np.ones(len(c), np.int64),
+                         "n_hapax": (c == 1).astype(np.int64)})
+
+    agg = counts.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("source").aggregate(Sum("vocab", alias_name="vocab"),
+                                     Sum("n_hapax", alias_name="n_hapax")) \
+        .to_pandas()
+    v = agg["vocab"].to_numpy(np.int64)
+    h = agg["n_hapax"].to_numpy(np.int64)
+    return pa.table({
+        "source": agg["source"].to_numpy(),
+        "vocab": v, "n_hapax": h,
+        "hapax_e6": np.floor(h * 1e6 / v + 0.5).astype(np.int64)})
+
+
+def sql_hapax_ratio() -> str:
+    return (
+        r"WITH tok AS (SELECT source, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "c AS (SELECT source, token, count(*) AS c FROM tok "
+        "GROUP BY source, token), "
+        "a AS (SELECT source, count(*) AS vocab, "
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax "
+        "FROM c GROUP BY source) "
+        "SELECT source, CAST(vocab AS BIGINT) AS vocab, "
+        "CAST(n_hapax AS BIGINT) AS n_hapax, "
+        "CAST(floor(n_hapax * 1e6 / vocab + 0.5) AS BIGINT) AS hapax_e6 "
+        "FROM a")
