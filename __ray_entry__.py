@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
         "hapax_ratio": an.q_hapax_ratio,
+        "revenue_share": an.q_revenue_share,
         "walk_returns": g.q_walk_returns,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
@@ -921,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),
         "hapax_ratio": an.sql_hapax_ratio(),
+        "revenue_share": an.sql_revenue_share(),
         "walk_returns": g.sql_walk_returns(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),

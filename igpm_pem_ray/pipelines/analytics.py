@@ -3243,3 +3243,70 @@ def sql_hapax_ratio() -> str:
         "CAST(n_hapax AS BIGINT) AS n_hapax, "
         "CAST(floor(n_hapax * 1e6 / vocab + 0.5) AS BIGINT) AS hapax_e6 "
         "FROM a")
+
+
+# ---------------- ratio-to-parent revenue shares ----------------
+
+def q_revenue_share(sf_dir: str):
+    """Each nation's share of its region's revenue and each region's
+    share of the total — the ratio-to-parent / ratio-to-report window
+    pair that powers drill-down dashboards.  The fact scan is one
+    orders |x| customer join + nation groupby-sum; the 25-row nation
+    table then folds through region and grand totals on the driver
+    (O(nations) scalars).  e6 half-up shares on integer e2 revenue."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                   "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey",
+                                                   "o_totalprice"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(np.int64),
+                   nat["n_regionkey"].astype(np.int64)))
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "rev_e2": scale_col(
+                b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0)})
+
+    j = orders.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .join(cust, join_type="inner", num_partitions=4,
+              on=("o_custkey",), right_on=("c_custkey",))
+    per_nation = j.groupby("c_nationkey").aggregate(
+        Sum("rev_e2", alias_name="rev_e2")).to_pandas()
+    nk = per_nation["c_nationkey"].to_numpy(np.int64)
+    rev = per_nation["rev_e2"].to_numpy(np.int64)
+    rk = np.asarray([n2r[k] for k in nk], dtype=np.int64)
+    region_tot = {}
+    for r, v in zip(rk, rev):
+        region_tot[int(r)] = region_tot.get(int(r), 0) + int(v)
+    total = int(rev.sum())
+    rtot = np.asarray([region_tot[int(r)] for r in rk], dtype=np.int64)
+    return pa.table({
+        "nationkey": nk, "regionkey": rk, "rev_e2": rev,
+        "nation_share_e6": np.floor(rev * 1e6 / rtot + 0.5)
+        .astype(np.int64),
+        "region_share_e6": np.floor(rtot * 1e6 / total + 0.5)
+        .astype(np.int64)})
+
+
+def sql_revenue_share() -> str:
+    return (
+        "WITH nrev AS (SELECT c.c_nationkey AS nationkey, "
+        "n.n_regionkey AS regionkey, "
+        "sum(CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT)) AS rev_e2 "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY c.c_nationkey, n.n_regionkey), "
+        "rr AS (SELECT regionkey, sum(rev_e2) AS rtot FROM nrev "
+        "GROUP BY regionkey), "
+        "t AS (SELECT sum(rev_e2) AS total FROM nrev) "
+        "SELECT CAST(nrev.nationkey AS BIGINT) AS nationkey, "
+        "CAST(nrev.regionkey AS BIGINT) AS regionkey, "
+        "CAST(nrev.rev_e2 AS BIGINT) AS rev_e2, "
+        "CAST(floor(nrev.rev_e2 * 1e6 / rr.rtot + 0.5) AS BIGINT) "
+        "AS nation_share_e6, "
+        "CAST(floor(rr.rtot * 1e6 / t.total + 0.5) AS BIGINT) "
+        "AS region_share_e6 "
+        "FROM nrev JOIN rr USING (regionkey), t")
