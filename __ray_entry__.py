@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio": an.q_hapax_ratio,
         "revenue_share": an.q_revenue_share,
         "walk_returns": g.q_walk_returns,
+        "brand_homophily": g.q_brand_homophily,
         "densest_subgraph": g.q_densest_subgraph,
         "cosine_gram_pairs": an.q_cosine_gram_pairs,
         "transitivity": g.q_transitivity,
@@ -924,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "hapax_ratio": an.sql_hapax_ratio(),
         "revenue_share": an.sql_revenue_share(),
         "walk_returns": g.sql_walk_returns(),
+        "brand_homophily": g.sql_brand_homophily(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),
         "transitivity": g.sql_transitivity(),
         "doc_rarity": an.sql_doc_rarity(),

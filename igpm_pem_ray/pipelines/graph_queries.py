@@ -3350,3 +3350,83 @@ def sql_walk_returns() -> str:
             "CAST(floor(sum(CASE WHEN walker = vid THEN 1 ELSE 0 END) "
             "* 1e6 / t.nw + 0.5) AS BIGINT) AS share_e6 "
             "FROM walks, t GROUP BY step, t.nw")
+
+
+# ---------- label homophily (attribute assortativity) ----------
+
+def q_brand_homophily(sf_dir: str):
+    """Brand homophily of the part co-occurrence graph: observed
+    fraction of edges joining same-brand parts vs the degree-weighted
+    expectation sum_l (endpoint-share_l)^2 — the categorical
+    assortativity / homophily index (do pages link within their own
+    community?).  Two hash joins attach endpoint brands (the part
+    side stays a Dataset — no driver broadcast, scale-honest), one
+    compare map, one label groupby for the expectation; HUGEINT-safe
+    squares in the oracle.  Single-row (n_edges, n_same, same_e6,
+    expected_e6)."""
+    from ray.data.aggregate import Count, Sum
+
+    from igpm_pem_ray.pipelines.common import read_table
+
+    edges = cooccurrence_edges(sf_dir)
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pa1 = parts.rename_columns({"p_partkey": "k1", "p_brand": "brand_a"})
+    pa2 = parts.rename_columns({"p_partkey": "k2", "p_brand": "brand_b"})
+    j = edges.join(pa1, join_type="inner", num_partitions=4,
+                   on=("src",), right_on=("k1",)) \
+        .join(pa2, join_type="inner", num_partitions=4,
+              on=("dst",), right_on=("k2",)).materialize()
+
+    def cmp(b: pa.Table) -> pa.Table:
+        same = pc.equal(b["brand_a"], b["brand_b"])
+        return pa.table({
+            "one": np.ones(b.num_rows, dtype=np.int64),
+            "same": same.to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    agg = j.map_batches(cmp, batch_format="pyarrow") \
+        .groupby("one").aggregate(Count(alias_name="n_edges"),
+                                  Sum("same", alias_name="n_same")) \
+        .to_pandas()
+    n_edges = int(agg["n_edges"].iloc[0])
+    n_same = int(agg["n_same"].iloc[0])
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table({"brand": pa.concat_arrays(
+            [b["brand_a"].combine_chunks().cast(pa.string()),
+             b["brand_b"].combine_chunks().cast(pa.string())])})
+
+    lab = j.map_batches(ends, batch_format="pyarrow") \
+        .groupby("brand").aggregate(Count(alias_name="c")).to_pandas()
+    c = lab["c"].to_numpy(np.int64)
+    tot = int(c.sum())               # = 2 * n_edges
+    expected = float((c.astype(np.float64) ** 2).sum()) / (tot * tot)
+    return pa.table({
+        "n_edges": np.asarray([n_edges], dtype=np.int64),
+        "n_same": np.asarray([n_same], dtype=np.int64),
+        "same_e6": np.asarray(
+            [int(np.floor(n_same * 1e6 / n_edges + 0.5))], dtype=np.int64),
+        "expected_e6": np.asarray(
+            [int(np.floor(expected * 1e6 + 0.5))], dtype=np.int64)})
+
+
+def sql_brand_homophily() -> str:
+    return (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "j AS (SELECT a.p_brand AS ba, b.p_brand AS bb FROM edges e "
+        "JOIN part a ON a.p_partkey = e.src "
+        "JOIN part b ON b.p_partkey = e.dst), "
+        "s AS (SELECT count(*) AS n_edges, "
+        "sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS n_same FROM j), "
+        "ends AS (SELECT ba AS brand FROM j "
+        "UNION ALL SELECT bb FROM j), "
+        "lc AS (SELECT brand, count(*) AS c FROM ends GROUP BY brand), "
+        "x AS (SELECT sum(CAST(c AS HUGEINT) * c) AS sq, sum(c) AS tot "
+        "FROM lc) "
+        "SELECT CAST(s.n_edges AS BIGINT) AS n_edges, "
+        "CAST(s.n_same AS BIGINT) AS n_same, "
+        "CAST(floor(s.n_same * 1e6 / s.n_edges + 0.5) AS BIGINT) "
+        "AS same_e6, "
+        "CAST(floor(CAST(x.sq AS DOUBLE) / (CAST(x.tot AS DOUBLE) * "
+        "CAST(x.tot AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS expected_e6 "
+        "FROM s, x")
