@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": an.q_label_centroids,
         "hapax_ratio": an.q_hapax_ratio,
         "revenue_share": an.q_revenue_share,
+        "bool_and_search": an.q_bool_and_search,
         "walk_returns": g.q_walk_returns,
         "brand_homophily": g.q_brand_homophily,
         "densest_subgraph": g.q_densest_subgraph,
@@ -924,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": an.sql_label_centroids(),
         "hapax_ratio": an.sql_hapax_ratio(),
         "revenue_share": an.sql_revenue_share(),
+        "bool_and_search": an.sql_bool_and_search(),
         "walk_returns": g.sql_walk_returns(),
         "brand_homophily": g.sql_brand_homophily(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

@@ -3310,3 +3310,51 @@ def sql_revenue_share() -> str:
         "CAST(floor(rr.rtot * 1e6 / t.total + 0.5) AS BIGINT) "
         "AS region_share_e6 "
         "FROM nrev JOIN rr USING (regionkey), t")
+
+
+# ---------------- conjunctive boolean retrieval (AND query) ----------------
+
+BOOL_TERMS = ("data", "join", "table")
+
+
+def q_bool_and_search(sf_dir: str):
+    """Documents containing ALL of three query terms — conjunctive
+    boolean retrieval over the same per-doc distinct-token explode the
+    inverted index uses: filter to the query terms at tokenize time
+    (the postings never leave the block unfiltered), one (doc_id)
+    groupby counting distinct matched terms, keep count == |terms|.
+    Output (doc_id, n_terms_matched) for the matching docs."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = set(BOOL_TERMS)
+
+    def hits(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            present = terms.intersection((txt or "").split())
+            ids.extend([did] * len(present))
+            toks.extend(sorted(present))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string())})
+
+    return docs.map_batches(hits, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(Count(alias_name="n_terms_matched")) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["n_terms_matched"], len(BOOL_TERMS))),
+            batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_terms_matched": b["n_terms_matched"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_bool_and_search() -> str:
+    lst = ", ".join(f"'{t}'" for t in BOOL_TERMS)
+    return (
+        r"WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched "
+        f"FROM tok WHERE token IN ({lst}) GROUP BY doc_id "
+        f"HAVING count(*) = {len(BOOL_TERMS)}")
