@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_concurrency": r.q_max_concurrency,
         "priority_transitions": r.q_priority_transitions,
         "tree_rollup": r.q_tree_rollup,
+        "precedence_counts": r.q_precedence_counts,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -920,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "max_concurrency": r.sql_max_concurrency(),
         "priority_transitions": r.sql_priority_transitions(),
         "tree_rollup": r.sql_tree_rollup(),
+        "precedence_counts": r.sql_precedence_counts(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -3622,3 +3622,59 @@ def sql_tree_rollup() -> str:
         "AS node, CAST(sum(v) AS BIGINT) AS sum_e2, "
         "CAST(count(*) AS BIGINT) AS n_orders "
         "FROM u GROUP BY level, node")
+
+
+# ---------------- any-distance precedence pair counts ----------------
+
+def q_precedence_counts(sf_dir: str):
+    """Global counts of ordered event-type pairs (a strictly before b
+    in the same user's history, ANY distance apart) — the sequential-
+    pattern / precedence-mining primitive that adjacency bigrams
+    (event_bigrams) and bounded-window motifs (temporal_pairs) both
+    miss.  Per user the count matrix is an exclusive-prefix-count
+    matmul (M^T @ onehot), so each user group is one vectorized numpy
+    op inside a user-keyed map_groups (groups are per-user histories,
+    dozens of rows); one (a, b) groupby sums the per-user matrices.
+    Tie-break (ts, event_id) identical to the oracle's join
+    predicate."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "us": _ts_us(b),
+                         "event_id": b["event_id"].cast(pa.int64()),
+                         "event_type": b["event_type"]})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["us", "event_id"], kind="mergesort")
+        types, codes = np.unique(df["event_type"].to_numpy(),
+                                 return_inverse=True)
+        k, n = len(types), len(df)
+        onehot = np.zeros((n, k), dtype=np.int64)
+        onehot[np.arange(n), codes] = 1
+        excl = np.cumsum(onehot, axis=0) - onehot   # counts strictly before
+        mat = excl.T @ onehot                        # (a, b) precedence
+        a_idx, b_idx = np.nonzero(mat)
+        return pd.DataFrame({
+            "type_a": types[a_idx], "type_b": types[b_idx],
+            "n": mat[a_idx, b_idx]})
+
+    return ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas") \
+        .groupby(["type_a", "type_b"]).aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "type_a": b["type_a"], "type_b": b["type_b"],
+            "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_precedence_counts() -> str:
+    return (
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND (epoch_us(a.ts) < epoch_us(b.ts) "
+        "OR (epoch_us(a.ts) = epoch_us(b.ts) "
+        "AND a.event_id < b.event_id)) "
+        "GROUP BY a.event_type, b.event_type")
