@@ -665,12 +665,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_transitions": r.q_priority_transitions,
         "tree_rollup": r.q_tree_rollup,
         "precedence_counts": r.q_precedence_counts,
+        "winsorized_mean": r.q_winsorized_mean,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
         "hapax_ratio": an.q_hapax_ratio,
         "revenue_share": an.q_revenue_share,
         "bool_and_search": an.q_bool_and_search,
+        "centroid_distances": an.q_centroid_distances,
         "walk_returns": g.q_walk_returns,
         "brand_homophily": g.q_brand_homophily,
         "densest_subgraph": g.q_densest_subgraph,
@@ -922,12 +924,14 @@ def oracle_sql() -> dict[str, str]:
         "priority_transitions": r.sql_priority_transitions(),
         "tree_rollup": r.sql_tree_rollup(),
         "precedence_counts": r.sql_precedence_counts(),
+        "winsorized_mean": r.sql_winsorized_mean(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),
         "hapax_ratio": an.sql_hapax_ratio(),
         "revenue_share": an.sql_revenue_share(),
         "bool_and_search": an.sql_bool_and_search(),
+        "centroid_distances": an.sql_centroid_distances(),
         "walk_returns": g.sql_walk_returns(),
         "brand_homophily": g.sql_brand_homophily(),
         "cosine_gram_pairs": an.sql_cosine_gram_pairs(),

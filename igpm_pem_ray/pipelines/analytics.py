@@ -3358,3 +3358,49 @@ def sql_bool_and_search() -> str:
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched "
         f"FROM tok WHERE token IN ({lst}) GROUP BY doc_id "
         f"HAVING count(*) = {len(BOOL_TERMS)}")
+
+
+# ---------------- pairwise label-centroid distances ----------------
+
+def q_centroid_distances(sf_dir: str):
+    """Squared L2 distance between every pair of per-label embedding
+    centroids — the class-separation geometry (which classes are
+    confusable, embedding-drift tripwire).  Centroid components use
+    the TRUNCATING-division convention m_e6 = trunc(sum_e6 / n)
+    (DuckDB's integer `//` truncates toward zero on negative sums
+    where numpy floors — emulated explicitly), so the pairwise
+    distance is integer-exact end to end — no float summation-order
+    hazard across dims.  The distributed work is the label_centroids
+    partial plan; the (labels x d) result is tiny and pairs fold in
+    one numpy step."""
+    stats = q_label_centroids(sf_dir).to_pandas()
+    piv = stats.pivot(index="label", columns="dim", values="sum_e6")
+    ns = stats.pivot(index="label", columns="dim", values="n")
+    s = piv.to_numpy(np.int64)
+    n = ns.to_numpy(np.int64)
+    m = np.sign(s) * (np.abs(s) // n)    # trunc-toward-zero like SQL //
+    labels = piv.index.to_numpy(np.int64)
+    la, lb, d2 = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            diff = m[i] - m[j]
+            la.append(labels[i])
+            lb.append(labels[j])
+            d2.append(int((diff * diff).sum()))
+    return pa.table({"label_a": np.asarray(la, dtype=np.int64),
+                     "label_b": np.asarray(lb, dtype=np.int64),
+                     "d2_e12": np.asarray(d2, dtype=np.int64)})
+
+
+def sql_centroid_distances() -> str:
+    return (
+        "WITH u AS (SELECT label, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+        "c AS (SELECT label, dim, "
+        "sum(CAST(floor(x*1e6+0.5) AS BIGINT)) // count(*) AS m "
+        "FROM u GROUP BY label, dim) "
+        "SELECT CAST(a.label AS BIGINT) AS label_a, "
+        "CAST(b.label AS BIGINT) AS label_b, "
+        "CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2_e12 "
+        "FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label "
+        "GROUP BY a.label, b.label")

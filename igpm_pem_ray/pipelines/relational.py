@@ -3678,3 +3678,95 @@ def sql_precedence_counts() -> str:
         "OR (epoch_us(a.ts) = epoch_us(b.ts) "
         "AND a.event_id < b.event_id)) "
         "GROUP BY a.event_type, b.event_type")
+
+
+# ---------------- winsorized mean per group ----------------
+
+def q_winsorized_mean(sf_dir: str):
+    """p10/p90-winsorized mean of the event value per type — the
+    robust location estimate that keeps every observation but clamps
+    the tails (less brittle than trimming under heavy skew).  The two
+    clamp bounds are exact rank-selection quantiles (quantile_disc
+    convention, stages/ranked.py); the clamp + sum pass is integer e2
+    so the winsorized sum is reduction-order exact; one final float
+    gives wmean_e6 under the shared half-up convention."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        codes = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        return pa.table({
+            "etk": codes, "event_type": b["event_type"],
+            "v": scale_col(b["value"].to_numpy(zero_copy_only=False),
+                           100.0),
+            "event_id": b["event_id"].cast(pa.int64())})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ranked = rank_per_group(rows, key="etk", order=["v", "event_id"],
+                            descending=[False, False])
+    counts = rows.groupby("etk").aggregate(Count(alias_name="n"))
+    joined = ranked.join(counts, join_type="inner", num_partitions=2,
+                         on=("etk",))
+
+    def pick(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        rank = b["rank"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lo = rank == np.maximum(1, np.ceil(0.1 * n).astype(np.int64))
+        hi = rank == np.maximum(1, np.ceil(0.9 * n).astype(np.int64))
+        keep = lo | hi
+        big = np.int64(np.iinfo(np.int64).min)
+        return pa.table({
+            "event_type": b["event_type"].take(
+                pa.array(np.flatnonzero(keep))),
+            "p10": np.where(lo[keep], v[keep], big),
+            "p90": np.where(hi[keep], v[keep], big)})
+
+    qs = joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Max("p10", alias_name="p10"),
+                                         Max("p90", alias_name="p90")) \
+        .to_pandas()
+    bounds = {r["event_type"]: (int(r["p10"]), int(r["p90"]))
+              for _, r in qs.iterrows()}
+
+    def clamp(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pylist()
+        lo = np.asarray([bounds[t][0] for t in et], dtype=np.int64)
+        hi = np.asarray([bounds[t][1] for t in et], dtype=np.int64)
+        v = np.clip(b["v"].to_numpy(zero_copy_only=False), lo, hi)
+        return pa.table({"event_type": b["event_type"], "wv": v,
+                         "one": np.ones(len(v), np.int64)})
+
+    agg = rows.map_batches(clamp, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("event_type").aggregate(Sum("wv", alias_name="wsum_e2"),
+                                         Sum("one", alias_name="n")) \
+        .to_pandas()
+    ws = agg["wsum_e2"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": agg["event_type"].to_numpy(),
+        "n": n, "wsum_e2": ws,
+        "wmean_e6": np.floor(ws * 1e4 / n + 0.5).astype(np.int64)})
+
+
+def sql_winsorized_mean() -> str:
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS v FROM events), "
+        "q AS (SELECT event_type, "
+        "CAST(quantile_disc(v, 0.1) AS BIGINT) AS p10, "
+        "CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90 "
+        "FROM e GROUP BY event_type), "
+        "w AS (SELECT e.event_type, "
+        "least(greatest(e.v, q.p10), q.p90) AS wv "
+        "FROM e JOIN q USING (event_type)) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(wv) AS BIGINT) AS wsum_e2, "
+        "CAST(floor(sum(wv) * 1e4 / count(*) + 0.5) AS BIGINT) "
+        "AS wmean_e6 FROM w GROUP BY event_type")
