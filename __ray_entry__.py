@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_rollup": r.q_tree_rollup,
         "precedence_counts": r.q_precedence_counts,
         "winsorized_mean": r.q_winsorized_mean,
+        "ship_delay": r.q_ship_delay,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -925,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_rollup": r.sql_tree_rollup(),
         "precedence_counts": r.sql_precedence_counts(),
         "winsorized_mean": r.sql_winsorized_mean(),
+        "ship_delay": r.sql_ship_delay(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

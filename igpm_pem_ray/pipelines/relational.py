@@ -3770,3 +3770,53 @@ def sql_winsorized_mean() -> str:
         "CAST(sum(wv) AS BIGINT) AS wsum_e2, "
         "CAST(floor(sum(wv) * 1e4 / count(*) + 0.5) AS BIGINT) "
         "AS wmean_e6 FROM w GROUP BY event_type")
+
+
+# ---------------- shipping-delay profile by order month ----------------
+
+def q_ship_delay(sf_dir: str):
+    """Days from order placement to each lineitem's ship date,
+    profiled per order month (n, total, max) — the fulfillment-latency
+    / SLA metric joining the fact table to its parent header.  One
+    orderkey hash join, vectorized day arithmetic, one month groupby;
+    integer end to end."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey",
+                                                 "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_orderdate"])
+    j = li.join(orders, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def delay(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // DAY_US
+        odate = b["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"month": odate // (30 * DAY_US),
+                         "delay_days": ship - odate // DAY_US})
+
+    return j.map_batches(delay, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("month").aggregate(
+            Count(alias_name="n"),
+            Sum("delay_days", alias_name="sum_days"),
+            Max("delay_days", alias_name="max_days")) \
+        .map_batches(lambda b: pa.table({
+            "month": b["month"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_days": b["sum_days"].cast(pa.int64()),
+            "max_days": b["max_days"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_ship_delay() -> str:
+    return (
+        "SELECT CAST(epoch_us(o.o_orderdate) // "
+        f"({30} * {DAY_US}) AS BIGINT) AS month, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(epoch_us(l.l_shipdate) // {DAY_US} "
+        f"- epoch_us(o.o_orderdate) // {DAY_US}) AS BIGINT) AS sum_days, "
+        f"CAST(max(epoch_us(l.l_shipdate) // {DAY_US} "
+        f"- epoch_us(o.o_orderdate) // {DAY_US}) AS BIGINT) AS max_days "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY month")
