@@ -3820,3 +3820,62 @@ def sql_ship_delay() -> str:
         f"- epoch_us(o.o_orderdate) // {DAY_US}) AS BIGINT) AS max_days "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY month")
+
+
+# ---------------- latest-wins upsert compaction (CDC) ----------------
+
+def q_upsert_latest(sf_dir: str):
+    """Latest-wins compaction of the event stream keyed by
+    (user_id, event_type): keep each key's most recent row — the CDC /
+    changelog-upsert primitive every lakehouse MERGE implements.
+    Deterministic under ts ties via the event_id tie-break.  One
+    sorted-block rank per key (descending ts) + a stateless rank==1
+    filter; no driver state."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        tk = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": u * 1_000_003 + (tk % 1_000_003),
+            "user_id": u, "event_type": b["event_type"],
+            "us": _ts_us(b),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "value_e2": scale_col(
+                b["value"].to_numpy(zero_copy_only=False), 100.0)})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ranked = rank_per_group(rows, key="key",
+                            order=["us", "event_id"],
+                            descending=[True, True])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = b["rank"].to_numpy(zero_copy_only=False) == 1
+        idx = pa.array(np.flatnonzero(m))
+        return pa.table({
+            "user_id": b["user_id"].take(idx),
+            "event_type": b["event_type"].take(idx),
+            "us": b["us"].take(idx),
+            "event_id": b["event_id"].take(idx),
+            "value_e2": b["value_e2"].take(idx)})
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_upsert_latest() -> str:
+    return (
+        "WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS us, "
+        "event_id, CAST(floor(value*100.0+0.5) AS BIGINT) AS value_e2, "
+        "row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
+        "CAST(us AS BIGINT) AS us, CAST(event_id AS BIGINT) AS event_id, "
+        "value_e2 FROM r WHERE rn = 1")
