@@ -3879,3 +3879,69 @@ def sql_upsert_latest() -> str:
         "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
         "CAST(us AS BIGINT) AS us, CAST(event_id AS BIGINT) AS event_id, "
         "value_e2 FROM r WHERE rn = 1")
+
+
+# ---------------- SCD2 validity intervals from a changelog ----------------
+
+def q_scd_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) history table from the event
+    changelog: each (user, event_type) observation becomes a row with
+    [valid_from, valid_to) — valid_to = the key's next observation, or
+    -1 for the still-current row (integer sentinel instead of NULL so
+    the value-hash is engine-neutral).  Completes the CDC pair with
+    upsert_latest.  Distributed lead: sorted-block rank per key + one
+    (key, rank) self-join — no window state on the driver."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type",
+                                               "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        tk = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": u * 1_000_003 + (tk % 1_000_003),
+            "user_id": u, "event_type": b["event_type"],
+            "us": _ts_us(b),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "value_e2": scale_col(
+                b["value"].to_numpy(zero_copy_only=False), 100.0)})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ranked = rank_per_group(rows, key="key",
+                            order=["us", "event_id"],
+                            descending=[False, False]).materialize()
+    nxt = ranked.map_batches(
+        lambda b: pa.table({"key2": b["key"],
+                            "prev_rank": b["rank"].to_numpy(
+                                zero_copy_only=False) - 1,
+                            "next_us": b["us"]}),
+        batch_format="pyarrow")
+    j = ranked.join(nxt, join_type="left_outer", num_partitions=4,
+                    on=("key", "rank"), right_on=("key2", "prev_rank"))
+
+    def out(b: pa.Table) -> pa.Table:
+        nu = pc.fill_null(b["next_us"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "value_e2": b["value_e2"].cast(pa.int64()),
+            "valid_from_us": b["us"].cast(pa.int64()),
+            "valid_to_us": nu})
+
+    return j.map_batches(out, batch_format="pyarrow")
+
+
+def sql_scd_intervals() -> str:
+    return (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS value_e2, "
+        "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, "
+        "CAST(COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id, "
+        "event_type ORDER BY ts, event_id), -1) AS BIGINT) "
+        "AS valid_to_us FROM events")
