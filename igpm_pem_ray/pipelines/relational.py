@@ -3945,3 +3945,50 @@ def sql_scd_intervals() -> str:
         "CAST(COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id, "
         "event_type ORDER BY ts, event_id), -1) AS BIGINT) "
         "AS valid_to_us FROM events")
+
+
+# ---------------- user journey path signatures ----------------
+
+JOURNEY_K = 5
+
+
+def q_journey_paths(sf_dir: str):
+    """Count of each distinct user journey — the ordered signature of
+    a user's first 5 event types ('view>click>purchase>...') — the
+    path-analytics primitive behind funnel-discovery dashboards.
+    Per-user signature built inside a user-keyed map_groups (each
+    group is one small history; ts+event_id tie-break identical to
+    the oracle's window), then one signature groupby."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "us": _ts_us(b),
+                         "event_id": b["event_id"].cast(pa.int64()),
+                         "event_type": b["event_type"]})
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["us", "event_id"],
+                            kind="mergesort").head(JOURNEY_K)
+        return pd.DataFrame({
+            "journey": [">".join(df["event_type"].tolist())]})
+
+    return ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").map_groups(sig, batch_format="pandas") \
+        .groupby("journey").aggregate(Count(alias_name="n_users")) \
+        .map_batches(lambda b: pa.table({
+            "journey": b["journey"],
+            "n_users": b["n_users"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_journey_paths() -> str:
+    return (
+        "WITH r AS (SELECT user_id, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+        "s AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+        f"AS journey FROM r WHERE rn <= {JOURNEY_K} GROUP BY user_id) "
+        "SELECT journey, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM s GROUP BY journey")
