@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_latest": r.q_upsert_latest,
         "scd_intervals": r.q_scd_intervals,
         "journey_paths": r.q_journey_paths,
+        "json_extract_stats": r.q_json_extract_stats,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -933,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_latest": r.sql_upsert_latest(),
         "scd_intervals": r.sql_scd_intervals(),
         "journey_paths": r.sql_journey_paths(),
+        "json_extract_stats": r.sql_json_extract_stats(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -3992,3 +3992,45 @@ def sql_journey_paths() -> str:
         f"AS journey FROM r WHERE rn <= {JOURNEY_K} GROUP BY user_id) "
         "SELECT journey, CAST(count(*) AS BIGINT) AS n_users "
         "FROM s GROUP BY journey")
+
+
+# ---------------- semi-structured JSON field extraction ----------------
+
+def q_json_extract_stats(sf_dir: str):
+    """Extract the integer field k from the ``props`` JSON string and
+    profile it per event type (n, sum, min, max) — the semi-structured
+    column-extraction pattern (properties bags, API payloads) done
+    with a vectorized regex (pandas str.extract vs RE2 regexp_extract,
+    same pattern both sides) instead of a JSON parser per row.
+    Integer end to end."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def ext(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False)
+        m = k.notna()
+        return pd.DataFrame({
+            "event_type": df["event_type"][m],
+            "k": k[m].astype("int64")})
+
+    return ev.map_batches(ext, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"), Max("k", alias_name="max_k")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].cast(pa.int64()),
+            "sum_k": b["sum_k"].cast(pa.int64()),
+            "min_k": b["min_k"].cast(pa.int64()),
+            "max_k": b["max_k"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_json_extract_stats() -> str:
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+        "FROM events WHERE regexp_matches(props, '\"k\": (\\d+)')) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, "
+        "CAST(min(k) AS BIGINT) AS min_k, "
+        "CAST(max(k) AS BIGINT) AS max_k FROM e GROUP BY event_type")
