@@ -4034,3 +4034,58 @@ def sql_json_extract_stats() -> str:
         "CAST(sum(k) AS BIGINT) AS sum_k, "
         "CAST(min(k) AS BIGINT) AS min_k, "
         "CAST(max(k) AS BIGINT) AS max_k FROM e GROUP BY event_type")
+
+
+# ---------------- series densification (zero-fill missing hours) ----------------
+
+def q_densify_hours(sf_dir: str):
+    """Per-type hourly counts DENSIFIED over the full [min, max] hour
+    grid with explicit zero rows — the gap-filling step every
+    time-series model needs before windows/derivatives (missing hours
+    are data, not absence of rows).  The fact scan is one (type, hour)
+    groupby; the grid is O(types x hours) built in one whole-block
+    task from two scalar bounds and left-merged against the sparse
+    counts."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = _ts_us(b)
+        return pa.table({"event_type": b["event_type"],
+                         "hour_us": (us // HOUR_US) * HOUR_US})
+
+    sparse = ev.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["event_type", "hour_us"]) \
+        .aggregate(Count(alias_name="n")).materialize()
+    lo = int(sparse.min("hour_us"))
+    hi = int(sparse.max("hour_us"))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        grid_h = np.arange(lo, hi + HOUR_US, HOUR_US, dtype=np.int64)
+        types = np.sort(df["event_type"].unique())
+        full = pd.MultiIndex.from_product(
+            [types, grid_h], names=["event_type", "hour_us"]).to_frame(
+            index=False)
+        out = full.merge(df, on=["event_type", "hour_us"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        out["hour_us"] = out["hour_us"].astype("int64")
+        return out
+
+    return sparse.repartition(1).map_batches(
+        fill, batch_format="pandas", batch_size=None)
+
+
+def sql_densify_hours() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        f"CAST((epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS BIGINT) "
+        "AS hour_us, CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, hour_us), "
+        "b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c), "
+        f"g AS (SELECT unnest(range(b.lo, b.hi + {HOUR_US}, "
+        f"{HOUR_US})) AS hour_us FROM b), "
+        "t AS (SELECT DISTINCT event_type FROM c) "
+        "SELECT t.event_type, CAST(g.hour_us AS BIGINT) AS hour_us, "
+        "CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+        "FROM t CROSS JOIN g LEFT JOIN c "
+        "ON c.event_type = t.event_type AND c.hour_us = g.hour_us")
