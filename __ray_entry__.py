@@ -672,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_paths": r.q_journey_paths,
         "json_extract_stats": r.q_json_extract_stats,
         "densify_hours": r.q_densify_hours,
+        "table_checksum": r.q_table_checksum,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -937,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "journey_paths": r.sql_journey_paths(),
         "json_extract_stats": r.sql_json_extract_stats(),
         "densify_hours": r.sql_densify_hours(),
+        "table_checksum": r.sql_table_checksum(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

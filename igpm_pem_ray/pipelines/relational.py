@@ -4089,3 +4089,56 @@ def sql_densify_hours() -> str:
         "CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
         "FROM t CROSS JOIN g LEFT JOIN c "
         "ON c.event_type = t.event_type AND c.hour_us = g.hour_us")
+
+
+# ---------------- anti-entropy table checksums per bucket ----------------
+
+CHECKSUM_BUCKETS = 64
+_CK_M = (1 << 31) - 1
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-insensitive content checksum of the orders table per
+    hash bucket — the anti-entropy / replica-verification primitive
+    (compare per-bucket digests across copies, re-sync only diverging
+    buckets).  Each row folds to one affine hash over its columns
+    (mod 2^31-1 pre-reductions keep every product int64-safe and
+    SQL-identical); bucket digest = plain SUM of row hashes, so the
+    digest is reduction-order independent by construction.  One
+    stateless map + one 64-group groupby."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"])
+
+    def rh(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        h = ((k % _CK_M) * 1_103_515_245 + (c % _CK_M) * 69_069
+             + (p % _CK_M) * 40_692) % _CK_M
+        return pa.table({"bucket": k % CHECKSUM_BUCKETS,
+                         "h": h, "one": np.ones(len(k), np.int64)})
+
+    return orders.map_batches(rh, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("h", alias_name="checksum"),
+                                     Sum("one", alias_name="n_rows")) \
+        .map_batches(lambda b: pa.table({
+            "bucket": b["bucket"].cast(pa.int64()),
+            "checksum": b["checksum"].cast(pa.int64()),
+            "n_rows": b["n_rows"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def sql_table_checksum() -> str:
+    return (
+        "WITH r AS (SELECT o_orderkey % "
+        f"{CHECKSUM_BUCKETS} AS bucket, "
+        f"((o_orderkey % {_CK_M}) * 1103515245 "
+        f"+ (o_custkey % {_CK_M}) * 69069 "
+        f"+ (CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) % {_CK_M}) "
+        f"* 40692) % {_CK_M} AS h FROM orders) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(sum(h) AS BIGINT) AS checksum, "
+        "CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY bucket")
