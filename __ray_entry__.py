@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_stats": r.q_json_extract_stats,
         "densify_hours": r.q_densify_hours,
         "table_checksum": r.q_table_checksum,
+        "user_diversity": r.q_user_diversity,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -939,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_stats": r.sql_json_extract_stats(),
         "densify_hours": r.sql_densify_hours(),
         "table_checksum": r.sql_table_checksum(),
+        "user_diversity": r.sql_user_diversity(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -4142,3 +4142,49 @@ def sql_table_checksum() -> str:
         "SELECT CAST(bucket AS BIGINT) AS bucket, "
         "CAST(sum(h) AS BIGINT) AS checksum, "
         "CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY bucket")
+
+
+# ---------------- Gini-Simpson behavioral diversity per user ----------------
+
+def q_user_diversity(sf_dir: str):
+    """Gini-Simpson diversity 1 - sum(p_t^2) of each user's event-type
+    mix — the diversity index that, unlike Shannon entropy, is exact
+    rational arithmetic (no libm log): D_e6 = floor((n^2 - sum c^2) *
+    1e6 / n^2 + 0.5) from integer per-(user, type) counts.  Bots score
+    near 0 (one behavior), engaged users near the 4/5 ceiling of five
+    types.  Two groupbys: (user, type) counts, then per-user fold."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                         "n": c, "c2": c * c})
+
+    agg = counts.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n"),
+                                      Sum("c2", alias_name="c2"))
+
+    def div(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.floor((n * n - c2) * 1e6 / (n * n) + 0.5).astype(np.int64)
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                         "n_events": n, "simpson_e6": d})
+
+    return agg.map_batches(div, batch_format="pyarrow")
+
+
+def sql_user_diversity() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS c "
+        "FROM events GROUP BY user_id, event_type), "
+        "a AS (SELECT user_id, sum(c) AS n, sum(c*c) AS c2 FROM c "
+        "GROUP BY user_id) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(n AS BIGINT) AS n_events, "
+        "CAST(floor((n*n - c2) * 1e6 / (n*n) + 0.5) AS BIGINT) "
+        "AS simpson_e6 FROM a")
