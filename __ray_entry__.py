@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densify_hours": r.q_densify_hours,
         "table_checksum": r.q_table_checksum,
         "user_diversity": r.q_user_diversity,
+        "user_features": r.q_user_features,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -941,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "densify_hours": r.sql_densify_hours(),
         "table_checksum": r.sql_table_checksum(),
         "user_diversity": r.sql_user_diversity(),
+        "user_features": r.sql_user_features(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -4188,3 +4188,64 @@ def sql_user_diversity() -> str:
         "CAST(n AS BIGINT) AS n_events, "
         "CAST(floor((n*n - c2) * 1e6 / (n*n) + 0.5) AS BIGINT) "
         "AS simpson_e6 FROM a")
+
+
+# ---------------- feature-store user activity features ----------------
+
+def q_user_features(sf_dir: str):
+    """Per-user churn/engagement feature row — days since last event,
+    event counts in the trailing 7- and 30-day windows (relative to
+    the corpus max timestamp, the standard offline feature-store
+    convention), and total count.  One scalar max + one conditional-sum
+    groupby; integer end to end."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "us": _ts_us(b)})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    now = int(rows.max("us"))
+
+    def feats(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        age_d = (now - us) // DAY_US
+        return pa.table({
+            "user_id": b["user_id"],
+            "one": np.ones(len(us), np.int64),
+            "in7": (age_d < 7).astype(np.int64),
+            "in30": (age_d < 30).astype(np.int64),
+            "last_us": us})
+
+    agg = rows.map_batches(feats, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("user_id").aggregate(
+            Sum("one", alias_name="n_total"),
+            Sum("in7", alias_name="n_7d"),
+            Sum("in30", alias_name="n_30d"),
+            Max("last_us", alias_name="last_us"))
+
+    def out(b: pa.Table) -> pa.Table:
+        last = b["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "n_total": b["n_total"].cast(pa.int64()),
+            "n_7d": b["n_7d"].cast(pa.int64()),
+            "n_30d": b["n_30d"].cast(pa.int64()),
+            "days_since_last": (now - last) // DAY_US})
+
+    return agg.map_batches(out, batch_format="pyarrow")
+
+
+def sql_user_features() -> str:
+    return (
+        "WITH m AS (SELECT max(epoch_us(ts)) AS now FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(CASE WHEN (m.now - epoch_us(ts)) // "
+        f"{DAY_US} < 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d, "
+        "CAST(sum(CASE WHEN (m.now - epoch_us(ts)) // "
+        f"{DAY_US} < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d, "
+        f"CAST((m.now - max(epoch_us(ts))) // {DAY_US} AS BIGINT) "
+        "AS days_since_last "
+        "FROM events, m GROUP BY user_id, m.now")
