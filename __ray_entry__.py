@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": r.q_table_checksum,
         "user_diversity": r.q_user_diversity,
         "user_features": r.q_user_features,
+        "adoption_curve": r.q_adoption_curve,
+        "ab_test": r.q_ab_test,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -943,6 +945,8 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": r.sql_table_checksum(),
         "user_diversity": r.sql_user_diversity(),
         "user_features": r.sql_user_features(),
+        "adoption_curve": r.sql_adoption_curve(),
+        "ab_test": r.sql_ab_test(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -4249,3 +4249,117 @@ def sql_user_features() -> str:
         f"CAST((m.now - max(epoch_us(ts))) // {DAY_US} AS BIGINT) "
         "AS days_since_last "
         "FROM events, m GROUP BY user_id, m.now")
+
+
+# ---------------- adoption curve (cumulative distinct users) ----------------
+
+def q_adoption_curve(sf_dir: str):
+    """Cumulative count of distinct users ever seen, by day — the
+    adoption / growth curve.  First-seen day per user (one Min
+    groupby) shrinks the stream to O(users); daily new-user counts
+    plus a prefix sum over the tiny day series finish in one
+    whole-block task."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "day": _ts_us(b) // DAY_US})
+
+    first = ev.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min("day", alias_name="fday"))
+    daily = first.groupby("fday").aggregate(Count(alias_name="n_new"))
+
+    def cum(b: pa.Table) -> pa.Table:
+        d = b["fday"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_new"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        return pa.table({"day": d, "n_new": n,
+                         "cum_users": np.cumsum(n)})
+
+    return daily.repartition(1).map_batches(cum, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def sql_adoption_curve() -> str:
+    return (
+        "WITH f AS (SELECT user_id, "
+        f"min(epoch_us(ts) // {DAY_US}) AS fday FROM events "
+        "GROUP BY user_id), "
+        "d AS (SELECT fday AS day, CAST(count(*) AS BIGINT) AS n_new "
+        "FROM f GROUP BY fday) "
+        "SELECT CAST(day AS BIGINT) AS day, n_new, "
+        "CAST(sum(n_new) OVER (ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_users FROM d")
+
+
+# ---------------- deterministic A/B conversion test ----------------
+
+def q_ab_test(sf_dir: str):
+    """Two-proportion conversion comparison under a deterministic
+    hash split (user_id %% 2): per arm the distinct-user and
+    converted-user (>= 14 purchase events — roughly the corpus median,
+    so both outcomes occur) counts, conversion rate, and the pooled
+    two-proportion z-score — the experimentation primitive.  Integer
+    sufficient statistics; the z-score is the single final float
+    expression, written identically in both engines (corr
+    convention)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pur = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": u, "grp": u % 2, "pur": pur})
+
+    def thr(b: pa.Table) -> pa.Table:
+        n = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "grp": b["grp"],
+                         "conv": (n >= 14).astype(np.int64)})
+
+    per_user = ev.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Max("grp", alias_name="grp"),
+                                      Sum("pur", alias_name="pc")) \
+        .map_batches(thr, batch_format="pyarrow")
+    arms = per_user.groupby("grp").aggregate(
+        Count(alias_name="n_users"), Sum("conv", alias_name="n_conv")) \
+        .to_pandas().sort_values("grp")
+    n = arms["n_users"].to_numpy(np.int64)
+    c = arms["n_conv"].to_numpy(np.int64)
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    z = (c[0] / n[0] - c[1] / n[1]) / np.sqrt(
+        p * (1 - p) * (1.0 / n[0] + 1.0 / n[1]))
+    return pa.table({
+        "n_a": n[:1], "conv_a": c[:1],
+        "n_b": n[1:2], "conv_b": c[1:2],
+        "rate_a_e6": np.floor(c[:1] * 1e6 / n[:1] + 0.5).astype(np.int64),
+        "rate_b_e6": np.floor(c[1:2] * 1e6 / n[1:2] + 0.5).astype(np.int64),
+        "z_e6": np.asarray([int(np.floor(z * 1e6 + 0.5))],
+                           dtype=np.int64)})
+
+
+def sql_ab_test() -> str:
+    return (
+        "WITH u AS (SELECT user_id, user_id % 2 AS grp, "
+        "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 "
+        "ELSE 0 END) >= 14 THEN 1 ELSE 0 END "
+        "AS conv FROM events GROUP BY user_id), "
+        "a AS (SELECT grp, count(*) AS n, sum(conv) AS c FROM u "
+        "GROUP BY grp), "
+        "w AS (SELECT "
+        "max(CASE WHEN grp = 0 THEN n END) AS na, "
+        "max(CASE WHEN grp = 0 THEN c END) AS ca, "
+        "max(CASE WHEN grp = 1 THEN n END) AS nb, "
+        "max(CASE WHEN grp = 1 THEN c END) AS cb FROM a) "
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a, "
+        "CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b, "
+        "CAST(floor(ca * 1e6 / na + 0.5) AS BIGINT) AS rate_a_e6, "
+        "CAST(floor(cb * 1e6 / nb + 0.5) AS BIGINT) AS rate_b_e6, "
+        "CAST(floor((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) "
+        "/ sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) "
+        "* (1 - (ca + cb) / CAST(na + nb AS DOUBLE)) "
+        "* (1.0 / na + 1.0 / nb)) * 1e6 + 0.5) AS BIGINT) AS z_e6 "
+        "FROM w")
