@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": an.q_readability,
         "islands_orders": r.q_islands_orders,
         "edit_dist_pairs": an.q_edit_dist_pairs,
+        "name_clusters": an.q_name_clusters,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -917,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": an.sql_readability(),
         "islands_orders": r.sql_islands_orders(),
         "edit_dist_pairs": an.sql_edit_dist_pairs(),
+        "name_clusters": an.sql_name_clusters(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -3404,3 +3404,43 @@ def sql_centroid_distances() -> str:
         "CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2_e12 "
         "FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label "
         "GROUP BY a.label, b.label")
+
+
+# ---------------- entity-resolution identity clusters ----------------
+
+def q_name_clusters(sf_dir: str):
+    """End-to-end entity resolution: the SymSpell <=1-edit-distance
+    pair join (q_edit_dist_pairs — blocking + exact verification)
+    composed with connected-component closure (components_auto: dense
+    kernel small, shuffle CC large) into identity clusters
+    (custkey, cluster = min member key) — dedupe of typo'd /
+    OCR-variant entity names, the full ER pipeline in three
+    Dataset stages.  Only customers in >= 1 pair appear (singletons
+    are their own identity trivially)."""
+    from igpm_pem_ray.graph.components import components_auto
+
+    pairs = q_edit_dist_pairs(sf_dir)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"src": b["custkey_a"].cast(pa.int64()),
+                            "dst": b["custkey_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    comp = components_auto(edges)
+    return comp.map_batches(
+        lambda b: pa.table({"custkey": b["vid"].cast(pa.int64()),
+                            "cluster": b["component"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_name_clusters() -> str:
+    return (
+        "WITH RECURSIVE p AS (SELECT a.c_custkey AS src, "
+        "b.c_custkey AS dst FROM customer a JOIN customer b "
+        "ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+        "ue AS (SELECT src, dst FROM p "
+        "UNION SELECT dst AS src, src AS dst FROM p), "
+        "verts AS (SELECT DISTINCT src AS vid FROM ue), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src) "
+        "SELECT CAST(a AS BIGINT) AS custkey, "
+        "CAST(MIN(b) AS BIGINT) AS cluster FROM reach GROUP BY a")
