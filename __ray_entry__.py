@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features": r.q_user_features,
         "adoption_curve": r.q_adoption_curve,
         "ab_test": r.q_ab_test,
+        "activity_corr": r.q_activity_corr,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -949,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "user_features": r.sql_user_features(),
         "adoption_curve": r.sql_adoption_curve(),
         "ab_test": r.sql_ab_test(),
+        "activity_corr": r.sql_activity_corr(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

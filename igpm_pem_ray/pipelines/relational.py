@@ -4363,3 +4363,76 @@ def sql_ab_test() -> str:
         "* (1 - (ca + cb) / CAST(na + nb AS DOUBLE)) "
         "* (1.0 / na + 1.0 / nb)) * 1e6 + 0.5) AS BIGINT) AS z_e6 "
         "FROM w")
+
+
+# ---------------- cross-table daily activity correlation ----------------
+
+def q_activity_corr(sf_dir: str):
+    """Pearson correlation between the daily ORDER count and the daily
+    EVENT count, aligned by day INDEX from each table's own first day
+    (the two streams live in different calendar eras, so the join is
+    on relative position — shape comparison of the overlapping
+    prefix).  Two daily count groupbys, two scalar mins, one index
+    hash join, integer sufficient sums, single final float under the
+    corr convention."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+    events = read_table(sf_dir, "events", columns=["ts"])
+
+    oc = orders.map_batches(
+        lambda b: pa.table({"day": b["o_orderdate"]
+                            .cast(pa.timestamp("us")).cast(pa.int64())
+                            .to_numpy(zero_copy_only=False) // DAY_US}),
+        batch_format="pyarrow").groupby("day").aggregate(
+        Count(alias_name="x")).materialize()
+    ec = events.map_batches(
+        lambda b: pa.table({"day2": _ts_us(b) // DAY_US}),
+        batch_format="pyarrow").groupby("day2").aggregate(
+        Count(alias_name="y")).materialize()
+    omin = int(oc.min("day"))
+    emin = int(ec.min("day2"))
+    oc = oc.map_batches(lambda b: pa.table({
+        "idx": b["day"].to_numpy(zero_copy_only=False) - omin,
+        "x": b["x"].cast(pa.int64())}), batch_format="pyarrow")
+    ec = ec.map_batches(lambda b: pa.table({
+        "idx2": b["day2"].to_numpy(zero_copy_only=False) - emin,
+        "y": b["y"].cast(pa.int64())}), batch_format="pyarrow")
+    j = oc.join(ec, join_type="inner", num_partitions=2,
+                on=("idx",), right_on=("idx2",))
+
+    def sums(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"one": np.ones(len(x), np.int64), "sx": x,
+                         "sy": y, "sxx": x * x, "syy": y * y,
+                         "sxy": x * y})
+
+    agg = j.map_batches(sums, batch_format="pyarrow") \
+        .groupby("one").aggregate(
+            Count(alias_name="k"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy")) \
+        .to_pandas()
+    k = int(agg["k"].iloc[0]); sx = int(agg["sx"].iloc[0])
+    sy = int(agg["sy"].iloc[0]); sxx = int(agg["sxx"].iloc[0])
+    syy = int(agg["syy"].iloc[0]); sxy = int(agg["sxy"].iloc[0])
+    r = (k * sxy - sx * sy) / np.sqrt(
+        (k * sxx - sx * sx) * (k * syy - sy * sy))
+    return pa.table({"n_days": np.asarray([k], dtype=np.int64),
+                     "corr_e6": np.asarray(
+                         [int(np.floor(r * 1e6 + 0.5))], dtype=np.int64)})
+
+
+def sql_activity_corr() -> str:
+    return (
+        f"WITH o0 AS (SELECT epoch_us(o_orderdate) // {DAY_US} AS day, "
+        "count(*) AS x FROM orders GROUP BY day), "
+        "o AS (SELECT day - (SELECT min(day) FROM o0) AS idx, x FROM o0), "
+        f"e0 AS (SELECT epoch_us(ts) // {DAY_US} AS day, count(*) AS y "
+        "FROM events GROUP BY day), "
+        "e AS (SELECT day - (SELECT min(day) FROM e0) AS idx, y FROM e0), "
+        "j AS (SELECT o.x, e.y FROM o JOIN e USING (idx)), "
+        "a AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM j) "
+        "SELECT CAST(k AS BIGINT) AS n_days, "
+        "CAST(floor((k*sxy - sx*sy)/sqrt((k*sxx - sx*sx)"
+        "*(k*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS corr_e6 FROM a")
