@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adoption_curve": r.q_adoption_curve,
         "ab_test": r.q_ab_test,
         "activity_corr": r.q_activity_corr,
+        "halfsample_replicates": r.q_halfsample_replicates,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "adoption_curve": r.sql_adoption_curve(),
         "ab_test": r.sql_ab_test(),
         "activity_corr": r.sql_activity_corr(),
+        "halfsample_replicates": r.sql_halfsample_replicates(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -4436,3 +4436,62 @@ def sql_activity_corr() -> str:
         "SELECT CAST(k AS BIGINT) AS n_days, "
         "CAST(floor((k*sxy - sx*sy)/sqrt((k*sxx - sx*sx)"
         "*(k*syy - sy*sy))*1e6 + 0.5) AS BIGINT) AS corr_e6 FROM a")
+
+
+# ---------------- deterministic half-sample variance replicates ----------------
+
+HS_REPLICATES = 16
+_HS_M = (1 << 31) - 1
+
+
+def q_halfsample_replicates(sf_dir: str):
+    """16 deterministic half-sample replicates of the mean order price
+    — the subsampling / resampling variance-estimation primitive
+    (m-out-of-n bootstrap): replicate b keeps the rows whose affine
+    key hash has bit b set, so every replicate is an independent-ish
+    half, RNG-free and identically defined in SQL.  Per block one
+    (16 x 2) partial via matrix masking — the 16x fan-out never
+    leaves the block as rows; output is 16 integer rows + the e6 mean
+    (half-up float like every ratio here).  The spread of mean_e6
+    across replicates IS the sampling-variance estimate."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        h = ((k % _HS_M) * 1_103_515_245 + 12_345) % _HS_M
+        bits = (h[:, None] >> np.arange(HS_REPLICATES)) & 1   # (n, 16)
+        return pa.table({
+            "replicate": np.arange(HS_REPLICATES, dtype=np.int64),
+            "n": bits.sum(axis=0).astype(np.int64),
+            "sum_e2": (bits * p[:, None]).sum(axis=0).astype(np.int64)})
+
+    agg = orders.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("replicate").aggregate(Sum("n", alias_name="n"),
+                                        Sum("sum_e2", alias_name="sum_e2")) \
+        .to_pandas().sort_values("replicate")
+    n = agg["n"].to_numpy(np.int64)
+    s = agg["sum_e2"].to_numpy(np.int64)
+    return pa.table({
+        "replicate": agg["replicate"].to_numpy(np.int64),
+        "n": n, "sum_e2": s,
+        "mean_e6": np.floor(s * 1e4 / n + 0.5).astype(np.int64)})
+
+
+def sql_halfsample_replicates() -> str:
+    return (
+        f"WITH h AS (SELECT ((o_orderkey % {_HS_M}) * 1103515245 "
+        f"+ 12345) % {_HS_M} AS h, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS p "
+        "FROM orders), "
+        f"b AS (SELECT unnest(range(0, {HS_REPLICATES})) AS replicate), "
+        "r AS (SELECT b.replicate, count(*) AS n, sum(h.p) AS sum_e2 "
+        "FROM b JOIN h ON ((h.h >> b.replicate) & 1) = 1 "
+        "GROUP BY b.replicate) "
+        "SELECT CAST(replicate AS BIGINT) AS replicate, "
+        "CAST(n AS BIGINT) AS n, CAST(sum_e2 AS BIGINT) AS sum_e2, "
+        "CAST(floor(sum_e2 * 1e4 / n + 0.5) AS BIGINT) AS mean_e6 "
+        "FROM r")
