@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test": r.q_ab_test,
         "activity_corr": r.q_activity_corr,
         "halfsample_replicates": r.q_halfsample_replicates,
+        "key_skew": r.q_key_skew,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -953,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": r.sql_ab_test(),
         "activity_corr": r.sql_activity_corr(),
         "halfsample_replicates": r.sql_halfsample_replicates(),
+        "key_skew": r.sql_key_skew(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

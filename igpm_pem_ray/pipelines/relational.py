@@ -4495,3 +4495,51 @@ def sql_halfsample_replicates() -> str:
         "CAST(n AS BIGINT) AS n, CAST(sum_e2 AS BIGINT) AS sum_e2, "
         "CAST(floor(sum_e2 * 1e4 / n + 0.5) AS BIGINT) AS mean_e6 "
         "FROM r")
+
+
+# ---------------- partition-key skew diagnostic ----------------
+
+def q_key_skew(sf_dir: str):
+    """Skew profile of the l_partkey distribution — the shuffle-health
+    diagnostic run before choosing a partitioning key: distinct key
+    count, the hottest key's row share, and the Herfindahl
+    concentration index sum(share^2) (both e6, exact integer
+    numerators).  One key-count groupby + one tiny fold."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    counts = li.groupby("l_partkey").aggregate(Count(alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"one": np.ones(len(c), np.int64),
+                         "c": c, "c2": c * c,
+                         "cmax": c})
+
+    agg = counts.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("one").aggregate(
+            Count(alias_name="n_keys"), Sum("c", alias_name="total"),
+            Sum("c2", alias_name="c2"), Max("cmax", alias_name="cmax")) \
+        .to_pandas()
+    nk = int(agg["n_keys"].iloc[0]); tot = int(agg["total"].iloc[0])
+    c2 = int(agg["c2"].iloc[0]); cm = int(agg["cmax"].iloc[0])
+    return pa.table({
+        "n_keys": np.asarray([nk], dtype=np.int64),
+        "n_rows": np.asarray([tot], dtype=np.int64),
+        "max_share_e6": np.asarray(
+            [int(np.floor(cm * 1e6 / tot + 0.5))], dtype=np.int64),
+        "hhi_e6": np.asarray(
+            [int(np.floor(c2 * 1e6 / (tot * tot) + 0.5))],
+            dtype=np.int64)})
+
+
+def sql_key_skew() -> str:
+    return (
+        "WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem "
+        "GROUP BY l_partkey), "
+        "a AS (SELECT count(*) AS nk, sum(c) AS tot, sum(c*c) AS c2, "
+        "max(c) AS cm FROM c) "
+        "SELECT CAST(nk AS BIGINT) AS n_keys, "
+        "CAST(tot AS BIGINT) AS n_rows, "
+        "CAST(floor(cm * 1e6 / tot + 0.5) AS BIGINT) AS max_share_e6, "
+        "CAST(floor(c2 * 1e6 / (tot * tot) + 0.5) AS BIGINT) AS hhi_e6 "
+        "FROM a")
