@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_corr": r.q_activity_corr,
         "halfsample_replicates": r.q_halfsample_replicates,
         "key_skew": r.q_key_skew,
+        "dup_payments": r.q_dup_payments,
         "lexical_diversity": an.q_lexical_diversity,
         "source_vocab_overlap": an.q_source_vocab_overlap,
         "label_centroids": an.q_label_centroids,
@@ -955,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_corr": r.sql_activity_corr(),
         "halfsample_replicates": r.sql_halfsample_replicates(),
         "key_skew": r.sql_key_skew(),
+        "dup_payments": r.sql_dup_payments(),
         "lexical_diversity": an.sql_lexical_diversity(),
         "source_vocab_overlap": an.sql_source_vocab_overlap(),
         "label_centroids": an.sql_label_centroids(),

@@ -4543,3 +4543,70 @@ def sql_key_skew() -> str:
         "CAST(floor(cm * 1e6 / tot + 0.5) AS BIGINT) AS max_share_e6, "
         "CAST(floor(c2 * 1e6 / (tot * tot) + 0.5) AS BIGINT) AS hhi_e6 "
         "FROM a")
+
+
+# ---------------- duplicate-payment detection (fraud screen) ----------------
+
+DUP_PAY_WINDOW_D = 90
+DUP_PAY_BAND_E2 = 1_000_000   # $10k amount bands
+
+
+def q_dup_payments(sf_dir: str):
+    """Order pairs from the same customer in the SAME $10k amount band
+    within 90 days — the double-charge / replay fraud screen (exact
+    amount equality never fires on continuous prices, so the band is
+    the blocking key).  One (custkey, band) hash self-join blocks
+    candidates, then a vectorized |date diff| filter; canonical
+    okey_a < okey_b."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": b["o_custkey"].cast(pa.int64()),
+            "amt": scale_col(
+                b["o_totalprice"].to_numpy(zero_copy_only=False),
+                100.0) // DUP_PAY_BAND_E2,
+            "okey": b["o_orderkey"].cast(pa.int64()),
+            "day": b["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US})
+
+    rows = ev = orders.map_batches(pre, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    right = rows.map_batches(
+        lambda b: pa.table({"ck2": b["ck"], "amt2": b["amt"],
+                            "okey_b": b["okey"], "day_b": b["day"]}),
+        batch_format="pyarrow")
+    j = rows.join(right, join_type="inner", num_partitions=4,
+                  on=("ck", "amt"), right_on=("ck2", "amt2"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ka = b["okey"].to_numpy(zero_copy_only=False)
+        kb = b["okey_b"].to_numpy(zero_copy_only=False)
+        da = b["day"].to_numpy(zero_copy_only=False)
+        db = b["day_b"].to_numpy(zero_copy_only=False)
+        m = (ka < kb) & (np.abs(da - db) <= DUP_PAY_WINDOW_D)
+        return pa.table({
+            "custkey": b["ck"].to_numpy(zero_copy_only=False)[m],
+            "okey_a": ka[m], "okey_b": kb[m],
+            "amt_band": b["amt"].to_numpy(zero_copy_only=False)[m],
+            "gap_days": np.abs(da - db)[m]})
+
+    return j.map_batches(keep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def sql_dup_payments() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey AS okey, o_custkey AS ck, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) "
+        f"// {DUP_PAY_BAND_E2} AS amt, "
+        f"epoch_us(o_orderdate) // {DAY_US} AS day FROM orders) "
+        "SELECT CAST(a.ck AS BIGINT) AS custkey, "
+        "CAST(a.okey AS BIGINT) AS okey_a, "
+        "CAST(b.okey AS BIGINT) AS okey_b, a.amt AS amt_band, "
+        "CAST(abs(a.day - b.day) AS BIGINT) AS gap_days "
+        "FROM o a JOIN o b ON a.ck = b.ck AND a.amt = b.amt "
+        "AND a.okey < b.okey "
+        f"WHERE abs(a.day - b.day) <= {DUP_PAY_WINDOW_D}")
