@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
+        "gnn_features": g.q_gnn_features,
         "interval_cover": r.q_interval_cover,
         "mad_outliers": r.q_mad_outliers,
         "window_topk": r.q_window_topk,
@@ -926,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),
+        "gnn_features": g.sql_gnn_features(),
         "interval_cover": r.sql_interval_cover(),
         "mad_outliers": r.sql_mad_outliers(),
         "window_topk": r.sql_window_topk(),

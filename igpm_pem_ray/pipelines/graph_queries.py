@@ -3430,3 +3430,72 @@ def sql_brand_homophily() -> str:
         "CAST(floor(CAST(x.sq AS DOUBLE) / (CAST(x.tot AS DOUBLE) * "
         "CAST(x.tot AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS expected_e6 "
         "FROM s, x")
+
+
+# ---------- 2-level GNN-style feature propagation ----------
+
+def q_gnn_features(sf_dir: str):
+    """Two rounds of sum-aggregation message passing over the
+    undirected co-occurrence graph — the GraphSAGE/GCN feature-
+    propagation shape with the identity feature: h0 = deg(v),
+    h1(v) = sum of neighbor h0, h2(v) = sum of neighbor h1.  Each
+    round is one edges |x| state hash join + one dst groupby (the
+    shuffle-kernel plan); integer end to end, so any reduction order
+    is exact.  Output (vid, deg, h1, h2)."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = cooccurrence_edges(sf_dir)
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": np.concatenate([s, d]),
+                         "v": np.concatenate([d, s])})
+
+    ue = edges.map_batches(both, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    deg = ue.groupby("u").aggregate(Count(alias_name="h0")) \
+        .map_batches(lambda b: pa.table({
+            "vid": b["u"].cast(pa.int64()),
+            "h0": b["h0"].cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    def one_round(state, col, out):
+        msgs = ue.join(state.map_batches(
+            lambda b, _c=col: pa.table({"nv": b["vid"],
+                                        "x": b[_c]}),
+            batch_format="pyarrow"), join_type="inner",
+            num_partitions=4, on=("v",), right_on=("nv",))
+        return msgs.groupby("u").aggregate(Sum("x", alias_name=out)) \
+            .map_batches(lambda b, _o=out: pa.table({
+                "vid": b["u"].cast(pa.int64()),
+                _o: b[_o].cast(pa.int64())}),
+                batch_format="pyarrow").materialize()
+
+    h1 = one_round(deg, "h0", "h1")
+    h2 = one_round(h1, "h1", "h2")
+    out = deg.join(h1.rename_columns({"vid": "v1"}), join_type="inner",
+                   num_partitions=4, on=("vid",), right_on=("v1",)) \
+        .join(h2.rename_columns({"vid": "v2"}), join_type="inner",
+              num_partitions=4, on=("vid",), right_on=("v2",))
+    return out.map_batches(lambda b: pa.table({
+        "vid": b["vid"].cast(pa.int64()),
+        "deg": b["h0"].cast(pa.int64()),
+        "h1": b["h1"].cast(pa.int64()),
+        "h2": b["h2"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_gnn_features() -> str:
+    return (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "ue AS (SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges), "
+        "d AS (SELECT u AS vid, count(*) AS h0 FROM ue GROUP BY u), "
+        "m1 AS (SELECT ue.u AS vid, sum(d.h0) AS h1 FROM ue "
+        "JOIN d ON d.vid = ue.v GROUP BY ue.u), "
+        "m2 AS (SELECT ue.u AS vid, sum(m1.h1) AS h2 FROM ue "
+        "JOIN m1 ON m1.vid = ue.v GROUP BY ue.u) "
+        "SELECT CAST(d.vid AS BIGINT) AS vid, "
+        "CAST(d.h0 AS BIGINT) AS deg, CAST(m1.h1 AS BIGINT) AS h1, "
+        "CAST(m2.h2 AS BIGINT) AS h2 "
+        "FROM d JOIN m1 ON m1.vid = d.vid JOIN m2 ON m2.vid = d.vid")
