@@ -3444,3 +3444,82 @@ def sql_name_clusters() -> str:
         "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src) "
         "SELECT CAST(a AS BIGINT) AS custkey, "
         "CAST(MIN(b) AS BIGINT) AS cluster FROM reach GROUP BY a")
+
+
+# ---------------- sequential market-basket pair counts ----------------
+
+SEQ_BASKET_MIN = 2
+
+
+def q_seq_baskets(sf_dir: str):
+    """Cross-order sequential association counts: part a in a
+    customer's order k and part b in their NEXT order k+1 — the
+    sequential-recommendation signal same-basket association rules
+    (assoc_rules) cannot see.  Consecutive order pairs come from the
+    sorted-block rank + (custkey, rank) self-join (the distributed-lag
+    shape); two lineitem joins expand the baskets (bounded basket
+    sizes keep the fan-out linear); one (a, b) groupby with a
+    min-support filter."""
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey",
+                                                 "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "day": pc.divide(us, 86_400_000_000),
+                         "okey": b["o_orderkey"].cast(pa.int64())})
+
+    ranked = rank_per_group(
+        orders.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="ck", order=["day", "okey"],
+        descending=[False, False]).materialize()
+    nxt = ranked.map_batches(
+        lambda b: pa.table({"ck2": b["ck"],
+                            "prev_rank": b["rank"].to_numpy(
+                                zero_copy_only=False) - 1,
+                            "okey_b": b["okey"]}),
+        batch_format="pyarrow")
+    pairs = ranked.join(nxt, join_type="inner", num_partitions=4,
+                        on=("ck", "rank"), right_on=("ck2", "prev_rank")) \
+        .map_batches(lambda b: pa.table({"okey_a": b["okey"],
+                                         "okey_b": b["okey_b"]}),
+                     batch_format="pyarrow").materialize()
+    la = li.rename_columns({"l_orderkey": "ka", "l_partkey": "part_a"})
+    lb = li.rename_columns({"l_orderkey": "kb", "l_partkey": "part_b"})
+    j = pairs.join(la, join_type="inner", num_partitions=4,
+                   on=("okey_a",), right_on=("ka",)) \
+        .join(lb, join_type="inner", num_partitions=4,
+              on=("okey_b",), right_on=("kb",))
+    counts = j.groupby(["part_a", "part_b"]).aggregate(
+        Count(alias_name="n"))
+    return counts.map_batches(lambda b: b.filter(
+        pa.compute.greater_equal(b["n"], SEQ_BASKET_MIN)),
+        batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({
+            "part_a": b["part_a"].cast(pa.int64()),
+            "part_b": b["part_b"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64())}), batch_format="pyarrow")
+
+
+def sql_seq_baskets() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, o_orderkey AS okey, "
+        "epoch_us(o_orderdate) // 86400000000 AS day FROM orders), "
+        "p AS (SELECT okey AS okey_a, lead(okey) OVER ("
+        "PARTITION BY ck ORDER BY day, okey) AS okey_b FROM o), "
+        "q AS (SELECT okey_a, okey_b FROM p WHERE okey_b IS NOT NULL), "
+        "j AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "FROM q JOIN lineitem a ON a.l_orderkey = q.okey_a "
+        "JOIN lineitem b ON b.l_orderkey = q.okey_b) "
+        "SELECT CAST(part_a AS BIGINT) AS part_a, "
+        "CAST(part_b AS BIGINT) AS part_b, "
+        "CAST(count(*) AS BIGINT) AS n FROM j "
+        f"GROUP BY part_a, part_b HAVING count(*) >= {SEQ_BASKET_MIN}")
