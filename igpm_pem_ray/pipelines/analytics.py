@@ -3523,3 +3523,80 @@ def sql_seq_baskets() -> str:
         "CAST(part_b AS BIGINT) AS part_b, "
         "CAST(count(*) AS BIGINT) AS n FROM j "
         f"GROUP BY part_a, part_b HAVING count(*) >= {SEQ_BASKET_MIN}")
+
+
+# ---------------- trend detection between time halves ----------------
+
+TREND_TOPK = 20
+
+
+def q_part_trends(sf_dir: str):
+    """Top-20 parts by popularity change between the first and second
+    halves of the order-date range — the riser/faller trend screen.
+    The epoch split point is derived from two scalar aggregates
+    (min/max order day, midpoint by integer floor); per-part
+    conditional sums need one join + one groupby; the global top-k by
+    (|delta| DESC, part ASC) is a per-block partial selection + one
+    tiny merge, never a global sort."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey",
+                                                 "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"okey": b["o_orderkey"].cast(pa.int64()),
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    od = orders.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    lo, hi = int(od.min("day")), int(od.max("day"))
+    mid = (lo + hi) // 2
+
+    j = li.join(od, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("okey",))
+
+    def halves(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False)
+        first = (d <= mid).astype(np.int64)
+        return pa.table({"part": b["l_partkey"].cast(pa.int64()),
+                         "n1": first, "n2": 1 - first})
+
+    agg = j.map_batches(halves, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("part").aggregate(Sum("n1", alias_name="n_first"),
+                                   Sum("n2", alias_name="n_second"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = b["n_first"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = b["n_second"].to_numpy(zero_copy_only=False).astype(np.int64)
+        delta = n2 - n1
+        order = np.lexsort((p, -np.abs(delta)))[:TREND_TOPK]
+        return pa.table({"part": p[order], "n_first": n1[order],
+                         "n_second": n2[order], "delta": delta[order]})
+
+    return (agg.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def sql_part_trends() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey AS okey, "
+        "epoch_us(o_orderdate) // 86400000000 AS day FROM orders), "
+        "b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o), "
+        "c AS (SELECT l.l_partkey AS part, "
+        "sum(CASE WHEN o.day <= b.mid THEN 1 ELSE 0 END) AS n_first, "
+        "sum(CASE WHEN o.day > b.mid THEN 1 ELSE 0 END) AS n_second "
+        "FROM lineitem l JOIN o ON o.okey = l.l_orderkey, b "
+        "GROUP BY l.l_partkey) "
+        "SELECT CAST(part AS BIGINT) AS part, "
+        "CAST(n_first AS BIGINT) AS n_first, "
+        "CAST(n_second AS BIGINT) AS n_second, "
+        "CAST(n_second - n_first AS BIGINT) AS delta FROM c "
+        f"ORDER BY abs(n_second - n_first) DESC, part LIMIT {TREND_TOPK}")
