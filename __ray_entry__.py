@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clusters": an.q_name_clusters,
         "seq_baskets": an.q_seq_baskets,
         "part_trends": an.q_part_trends,
+        "decay_counts": r.q_decay_counts,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -928,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "name_clusters": an.sql_name_clusters(),
         "seq_baskets": an.sql_seq_baskets(),
         "part_trends": an.sql_part_trends(),
+        "decay_counts": r.sql_decay_counts(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

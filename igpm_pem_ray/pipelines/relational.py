@@ -4610,3 +4610,57 @@ def sql_dup_payments() -> str:
         "FROM o a JOIN o b ON a.ck = b.ck AND a.amt = b.amt "
         "AND a.okey < b.okey "
         f"WHERE abs(a.day - b.day) <= {DUP_PAY_WINDOW_D}")
+
+
+# ---------------- exponential-decay trending counts ----------------
+
+DECAY_HORIZON_D = 20  # half-life = 1 day; weight 2^(H - age), age <= H
+
+
+def q_decay_counts(sf_dir: str):
+    """Trending score per event type under an exponential time decay
+    with a one-day half-life — the classic streaming 'trending now'
+    ranking.  The decay base is 2 and ages are whole days, so every
+    weight is a power of two and the score is EXACT int64 in any
+    reduction order (the repo's dyadic-decay convention, like the Katz
+    integer recurrence): score = sum over events of 2^(H - age_days)
+    for age_days <= H.  Plan: one scalar max-day aggregate, then a
+    single vectorized map_batches (shift, no pow) + one small groupby
+    over the handful of event types."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"etype": b["event_type"],
+                         "day": _ts_us(b) // DAY_US})
+
+    days = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    max_day = int(days.max("day"))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False)
+        age = max_day - d
+        keep = age <= DECAY_HORIZON_D
+        w = np.zeros(len(d), np.int64)
+        w[keep] = np.int64(1) << (DECAY_HORIZON_D - age[keep])
+        return pa.table({"etype": b["etype"].filter(pa.array(keep)),
+                         "w": w[keep],
+                         "one": np.ones(int(keep.sum()), np.int64)})
+
+    agg = days.map_batches(weigh, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("etype").aggregate(Sum("w", alias_name="score"),
+                                    Sum("one", alias_name="n_recent"))
+    return agg.rename_columns({"etype": "event_type"})
+
+
+def sql_decay_counts() -> str:
+    h = DECAY_HORIZON_D
+    return (
+        f"WITH e AS (SELECT event_type, epoch_us(ts) // {DAY_US} AS day "
+        "FROM events), m AS (SELECT max(day) AS md FROM e) "
+        "SELECT e.event_type, "
+        f"CAST(sum(CAST(1 AS BIGINT) << CAST({h} - (m.md - e.day) AS INTEGER)) AS BIGINT) AS score, "
+        "CAST(count(*) AS BIGINT) AS n_recent "
+        f"FROM e, m WHERE m.md - e.day <= {h} "
+        "GROUP BY e.event_type")
