@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_baskets": an.q_seq_baskets,
         "part_trends": an.q_part_trends,
         "decay_counts": r.q_decay_counts,
+        "butterflies": g.q_butterflies,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -930,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_baskets": an.sql_seq_baskets(),
         "part_trends": an.sql_part_trends(),
         "decay_counts": r.sql_decay_counts(),
+        "butterflies": g.sql_butterflies(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

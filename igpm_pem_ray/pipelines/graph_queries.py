@@ -3499,3 +3499,78 @@ def sql_gnn_features() -> str:
         "CAST(d.h0 AS BIGINT) AS deg, CAST(m1.h1 AS BIGINT) AS h1, "
         "CAST(m2.h2 AS BIGINT) AS h2 "
         "FROM d JOIN m1 ON m1.vid = d.vid JOIN m2 ON m2.vid = d.vid")
+
+
+# ---------- bipartite butterfly (K_{2,2}) counting ----------
+
+def q_butterflies(sf_dir: str) -> pa.Table:
+    """Butterfly (K_{2,2}) count of the order-part bipartite incidence
+    graph — the bipartite analog of triangle counting (Sanei-Mehri et
+    al., KDD 2018 formulation: butterflies = sum over part pairs of
+    C(c, 2) where c = number of orders containing both parts).  Plan:
+    distinct (order, part) incidence via one groupby, pair generation
+    via the same bounded-fan-out order-key self-join as the
+    co-occurrence graph, per-pair co-order counts via one groupby, then
+    a single vectorized c*(c-1)/2 partial sum per block — no global
+    sort, O(1) driver merge.  Also reports the wedge count (paths
+    part-order-part) = sum C(order_degree, 2), from which the bipartite
+    clustering coefficient 4*butterflies/wedges follows."""
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.pipelines.common import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    inc = li.groupby(["l_orderkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    inc = inc.map_batches(
+        lambda b: pa.table({"k": b["l_orderkey"].cast(pa.int64()),
+                            "p": b["l_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    right = inc.map_batches(
+        lambda b: pa.table({"k2": b["k"], "p2": b["p"]}),
+        batch_format="pyarrow")
+    j = inc.join(right, join_type="inner", num_partitions=8,
+                 on=("k",), right_on=("k2",))
+
+    def lt(b: pa.Table) -> pa.Table:
+        a = b["p"].to_numpy(zero_copy_only=False)
+        c = b["p2"].to_numpy(zero_copy_only=False)
+        m = a < c
+        return pa.table({"pa_": a[m], "pb": c[m]})
+
+    co = j.map_batches(lt, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["pa_", "pb"]).aggregate(Count(alias_name="c"))
+
+    def bf_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bf": pa.array([int((c * (c - 1) // 2).sum())],
+                                        pa.int64())})
+
+    n_butterflies = int(co.map_batches(bf_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True).sum("bf") or 0)
+
+    deg = inc.groupby("k").aggregate(Count(alias_name="d"))
+
+    def wedge_partial(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    n_wedges = int(deg.map_batches(wedge_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).sum("w") or 0)
+    return pa.table({"n_butterflies": pa.array([n_butterflies], pa.int64()),
+                     "n_wedges": pa.array([n_wedges], pa.int64())})
+
+
+def sql_butterflies() -> str:
+    return (
+        "WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
+        "FROM lineitem), "
+        "co AS (SELECT a.p AS pa_, b.p AS pb, count(*) AS c "
+        "FROM inc a JOIN inc b ON a.k = b.k AND a.p < b.p "
+        "GROUP BY a.p, b.p), "
+        "w AS (SELECT k, count(*) AS d FROM inc GROUP BY k) "
+        "SELECT (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) FROM co) "
+        "AS n_butterflies, "
+        "(SELECT CAST(coalesce(sum(d*(d-1)//2), 0) AS BIGINT) FROM w) "
+        "AS n_wedges")
