@@ -3574,3 +3574,117 @@ def sql_butterflies() -> str:
         "AS n_butterflies, "
         "(SELECT CAST(coalesce(sum(d*(d-1)//2), 0) AS BIGINT) FROM w) "
         "AS n_wedges")
+
+
+# ---------- temporal (time-respecting) reachability ----------
+
+TEMPORAL_REACH_ROUNDS = 3
+_DAY_US = 86_400_000_000
+
+
+def q_temporal_reach(sf_dir: str) -> pa.Table:
+    """Earliest-arrival time-respecting reachability (Wu et al., VLDB
+    2014 single-pass semantics, here as bounded-round BSP): on the
+    timestamped co-occurrence graph (edge (a, b) active on the day of
+    the shared order), a walk may traverse an edge only at a time >=
+    its arrival at the edge's tail; arrival(v) = earliest such day.
+    Seed = min vid at the global min day.  Fixed
+    TEMPORAL_REACH_ROUNDS rounds, each one edges-state hash join +
+    t >= arr filter + groupby(min) — Dataset-resident state, the same
+    shuffle shape as the 10^12-V kernels; exact int64 days so the
+    unrolled SQL oracle hash-matches."""
+    from ray.data.aggregate import Count, Min
+    from igpm_pem_ray.pipelines.common import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "ok": b["o_orderkey"].cast(pa.int64()),
+            "t": b["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    inc = li.groupby(["l_orderkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["l_orderkey"].cast(pa.int64()),
+            "p": b["l_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    wd = inc.join(orders, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("ok",)).materialize()
+    right = wd.map_batches(
+        lambda b: pa.table({"k2": b["k"], "p2": b["p"]}),
+        batch_format="pyarrow")
+    te = wd.join(right, join_type="inner", num_partitions=8,
+                 on=("k",), right_on=("k2",)) \
+        .map_batches(lambda b: (lambda s, d, t, m:
+                                pa.table({"src": s[m], "dst": d[m],
+                                          "t": t[m]}))(
+            b["p"].to_numpy(zero_copy_only=False),
+            b["p2"].to_numpy(zero_copy_only=False),
+            b["t"].to_numpy(zero_copy_only=False),
+            b["p"].to_numpy(zero_copy_only=False)
+            < b["p2"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst", "t"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    ue = te.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(),
+                                     b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(),
+                                     b["src"].combine_chunks()]),
+            "t": pa.concat_arrays([b["t"].combine_chunks()] * 2)}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    seed = int(ue.min("src"))
+    t0 = int(ue.min("t"))
+    state = rd_from_table(pa.table({"vid": pa.array([seed], pa.int64()),
+                                    "arr": pa.array([t0], pa.int64())}))
+    for _ in range(TEMPORAL_REACH_ROUNDS):
+        msgs = ue.join(state, join_type="inner", num_partitions=8,
+                       on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: (lambda d, t, a, m:
+                                    pa.table({"vid": d[m], "arr": t[m]}))(
+                b["dst"].to_numpy(zero_copy_only=False),
+                b["t"].to_numpy(zero_copy_only=False),
+                b["arr"].to_numpy(zero_copy_only=False),
+                b["t"].to_numpy(zero_copy_only=False)
+                >= b["arr"].to_numpy(zero_copy_only=False)),
+                batch_format="pyarrow", zero_copy_batch=True)
+        state = state.union(msgs).groupby("vid") \
+            .aggregate(Min("arr", alias_name="arr")).materialize()
+    pdf = state.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype(np.int64),
+                     "arr_day": pdf["arr"].to_numpy().astype(np.int64)})
+
+
+def rd_from_table(t: pa.Table):
+    import ray.data as rd
+    return rd.from_arrow(t)
+
+
+def sql_temporal_reach() -> str:
+    parts = [
+        f"od AS (SELECT o_orderkey AS k, epoch_us(o_orderdate) // {_DAY_US} "
+        "AS t FROM orders)",
+        "inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
+        "FROM lineitem)",
+        "te AS (SELECT DISTINCT a.p AS src, b.p AS dst, od.t FROM inc a "
+        "JOIN inc b ON a.k = b.k AND a.p < b.p JOIN od ON od.k = a.k)",
+        "ue AS (SELECT src, dst, t FROM te "
+        "UNION ALL SELECT dst, src, t FROM te)",
+        "a0 AS (SELECT (SELECT min(src) FROM ue) AS vid, "
+        "(SELECT min(t) FROM ue) AS arr)",
+    ]
+    prev = "a0"
+    for k in range(1, TEMPORAL_REACH_ROUNDS + 1):
+        parts.append(
+            f"a{k} AS (SELECT vid, min(arr) AS arr FROM ("
+            f"SELECT vid, arr FROM {prev} "
+            f"UNION ALL SELECT e.dst, e.t FROM {prev} s "
+            f"JOIN ue e ON e.src = s.vid AND e.t >= s.arr) GROUP BY vid)")
+        prev = f"a{k}"
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT CAST(vid AS BIGINT) AS vid, "
+            f"CAST(arr AS BIGINT) AS arr_day FROM {prev} ORDER BY vid")
