@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_counts": r.q_decay_counts,
         "butterflies": g.q_butterflies,
         "temporal_reach": g.q_temporal_reach,
+        "dag_paths": g.q_dag_paths,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -934,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_counts": r.sql_decay_counts(),
         "butterflies": g.sql_butterflies(),
         "temporal_reach": g.sql_temporal_reach(),
+        "dag_paths": g.sql_dag_paths(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

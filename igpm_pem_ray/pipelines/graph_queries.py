@@ -3688,3 +3688,75 @@ def sql_temporal_reach() -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT CAST(vid AS BIGINT) AS vid, "
             f"CAST(arr AS BIGINT) AS arr_day FROM {prev} ORDER BY vid")
+
+
+# ---------- DAG path counting (topological DP) ----------
+
+DAG_PATH_ROUNDS = 4
+
+
+def q_dag_paths(sf_dir: str) -> pa.Table:
+    """Number of distinct source-rooted paths of length <= R ending at
+    each vertex of the thinned canonical DAG (src < dst, hence acyclic)
+    — the textbook topological-order DP, run as R rounds of
+    edges-state join + groupby(sum).  Path counts are exact int64 under
+    any reduction order; roots (in-degree 0) seed with count 1.  The
+    same DP shape computes DAG reachability counts / #paths in
+    provenance and scheduling graphs."""
+    from ray.data.aggregate import Sum, Count
+    import ray.data as rd
+
+    edges = thinned_edges(sf_dir).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": np.concatenate([s, d]),
+                         "indeg": np.concatenate([
+                             np.zeros(len(s), np.int64),
+                             np.ones(len(d), np.int64)])})
+
+    verts = edges.map_batches(endpoints, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("vid").aggregate(Sum("indeg", alias_name="ind"))
+    p = verts.map_batches(
+        lambda b: (lambda v, i, m: pa.table({
+            "vid": v[m], "c": np.ones(int(m.sum()), np.int64)}))(
+            b["vid"].to_numpy(zero_copy_only=False),
+            b["ind"].to_numpy(zero_copy_only=False),
+            b["ind"].to_numpy(zero_copy_only=False) == 0),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    tot = p
+    for _ in range(DAG_PATH_ROUNDS):
+        p = edges.join(p, join_type="inner", num_partitions=8,
+                       on=("src",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({"vid": b["dst"], "c": b["c"]}),
+                         batch_format="pyarrow") \
+            .groupby("vid").aggregate(Sum("c", alias_name="c")) \
+            .materialize()
+        tot = tot.union(p)
+    pdf = tot.groupby("vid").aggregate(Sum("c", alias_name="n_paths")) \
+        .to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype(np.int64),
+                     "n_paths": pdf["n_paths"].to_numpy().astype(np.int64)})
+
+
+def sql_dag_paths() -> str:
+    parts = [
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0)",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM kept "
+        "UNION ALL SELECT dst AS vid FROM kept) u)",
+        "p0 AS (SELECT vid, CAST(1 AS BIGINT) AS c FROM verts "
+        "WHERE vid NOT IN (SELECT dst FROM kept))",
+    ]
+    for k in range(1, DAG_PATH_ROUNDS + 1):
+        parts.append(
+            f"p{k} AS (SELECT e.dst AS vid, sum(p.c) AS c "
+            f"FROM p{k-1} p JOIN kept e ON e.src = p.vid GROUP BY e.dst)")
+    union = " UNION ALL ".join(
+        f"SELECT vid, c FROM p{k}" for k in range(DAG_PATH_ROUNDS + 1))
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT vid, CAST(sum(c) AS BIGINT) AS n_paths FROM ({union}) "
+        "GROUP BY vid ORDER BY vid")
