@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies": g.q_butterflies,
         "temporal_reach": g.q_temporal_reach,
         "dag_paths": g.q_dag_paths,
+        "widest_path": g.q_widest_path,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -936,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "butterflies": g.sql_butterflies(),
         "temporal_reach": g.sql_temporal_reach(),
         "dag_paths": g.sql_dag_paths(),
+        "widest_path": g.sql_widest_path(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -3760,3 +3760,73 @@ def sql_dag_paths() -> str:
         ", ".join(parts) +
         f" SELECT vid, CAST(sum(c) AS BIGINT) AS n_paths FROM ({union}) "
         "GROUP BY vid ORDER BY vid")
+
+
+# ---------- widest (bottleneck) path ----------
+
+WIDEST_ITERS = 6
+WIDEST_WMOD = 7
+WIDEST_INF = np.int64(1) << 40  # seed capacity sentinel, shared with SQL
+
+
+def q_widest_path(sf_dir: str) -> pa.Table:
+    """Widest-path (maximum-bottleneck) capacities from the smallest
+    vid, undirected, deterministic integer weights w(u, v) = 1 +
+    (u + v) % WIDEST_WMOD, paths capped at WIDEST_ITERS hops — the
+    max-min dual of the Bellman-Ford SSSP (q_sssp): width_k(v) =
+    max(width_{k-1}(v), max over edges (u, v) of min(width_{k-1}(u),
+    w)).  The (max, min) semiring is idempotent, so the bounded-round
+    BSP state (one edges-state join + groupby(max) per round,
+    Dataset-resident) is exact int64 and the unrolled oracle matches
+    bit for bit.  Routing/QoS: bandwidth of the best path."""
+    from ray.data.aggregate import Max
+    import ray.data as rd
+
+    edges = cooccurrence_edges(sf_dir)
+    ue = edges.map_batches(
+        lambda b: (lambda s, d: pa.table({
+            "x": np.concatenate([s, d]), "y": np.concatenate([d, s]),
+            "w": np.concatenate([1 + (s + d) % WIDEST_WMOD] * 2)}))(
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    seed = int(ue.min("x"))
+    state = rd.from_arrow(pa.table({
+        "vid": pa.array([seed], pa.int64()),
+        "wd": pa.array([int(WIDEST_INF)], pa.int64())}))
+    for _ in range(WIDEST_ITERS):
+        msgs = ue.join(state, join_type="inner", num_partitions=8,
+                       on=("x",), right_on=("vid",)) \
+            .map_batches(lambda b: pa.table({
+                "vid": b["y"],
+                "wd": np.minimum(
+                    b["wd"].to_numpy(zero_copy_only=False),
+                    b["w"].to_numpy(zero_copy_only=False))}),
+                batch_format="pyarrow", zero_copy_batch=True)
+        state = state.union(msgs).groupby("vid") \
+            .aggregate(Max("wd", alias_name="wd")).materialize()
+    pdf = state.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype(np.int64),
+                     "width": pdf["wd"].to_numpy().astype(np.int64)})
+
+
+def sql_widest_path(n_iters: int = WIDEST_ITERS) -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "ue AS MATERIALIZED (SELECT src AS x, dst AS y, "
+        f"1 + (src + dst) % {WIDEST_WMOD} AS w FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y, "
+        f"1 + (src + dst) % {WIDEST_WMOD} AS w FROM edges)",
+        "w0 AS (SELECT (SELECT MIN(src) FROM edges) AS v, "
+        f"CAST({int(WIDEST_INF)} AS BIGINT) AS wd)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"w{k - 1}"
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT v, MAX(wd) AS wd FROM ("
+            f"SELECT v, wd FROM {p} UNION ALL "
+            f"SELECT e.y AS v, least(p.wd, e.w) AS wd "
+            f"FROM {p} p JOIN ue e ON e.x = p.v) GROUP BY v)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT v AS vid, wd AS width FROM w{n_iters} ORDER BY vid")
