@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": g.q_temporal_reach,
         "dag_paths": g.q_dag_paths,
         "widest_path": g.q_widest_path,
+        "target_encode": r.q_target_encode,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -938,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reach": g.sql_temporal_reach(),
         "dag_paths": g.sql_dag_paths(),
         "widest_path": g.sql_widest_path(),
+        "target_encode": r.sql_target_encode(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4664,3 +4664,66 @@ def sql_decay_counts() -> str:
         "CAST(count(*) AS BIGINT) AS n_recent "
         f"FROM e, m WHERE m.md - e.day <= {h} "
         "GROUP BY e.event_type")
+
+
+# ---------------- leave-one-out target encoding ----------------
+
+TE_SAMPLE_MOD = 37  # deterministic row sample to bound the output
+
+
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of o_orderpriority against the
+    order total — the standard high-cardinality categorical feature
+    for tabular ML, with the LOO trick that removes self-leakage:
+    enc(row) = (sum_cat - target_row) / (n_cat - 1).  Returned as an
+    exact (numerator, denominator) int64 pair in cents instead of a
+    float ratio, so the value-hash is reduction-order-robust and the
+    consumer can divide at whatever precision it wants.  Plan: one
+    tiny per-category groupby (5 priorities) broadcast into a
+    vectorized map_batches — no second shuffle, no window sort; rows
+    sampled deterministically (okey % 37 == 0) to bound the output."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"].cast(pa.int64()),
+                         "prio": b["o_orderpriority"],
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    gp = rows.groupby("prio").aggregate(
+        Sum("cents", alias_name="s"), Count(alias_name="n")).to_pandas()
+    sums = dict(zip(gp["prio"], gp["s"].astype(np.int64)))
+    cnts = dict(zip(gp["prio"], gp["n"].astype(np.int64)))
+
+    def encode(b: pa.Table) -> pa.Table:
+        ok = b["okey"].to_numpy(zero_copy_only=False)
+        keep = ok % TE_SAMPLE_MOD == 0
+        prio = b["prio"].to_numpy(zero_copy_only=False)[keep]
+        cents = b["cents"].to_numpy(zero_copy_only=False)[keep]
+        s = np.array([sums[p] for p in prio], np.int64)
+        n = np.array([cnts[p] for p in prio], np.int64)
+        m = n > 1
+        return pa.table({"okey": ok[keep][m], "prio": prio[m],
+                         "loo_num": (s - cents)[m],
+                         "loo_den": (n - 1)[m]})
+
+    return rows.map_batches(encode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_target_encode() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey AS okey, o_orderpriority AS prio, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "e AS (SELECT okey, prio, "
+        "sum(cents) OVER (PARTITION BY prio) - cents AS loo_num, "
+        "count(*) OVER (PARTITION BY prio) - 1 AS loo_den FROM o) "
+        "SELECT okey, prio, CAST(loo_num AS BIGINT) AS loo_num, "
+        "CAST(loo_den AS BIGINT) AS loo_den FROM e "
+        f"WHERE okey % {TE_SAMPLE_MOD} = 0 AND loo_den > 0")
