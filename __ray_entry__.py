@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_paths": g.q_dag_paths,
         "widest_path": g.q_widest_path,
         "target_encode": r.q_target_encode,
+        "consistent_hash": r.q_consistent_hash,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -940,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_paths": g.sql_dag_paths(),
         "widest_path": g.sql_widest_path(),
         "target_encode": r.sql_target_encode(),
+        "consistent_hash": r.sql_consistent_hash(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

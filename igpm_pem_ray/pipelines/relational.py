@@ -4727,3 +4727,65 @@ def sql_target_encode() -> str:
         "SELECT okey, prio, CAST(loo_num AS BIGINT) AS loo_num, "
         "CAST(loo_den AS BIGINT) AS loo_den FROM e "
         f"WHERE okey % {TE_SAMPLE_MOD} = 0 AND loo_den > 0")
+
+
+# ---------------- consistent-hash ring placement ----------------
+
+CH_NODES = 8
+CH_VNODES = 16  # virtual nodes per physical node
+CH_RING = 2_147_483_648  # 2^31
+CH_MULT = 2_654_435_761  # Knuth multiplicative constant
+CH_SALT = 12_345
+
+
+def _ch_ring() -> tuple[np.ndarray, np.ndarray]:
+    """(sorted vnode positions, owning physical node per position) —
+    identical affine hash in the SQL oracle; all arithmetic < 2^45 so
+    int64-exact in both engines."""
+    node = np.repeat(np.arange(CH_NODES, dtype=np.int64), CH_VNODES)
+    vn = np.tile(np.arange(CH_VNODES, dtype=np.int64), CH_NODES)
+    pos = ((node * 1000 + vn) * CH_MULT) % CH_RING
+    order = np.lexsort((node, pos))
+    return pos[order], node[order]
+
+
+def q_consistent_hash(sf_dir: str):
+    """Consistent-hash ring placement (Karger et al. / Dynamo-style):
+    CH_NODES physical nodes x CH_VNODES virtual nodes at deterministic
+    multiplicative-hash positions; every part key goes to the successor
+    vnode clockwise (wraparound to the ring minimum).  Returns the
+    per-node key load — the rebalancing diagnostic that motivates
+    virtual nodes in the first place.  Plan: the 128-entry ring is
+    built once on the driver and closed over (broadcast-once), each
+    batch is one vectorized np.searchsorted; one tiny groupby."""
+    ring_pos, ring_node = _ch_ring()
+    parts = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kpos = (k * CH_MULT + CH_SALT) % CH_RING
+        idx = np.searchsorted(ring_pos, kpos, side="left")
+        idx[idx == len(ring_pos)] = 0  # wraparound
+        return pa.table({"node": ring_node[idx],
+                         "one": np.ones(len(k), np.int64)})
+
+    return parts.map_batches(assign, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("node").aggregate(Sum("one", alias_name="n_keys"))
+
+
+def sql_consistent_hash() -> str:
+    return (
+        "WITH vn AS (SELECT n.range AS node, i.range AS vn, "
+        f"((n.range*1000 + i.range) * {CH_MULT}) % {CH_RING} AS pos "
+        f"FROM range({CH_NODES}) n, range({CH_VNODES}) i), "
+        "kp AS (SELECT p_partkey, "
+        f"(p_partkey * {CH_MULT} + {CH_SALT}) % {CH_RING} AS kpos "
+        "FROM part), "
+        "asg AS (SELECT k.p_partkey, coalesce("
+        "(SELECT v.node FROM vn v WHERE v.pos >= k.kpos "
+        "ORDER BY v.pos, v.node LIMIT 1), "
+        "(SELECT v.node FROM vn v ORDER BY v.pos, v.node LIMIT 1)"
+        ") AS node FROM kp k) "
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(count(*) AS BIGINT) AS n_keys FROM asg GROUP BY node")
