@@ -657,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_path": g.q_widest_path,
         "target_encode": r.q_target_encode,
         "consistent_hash": r.q_consistent_hash,
+        "zorder_keys": r.q_zorder_keys,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -942,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "widest_path": g.sql_widest_path(),
         "target_encode": r.sql_target_encode(),
         "consistent_hash": r.sql_consistent_hash(),
+        "zorder_keys": r.sql_zorder_keys(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4789,3 +4789,69 @@ def sql_consistent_hash() -> str:
         ") AS node FROM kp k) "
         "SELECT CAST(node AS BIGINT) AS node, "
         "CAST(count(*) AS BIGINT) AS n_keys FROM asg GROUP BY node")
+
+
+# ---------------- z-order (Morton) layout keys ----------------
+
+ZORDER_BITS = 12  # bits per dimension; 24-bit interleaved key
+ZORDER_BUCKET_SHIFT = 16  # bucket = zkey >> shift (256 buckets)
+
+
+def _morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave the low ZORDER_BITS bits of x (even positions) and y
+    (odd positions) — vectorized shifts, no LUT, identical unrolled
+    expression in the SQL oracle."""
+    z = np.zeros(len(x), np.int64)
+    for i in range(ZORDER_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def q_zorder_keys(sf_dir: str):
+    """Z-order (Morton) clustering keys over (customer, order day) —
+    the multi-dimensional data-layout primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER: rows sorted by the interleaved key stay clustered
+    in BOTH dimensions, so either-column range predicates prune
+    row groups.  Returns per-bucket (top 8 interleaved bits) row
+    counts plus the min/max day span inside each bucket — the locality
+    diagnostic.  All arithmetic is int64 shifts, exact in both
+    engines."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def zkey(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        mask = (np.int64(1) << ZORDER_BITS) - 1
+        z = _morton2(ck & mask, day & mask)
+        return pa.table({"bucket": z >> ZORDER_BUCKET_SHIFT,
+                         "day": day,
+                         "one": np.ones(len(z), np.int64)})
+
+    return orders.map_batches(zkey, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("one", alias_name="n_rows"),
+                                     Min("day", alias_name="min_day"),
+                                     Max("day", alias_name="max_day"))
+
+
+def sql_zorder_keys() -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((ck >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((day >> {i}) & 1) << {2 * i + 1})")
+    mask = (1 << ZORDER_BITS) - 1
+    z = " | ".join(terms)
+    return (
+        "WITH o AS (SELECT o_custkey AS ck0, "
+        f"epoch_us(o_orderdate) // {DAY_US} AS day FROM orders), "
+        f"b AS (SELECT ck0 & {mask} AS ck, day & {mask} AS dlo, day "
+        "FROM o), "
+        f"z AS (SELECT ({z.replace('day', 'dlo')}) >> "
+        f"{ZORDER_BUCKET_SHIFT} AS bucket, day FROM b) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(min(day) AS BIGINT) AS min_day, "
+        "CAST(max(day) AS BIGINT) AS max_day FROM z GROUP BY bucket")
