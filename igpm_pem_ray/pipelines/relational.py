@@ -4855,3 +4855,71 @@ def sql_zorder_keys() -> str:
         "CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(min(day) AS BIGINT) AS min_day, "
         "CAST(max(day) AS BIGINT) AS max_day FROM z GROUP BY bucket")
+
+
+# ---------------- watermark / late-data accounting ----------------
+
+LATE_TOL_US = 14 * DAY_US  # allowed lateness before an event is "late"
+LATE_ARRIVAL_MULT = 2_654_435_761
+LATE_ARRIVAL_RING = 2_147_483_648
+
+
+def q_late_events(sf_dir: str):
+    """Watermark-based late-data accounting (the Beam/Flink allowed-
+    lateness model): replay events in a deterministic hash-permuted
+    arrival order (multi-source ingest decouples arrival from event
+    time), track watermark = max event time over all previously-arrived
+    events, and flag an event late when its event time trails the
+    watermark by more than LATE_TOL_US.  Per event type: arrivals,
+    late count, and worst lateness beyond the allowance.  The running
+    max is stages/temporal.watermark_assign — per-block
+    maximum.accumulate + an O(blocks) scalar carry, no row movement."""
+    from igpm_pem_ray.stages.temporal import watermark_assign, WM_NONE
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ak": (eid * LATE_ARRIVAL_MULT) % LATE_ARRIVAL_RING,
+            "etype": b["event_type"],
+            "us": _ts_us(b)})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    wm = watermark_assign(rows, order_cols=("ak", "us"), ts_col="us")
+
+    def flag(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        w = b["wm"].to_numpy(zero_copy_only=False)
+        late = (w != WM_NONE) & (us < w - LATE_TOL_US)
+        lateness = np.where(late, w - LATE_TOL_US - us, 0)
+        return pa.table({"etype": b["etype"],
+                         "one": np.ones(len(us), np.int64),
+                         "late": late.astype(np.int64),
+                         "lateness": lateness.astype(np.int64)})
+
+    agg = wm.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("etype").aggregate(
+            Sum("one", alias_name="n_events"),
+            Sum("late", alias_name="n_late"),
+            Max("lateness", alias_name="max_late_us"))
+    return agg.rename_columns({"etype": "event_type"})
+
+
+def sql_late_events() -> str:
+    return (
+        f"WITH e AS (SELECT (event_id * {LATE_ARRIVAL_MULT}) % "
+        f"{LATE_ARRIVAL_RING} AS ak, event_type, epoch_us(ts) AS us "
+        "FROM events), "
+        "w AS (SELECT event_type, us, max(us) OVER (ORDER BY ak, us "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(sum(CASE WHEN wm IS NOT NULL AND us < wm - {LATE_TOL_US} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_late, "
+        "CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND "
+        f"us < wm - {LATE_TOL_US} THEN wm - {LATE_TOL_US} - us END), 0) "
+        "AS BIGINT) AS max_late_us "
+        "FROM w GROUP BY event_type")

@@ -795,3 +795,55 @@ def adjacent_triple_counts(ds, *, target_blocks: int | None = None):
 def _first_empty(block: pa.Table) -> pa.Table:
     """Zero-row table with the block's schema (typed empty tail)."""
     return block.slice(0, 0)
+
+
+# ---------------- global watermark (exclusive running max) ----------------
+
+WM_NONE = np.iinfo(np.int64).min  # "no preceding row" sentinel
+
+
+@ray.remote
+def _block_ts_max(block: pa.Table, ts_col: str):
+    a = block[ts_col].to_numpy(zero_copy_only=False)
+    return int(a.max()) if len(a) else None
+
+
+@ray.remote
+def _wm_block(block: pa.Table, ts_col: str, carry: int) -> pa.Table:
+    ts = block[ts_col].to_numpy(zero_copy_only=False)
+    if not len(ts):
+        return block.append_column("wm", pa.array([], pa.int64()))
+    inc = np.maximum.accumulate(ts)
+    exc = np.empty_like(ts)
+    exc[0] = WM_NONE
+    exc[1:] = inc[:-1]
+    return block.append_column(
+        "wm", pa.array(np.maximum(exc, np.int64(carry))))
+
+
+def watermark_assign(ds, *, order_cols, ts_col: str = "us",
+                     target_blocks: int | None = None):
+    """Streaming-watermark assignment: adds ``wm`` = max of ``ts_col``
+    over all STRICTLY PRECEDING rows in the total order ``order_cols``
+    (``max(ts) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)``); the first row gets ``WM_NONE``.  Distributed as a
+    classic two-wave scan: one tiny per-block max task wave, an
+    O(blocks) driver exclusive-prefix over those scalars, then one
+    patch wave applying each block's carry — no row ever leaves its
+    block, so the stage streams at any scale.  ``order_cols`` must be
+    a total order (ties would make "preceding" ambiguous)."""
+    srt = ds.sort(list(order_cols))
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+    maxima = ray.get([_block_ts_max.remote(r, ts_col) for r in refs])
+    carries, run = [], int(WM_NONE)
+    for m in maxima:
+        carries.append(run)
+        if m is not None and m > run:
+            run = m
+    outs = [_wm_block.remote(r, ts_col, c) for r, c in zip(refs, carries)]
+    return rd.from_arrow_refs(outs)

@@ -387,3 +387,21 @@ def test_interval_cover_semantics():
     assert out.loc[1, "n_blocks"] == 2
     assert out.loc[2, "covered_us"] == D
     assert out.loc[2, "n_blocks"] == 1
+
+
+@pytest.mark.parametrize("target_blocks", [1, 7])
+def test_watermark_assign_matches_pandas(ray_session, target_blocks):
+    from igpm_pem_ray.stages.temporal import watermark_assign, WM_NONE
+
+    n = 500
+    df = pd.DataFrame({
+        "ak": RNG.permutation(n).astype(np.int64),
+        "us": RNG.integers(0, 100_000, n).astype(np.int64)})
+    out = watermark_assign(rd.from_pandas(df), order_cols=("ak", "us"),
+                           target_blocks=target_blocks) \
+        .to_pandas().sort_values("ak").reset_index(drop=True)
+    ref = df.sort_values(["ak", "us"]).reset_index(drop=True)
+    exp = ref["us"].cummax().shift(1).fillna(WM_NONE).astype(np.int64)
+    assert (out["us"].to_numpy() == ref["us"].to_numpy()).all()
+    assert (out["wm"].to_numpy() == exp.to_numpy()).all()
+    assert out["wm"].iloc[0] == WM_NONE
