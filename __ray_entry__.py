@@ -659,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_hash": r.q_consistent_hash,
         "zorder_keys": r.q_zorder_keys,
         "late_events": r.q_late_events,
+        "item_cf": an.q_item_cf,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -946,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "consistent_hash": r.sql_consistent_hash(),
         "zorder_keys": r.sql_zorder_keys(),
         "late_events": r.sql_late_events(),
+        "item_cf": an.sql_item_cf(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -3600,3 +3600,93 @@ def sql_part_trends() -> str:
         "CAST(n_second AS BIGINT) AS n_second, "
         "CAST(n_second - n_first AS BIGINT) AS delta FROM c "
         f"ORDER BY abs(n_second - n_first) DESC, part LIMIT {TREND_TOPK}")
+
+
+# ---------------- item-item collaborative filtering ----------------
+
+ITEM_CF_TOPK = 20
+
+
+def q_item_cf(sf_dir: str):
+    """Item-item collaborative filtering over the order-part incidence
+    (binary implicit feedback): cosine similarity of two parts' order
+    sets is co / sqrt(da*db), ranked here by the EXACT integer
+    cos^2 * 1e6 = 1e6*co*co // (da*db) — no sqrt, no float, so the
+    hash is reduction-order-robust.  Plan: distinct incidence groupby,
+    bounded order-key self-join for co-counts, one degree groupby
+    broadcast into the scorer, global top-k as per-block partial
+    selection + tiny merge (never a global sort)."""
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.pipelines.common import read_table
+    import ray as _ray
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    inc = li.groupby(["l_orderkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["l_orderkey"].cast(pa.int64()),
+            "p": b["l_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    degp = inc.groupby("p").aggregate(Count(alias_name="d")).to_pandas()
+    dv = np.zeros(int(degp["p"].max()) + 1, np.int64)
+    dv[degp["p"].to_numpy()] = degp["d"].to_numpy()
+    deg_ref = _ray.put(dv)
+
+    right = inc.map_batches(
+        lambda b: pa.table({"k2": b["k"], "p2": b["p"]}),
+        batch_format="pyarrow")
+    co = inc.join(right, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("k2",)) \
+        .map_batches(lambda b: (lambda a, c, m: pa.table({
+            "pa_": a[m], "pb": c[m]}))(
+            b["p"].to_numpy(zero_copy_only=False),
+            b["p2"].to_numpy(zero_copy_only=False),
+            b["p"].to_numpy(zero_copy_only=False)
+            < b["p2"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["pa_", "pb"]).aggregate(Count(alias_name="co"))
+
+    def score(b: pa.Table, _ref=deg_ref) -> pa.Table:
+        d = _ray.get(_ref)
+        a = b["pa_"].to_numpy(zero_copy_only=False)
+        c = b["pb"].to_numpy(zero_copy_only=False)
+        n = b["co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (1_000_000 * n * n) // (d[a] * d[c])
+        order = np.lexsort((c, a, -s))[:ITEM_CF_TOPK]
+        return pa.table({"part_a": a[order], "part_b": c[order],
+                         "co": n[order], "cos2_e6": s[order]})
+
+    def select_topk(b: pa.Table) -> pa.Table:
+        a = b["part_a"].to_numpy(zero_copy_only=False)
+        c = b["part_b"].to_numpy(zero_copy_only=False)
+        n = b["co"].to_numpy(zero_copy_only=False)
+        s = b["cos2_e6"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, a, -s))[:ITEM_CF_TOPK]
+        return pa.table({"part_a": a[o], "part_b": c[o], "co": n[o],
+                         "cos2_e6": s[o]})
+
+    return (co.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(select_topk, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
+def sql_item_cf() -> str:
+    return (
+        "WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
+        "FROM lineitem), "
+        "deg AS (SELECT p, count(*) AS d FROM inc GROUP BY p), "
+        "co AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS co "
+        "FROM inc a JOIN inc b ON a.k = b.k AND a.p < b.p "
+        "GROUP BY a.p, b.p) "
+        "SELECT CAST(co.part_a AS BIGINT) AS part_a, "
+        "CAST(co.part_b AS BIGINT) AS part_b, "
+        "CAST(co.co AS BIGINT) AS co, "
+        "CAST((1000000 * co.co * co.co) // (da.d * db.d) AS BIGINT) "
+        "AS cos2_e6 "
+        "FROM co JOIN deg da ON da.p = co.part_a "
+        "JOIN deg db ON db.p = co.part_b "
+        "ORDER BY cos2_e6 DESC, part_a, part_b "
+        f"LIMIT {ITEM_CF_TOPK}")
