@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_keys": r.q_zorder_keys,
         "late_events": r.q_late_events,
         "item_cf": an.q_item_cf,
+        "sssp_parents": g.q_sssp_parents,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -948,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_keys": r.sql_zorder_keys(),
         "late_events": r.sql_late_events(),
         "item_cf": an.sql_item_cf(),
+        "sssp_parents": g.sql_sssp_parents(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -3830,3 +3830,90 @@ def sql_widest_path(n_iters: int = WIDEST_ITERS) -> str:
             f"FROM {p} p JOIN ue e ON e.x = p.v) GROUP BY v)")
     return ("WITH " + ", ".join(parts) +
             f" SELECT v AS vid, wd AS width FROM w{n_iters} ORDER BY vid")
+
+
+# ---------- SSSP parent pointers (path reconstruction) ----------
+
+def q_sssp_parents(sf_dir: str) -> pa.Table:
+    """Shortest-path tree with parent pointers — the path-
+    reconstruction companion to q_sssp: after the bounded-hop
+    Bellman-Ford distances converge, parent(v) = the smallest
+    neighbor u with d(u) + w(u, v) = d(v) (deterministic tie-break),
+    seed's parent = -1.  One edges-distances join to form candidate
+    (v, u) pairs, a d(v)-equality filter via a second hash join, one
+    groupby(min) — all Dataset-resident, so reconstruction scales with
+    the same shuffle shape as the relaxation itself."""
+    from ray.data.aggregate import Min
+    import ray.data as rd
+    from igpm_pem_ray.graph import sssp as sssp_mod
+    from igpm_pem_ray.graph.sssp import WEIGHT_MOD
+
+    edges = cooccurrence_edges(sf_dir)
+    dt = sssp_mod.sssp(edges, n_iters=SSSP_ITERS)
+    dd = rd.from_arrow(dt).materialize()
+
+    ue = edges.map_batches(
+        lambda b: (lambda s, d: pa.table({
+            "x": np.concatenate([s, d]), "y": np.concatenate([d, s]),
+            "w": np.concatenate([1 + (s + d) % WEIGHT_MOD] * 2)}))(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cand = ue.join(dd, join_type="inner", num_partitions=8,
+                   on=("x",), right_on=("vid",)) \
+        .map_batches(lambda b: pa.table({
+            "yv": b["y"],
+            "du": b["dist"].to_numpy(zero_copy_only=False)
+            + b["w"].to_numpy(zero_copy_only=False),
+            "u": b["x"]}), batch_format="pyarrow", zero_copy_batch=True)
+    par = cand.join(dd, join_type="inner", num_partitions=8,
+                    on=("yv",), right_on=("vid",)) \
+        .map_batches(lambda b: (lambda y, du, dv, u, m: pa.table({
+            "vid": y[m], "parent": u[m]}))(
+            b["yv"].to_numpy(zero_copy_only=False),
+            b["du"].to_numpy(zero_copy_only=False),
+            b["dist"].to_numpy(zero_copy_only=False),
+            b["u"].to_numpy(zero_copy_only=False),
+            b["du"].to_numpy(zero_copy_only=False)
+            == b["dist"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("vid").aggregate(Min("parent", alias_name="parent"))
+
+    out = dd.join(par, join_type="left_outer", num_partitions=8,
+                  on=("vid",), right_on=("vid",))
+    pdf = out.to_pandas().sort_values("vid")
+    return pa.table({
+        "vid": pdf["vid"].to_numpy().astype(np.int64),
+        "dist": pdf["dist"].to_numpy().astype(np.int64),
+        "parent": pdf["parent"].fillna(-1).to_numpy().astype(np.int64)})
+
+
+def sql_sssp_parents(n_iters: int = SSSP_ITERS) -> str:
+    from igpm_pem_ray.graph.sssp import WEIGHT_MOD
+
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "ue AS MATERIALIZED (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges)",
+        "d0 AS (SELECT (SELECT MIN(src) FROM edges) AS v, "
+        "CAST(0 AS BIGINT) AS d)",
+    ]
+    for k in range(1, n_iters + 1):
+        p = f"d{k - 1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT v, MIN(d) AS d FROM ("
+            f"SELECT v, d FROM {p} UNION ALL "
+            f"SELECT e.y AS v, p.d + 1 + ((e.x + e.y) % {WEIGHT_MOD}) AS d "
+            f"FROM {p} p JOIN ue e ON e.x = p.v) GROUP BY v)")
+    fin = f"d{n_iters}"
+    parts.append(
+        "cand AS (SELECT e.y AS vid, MIN(a.v) AS parent "
+        f"FROM {fin} a JOIN ue e ON e.x = a.v "
+        f"JOIN {fin} b ON b.v = e.y "
+        f"AND a.d + 1 + ((e.x + e.y) % {WEIGHT_MOD}) = b.d "
+        "GROUP BY e.y)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT b.v AS vid, b.d AS dist, "
+            "CAST(coalesce(c.parent, -1) AS BIGINT) AS parent "
+            f"FROM {fin} b LEFT JOIN cand c ON c.vid = b.v ORDER BY vid")
