@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": r.q_late_events,
         "item_cf": an.q_item_cf,
         "sssp_parents": g.q_sssp_parents,
+        "zone_maps": r.q_zone_maps,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -950,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": r.sql_late_events(),
         "item_cf": an.sql_item_cf(),
         "sssp_parents": g.sql_sssp_parents(),
+        "zone_maps": r.sql_zone_maps(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

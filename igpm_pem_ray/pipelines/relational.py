@@ -4923,3 +4923,93 @@ def sql_late_events() -> str:
         f"us < wm - {LATE_TOL_US} THEN wm - {LATE_TOL_US} - us END), 0) "
         "AS BIGINT) AS max_late_us "
         "FROM w GROUP BY event_type")
+
+
+# ---------------- zone maps (data-skipping min/max pruning) ----------------
+
+ZONE_ROWS = 512  # synthetic "row group": zone = l_orderkey // ZONE_ROWS
+ZONE_PRED_LO_OFF = 5   # predicate: ship day in [min+5, min+15]
+ZONE_PRED_HI_OFF = 15
+
+
+def q_zone_maps(sf_dir: str):
+    """Zone-map data skipping (the Parquet row-group / ORC stripe
+    min-max pruning model): build per-zone (min, max, count) stats of
+    the ship day over synthetic orderkey-range zones, then evaluate a
+    day-range predicate against the stats and report how many zones
+    prune, how many rows the surviving zones would scan, and how many
+    rows actually match — the scan-selectivity diagnostic that
+    motivates sort/z-order layout.  Plan: one (zone) groupby for the
+    stats, a second pass for true matches, per-block partials for the
+    one-row summary; all int64."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone": b["l_orderkey"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // ZONE_ROWS,
+            "day": b["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US})
+
+    rows = li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    lo = int(rows.min("day")) + ZONE_PRED_LO_OFF
+    hi = int(rows.min("day")) + ZONE_PRED_HI_OFF
+
+    zones = rows.map_batches(
+        lambda b: b.append_column("one", pa.array(
+            np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("zone").aggregate(Min("day", alias_name="zmin"),
+                                   Max("day", alias_name="zmax"),
+                                   Sum("one", alias_name="zrows"))
+
+    def zone_partial(b: pa.Table) -> pa.Table:
+        zmin = b["zmin"].to_numpy(zero_copy_only=False)
+        zmax = b["zmax"].to_numpy(zero_copy_only=False)
+        zrows = b["zrows"].to_numpy(zero_copy_only=False)
+        survive = (zmax >= lo) & (zmin <= hi)
+        return pa.table({
+            "n_zones": pa.array([len(zmin)], pa.int64()),
+            "n_pruned": pa.array([int((~survive).sum())], pa.int64()),
+            "rows_scanned": pa.array([int(zrows[survive].sum())],
+                                     pa.int64())})
+
+    zp = zones.map_batches(zone_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def match_partial(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(((d >= lo) & (d <= hi)).sum())],
+                                       pa.int64())})
+
+    rows_matched = int(rows.map_batches(match_partial,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True).sum("m") or 0)
+    return pa.table({
+        "n_zones": pa.array([int(zp.sum("n_zones") or 0)], pa.int64()),
+        "n_pruned": pa.array([int(zp.sum("n_pruned") or 0)], pa.int64()),
+        "rows_scanned": pa.array([int(zp.sum("rows_scanned") or 0)],
+                                 pa.int64()),
+        "rows_matched": pa.array([rows_matched], pa.int64())})
+
+
+def sql_zone_maps() -> str:
+    return (
+        "WITH r AS (SELECT l_orderkey // {zr} AS zone, "
+        "epoch_us(l_shipdate) // {day} AS day FROM lineitem), "
+        "p AS (SELECT min(day) + {plo} AS lo, min(day) + {phi} AS hi "
+        "FROM r), "
+        "z AS (SELECT zone, min(day) AS zmin, max(day) AS zmax, "
+        "count(*) AS zrows FROM r GROUP BY zone) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM z) AS n_zones, "
+        "(SELECT CAST(sum(CASE WHEN zmax < p.lo OR zmin > p.hi THEN 1 "
+        "ELSE 0 END) AS BIGINT) FROM z, p) AS n_pruned, "
+        "(SELECT CAST(coalesce(sum(CASE WHEN zmax >= p.lo AND "
+        "zmin <= p.hi THEN zrows END), 0) AS BIGINT) FROM z, p) "
+        "AS rows_scanned, "
+        "(SELECT CAST(sum(CASE WHEN day >= p.lo AND day <= p.hi THEN 1 "
+        "ELSE 0 END) AS BIGINT) FROM r, p) AS rows_matched"
+    ).format(zr=ZONE_ROWS, day=DAY_US, plo=ZONE_PRED_LO_OFF,
+             phi=ZONE_PRED_HI_OFF)
