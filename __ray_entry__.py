@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cf": an.q_item_cf,
         "sssp_parents": g.q_sssp_parents,
         "zone_maps": r.q_zone_maps,
+        "set_cover": an.q_set_cover,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -952,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "item_cf": an.sql_item_cf(),
         "sssp_parents": g.sql_sssp_parents(),
         "zone_maps": r.sql_zone_maps(),
+        "set_cover": an.sql_set_cover(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

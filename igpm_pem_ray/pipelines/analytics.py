@@ -3690,3 +3690,114 @@ def sql_item_cf() -> str:
         "JOIN deg db ON db.p = co.part_b "
         "ORDER BY cos2_e6 DESC, part_a, part_b "
         f"LIMIT {ITEM_CF_TOPK}")
+
+
+# ---------------- greedy set cover ----------------
+
+SETCOVER_ROUNDS = 3
+
+
+def q_set_cover(sf_dir: str):
+    """Greedy set cover (the ln(n)-approximation): suppliers are sets,
+    the parts they ship are elements; each round picks the supplier
+    covering the most still-uncovered parts (tie -> smallest key).
+    Returns (round, suppkey, gain, covered_total) — the selection
+    transcript, exact integers.  Plan: distinct (supplier, part)
+    incidence once; per round the covered set is broadcast (ray.put)
+    into a vectorized np.isin filter + one count groupby, and the
+    argmax is a per-block top-1 partial + tiny merge.  At 10^12
+    elements the covered set becomes a Dataset and the filter an
+    anti-join — same round structure, documented here."""
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.pipelines.common import read_table
+    import ray as _ray
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    inc = li.groupby(["l_suppkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .map_batches(lambda b: pa.table({
+            "s": b["l_suppkey"].cast(pa.int64()),
+            "p": b["l_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    covered = np.array([], np.int64)
+    out_round, out_supp, out_gain, out_tot = [], [], [], []
+    for rnd in range(1, SETCOVER_ROUNDS + 1):
+        cov_ref = _ray.put(np.sort(covered))
+
+        def gains(b: pa.Table, _ref=cov_ref) -> pa.Table:
+            cov = _ray.get(_ref)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            p = b["p"].to_numpy(zero_copy_only=False)
+            m = ~np.isin(p, cov)
+            return pa.table({"s": s[m],
+                             "one": np.ones(int(m.sum()), np.int64)})
+
+        g = inc.map_batches(gains, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .groupby("s").aggregate(Count(alias_name="c"))
+
+        def top1(b: pa.Table) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False)
+            c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(s):
+                return pa.table({"s": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            o = np.lexsort((s, -c))[:1]
+            return pa.table({"s": s[o], "c": c[o]})
+
+        pick = g.map_batches(top1, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .repartition(1) \
+            .map_batches(top1, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True).to_pandas()
+        if not len(pick):
+            break
+        sp, gain = int(pick["s"][0]), int(pick["c"][0])
+
+        def new_parts(b: pa.Table, _ref=cov_ref, _sp=sp) -> pa.Table:
+            cov = _ray.get(_ref)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            p = b["p"].to_numpy(zero_copy_only=False)
+            m = (s == _sp) & ~np.isin(p, cov)
+            return pa.table({"p": p[m]})
+
+        fresh = inc.map_batches(new_parts, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        covered = np.union1d(covered, fresh["p"].to_numpy())
+        out_round.append(rnd)
+        out_supp.append(sp)
+        out_gain.append(gain)
+        out_tot.append(int(len(covered)))
+    return pa.table({"round": pa.array(out_round, pa.int64()),
+                     "suppkey": pa.array(out_supp, pa.int64()),
+                     "gain": pa.array(out_gain, pa.int64()),
+                     "covered_total": pa.array(out_tot, pa.int64())})
+
+
+def sql_set_cover() -> str:
+    parts = ["inc AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p "
+             "FROM lineitem)",
+             "cov0 AS (SELECT CAST(NULL AS BIGINT) AS p WHERE 1=0)"]
+    selects = []
+    for k in range(1, SETCOVER_ROUNDS + 1):
+        parts.append(
+            f"cnt{k} AS (SELECT s, count(*) AS c FROM inc "
+            f"WHERE p NOT IN (SELECT p FROM cov{k-1}) GROUP BY s)")
+        parts.append(
+            f"pick{k} AS (SELECT s, c FROM cnt{k} "
+            "ORDER BY c DESC, s LIMIT 1)")
+        parts.append(
+            f"cov{k} AS (SELECT p FROM cov{k-1} UNION "
+            f"SELECT p FROM inc WHERE s = (SELECT s FROM pick{k}))")
+        selects.append(
+            f"SELECT {k} AS round, "
+            f"(SELECT CAST(s AS BIGINT) FROM pick{k}) AS suppkey, "
+            f"(SELECT CAST(c AS BIGINT) FROM pick{k}) AS gain, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cov{k}) "
+            "AS covered_total "
+            # the greedy loop stops when nothing is left to cover --
+            # suppress the round entirely, matching the Ray break
+            f"WHERE EXISTS (SELECT 1 FROM pick{k})")
+    return ("WITH " + ", ".join(parts) + " " +
+            " UNION ALL ".join(selects) + " ORDER BY round")
