@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parents": g.q_sssp_parents,
         "zone_maps": r.q_zone_maps,
         "set_cover": an.q_set_cover,
+        "join_size_sketch": an.q_join_size_sketch,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -954,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_parents": g.sql_sssp_parents(),
         "zone_maps": r.sql_zone_maps(),
         "set_cover": an.sql_set_cover(),
+        "join_size_sketch": an.sql_join_size_sketch(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

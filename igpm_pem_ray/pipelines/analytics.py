@@ -3801,3 +3801,95 @@ def sql_set_cover() -> str:
             f"WHERE EXISTS (SELECT 1 FROM pick{k})")
     return ("WITH " + ", ".join(parts) + " " +
             " UNION ALL ".join(selects) + " ORDER BY round")
+
+
+# ---------------- AGMS sketch join-size estimation ----------------
+
+AGMS_K = 64  # independent +/-1 estimators (averaged)
+AGMS_DIV_OFF = 1 << 40  # makes the mean's numerator positive: python
+# floor-div and DuckDB // (truncation) agree on non-negative operands
+AGMS_MULT = 1_103_515_245
+AGMS_P = 2_147_483_647  # 2^31 - 1 (prime): h*h stays under 2^62, int64-exact
+
+
+def _agms_signs(keys: np.ndarray, k: int) -> np.ndarray:
+    """(len(keys), ) array of +/-1 for estimator k.  A purely affine
+    hash is ADVERSARIAL here: consecutive keys map to an arithmetic
+    progression mod the ring whose target bit is far more balanced
+    than random (low discrepancy), which collapses every estimator
+    toward 0 — measured mean ~100 vs true 6000 before the fix.  The
+    quadratic mix (h*h + h) mod p breaks the progression (AMS needs
+    ~4-wise independence; x -> x^2 + x mod p is the cheapest step with
+    the right behavior), identical integer expression in the SQL
+    oracle."""
+    h = (keys * AGMS_MULT + 12_345 * (k + 1)) % AGMS_P
+    h = (h * h + h) % AGMS_P
+    return 2 * ((h >> 15) & 1) - 1
+
+
+def q_join_size_sketch(sf_dir: str):
+    """AGMS (Alon-Gilbert-Matias-Szegedy) sketch estimate of an
+    equi-join size |orders x lineitem on orderkey| from one streaming
+    pass over EACH side: per estimator k, S_k(R) = sum of sign_k(key)
+    over R's rows; E[S_k(R) * S_k(S)] = true join size.  Reports the
+    AGMS_K-estimator mean (floored), the exact join size for
+    comparison, and the signed per-side sketch sums are exact int64 —
+    the whole estimator is integer arithmetic end to end, so the
+    oracle hash-matches bit for bit.  Each side's sketch is a
+    per-block vectorized partial (+/-1 sums) merged by one tiny
+    groupby — the canonical 'sketch the stream, never shuffle the
+    rows' shape."""
+    from igpm_pem_ray.pipelines.common import read_table
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def sketch(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            keys = b[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sums = np.array([_agms_signs(keys, k).sum()
+                             for k in range(AGMS_K)], np.int64)
+            return pa.table({"k": np.arange(AGMS_K, dtype=np.int64),
+                             "s": sums})
+        return f
+
+    so = orders.map_batches(sketch("o_orderkey"), batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("k").aggregate(Sum("s", alias_name="so")).to_pandas()
+    sl = li.map_batches(sketch("l_orderkey"), batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("k").aggregate(Sum("s", alias_name="sl")).to_pandas()
+    so = so.sort_values("k")["so"].to_numpy().astype(np.int64)
+    sl = sl.sort_values("k")["sl"].to_numpy().astype(np.int64)
+    est = int(((so * sl).sum() + AGMS_DIV_OFF * AGMS_K)) // AGMS_K \
+        - AGMS_DIV_OFF
+
+    # exact join size: every lineitem row joins its (unique) order row
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    import ray.data as rd  # noqa: F401 (symmetry with siblings)
+    exact = int(li.map_batches(ones, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("n") or 0)
+    return pa.table({"est_join_size": pa.array([est], pa.int64()),
+                     "true_join_size": pa.array([exact], pa.int64())})
+
+
+def sql_join_size_sketch() -> str:
+    def side(table: str, col: str, alias: str) -> str:
+        terms = []
+        for k in range(AGMS_K):
+            h = f"(({col} * {AGMS_MULT} + {12_345 * (k + 1)}) % {AGMS_P})"
+            terms.append(
+                f"SELECT {k} AS k, sum(2 * (((({h} * {h} + {h}) "
+                f"% {AGMS_P}) >> 15) & 1) - 1) AS s FROM {table}")
+        return f"{alias} AS ({' UNION ALL '.join(terms)})"
+
+    return (
+        "WITH " + side("orders", "o_orderkey", "so") + ", " +
+        side("lineitem", "l_orderkey", "sl") + " "
+        "SELECT CAST(((SELECT sum(so.s * sl.s) FROM so JOIN sl "
+        f"ON so.k = sl.k) + {AGMS_DIV_OFF * AGMS_K}) // {AGMS_K} "
+        f"- {AGMS_DIV_OFF} AS BIGINT) AS est_join_size, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem) "
+        "AS true_join_size")
