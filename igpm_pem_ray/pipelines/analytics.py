@@ -3893,3 +3893,69 @@ def sql_join_size_sketch() -> str:
         f"- {AGMS_DIV_OFF} AS BIGINT) AS est_join_size, "
         "(SELECT CAST(count(*) AS BIGINT) FROM lineitem) "
         "AS true_join_size")
+
+
+# ---------------- top principal direction (integer power iteration) -------
+
+PCA_POWER_ITERS = 3
+PCA_POWER_NORM = 1 << 20  # per-round max-abs renormalization target
+
+
+def q_pca_power(sf_dir: str):
+    """Top principal direction of the embedding covariance via
+    fixed-round INTEGER power iteration — distributed PCA whose every
+    step is exact int64, so the unrolled SQL oracle hash-matches: the
+    covariance comes from q_embed_covariance's one-Gram-partial-per-
+    block pass (row data never moves), then v <- trunc(C v / s) for
+    PCA_POWER_ITERS rounds, where s = max(1, max|C v| // 2^20) keeps
+    the products inside int64 (64 dims * 1e6-scale cov * 2^21-bounded
+    v < 2^48).  Truncation toward zero is pinned on both engines
+    (numpy sign*(abs//s); DuckDB // truncates).  Output: (dim,
+    v_fixed) — the fixed-point eigendirection after the last round;
+    consumers rescale at will."""
+    cov_t = q_embed_covariance(sf_dir)
+    i = cov_t["i"].to_numpy()
+    j = cov_t["j"].to_numpy()
+    c = cov_t["cov_e6"].to_numpy()
+    d = int(i.max()) + 1
+    C = np.zeros((d, d), np.int64)
+    C[i, j] = c
+    C[j, i] = c
+    v = np.ones(d, np.int64)
+    for _ in range(PCA_POWER_ITERS):
+        mv = C @ v
+        s = max(1, int(np.abs(mv).max()) // PCA_POWER_NORM)
+        v = np.sign(mv) * (np.abs(mv) // s)
+    return pa.table({"dim": np.arange(d, dtype=np.int64), "v_fixed": v})
+
+
+def sql_pca_power() -> str:
+    parts = [
+        "u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 "
+        "AS dim, CAST(floor(unnest(embedding)*1e3+0.5) AS BIGINT) AS x "
+        "FROM embeddings)",
+        "p AS (SELECT a.dim AS i, b.dim AS j, sum(a.x*b.x) AS sxy, "
+        "count(*) AS n FROM u a JOIN u b ON a.vec_id = b.vec_id "
+        "GROUP BY a.dim, b.dim)",
+        "s AS (SELECT dim, sum(x) AS sx FROM u GROUP BY dim)",
+        # full symmetric matrix; trunc-div matches numpy sign*(abs//den)
+        "c AS (SELECT p.i, p.j, (p.n*p.sxy - si.sx*sj.sx) // (p.n*p.n) "
+        "AS cv FROM p JOIN s si ON si.dim = p.i "
+        "JOIN s sj ON sj.dim = p.j)",
+        "v0 AS (SELECT DISTINCT dim, CAST(1 AS BIGINT) AS v FROM u)",
+    ]
+    for k in range(1, PCA_POWER_ITERS + 1):
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT c.i AS dim, "
+            f"sum(c.cv * v.v) AS mv FROM c JOIN v{k-1} v ON v.dim = c.j "
+            "GROUP BY c.i)")
+        parts.append(
+            f"n{k} AS (SELECT greatest(1, max(abs(mv)) // "
+            f"{PCA_POWER_NORM}) AS s FROM m{k})")
+        parts.append(
+            f"v{k} AS (SELECT dim, mv // (SELECT s FROM n{k}) AS v "
+            f"FROM m{k})")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT CAST(dim AS BIGINT) AS dim, "
+            f"CAST(v AS BIGINT) AS v_fixed FROM v{PCA_POWER_ITERS} "
+            "ORDER BY dim")
