@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_cover": an.q_set_cover,
         "join_size_sketch": an.q_join_size_sketch,
         "pca_power": an.q_pca_power,
+        "grouping_sets": r.q_grouping_sets,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -958,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "set_cover": an.sql_set_cover(),
         "join_size_sketch": an.sql_join_size_sketch(),
         "pca_power": an.sql_pca_power(),
+        "grouping_sets": r.sql_grouping_sets(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

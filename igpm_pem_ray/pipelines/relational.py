@@ -5013,3 +5013,69 @@ def sql_zone_maps() -> str:
         "ELSE 0 END) AS BIGINT) FROM r, p) AS rows_matched"
     ).format(zr=ZONE_ROWS, day=DAY_US, plo=ZONE_PRED_LO_OFF,
              phi=ZONE_PRED_HI_OFF)
+
+
+# ---------------- GROUPING SETS (multi-granularity aggregate) -------------
+
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((priority), (status), ()) over order totals —
+    the general multi-granularity aggregate that ROLLUP/CUBE
+    specialize (both already covered by q_rollup_revenue /
+    q_cube_revenue; this is the irregular-sets form).  Each set is one
+    independent groupby over the SAME pre-scaled batch stream; absent
+    keys are filled with the '(all)' marker and a grouping id
+    disambiguates, mirroring SQL GROUPING().  Sums are pre-scaled
+    int64 cents, exact in any reduction order."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_orderstatus",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"prio": b["o_orderpriority"],
+                         "status": b["o_orderstatus"],
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0),
+                         "one": np.ones(b.num_rows, np.int64)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    by_prio = rows.groupby("prio").aggregate(
+        Sum("cents", alias_name="revenue_e2"), Sum("one", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "prio": b["prio"],
+            "status": pa.array(["(all)"] * b.num_rows, pa.string()),
+            "grouping_id": np.full(b.num_rows, 1, np.int64),
+            "revenue_e2": b["revenue_e2"], "n": b["n"]}),
+            batch_format="pyarrow")
+    by_status = rows.groupby("status").aggregate(
+        Sum("cents", alias_name="revenue_e2"), Sum("one", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "prio": pa.array(["(all)"] * b.num_rows, pa.string()),
+            "status": b["status"],
+            "grouping_id": np.full(b.num_rows, 2, np.int64),
+            "revenue_e2": b["revenue_e2"], "n": b["n"]}),
+            batch_format="pyarrow")
+    total = pa.table({
+        "prio": pa.array(["(all)"], pa.string()),
+        "status": pa.array(["(all)"], pa.string()),
+        "grouping_id": pa.array([3], pa.int64()),
+        "revenue_e2": pa.array([int(rows.sum("cents") or 0)], pa.int64()),
+        "n": pa.array([rows.count()], pa.int64())})
+    import ray.data as rd
+    return by_prio.union(by_status).union(rd.from_arrow(total))
+
+
+def sql_grouping_sets() -> str:
+    return (
+        "WITH o AS (SELECT o_orderpriority AS p, o_orderstatus AS s, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT coalesce(p, '(all)') AS prio, "
+        "coalesce(s, '(all)') AS status, "
+        "CAST(CASE WHEN s IS NULL AND p IS NULL THEN 3 "
+        "WHEN s IS NULL THEN 1 ELSE 2 END AS BIGINT) AS grouping_id, "
+        "CAST(sum(cents) AS BIGINT) AS revenue_e2, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM o GROUP BY GROUPING SETS ((p), (s), ())")
