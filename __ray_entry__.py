@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_sketch": an.q_join_size_sketch,
         "pca_power": an.q_pca_power,
         "grouping_sets": r.q_grouping_sets,
+        "fd_discovery": r.q_fd_discovery,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -960,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_sketch": an.sql_join_size_sketch(),
         "pca_power": an.sql_pca_power(),
         "grouping_sets": r.sql_grouping_sets(),
+        "fd_discovery": r.sql_fd_discovery(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

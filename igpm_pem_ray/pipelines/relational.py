@@ -5079,3 +5079,76 @@ def sql_grouping_sets() -> str:
         "CAST(sum(cents) AS BIGINT) AS revenue_e2, "
         "CAST(count(*) AS BIGINT) AS n "
         "FROM o GROUP BY GROUPING SETS ((p), (s), ())")
+
+
+# ---------------- functional-dependency discovery (data profiling) --------
+
+FD_CANDIDATES = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+def q_fd_discovery(sf_dir: str):
+    """Approximate functional-dependency discovery (the TANE/data-
+    profiling primitive): for each candidate X -> Y, count the LHS
+    groups, the groups violating the dependency (|distinct Y| > 1),
+    and the minimum number of row edits to repair it (g3 error:
+    rows - sum of per-group majority counts).  One (X, Y) count
+    groupby + one X-level aggregation per candidate — the same plan
+    shape at any scale; exact int64."""
+    from ray.data.aggregate import Count, Max as _Max
+
+    out = {"fd": [], "n_groups": [], "n_violating": [], "g3_err": []}
+    for table, lhs, rhs in FD_CANDIDATES:
+        t = read_table(sf_dir, table, columns=[lhs, rhs])
+        xy = t.groupby([lhs, rhs]).aggregate(Count(alias_name="c"))
+        per_x = xy.map_batches(
+            lambda b, _l=lhs: pa.table({
+                "x": b[_l].cast(pa.int64()),
+                "one": np.ones(b.num_rows, np.int64),
+                "c": b["c"].cast(pa.int64())}),
+            batch_format="pyarrow") \
+            .groupby("x").aggregate(Sum("one", alias_name="n_y"),
+                                    Sum("c", alias_name="n_rows"),
+                                    _Max("c", alias_name="maj"))
+
+        def partial(b: pa.Table) -> pa.Table:
+            ny = b["n_y"].to_numpy(zero_copy_only=False)
+            nr = b["n_rows"].to_numpy(zero_copy_only=False)
+            mj = b["maj"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "g": pa.array([len(ny)], pa.int64()),
+                "v": pa.array([int((ny > 1).sum())], pa.int64()),
+                "e": pa.array([int((nr - mj).sum())], pa.int64())})
+
+        p = per_x.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        out["fd"].append(f"{lhs}->{rhs}")
+        out["n_groups"].append(int(p.sum("g") or 0))
+        out["n_violating"].append(int(p.sum("v") or 0))
+        out["g3_err"].append(int(p.sum("e") or 0))
+    return pa.table({"fd": pa.array(out["fd"], pa.string()),
+                     "n_groups": pa.array(out["n_groups"], pa.int64()),
+                     "n_violating": pa.array(out["n_violating"], pa.int64()),
+                     "g3_err": pa.array(out["g3_err"], pa.int64())})
+
+
+def sql_fd_discovery() -> str:
+    selects = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        selects.append(
+            f"SELECT '{lhs}->{rhs}' AS fd, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating, "
+            "CAST(sum(n_rows - maj) AS BIGINT) AS g3_err FROM ("
+            f"SELECT {lhs}, count(*) AS n_y, sum(c) AS n_rows, "
+            "max(c) AS maj FROM ("
+            f"SELECT {lhs}, {rhs}, count(*) AS c FROM {table} "
+            f"GROUP BY {lhs}, {rhs}) GROUP BY {lhs})")
+    return " UNION ALL ".join(selects)
+
+
