@@ -5152,3 +5152,99 @@ def sql_fd_discovery() -> str:
     return " UNION ALL ".join(selects)
 
 
+
+
+# ---------------- Bloom-filter false-positive-rate measurement ------------
+
+BLOOM_M = 1 << 14  # bits
+BLOOM_KS = (1, 2, 3)  # hash salts (k = 3 hashes)
+BLOOM_A = 1_103_515_245
+BLOOM_P = 2_147_483_647  # 2^31 - 1: h*h stays under 2^62
+
+
+def _bloom_pos(keys: np.ndarray, j: int) -> np.ndarray:
+    """Hash j's bit position — quadratic (h*h+h) mod p mix (affine
+    alone is low-discrepancy on consecutive keys, see _agms_signs),
+    identical integer expression in the SQL oracle."""
+    h = (keys * BLOOM_A + 7_777 * j) % BLOOM_P
+    h = (h * h + h) % BLOOM_P
+    return h % BLOOM_M
+
+
+def q_bloom_fpr(sf_dir: str):
+    """Measured false-positive rate of a concrete Bloom filter — the
+    'verify the data structure against its advertised bound' check:
+    members = order keys divisible by 3, probes = the rest; the bit
+    array is the distinct union of the members' k=3 positions, a probe
+    false-positives when all its k positions are set.  Plan: one
+    distinct-positions groupby builds the filter, the 2 KiB bitset is
+    closed over into a vectorized probe pass, partials reduce to one
+    row.  Reports count fields and fpr_e6 = 1e6*fp // probes — all
+    exact int64."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def member_bits(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mem = keys[keys % 3 == 0]
+        pos = np.unique(np.concatenate(
+            [_bloom_pos(mem, j) for j in BLOOM_KS])) \
+            if len(mem) else np.array([], np.int64)
+        return pa.table({"pos": pos})
+
+    bits_pdf = orders.map_batches(member_bits, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("pos").aggregate(Count(alias_name="_n")).to_pandas()
+    bitset = np.zeros(BLOOM_M, bool)
+    if len(bits_pdf):
+        bitset[bits_pdf["pos"].to_numpy().astype(np.int64)] = True
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_mem = int((keys % 3 == 0).sum())
+        pr = keys[keys % 3 != 0]
+        hit = np.ones(len(pr), bool)
+        for j in BLOOM_KS:
+            hit &= bitset[_bloom_pos(pr, j)]
+        return pa.table({"n_members": pa.array([n_mem], pa.int64()),
+                         "n_probes": pa.array([len(pr)], pa.int64()),
+                         "n_false_pos": pa.array([int(hit.sum())],
+                                                 pa.int64())})
+
+    p = orders.map_batches(probe, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n_mem = int(p.sum("n_members") or 0)
+    n_pr = int(p.sum("n_probes") or 0)
+    n_fp = int(p.sum("n_false_pos") or 0)
+    return pa.table({
+        "n_members": pa.array([n_mem], pa.int64()),
+        "n_probes": pa.array([n_pr], pa.int64()),
+        "n_false_pos": pa.array([n_fp], pa.int64()),
+        "fpr_e6": pa.array([1_000_000 * n_fp // max(n_pr, 1)],
+                           pa.int64())})
+
+
+def sql_bloom_fpr() -> str:
+    def pos(expr: str, j: int) -> str:
+        h = f"(({expr} * {BLOOM_A} + {7_777 * j}) % {BLOOM_P})"
+        return f"((({h} * {h} + {h}) % {BLOOM_P}) % {BLOOM_M})"
+
+    bit_selects = " UNION ".join(
+        f"SELECT {pos('o_orderkey', j)} AS pos FROM orders "
+        "WHERE o_orderkey % 3 = 0" for j in BLOOM_KS)
+    fp_cond = " AND ".join(
+        f"{pos('o_orderkey', j)} IN (SELECT pos FROM bits)"
+        for j in BLOOM_KS)
+    return (
+        f"WITH bits AS ({bit_selects}) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders "
+        "WHERE o_orderkey % 3 = 0) AS n_members, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders "
+        "WHERE o_orderkey % 3 != 0) AS n_probes, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders "
+        f"WHERE o_orderkey % 3 != 0 AND {fp_cond}) AS n_false_pos, "
+        "(SELECT CAST(1000000 * (SELECT count(*) FROM orders "
+        f"WHERE o_orderkey % 3 != 0 AND {fp_cond}) "
+        "// greatest((SELECT count(*) FROM orders "
+        "WHERE o_orderkey % 3 != 0), 1) AS BIGINT)) AS fpr_e6")
