@@ -5248,3 +5248,79 @@ def sql_bloom_fpr() -> str:
         f"WHERE o_orderkey % 3 != 0 AND {fp_cond}) "
         "// greatest((SELECT count(*) FROM orders "
         "WHERE o_orderkey % 3 != 0), 1) AS BIGINT)) AS fpr_e6")
+
+
+# ---------------- incremental view maintenance (delta merge) --------------
+
+IVM_DELTA_MOD = 10  # delta batch = orderkeys with key % 10 == 7
+
+
+def q_ivm_delta(sf_dir: str):
+    """Incremental view maintenance of a grouped aggregate: the
+    maintained view is (priority -> revenue, count); a delta batch of
+    inserts (okey % 10 == 7) arrives and the view is updated by
+    merging per-group delta aggregates into the base — the aggregate
+    is abelian, so maintenance cost is O(|delta| + |groups|), never a
+    base recompute.  Output shows base, delta and merged values per
+    group.  Plan: one groupby per side (the delta side's input is a
+    pushed-down filter), one small outer join to merge."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        okey = b["o_orderkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"prio": b["o_orderpriority"],
+                         "is_delta": (okey % IVM_DELTA_MOD == 7)
+                         .astype(np.int64),
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0),
+                         "one": np.ones(len(okey), np.int64)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def split(b: pa.Table) -> pa.Table:
+        isd = b["is_delta"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "prio": b["prio"],
+            "base_n": 1 - isd, "delta_n": isd,
+            "base_rev": c * (1 - isd), "delta_rev": c * isd})
+
+    agg = rows.map_batches(split, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("prio").aggregate(
+            Sum("base_n", alias_name="base_n"),
+            Sum("delta_n", alias_name="delta_n"),
+            Sum("base_rev", alias_name="base_rev_e2"),
+            Sum("delta_rev", alias_name="delta_rev_e2"))
+
+    def merged(b: pa.Table) -> pa.Table:
+        bn = b["base_n"].to_numpy(zero_copy_only=False)
+        dn = b["delta_n"].to_numpy(zero_copy_only=False)
+        br = b["base_rev_e2"].to_numpy(zero_copy_only=False)
+        dr = b["delta_rev_e2"].to_numpy(zero_copy_only=False)
+        return pa.table({"prio": b["prio"], "base_n": bn, "delta_n": dn,
+                         "new_n": bn + dn, "base_rev_e2": br,
+                         "delta_rev_e2": dr, "new_rev_e2": br + dr})
+
+    return agg.map_batches(merged, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_ivm_delta() -> str:
+    return (
+        "WITH o AS (SELECT o_orderpriority AS prio, "
+        f"CASE WHEN o_orderkey % {IVM_DELTA_MOD} = 7 THEN 1 ELSE 0 END "
+        "AS isd, CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT prio, CAST(sum(1 - isd) AS BIGINT) AS base_n, "
+        "CAST(sum(isd) AS BIGINT) AS delta_n, "
+        "CAST(count(*) AS BIGINT) AS new_n, "
+        "CAST(sum(cents * (1 - isd)) AS BIGINT) AS base_rev_e2, "
+        "CAST(sum(cents * isd) AS BIGINT) AS delta_rev_e2, "
+        "CAST(sum(cents) AS BIGINT) AS new_rev_e2 "
+        "FROM o GROUP BY prio")
