@@ -5324,3 +5324,88 @@ def sql_ivm_delta() -> str:
         "CAST(sum(cents * isd) AS BIGINT) AS delta_rev_e2, "
         "CAST(sum(cents) AS BIGINT) AS new_rev_e2 "
         "FROM o GROUP BY prio")
+
+
+# ---------------- exact ROC AUC via rank statistics ----------------
+
+def q_auc_exact(sf_dir: str):
+    """Exact ROC AUC of a scorer against binary labels via the
+    Mann-Whitney U identity — the standard ranking-model eval, exact
+    in integers: with per-score buckets (score -> n_pos, n_neg) in
+    ascending score order, U2 = sum of n_pos * (2*cum_neg_below +
+    n_neg_at_score) counts concordant pairs twice (ties once), and
+    AUC = U2 / (2 * P * N).  Labels: urgent/high priority; score:
+    order total in cents.  Plan: one groupby to buckets, the global
+    running negative count via the cumsum boundary-carry scan
+    (stages/temporal.cumsum_per_key — blocks never move), one partial
+    reduce.  Returns (n_pos, n_neg, u2, auc_e6), all exact int64."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"].to_pandas()
+        pos = prio.str.startswith(("1-", "2-")).to_numpy()
+        return pa.table({"score": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "npos": pos.astype(np.int64),
+            "nneg": (~pos).astype(np.int64)})
+
+    buckets = orders.map_batches(pre, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("score").aggregate(Sum("npos", alias_name="np_"),
+                                    Sum("nneg", alias_name="nn"))
+
+    # cum_val = inclusive running sum of n_neg in score order (one
+    # shared key; blocks stay put, carry is O(blocks) driver scalars)
+    rows = buckets.map_batches(
+        lambda b: pa.table({"key": np.zeros(b.num_rows, np.int64),
+                            "us": b["score"].cast(pa.int64()),
+                            "val": b["nn"].cast(pa.int64()),
+                            "nn": b["nn"].cast(pa.int64()),
+                            "np_": b["np_"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cum = cumsum_per_key(rows, payload_cols=["np_", "nn"],
+                         order_cols=("us",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        npb = b["np_"].to_numpy(zero_copy_only=False)
+        cv = b["cum_val"].to_numpy(zero_copy_only=False)
+        at = b["nn"].to_numpy(zero_copy_only=False)
+        # cum_val is inclusive; below = cum - at, so
+        # 2*below + at = 2*cum - at
+        u2 = int((npb * (2 * cv - at)).sum())
+        return pa.table({"u2": pa.array([u2], pa.int64()),
+                         "p": pa.array([int(npb.sum())], pa.int64()),
+                         "n": pa.array([int(at.sum())], pa.int64())})
+
+    pr = cum.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    u2 = int(pr.sum("u2") or 0)
+    p = int(pr.sum("p") or 0)
+    n = int(pr.sum("n") or 0)
+    return pa.table({
+        "n_pos": pa.array([p], pa.int64()),
+        "n_neg": pa.array([n], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_e6": pa.array([1_000_000 * u2 // max(2 * p * n, 1)],
+                           pa.int64())})
+
+
+def sql_auc_exact() -> str:
+    return (
+        "WITH o AS (SELECT CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) "
+        "AS score, CASE WHEN o_orderpriority LIKE '1-%' "
+        "OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END AS pos "
+        "FROM orders), "
+        "b AS (SELECT score, sum(pos) AS np_, sum(1 - pos) AS nn "
+        "FROM o GROUP BY score), "
+        "c AS (SELECT np_, nn, sum(nn) OVER (ORDER BY score "
+        "ROWS UNBOUNDED PRECEDING) AS cumnn FROM b), "
+        "t AS (SELECT sum(np_ * (2*cumnn - nn)) AS u2, "
+        "sum(np_) AS p, sum(nn) AS n FROM c) "
+        "SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg, "
+        "CAST(u2 AS BIGINT) AS u2, "
+        "CAST(1000000 * u2 // greatest(2*p*n, 1) AS BIGINT) AS auc_e6 "
+        "FROM t")
