@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr": r.q_bloom_fpr,
         "ivm_delta": r.q_ivm_delta,
         "auc_exact": r.q_auc_exact,
+        "survivorship": an.q_survivorship,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -968,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr": r.sql_bloom_fpr(),
         "ivm_delta": r.sql_ivm_delta(),
         "auc_exact": r.sql_auc_exact(),
+        "survivorship": an.sql_survivorship(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

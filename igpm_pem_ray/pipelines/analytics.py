@@ -3959,3 +3959,84 @@ def sql_pca_power() -> str:
             f" SELECT CAST(dim AS BIGINT) AS dim, "
             f"CAST(v AS BIGINT) AS v_fixed FROM v{PCA_POWER_ITERS} "
             "ORDER BY dim")
+
+
+# ---------------- survivorship (golden-record merge) ----------------
+
+SURV_BAL_OFF = 1_000_000   # c_acctbal cents offset -> non-negative
+SURV_KEY_CAP = 1 << 30     # custkey inverted under this for packed min
+
+
+def q_survivorship(sf_dir: str):
+    """Golden-record selection (MDM survivorship) on top of the
+    entity-resolution clusters (q_name_clusters): within each identity
+    cluster the surviving record is chosen by rule precedence —
+    highest account balance, then longest name, then lowest key.  The
+    whole precedence is packed into ONE int64 sort key ((bal+off)<<35
+    | namelen<<30 | (cap-custkey)), so the argmax is a single
+    groupby(max) with no per-rule passes, and unpacking recovers the
+    winner — identical bit layout in the SQL oracle.  Output:
+    (cluster, golden_custkey, n_members, best_bal_e2)."""
+    from ray.data.aggregate import Count as _Count, Max as _Max
+    from igpm_pem_ray.pipelines.common import read_table
+
+    nc = q_name_clusters(sf_dir).materialize()
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        bal = scale_col(b["c_acctbal"].to_numpy(zero_copy_only=False),
+                        100.0) + SURV_BAL_OFF
+        nlen = pc.utf8_length(b["c_name"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = b["c_custkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"ck": key,
+                         "packed": (bal << 35) | (nlen << 30)
+                         | (SURV_KEY_CAP - key)})
+
+    j = nc.join(cust.map_batches(pack, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                join_type="inner", num_partitions=4,
+                on=("custkey",), right_on=("ck",))
+    agg = j.groupby("cluster").aggregate(
+        _Max("packed", alias_name="best"),
+        _Count(alias_name="n_members"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        best = b["best"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": b["cluster"].cast(pa.int64()),
+            "golden_custkey": SURV_KEY_CAP - (best & (SURV_KEY_CAP - 1)),
+            "n_members": b["n_members"].cast(pa.int64()),
+            "best_bal_e2": (best >> 35) - SURV_BAL_OFF})
+
+    return agg.map_batches(unpack, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_survivorship() -> str:
+    return (
+        "WITH RECURSIVE p AS (SELECT a.c_custkey AS src, "
+        "b.c_custkey AS dst FROM customer a JOIN customer b "
+        "ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+        "ue AS (SELECT src, dst FROM p "
+        "UNION SELECT dst AS src, src AS dst FROM p), "
+        "verts AS (SELECT DISTINCT src AS vid FROM ue), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src), "
+        "nc AS (SELECT a AS custkey, MIN(b) AS cluster FROM reach "
+        "GROUP BY a), "
+        "pk AS (SELECT nc.cluster, "
+        "((CAST(floor(c.c_acctbal*100.0+0.5) AS BIGINT) "
+        f"+ {SURV_BAL_OFF}) << 35) | (length(c.c_name) << 30) | "
+        f"({SURV_KEY_CAP} - c.c_custkey) AS packed "
+        "FROM nc JOIN customer c ON c.c_custkey = nc.custkey) "
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        f"CAST({SURV_KEY_CAP} - (max(packed) & {SURV_KEY_CAP - 1}) "
+        "AS BIGINT) AS golden_custkey, "
+        "CAST(count(*) AS BIGINT) AS n_members, "
+        f"CAST((max(packed) >> 35) - {SURV_BAL_OFF} AS BIGINT) "
+        "AS best_bal_e2 "
+        "FROM pk GROUP BY cluster")
