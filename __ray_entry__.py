@@ -671,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_delta": r.q_ivm_delta,
         "auc_exact": r.q_auc_exact,
         "survivorship": an.q_survivorship,
+        "ntile_orders": r.q_ntile_orders,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -970,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_delta": r.sql_ivm_delta(),
         "auc_exact": r.sql_auc_exact(),
         "survivorship": an.sql_survivorship(),
+        "ntile_orders": r.sql_ntile_orders(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -5409,3 +5409,61 @@ def sql_auc_exact() -> str:
         "CAST(u2 AS BIGINT) AS u2, "
         "CAST(1000000 * u2 // greatest(2*p*n, 1) AS BIGINT) AS auc_e6 "
         "FROM t")
+
+
+# ---------------- NTILE equal-frequency binning ----------------
+
+NTILE_K = 10
+
+
+def q_ntile_orders(sf_dir: str):
+    """NTILE(10) equal-frequency discretization of order totals — the
+    feature-binning / equi-depth-histogram window op: global 1-based
+    ranks come from the sorted-block rank carry (stages/ranked.
+    rank_per_group with one shared key — blocks stay put, O(blocks)
+    driver scalars), then bin = (rank-1)*k // n reproduces SQL NTILE's
+    remainder-to-leading-bins split exactly; per-bin (count, min, max)
+    summarize the cutpoints.  Exact int64 end to end."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"g": np.zeros(b.num_rows, np.int64),
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0),
+                         "okey": b["o_orderkey"].cast(pa.int64())})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    n = rows.count()
+    ranked = rank_per_group(rows, key="g", order=["cents", "okey"],
+                            descending=[False, False])
+
+    def to_bin(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": (r - 1) * NTILE_K // n + 1,
+                         "cents": c,
+                         "one": np.ones(len(r), np.int64)})
+
+    return ranked.map_batches(to_bin, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bin").aggregate(Sum("one", alias_name="n_rows"),
+                                  Min("cents", alias_name="lo_e2"),
+                                  Max("cents", alias_name="hi_e2"))
+
+
+def sql_ntile_orders() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey AS okey, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        f"t AS (SELECT cents, ntile({NTILE_K}) OVER "
+        "(ORDER BY cents, okey) AS bin FROM o) "
+        "SELECT CAST(bin AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(min(cents) AS BIGINT) AS lo_e2, "
+        "CAST(max(cents) AS BIGINT) AS hi_e2 FROM t GROUP BY bin")
