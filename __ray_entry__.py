@@ -672,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_exact": r.q_auc_exact,
         "survivorship": an.q_survivorship,
         "ntile_orders": r.q_ntile_orders,
+        "q3_shipping": an.q_q3_shipping,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -972,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_exact": r.sql_auc_exact(),
         "survivorship": an.sql_survivorship(),
         "ntile_orders": r.sql_ntile_orders(),
+        "q3_shipping": an.sql_q3_shipping(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4040,3 +4040,104 @@ def sql_survivorship() -> str:
         f"CAST((max(packed) >> 35) - {SURV_BAL_OFF} AS BIGINT) "
         "AS best_bal_e2 "
         "FROM pk GROUP BY cluster")
+
+
+# ---------------- TPC-H Q3 analog (shipping-priority top orders) ----------
+
+DAY_US = 86_400_000_000
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = "1998-06-30"  # orders before, shipments after (mid-range date)
+Q3_TOPK = 10
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape on the testdata tables: unshipped-revenue top
+    orders for one market segment — customer |x| orders |x| lineitem
+    with date predicates on both fact tables, revenue =
+    extendedprice*(1-discount) scaled to int64 PER ROW before any sum
+    (the repo's float convention), grouped by (orderkey, orderdate),
+    global top-10 by (revenue DESC, orderkey) as per-block partials +
+    tiny merge.  The classic 3-way join + filter + agg + topk
+    benchmark plan, with the dimension side broadcast-free (customer
+    filter pushed into one hash join)."""
+    from igpm_pem_ray.pipelines.common import read_table
+
+    cut_day = int(np.datetime64(Q3_CUT).astype("datetime64[D]")
+                  .astype(np.int64))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: (lambda k, m: pa.table({"ck": k[m]}))(
+            b["c_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            pc.equal(b["c_mktsegment"], Q3_SEGMENT).to_numpy(
+                zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: (lambda k, c, d, m: pa.table({
+            "okey": k[m], "cust": c[m], "oday": d[m]}))(
+            b["o_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            b["o_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // DAY_US,
+            (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // DAY_US) < cut_day),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"]) \
+        .map_batches(lambda b: (lambda k, r, m: pa.table({
+            "lkey": k[m], "rev_e4": r[m]}))(
+            b["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            scale_col(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                      * (1.0 - b["l_discount"].to_numpy(
+                          zero_copy_only=False)), 1e4),
+            (b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // DAY_US) > cut_day),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    oc = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("cust",), right_on=("ck",))
+    j = li.join(oc, join_type="inner", num_partitions=4,
+                on=("lkey",), right_on=("okey",))
+    agg = j.groupby(["lkey", "oday"]).aggregate(
+        Sum("rev_e4", alias_name="revenue_e4"))
+
+    def topk(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        d = b["order_day"].to_numpy(zero_copy_only=False)
+        r = b["revenue_e4"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, -r))[:Q3_TOPK]
+        return pa.table({"o_orderkey": k[o], "order_day": d[o],
+                         "revenue_e4": r[o]})
+
+    named = agg.rename_columns({"lkey": "o_orderkey",
+                                "oday": "order_day"})
+    return (named.map_batches(topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def sql_q3_shipping() -> str:
+    return (
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(floor(l_extendedprice*(1.0-l_discount)*1e4+0.5) AS BIGINT) "
+        "AS rev_e4 FROM lineitem "
+        f"WHERE epoch_us(l_shipdate) // {86_400_000_000} > "
+        f"epoch_us(TIMESTAMP '{Q3_CUT}') // {86_400_000_000}), "
+        "o AS (SELECT o_orderkey, o_custkey, "
+        f"epoch_us(o_orderdate) // {86_400_000_000} AS order_day "
+        "FROM orders WHERE epoch_us(o_orderdate) // "
+        f"{86_400_000_000} < epoch_us(TIMESTAMP '{Q3_CUT}') "
+        f"// {86_400_000_000}) "
+        "SELECT CAST(li.l_orderkey AS BIGINT) AS o_orderkey, "
+        "CAST(o.order_day AS BIGINT) AS order_day, "
+        "CAST(sum(li.rev_e4) AS BIGINT) AS revenue_e4 "
+        "FROM li JOIN o ON o.o_orderkey = li.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        f"AND c.c_mktsegment = '{Q3_SEGMENT}' "
+        "GROUP BY li.l_orderkey, o.order_day "
+        f"ORDER BY revenue_e4 DESC, o_orderkey LIMIT {Q3_TOPK}")
