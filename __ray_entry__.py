@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survivorship": an.q_survivorship,
         "ntile_orders": r.q_ntile_orders,
         "q3_shipping": an.q_q3_shipping,
+        "window_distinct": r.q_window_distinct,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -974,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "survivorship": an.sql_survivorship(),
         "ntile_orders": r.sql_ntile_orders(),
         "q3_shipping": an.sql_q3_shipping(),
+        "window_distinct": r.sql_window_distinct(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

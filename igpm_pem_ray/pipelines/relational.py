@@ -5467,3 +5467,66 @@ def sql_ntile_orders() -> str:
         "CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(min(cents) AS BIGINT) AS lo_e2, "
         "CAST(max(cents) AS BIGINT) AS hi_e2 FROM t GROUP BY bin")
+
+
+# ---------------- trailing-window distinct users ----------------
+
+WD_WINDOW_D = 7
+
+
+def q_window_distinct(sf_dir: str):
+    """Exact trailing-7-day distinct users per day (rolling DAU->WAU):
+    distinct counts are NOT decomposable over a sliding window, so the
+    scalable exact plan explodes each (user, day) presence into the
+    WD_WINDOW_D windows it can serve, dedups per (window, user) with
+    one groupby, and counts per window — shuffle volume is
+    window_size * distinct-presences, the standard exact-rolling-
+    distinct trade documented in stream-processing texts (the approx
+    alternative is the repo's HLL sketch).  Only windows fully inside
+    the data range are reported (no partial leading windows)."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["user_id"].cast(pa.int64()),
+                         "day": _ts_us(b) // DAY_US})
+
+    days = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    lo = int(days.min("day"))
+    hi = int(days.max("day"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False)
+        offs = np.arange(WD_WINDOW_D, dtype=np.int64)
+        w = (d[:, None] + offs[None, :]).ravel()
+        uu = np.repeat(u, WD_WINDOW_D)
+        keep = (w >= lo + WD_WINDOW_D - 1) & (w <= hi)
+        return pa.table({"w": w[keep], "u": uu[keep]})
+
+    uniq = days.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["w", "u"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    return uniq.map_batches(
+        lambda b: pa.table({"window_end_day": b["w"],
+                            "one": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("window_end_day").aggregate(
+            Sum("one", alias_name="n_distinct_users"))
+
+
+def sql_window_distinct() -> str:
+    return (
+        f"WITH d AS (SELECT DISTINCT user_id AS u, "
+        f"epoch_us(ts) // {DAY_US} AS day FROM events), "
+        "r AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+        f"x AS (SELECT d.day + o.range AS w, d.u FROM d, "
+        f"range({WD_WINDOW_D}) o, r "
+        f"WHERE d.day + o.range >= r.lo + {WD_WINDOW_D - 1} "
+        "AND d.day + o.range <= r.hi) "
+        "SELECT CAST(w AS BIGINT) AS window_end_day, "
+        "CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_users "
+        "FROM x GROUP BY w")
