@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_orders": r.q_ntile_orders,
         "q3_shipping": an.q_q3_shipping,
         "window_distinct": r.q_window_distinct,
+        "calibration_bins": r.q_calibration_bins,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -976,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile_orders": r.sql_ntile_orders(),
         "q3_shipping": an.sql_q3_shipping(),
         "window_distinct": r.sql_window_distinct(),
+        "calibration_bins": r.sql_calibration_bins(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -5530,3 +5530,78 @@ def sql_window_distinct() -> str:
         "SELECT CAST(w AS BIGINT) AS window_end_day, "
         "CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_users "
         "FROM x GROUP BY w")
+
+
+# ---------------- calibration bins (reliability diagram) ----------------
+
+CALIB_BINS = 10
+
+
+def q_calibration_bins(sf_dir: str):
+    """Reliability-diagram table for a score used as a probability —
+    the calibration companion to q_auc_exact (AUC measures ranking,
+    calibration measures the probabilities themselves): min-max
+    normalize the order-total score to p_hat in [0, 1e6], bin into 10
+    fixed-width bins, and per bin report support, positives, observed
+    rate and mean predicted value.  A calibrated scorer has
+    pos_rate_e6 tracking avg_p_e6 along the diagonal.  Two scalar
+    aggregates + one vectorized pass + one tiny groupby; rates as
+    truncated integer ratios (non-negative, so python and DuckDB //
+    agree)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"].to_pandas()
+        pos = prio.str.startswith(("1-", "2-")).to_numpy()
+        return pa.table({"cents": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "pos": pos.astype(np.int64)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo = int(rows.min("cents"))
+    hi = int(rows.max("cents"))
+    span = hi - lo + 1
+
+    def binned(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        p_e6 = 1_000_000 * (c - lo) // span
+        return pa.table({"bin": p_e6 * CALIB_BINS // 1_000_000,
+                         "one": np.ones(len(c), np.int64),
+                         "pos": b["pos"], "p_e6": p_e6})
+
+    agg = rows.map_batches(binned, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("bin").aggregate(Sum("one", alias_name="n"),
+                                  Sum("pos", alias_name="n_pos"),
+                                  Sum("p_e6", alias_name="sum_p_e6"))
+
+    def rates(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        npos = b["n_pos"].to_numpy(zero_copy_only=False)
+        sp = b["sum_p_e6"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": b["bin"], "n": n, "n_pos": npos,
+                         "pos_rate_e6": 1_000_000 * npos // n,
+                         "avg_p_e6": sp // n})
+
+    return agg.map_batches(rates, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_calibration_bins() -> str:
+    return (
+        "WITH o AS (SELECT CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) "
+        "AS cents, CASE WHEN o_orderpriority LIKE '1-%' "
+        "OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END AS pos "
+        "FROM orders), "
+        "r AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 "
+        "AS span FROM o), "
+        "b AS (SELECT 1000000 * (cents - r.lo) // r.span AS p_e6, pos "
+        "FROM o, r) "
+        f"SELECT CAST(p_e6 * {CALIB_BINS} // 1000000 AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS pos_rate_e6, "
+        "CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6 "
+        f"FROM b GROUP BY p_e6 * {CALIB_BINS} // 1000000")
