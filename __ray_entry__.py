@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": an.q_q3_shipping,
         "window_distinct": r.q_window_distinct,
         "calibration_bins": r.q_calibration_bins,
+        "closure_rate": g.q_closure_rate,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -978,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": an.sql_q3_shipping(),
         "window_distinct": r.sql_window_distinct(),
         "calibration_bins": r.sql_calibration_bins(),
+        "closure_rate": g.sql_closure_rate(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -3917,3 +3917,130 @@ def sql_sssp_parents(n_iters: int = SSSP_ITERS) -> str:
             f" SELECT b.v AS vid, b.d AS dist, "
             "CAST(coalesce(c.parent, -1) AS BIGINT) AS parent "
             f"FROM {fin} b LEFT JOIN cand c ON c.vid = b.v ORDER BY vid")
+
+
+# ---------- triadic closure rate between time halves ----------
+
+def q_closure_rate(sf_dir: str) -> pa.Table:
+    """Triadic closure rate — the link-formation mechanism test: of
+    the edges that FIRST appear in the second half of the time range,
+    what fraction close a wedge (two-path) that already existed in the
+    first half?  Edge birth day = min order day over the pair's shared
+    orders, thinned by the shared keep-hash to bound the wedge join.
+    Plan: one (pair -> min day) groupby, the epoch split from two
+    scalar aggregates, a mid-keyed wedge self-join of the first-half
+    edges (deg^2 fan-out — hub-split at web scale, same note as
+    q_two_hop), one hash join against the new edges, one-row int64
+    summary with a truncated-ratio rate."""
+    from ray.data.aggregate import Count, Min as _Min
+    from igpm_pem_ray.pipelines.common import read_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "ok": b["o_orderkey"].cast(pa.int64()),
+            "t": b["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    inc = li.groupby(["l_orderkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_n")).drop_columns(["_n"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["l_orderkey"].cast(pa.int64()),
+            "p": b["l_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    wd = inc.join(orders, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("ok",)).materialize()
+    right = wd.map_batches(
+        lambda b: pa.table({"k2": b["k"], "p2": b["p"]}),
+        batch_format="pyarrow")
+    born = wd.join(right, join_type="inner", num_partitions=8,
+                   on=("k",), right_on=("k2",)) \
+        .map_batches(lambda b: (lambda s, d, t, m: pa.table({
+            "src": s[m], "dst": d[m], "t": t[m]}))(
+            b["p"].to_numpy(zero_copy_only=False),
+            b["p2"].to_numpy(zero_copy_only=False),
+            b["t"].to_numpy(zero_copy_only=False),
+            (b["p"].to_numpy(zero_copy_only=False)
+             < b["p2"].to_numpy(zero_copy_only=False))
+            & ((b["p"].to_numpy(zero_copy_only=False) * 31
+                + b["p2"].to_numpy(zero_copy_only=False) * 17) % 9 == 0)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(_Min("t", alias_name="t0")) \
+        .materialize()
+    lo = int(born.min("t0"))
+    hi = int(born.max("t0"))
+    mid = (lo + hi) // 2
+
+    e1 = born.map_batches(
+        lambda b: (lambda s, d, t, m: pa.table({"src": s[m], "dst": d[m]}))(
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False),
+            b["t0"].to_numpy(zero_copy_only=False),
+            b["t0"].to_numpy(zero_copy_only=False) <= mid),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    e2 = born.map_batches(
+        lambda b: (lambda s, d, t, m: pa.table({"na": s[m], "nb": d[m]}))(
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False),
+            b["t0"].to_numpy(zero_copy_only=False),
+            b["t0"].to_numpy(zero_copy_only=False) > mid),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    ue1 = e1.map_batches(
+        lambda b: pa.table({
+            "x": pa.concat_arrays([b["src"].combine_chunks(),
+                                   b["dst"].combine_chunks()]),
+            "y": pa.concat_arrays([b["dst"].combine_chunks(),
+                                   b["src"].combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = ue1.join(ue1.rename_columns({"x": "x2", "y": "y2"}),
+                    join_type="inner", num_partitions=8,
+                    on=("x",), right_on=("x2",)) \
+        .map_batches(lambda b: (lambda a, c, m: pa.table({
+            "na": a[m], "nb": c[m]}))(
+            b["y"].to_numpy(zero_copy_only=False),
+            b["y2"].to_numpy(zero_copy_only=False),
+            b["y"].to_numpy(zero_copy_only=False)
+            < b["y2"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["na", "nb"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    closing = e2.join(cand, join_type="inner", num_partitions=8,
+                      on=("na", "nb"), right_on=("na", "nb"))
+    n_new = e2.count()
+    n_close = closing.count()
+    return pa.table({
+        "n_new_edges": pa.array([n_new], pa.int64()),
+        "n_closing": pa.array([n_close], pa.int64()),
+        "closure_rate_e6": pa.array(
+            [1_000_000 * n_close // max(n_new, 1)], pa.int64())})
+
+
+def sql_closure_rate() -> str:
+    return (
+        f"WITH od AS (SELECT o_orderkey AS k, epoch_us(o_orderdate) "
+        f"// {_DAY_US} AS t FROM orders), "
+        "inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
+        "FROM lineitem), "
+        "born AS (SELECT a.p AS src, b.p AS dst, min(od.t) AS t0 "
+        "FROM inc a JOIN inc b ON a.k = b.k AND a.p < b.p "
+        "JOIN od ON od.k = a.k "
+        "WHERE (a.p*31 + b.p*17) % 9 = 0 GROUP BY a.p, b.p), "
+        "r AS (SELECT (min(t0) + max(t0)) // 2 AS mid FROM born), "
+        "e1 AS (SELECT src, dst FROM born, r WHERE t0 <= r.mid), "
+        "e2 AS (SELECT src AS na, dst AS nb FROM born, r "
+        "WHERE t0 > r.mid), "
+        "ue1 AS (SELECT src AS x, dst AS y FROM e1 "
+        "UNION ALL SELECT dst, src FROM e1), "
+        "cand AS (SELECT DISTINCT a.y AS na, b.y AS nb FROM ue1 a "
+        "JOIN ue1 b ON a.x = b.x AND a.y < b.y) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM e2) "
+        "AS n_new_edges, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM e2 JOIN cand "
+        "ON cand.na = e2.na AND cand.nb = e2.nb) AS n_closing, "
+        "CAST(1000000 * (SELECT count(*) FROM e2 JOIN cand "
+        "ON cand.na = e2.na AND cand.nb = e2.nb) "
+        "// greatest((SELECT count(*) FROM e2), 1) AS BIGINT) "
+        "AS closure_rate_e6")
