@@ -5605,3 +5605,97 @@ def sql_calibration_bins() -> str:
         "CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS pos_rate_e6, "
         "CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6 "
         f"FROM b GROUP BY p_e6 * {CALIB_BINS} // 1000000")
+
+
+# ---------------- score-distribution drift (two-sample chi-square) -------
+
+DRIFT_BINS = 10
+DRIFT_E6 = 10**6
+
+
+def q_score_drift(sf_dir: str):
+    """Data-drift monitor: two-sample chi-square between the order-
+    total score distributions of the first and second halves of the
+    order-date range, over DRIFT_BINS fixed-width global bins — the
+    integer-exact sibling of PSI (which needs ln).  One vectorized
+    pass bins every order into a (half, bin) cell, one tiny groupby,
+    then the chi-square is summed on the driver in unbounded Python
+    ints with the repo's half-up convention ((2*num+den)//(2*den)),
+    matching the HUGEINT oracle bit for bit."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"day": day,
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    dlo, dhi = int(rows.min("day")), int(rows.max("day"))
+    clo, chi_ = int(rows.min("cents")), int(rows.max("cents"))
+    mid = (dlo + dhi) // 2
+    span = chi_ - clo + 1
+
+    def cells(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"half": (d > mid).astype(np.int64),
+                         "bin": (c - clo) * DRIFT_BINS // span,
+                         "one": np.ones(len(d), np.int64)})
+
+    obs_pdf = rows.map_batches(cells, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby(["half", "bin"]).aggregate(Sum("one", alias_name="o")) \
+        .to_pandas()
+    obs = {(int(h), int(bn)): int(o) for h, bn, o in
+           zip(obs_pdf["half"], obs_pdf["bin"], obs_pdf["o"])}
+    halves = sorted({h for h, _ in obs})
+    bins = sorted({bn for _, bn in obs})
+    row = {h: sum(v for (a, _), v in obs.items() if a == h)
+           for h in halves}
+    col = {bn: sum(v for (_, b2), v in obs.items() if b2 == bn)
+           for bn in bins}
+    n = sum(obs.values())
+    chi2_e6 = 0
+    for h in halves:
+        for bn in bins:
+            o = obs.get((h, bn), 0)
+            num = (o * n - row[h] * col[bn]) ** 2 * DRIFT_E6
+            den = row[h] * col[bn] * n
+            chi2_e6 += (2 * num + den) // (2 * den)
+    dof = (len(halves) - 1) * (len(bins) - 1)
+    return pa.table({"chi2_e6": pa.array([chi2_e6], pa.int64()),
+                     "dof": pa.array([dof], pa.int64())})
+
+
+def sql_score_drift() -> str:
+    return (
+        "WITH o0 AS (SELECT epoch_us(o_orderdate) // "
+        f"{DAY_US} AS day, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "rng AS (SELECT (min(day) + max(day)) // 2 AS mid, "
+        "min(cents) AS clo, max(cents) - min(cents) + 1 AS span "
+        "FROM o0), "
+        "b AS (SELECT CASE WHEN day > rng.mid THEN 1 ELSE 0 END AS half, "
+        f"(cents - rng.clo) * {DRIFT_BINS} // rng.span AS bin "
+        "FROM o0, rng), "
+        "o AS (SELECT half, bin, count(*) AS o FROM b GROUP BY 1, 2), "
+        "r AS (SELECT half, count(*) AS r FROM b GROUP BY 1), "
+        "c AS (SELECT bin, count(*) AS c FROM b GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM b), "
+        "cells AS (SELECT r.half, c.bin, COALESCE(o.o, 0) AS o, r.r, "
+        "c.c, (SELECT n FROM n) AS n FROM r CROSS JOIN c "
+        "LEFT JOIN o ON o.half = r.half AND o.bin = c.bin), "
+        "terms AS (SELECT (2*pn + den) // (2*den) AS t FROM ("
+        "SELECT (CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)"
+        "*(CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)"
+        f"*{DRIFT_E6} AS pn, "
+        "CAST(r AS HUGEINT)*c*n AS den FROM cells) q) "
+        "SELECT CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_e6, "
+        "CAST(((SELECT count(*) FROM r) - 1) * "
+        "((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof")
