@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins": r.q_calibration_bins,
         "closure_rate": g.q_closure_rate,
         "score_drift": r.q_score_drift,
+        "cohort_matrix": r.q_cohort_matrix,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -982,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": r.sql_calibration_bins(),
         "closure_rate": g.sql_closure_rate(),
         "score_drift": r.sql_score_drift(),
+        "cohort_matrix": r.sql_cohort_matrix(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

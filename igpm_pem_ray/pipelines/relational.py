@@ -5699,3 +5699,56 @@ def sql_score_drift() -> str:
         "SELECT CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_e6, "
         "CAST(((SELECT count(*) FROM r) - 1) * "
         "((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof")
+
+
+# ---------------- weekly cohort retention matrix ----------------
+
+WEEK_US = 7 * DAY_US
+
+
+def q_cohort_matrix(sf_dir: str):
+    """Weekly cohort retention matrix — the 2-D growth-analytics grid
+    (rows = signup cohort week, columns = weeks-since offset, cell =
+    distinct users active): cohort week = each user's first active
+    week (one groupby(min)), activity deduped to (user, week) cells
+    (one groupby), one hash join assigns each activity cell to its
+    cohort, one counting groupby ends it.  Complements
+    q_user_retention's hour-to-next-hour curve with the full cohort
+    triangle; all int64."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["user_id"].cast(pa.int64()),
+                         "week": _ts_us(b) // WEEK_US})
+
+    uw = ev.map_batches(pre, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby(["u", "week"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+    first = uw.groupby("u").aggregate(Min("week", alias_name="w0")) \
+        .map_batches(lambda b: pa.table({"u2": b["u"], "w0": b["w0"]}),
+                     batch_format="pyarrow")
+    j = uw.join(first, join_type="inner", num_partitions=4,
+                on=("u",), right_on=("u2",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "cohort_week": b["w0"],
+            "offset_w": b["week"].to_numpy(zero_copy_only=False)
+            - b["w0"].to_numpy(zero_copy_only=False),
+            "one": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["cohort_week", "offset_w"]).aggregate(
+            Sum("one", alias_name="n_users"))
+
+
+def sql_cohort_matrix() -> str:
+    return (
+        f"WITH uw AS (SELECT DISTINCT user_id AS u, "
+        f"epoch_us(ts) // {WEEK_US} AS week FROM events), "
+        "f AS (SELECT u, min(week) AS w0 FROM uw GROUP BY u) "
+        "SELECT CAST(f.w0 AS BIGINT) AS cohort_week, "
+        "CAST(uw.week - f.w0 AS BIGINT) AS offset_w, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM uw JOIN f ON f.u = uw.u GROUP BY f.w0, uw.week - f.w0")
