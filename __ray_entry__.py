@@ -678,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closure_rate": g.q_closure_rate,
         "score_drift": r.q_score_drift,
         "cohort_matrix": r.q_cohort_matrix,
+        "above_own_avg": r.q_above_own_avg,
+        "cum_uniques": r.q_cum_uniques,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -984,6 +986,8 @@ def oracle_sql() -> dict[str, str]:
         "closure_rate": g.sql_closure_rate(),
         "score_drift": r.sql_score_drift(),
         "cohort_matrix": r.sql_cohort_matrix(),
+        "above_own_avg": r.sql_above_own_avg(),
+        "cum_uniques": r.sql_cum_uniques(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -5752,3 +5752,115 @@ def sql_cohort_matrix() -> str:
         "CAST(uw.week - f.w0 AS BIGINT) AS offset_w, "
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM uw JOIN f ON f.u = uw.u GROUP BY f.w0, uw.week - f.w0")
+
+
+# ---------------- correlated aggregate: above own average ----------------
+
+def q_above_own_avg(sf_dir: str):
+    """Correlated-aggregate filter — orders priced strictly above their
+    OWN customer's average (the `WHERE x > (SELECT avg ... correlated)`
+    shape): per-customer (sum, n) from one groupby joins back to the
+    rows, and the comparison is the integer cross-multiplication
+    cents * n > sum_cents — no division, no float, exact.  Output per
+    priority: orders, above-own-average orders.  The join-back is the
+    standard decorrelation every optimizer applies; here it is
+    explicit and the broadcast side stays a Dataset."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "prio": b["o_orderpriority"],
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0),
+                         "one": np.ones(b.num_rows, np.int64)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    per_cust = rows.groupby("ck").aggregate(
+        Sum("cents", alias_name="s"), Sum("one", alias_name="n")) \
+        .map_batches(lambda b: pa.table({"ck2": b["ck"], "s": b["s"],
+                                         "n": b["n"]}),
+                     batch_format="pyarrow")
+    j = rows.join(per_cust, join_type="inner", num_partitions=4,
+                  on=("ck",), right_on=("ck2",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"prio": b["prio"],
+                         "one": np.ones(len(c), np.int64),
+                         "above": (c * n > s).astype(np.int64)})
+
+    return j.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("prio").aggregate(Sum("one", alias_name="n_orders"),
+                                   Sum("above", alias_name="n_above"))
+
+
+def sql_above_own_avg() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, o_orderpriority AS prio, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "g AS (SELECT ck, sum(cents) AS s, count(*) AS n FROM o "
+        "GROUP BY ck) "
+        "SELECT o.prio, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CASE WHEN o.cents * g.n > g.s THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_above "
+        "FROM o JOIN g ON g.ck = o.ck GROUP BY o.prio")
+
+
+# ---------------- cumulative distinct users per day ----------------
+
+def q_cum_uniques(sf_dir: str):
+    """Cumulative distinct users by day (the audience-growth curve):
+    a user contributes on their FIRST active day only, so the curve is
+    the running sum of per-day first-appearance counts — one
+    groupby(min) for first days, one tiny per-day groupby, then the
+    cumsum boundary-carry scan (blocks never move).  Days with no new
+    users simply inherit the previous value at read time; only days
+    with >= 1 first appearance emit a row (same in the oracle)."""
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["user_id"].cast(pa.int64()),
+                         "day": _ts_us(b) // DAY_US})
+
+    firsts = ev.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("u").aggregate(Min("day", alias_name="d0"))
+    per_day = firsts.map_batches(
+        lambda b: pa.table({"key": np.zeros(b.num_rows, np.int64),
+                            "us": b["d0"].cast(pa.int64()),
+                            "val": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("us").aggregate(Sum("val", alias_name="n_new"))
+    rows = per_day.map_batches(
+        lambda b: pa.table({"key": np.zeros(b.num_rows, np.int64),
+                            "us": b["us"].cast(pa.int64()),
+                            "val": b["n_new"].cast(pa.int64()),
+                            "n_new": b["n_new"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cum = cumsum_per_key(rows, payload_cols=["n_new"], order_cols=("us",))
+    return cum.map_batches(
+        lambda b: pa.table({"day": b["us"], "n_new": b["n_new"],
+                            "cum_users": b["cum_val"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_cum_uniques() -> str:
+    return (
+        f"WITH f AS (SELECT user_id AS u, min(epoch_us(ts) // {DAY_US}) "
+        "AS d0 FROM events GROUP BY user_id), "
+        "d AS (SELECT d0 AS day, count(*) AS n_new FROM f GROUP BY d0) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        "CAST(n_new AS BIGINT) AS n_new, "
+        "CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum_users FROM d")
