@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_matrix": r.q_cohort_matrix,
         "above_own_avg": r.q_above_own_avg,
         "cum_uniques": r.q_cum_uniques,
+        "minhash_acc": an.q_minhash_acc,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -988,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_matrix": r.sql_cohort_matrix(),
         "above_own_avg": r.sql_above_own_avg(),
         "cum_uniques": r.sql_cum_uniques(),
+        "minhash_acc": an.sql_minhash_acc(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

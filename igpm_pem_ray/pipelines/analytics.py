@@ -4141,3 +4141,156 @@ def sql_q3_shipping() -> str:
         f"AND c.c_mktsegment = '{Q3_SEGMENT}' "
         "GROUP BY li.l_orderkey, o.order_day "
         f"ORDER BY revenue_e4 DESC, o_orderkey LIMIT {Q3_TOPK}")
+
+
+# ---------------- MinHash sketch accuracy evaluation ----------------
+
+MH_K = 32
+MH_P = 2_147_483_647
+MH_DOC_MOD = 17  # deterministic doc subset cap for the eval
+MH_N = 3          # word-n-gram shingles (q_jaccard_pairs convention)
+
+
+def q_minhash_acc(sf_dir: str):
+    """MinHash sketch accuracy audit — 'verify the sketch against
+    ground truth' for the near-dup family: on a deterministic doc
+    subset, build K=32 minhash components per doc (md5-based gram
+    hash, so both engines hash identically; the production near-dup
+    path uses the faster non-SQL-replicable hash_array and is
+    rows-only for that reason), and report per pair the TRUE shingle
+    intersection/union next to the number of matching components —
+    E[matches]/K estimates Jaccard.  Signatures stay a (doc, k, h)
+    Dataset: per-component mins via one groupby, matches via one
+    (k, h) self-join, truth via the inverted-index gram join."""
+    import hashlib
+    from ray.data.aggregate import Count, Min as _Min
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: (lambda d, m: pa.table({
+            "doc_id": d[m], "text": b["text"].filter(pa.array(m))}))(
+            b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            % MH_DOC_MOD == 0),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            toks = [t for t in (txt or "").split() if t]
+            if len(toks) < MH_N:
+                cand = {" ".join(toks)} if toks else set()
+            else:
+                cand = {" ".join(toks[i:i + MH_N])
+                        for i in range(len(toks) - MH_N + 1)}
+            for g in cand:
+                ids.append(did)
+                gs.append(g)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(gs, pa.string())})
+
+    gd = docs.map_batches(grams, batch_format="pyarrow").materialize()
+
+    def hashed(b: pa.Table) -> pa.Table:
+        m = np.array([int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                      for g in b["gram"].to_pylist()], np.int64)
+        ks = np.arange(MH_K, dtype=np.int64)
+        h = (m[:, None] * (2 * ks + 1)[None, :]
+             + (10_007 * ks)[None, :]) % MH_P
+        return pa.table({
+            "doc_id": np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), MH_K),
+            "k": np.tile(ks, b.num_rows),
+            "h": h.ravel()})
+
+    sig = gd.map_batches(hashed, batch_format="pyarrow") \
+        .groupby(["doc_id", "k"]).aggregate(_Min("h", alias_name="h")) \
+        .materialize()
+
+    est = sig.join(sig.rename_columns({"doc_id": "doc_b", "k": "k2",
+                                       "h": "h2"}),
+                   join_type="inner", num_partitions=4,
+                   on=("k", "h"), right_on=("k2", "h2")) \
+        .map_batches(lambda b: (lambda a, c, m: pa.table({
+            "da": a[m], "db": c[m]}))(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+            b["doc_id"].to_numpy(zero_copy_only=False)
+            < b["doc_b"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["da", "db"]).aggregate(Count(alias_name="est_matches"))
+
+    sz = gd.groupby("doc_id").aggregate(Count(alias_name="n"))
+    inter = gd.join(gd.rename_columns({"doc_id": "doc_b",
+                                       "gram": "gram2"}),
+                    join_type="inner", num_partitions=4,
+                    on=("gram",), right_on=("gram2",)) \
+        .map_batches(lambda b: (lambda a, c, m: pa.table({
+            "da": a[m], "db": c[m]}))(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+            b["doc_id"].to_numpy(zero_copy_only=False)
+            < b["doc_b"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["da", "db"]).aggregate(Count(alias_name="inter"))
+
+    # the doc subset is capped (MH_DOC_MOD), so the per-pair frames
+    # are O(subset^2) tiny — merge them on the driver (the distributed
+    # work above is the gram/signature construction over the corpus)
+    pi = inter.to_pandas()
+    pe = est.to_pandas()
+    ps = sz.to_pandas()
+    if not len(pi):  # empty groupby -> column-less frame (gotcha)
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ("doc_a", "doc_b", "inter",
+                                   "union_n", "est_matches")})
+    szm = dict(zip(ps["doc_id"].astype(np.int64),
+                   ps["n"].astype(np.int64)))
+    em = {(int(a), int(b)): int(c) for a, b, c in
+          zip(pe.get("da", []), pe.get("db", []),
+              pe.get("est_matches", []))}
+    da = pi["da"].to_numpy().astype(np.int64)
+    db = pi["db"].to_numpy().astype(np.int64)
+    ic = pi["inter"].to_numpy().astype(np.int64)
+    return pa.table({
+        "doc_a": da, "doc_b": db, "inter": ic,
+        "union_n": np.array([szm[a] + szm[b] for a, b in zip(da, db)],
+                            np.int64) - ic,
+        "est_matches": np.array([em.get((a, b), 0)
+                                 for a, b in zip(da, db)], np.int64)})
+
+
+def sql_minhash_acc() -> str:
+    return (
+        r"WITH docs AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {MH_DOC_MOD} = 0), "
+        r"t AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
+        "AS toks FROM docs), "
+        "ix AS (SELECT doc_id, toks, "
+        f"unnest(generate_series(1, greatest(len(toks)-{MH_N - 1}, 1))) "
+        "AS i FROM t), "
+        f"g AS (SELECT doc_id, CASE WHEN len(toks) < {MH_N} "
+        "THEN array_to_string(toks, ' ') "
+        f"ELSE array_to_string(toks[i:i+{MH_N - 1}], ' ') END AS gram "
+        "FROM ix), "
+        "gd AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram <> ''), "
+        "mh AS (SELECT doc_id, k.range AS k, "
+        "min((CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) "
+        f"* (2*k.range + 1) + 10007*k.range) % {MH_P}) AS h "
+        f"FROM gd, range({MH_K}) k GROUP BY doc_id, k.range), "
+        "est AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+        "FROM mh a JOIN mh b ON a.k = b.k AND a.h = b.h "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+        "FROM gd a JOIN gd b ON a.gram = b.gram "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT CAST(i.da AS BIGINT) AS doc_a, "
+        "CAST(i.db AS BIGINT) AS doc_b, "
+        "CAST(i.c AS BIGINT) AS inter, "
+        "CAST(sa.n + sb.n - i.c AS BIGINT) AS union_n, "
+        "CAST(coalesce(e.c, 0) AS BIGINT) AS est_matches "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.da "
+        "JOIN sz sb ON sb.doc_id = i.db "
+        "LEFT JOIN est e ON e.da = i.da AND e.db = i.db")
