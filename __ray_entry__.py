@@ -681,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_own_avg": r.q_above_own_avg,
         "cum_uniques": r.q_cum_uniques,
         "minhash_acc": an.q_minhash_acc,
+        "conductance": g.q_conductance,
+        "friendship_paradox": g.q_friendship_paradox,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -990,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "above_own_avg": r.sql_above_own_avg(),
         "cum_uniques": r.sql_cum_uniques(),
         "minhash_acc": an.sql_minhash_acc(),
+        "conductance": g.sql_conductance(),
+        "friendship_paradox": g.sql_friendship_paradox(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

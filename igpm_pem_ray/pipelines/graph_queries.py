@@ -4044,3 +4044,153 @@ def sql_closure_rate() -> str:
         "ON cand.na = e2.na AND cand.nb = e2.nb) "
         "// greatest((SELECT count(*) FROM e2), 1) AS BIGINT) "
         "AS closure_rate_e6")
+
+
+# ---------- community conductance (per-brand cut quality) ----------
+
+def q_conductance(sf_dir: str) -> pa.Table:
+    """Conductance of each brand-induced vertex community on the
+    co-occurrence graph — the standard cut-quality score phi(S) =
+    cut(S) / min(vol(S), 2m - vol(S)), reported as exact integer
+    (cut, vol) pairs plus phi scaled e6 by truncated division, so no
+    float ever enters.  Plan: part->brand map broadcast once
+    (ray.put), one pass tags each edge's endpoints, per-brand cut/vol
+    from two tiny groupbys.  Communities here are labels, not
+    detected — the metric that VALIDATES a community detector."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+    from igpm_pem_ray.pipelines.common import read_table
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    bmap = dict(zip(parts["p_partkey"].astype(np.int64),
+                    parts["p_brand"]))
+    brands = sorted(set(bmap.values()))
+    bidx = {b: i for i, b in enumerate(brands)}
+    arr = np.full(int(parts["p_partkey"].max()) + 1, -1, np.int64)
+    for k, b in bmap.items():
+        arr[k] = bidx[b]
+    ref = _ray.put(arr)
+
+    edges = cooccurrence_edges(sf_dir)
+
+    def tag(b: pa.Table, _ref=ref) -> pa.Table:
+        a = _ray.get(_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        bs, bd = a[s], a[d]
+        cross = (bs != bd).astype(np.int64)
+        return pa.table({
+            "brand": np.concatenate([bs, bd]),
+            "vol": np.ones(2 * len(s), np.int64),
+            "cut": np.concatenate([cross, cross])})
+
+    agg = edges.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("brand").aggregate(_Sum("vol", alias_name="vol"),
+                                    _Sum("cut", alias_name="cut"))
+    pdf = agg.to_pandas().sort_values("brand")
+    vol = pdf["vol"].to_numpy().astype(np.int64)
+    cut = pdf["cut"].to_numpy().astype(np.int64)
+    two_m = int(vol.sum())
+    den = np.minimum(vol, two_m - vol)
+    phi = np.where(den > 0, 1_000_000 * cut // np.maximum(den, 1), 0)
+    return pa.table({
+        "brand": pa.array([brands[i] for i in pdf["brand"]], pa.string()),
+        "vol": vol, "cut": cut, "phi_e6": phi})
+
+
+def sql_conductance() -> str:
+    return _with_edges(
+        "lab AS (SELECT p_partkey AS k, p_brand AS b FROM part), "
+        "te AS (SELECT ls.b AS bs, ld.b AS bd FROM edges e "
+        "JOIN lab ls ON ls.k = e.src JOIN lab ld ON ld.k = e.dst), "
+        "sides AS (SELECT bs AS brand, "
+        "CASE WHEN bs != bd THEN 1 ELSE 0 END AS cut FROM te "
+        "UNION ALL SELECT bd AS brand, "
+        "CASE WHEN bs != bd THEN 1 ELSE 0 END AS cut FROM te), "
+        "agg AS (SELECT brand, count(*) AS vol, sum(cut) AS cut "
+        "FROM sides GROUP BY brand), "
+        "m AS (SELECT sum(vol) AS two_m FROM agg) "
+        "SELECT brand, CAST(vol AS BIGINT) AS vol, "
+        "CAST(cut AS BIGINT) AS cut, "
+        "CAST(CASE WHEN least(vol, m.two_m - vol) > 0 "
+        "THEN 1000000 * cut // least(vol, m.two_m - vol) "
+        "ELSE 0 END AS BIGINT) AS phi_e6 "
+        "FROM agg, m")
+
+
+# ---------- friendship paradox ----------
+
+def q_friendship_paradox(sf_dir: str) -> pa.Table:
+    """Friendship-paradox census: how many vertices have strictly
+    fewer connections than the AVERAGE of their neighbors (Feld's
+    classic 'your friends have more friends than you')?  Exact
+    integer comparison deg(v) * n_nbrs(v) < sum of neighbor degrees —
+    no division.  One degree groupby joined back across the edge list
+    (degree vector broadcast via ray.put), one (vertex) sum groupby,
+    one counting reduce; reports the paradox fraction e6."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": np.concatenate([s, d])})
+
+    from ray.data.aggregate import Count as _Count
+
+    degp = edges.map_batches(both, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("vid").aggregate(_Count(alias_name="deg")).to_pandas()
+    dv = np.zeros(int(degp["vid"].max()) + 1, np.int64)
+    dv[degp["vid"].to_numpy()] = degp["deg"].to_numpy()
+    ref = _ray.put(dv)
+
+    def nbr(b: pa.Table, _ref=ref) -> pa.Table:
+        d = _ray.get(_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": np.concatenate([s, t]),
+                         "nd": np.concatenate([d[t], d[s]])})
+
+    per_v = edges.map_batches(nbr, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("vid").aggregate(_Sum("nd", alias_name="snd"),
+                                  _Count(alias_name="n_nbrs"))
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        d = _ray.get(_ref)
+        v = b["vid"].to_numpy(zero_copy_only=False)
+        snd = b["snd"].to_numpy(zero_copy_only=False)
+        nn = b["n_nbrs"].to_numpy(zero_copy_only=False)
+        par = d[v] * nn < snd
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "p": pa.array([int(par.sum())], pa.int64())})
+
+    pr = per_v.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n = int(pr.sum("n") or 0)
+    p = int(pr.sum("p") or 0)
+    return pa.table({
+        "n_vertices": pa.array([n], pa.int64()),
+        "n_paradox": pa.array([p], pa.int64()),
+        "frac_e6": pa.array([1_000_000 * p // max(n, 1)], pa.int64())})
+
+
+def sql_friendship_paradox() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT x AS vid, count(*) AS d FROM ue GROUP BY x), "
+        "nb AS (SELECT u.x AS vid, sum(dd.d) AS snd, count(*) AS nn "
+        "FROM ue u JOIN deg dd ON dd.vid = u.y GROUP BY u.x), "
+        "t AS (SELECT count(*) AS n, sum(CASE WHEN dv.d * nb.nn < nb.snd "
+        "THEN 1 ELSE 0 END) AS p FROM nb JOIN deg dv "
+        "ON dv.vid = nb.vid) "
+        "SELECT CAST(n AS BIGINT) AS n_vertices, "
+        "CAST(p AS BIGINT) AS n_paradox, "
+        "CAST(1000000 * p // greatest(n, 1) AS BIGINT) AS frac_e6 "
+        "FROM t")
