@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_acc": an.q_minhash_acc,
         "conductance": g.q_conductance,
         "friendship_paradox": g.q_friendship_paradox,
+        "except_all": r.q_except_all,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -994,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_acc": an.sql_minhash_acc(),
         "conductance": g.sql_conductance(),
         "friendship_paradox": g.sql_friendship_paradox(),
+        "except_all": r.sql_except_all(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -5864,3 +5864,67 @@ def sql_cum_uniques() -> str:
         "CAST(n_new AS BIGINT) AS n_new, "
         "CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) "
         "AS BIGINT) AS cum_users FROM d")
+
+
+# ---------------- EXCEPT ALL (multiset difference) ----------------
+
+def q_except_all(sf_dir: str):
+    """Multiset difference EXCEPT ALL between the two halves of the
+    order-date range over (custkey, priority) rows — the bag-semantics
+    set op UNION/INTERSECT-style queries miss: surviving multiplicity
+    = max(c_first - c_second, 0).  One (key, half) counting groupby,
+    one vectorized difference — no join, no row replication; rows with
+    zero surviving multiplicity are dropped (same as SQL EXCEPT ALL's
+    empty contribution)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "prio": b["o_orderpriority"],
+                         "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    agg = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "ck": b["ck"], "prio": b["prio"],
+            "c1": (d <= mid).astype(np.int64),
+            "c2": (d > mid).astype(np.int64)}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["ck", "prio"]).aggregate(
+            Sum("c1", alias_name="n_first"),
+            Sum("c2", alias_name="n_second"))
+
+    def diff(b: pa.Table) -> pa.Table:
+        c1 = b["n_first"].to_numpy(zero_copy_only=False)
+        c2 = b["n_second"].to_numpy(zero_copy_only=False)
+        surv = np.maximum(c1 - c2, 0)
+        keep = surv > 0
+        return pa.table({"custkey": b["ck"].filter(pa.array(keep)),
+                         "prio": b["prio"].filter(pa.array(keep)),
+                         "multiplicity": surv[keep]})
+
+    return agg.map_batches(diff, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_except_all() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, o_orderpriority AS prio, "
+        f"epoch_us(o_orderdate) // {DAY_US} AS day FROM orders), "
+        "r AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o), "
+        "c AS (SELECT ck, prio, "
+        "sum(CASE WHEN day <= r.mid THEN 1 ELSE 0 END) AS c1, "
+        "sum(CASE WHEN day > r.mid THEN 1 ELSE 0 END) AS c2 "
+        "FROM o, r GROUP BY ck, prio) "
+        "SELECT CAST(ck AS BIGINT) AS custkey, prio, "
+        "CAST(c1 - c2 AS BIGINT) AS multiplicity "
+        "FROM c WHERE c1 > c2")
