@@ -5928,3 +5928,73 @@ def sql_except_all() -> str:
         "SELECT CAST(ck AS BIGINT) AS custkey, prio, "
         "CAST(c1 - c2 AS BIGINT) AS multiplicity "
         "FROM c WHERE c1 > c2")
+
+
+# ---------------- KMV (k-minimum-values) distinct sketch ----------------
+
+KMV_K = 64
+KMV_A = 1_103_515_245
+KMV_P = 2_147_483_647  # 2^31 - 1; h*h < 2^62
+
+
+def _kmv_hash(keys: np.ndarray) -> np.ndarray:
+    """Quadratic-mix hash to [0, P) — affine alone is low-discrepancy
+    on consecutive ids (see _agms_signs), which would bias the kth
+    minimum badly."""
+    h = (keys * KMV_A + 99_991) % KMV_P
+    return (h * h + h) % KMV_P
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch over
+    event users — the order-statistics alternative to the repo's HLL:
+    keep the K smallest hash values; estimate = (K-1) * P // h_(K)
+    (Bar-Yossef et al.), exact integer arithmetic so the oracle
+    hash-matches.  Plan: each block emits its own bottom-K partial
+    (vectorized np.partition), one tiny merge block re-selects the
+    global bottom-K — mergeability is the whole point of the sketch.
+    Reports the estimate next to the exact distinct count."""
+    from ray.data.aggregate import Count
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+
+    def bottomk(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        h = np.unique(_kmv_hash(u))
+        return pa.table({"h": h[:KMV_K]})
+
+    mins = ev.map_batches(bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(lambda b: pa.table({
+            "h": np.unique(b["h"].to_numpy(zero_copy_only=False))[:KMV_K]}),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True).to_pandas()
+    hs = mins["h"].to_numpy()
+    kth = int(hs[KMV_K - 1]) if len(hs) >= KMV_K else None
+    est = (KMV_K - 1) * KMV_P // kth if kth else len(hs)
+
+    exact = int(ev.groupby("user_id").aggregate(Count(alias_name="_n"))
+                .count())
+    return pa.table({
+        "est_distinct": pa.array([est], pa.int64()),
+        "true_distinct": pa.array([exact], pa.int64()),
+        "kth_min_hash": pa.array([kth if kth else -1], pa.int64())})
+
+
+def sql_kmv_distinct() -> str:
+    h0 = f"((user_id * {KMV_A} + 99991) % {KMV_P})"
+    h = f"(({h0} * {h0} + {h0}) % {KMV_P})"
+    return (
+        f"WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"hs AS (SELECT DISTINCT {h} AS h FROM u), "
+        f"bk AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}), "
+        "kth AS (SELECT CASE WHEN (SELECT count(*) FROM bk) >= "
+        f"{KMV_K} THEN (SELECT max(h) FROM bk) ELSE NULL END AS k) "
+        "SELECT CAST(CASE WHEN kth.k IS NOT NULL THEN "
+        f"CAST({(KMV_K - 1)} AS BIGINT) * {KMV_P} // kth.k "
+        "ELSE (SELECT count(*) FROM bk) END AS BIGINT) AS est_distinct, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM u) AS true_distinct, "
+        "CAST(coalesce(kth.k, -1) AS BIGINT) AS kth_min_hash "
+        "FROM kth")
