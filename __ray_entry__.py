@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "friendship_paradox": g.q_friendship_paradox,
         "except_all": r.q_except_all,
         "kmv_distinct": r.q_kmv_distinct,
+        "bipartite_check": g.q_bipartite_check,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -998,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "friendship_paradox": g.sql_friendship_paradox(),
         "except_all": r.sql_except_all(),
         "kmv_distinct": r.sql_kmv_distinct(),
+        "bipartite_check": g.sql_bipartite_check(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

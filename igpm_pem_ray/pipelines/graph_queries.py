@@ -4194,3 +4194,65 @@ def sql_friendship_paradox() -> str:
         "CAST(p AS BIGINT) AS n_paradox, "
         "CAST(1000000 * p // greatest(n, 1) AS BIGINT) AS frac_e6 "
         "FROM t")
+
+
+# ---------- bipartiteness check (odd-cycle witness census) ----------
+
+def q_bipartite_check(sf_dir: str) -> pa.Table:
+    """Two-colorability test on the BFS-reached subgraph: color each
+    vertex by BFS-level parity (graph/bfs.py levels, same cap as
+    q_bfs_levels) and count monochromatic edges — each one witnesses
+    an odd cycle, and zero of them on a fully-reached component
+    proves it bipartite.  One levels join across the edge list (level
+    table broadcast as a dense vector), per-block integer partials.
+    Reports checked/odd-edge counts and the bipartite verdict for the
+    reached subgraph."""
+    import ray as _ray
+    from igpm_pem_ray.graph import bfs as bfs_mod
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    t = bfs_mod.bfs_levels(edges, max_depth=BFS_MAX_DEPTH)
+    vids = t["vid"].to_numpy()
+    lvl = t["level"].to_numpy()
+    arr = np.full(int(vids.max()) + 1, -1, np.int64)
+    arr[vids] = lvl % 2
+    ref = _ray.put(arr)
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        c = _ray.get(_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        in_reach = (s < len(c)) & (d < len(c))
+        s, d = s[in_reach], d[in_reach]
+        both = (c[s] >= 0) & (c[d] >= 0)
+        odd = both & (c[s] == c[d])
+        return pa.table({"n_checked": pa.array([int(both.sum())],
+                                               pa.int64()),
+                         "n_odd": pa.array([int(odd.sum())], pa.int64())})
+
+    p = edges.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    checked = int(p.sum("n_checked") or 0)
+    odd = int(p.sum("n_odd") or 0)
+    return pa.table({
+        "n_edges_checked": pa.array([checked], pa.int64()),
+        "n_odd_edges": pa.array([odd], pa.int64()),
+        "is_bipartite": pa.array([int(odd == 0)], pa.int64())})
+
+
+def sql_bipartite_check() -> str:
+    return _with_edges(
+        "ue AS (SELECT src AS x, dst AS y FROM edges "
+        "UNION ALL SELECT dst AS x, src AS y FROM edges), "
+        "lv(v, d) AS (SELECT (SELECT MIN(src) FROM edges), 0 "
+        "UNION SELECT e.y, lv.d + 1 FROM lv JOIN ue e ON e.x = lv.v "
+        f"WHERE lv.d < {BFS_MAX_DEPTH}), "
+        "col AS (SELECT v, MIN(d) % 2 AS c FROM lv GROUP BY v), "
+        "t AS (SELECT count(*) AS checked, "
+        "sum(CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END) AS odd "
+        "FROM edges e JOIN col ca ON ca.v = e.src "
+        "JOIN col cb ON cb.v = e.dst) "
+        "SELECT CAST(checked AS BIGINT) AS n_edges_checked, "
+        "CAST(odd AS BIGINT) AS n_odd_edges, "
+        "CAST(CASE WHEN odd = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_bipartite FROM t")
