@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all": r.q_except_all,
         "kmv_distinct": r.q_kmv_distinct,
         "bipartite_check": g.q_bipartite_check,
+        "lorenz_deciles": r.q_lorenz_deciles,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1000,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "except_all": r.sql_except_all(),
         "kmv_distinct": r.sql_kmv_distinct(),
         "bipartite_check": g.sql_bipartite_check(),
+        "lorenz_deciles": r.sql_lorenz_deciles(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

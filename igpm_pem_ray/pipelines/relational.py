@@ -5998,3 +5998,75 @@ def sql_kmv_distinct() -> str:
         "(SELECT CAST(count(*) AS BIGINT) FROM u) AS true_distinct, "
         "CAST(coalesce(kth.k, -1) AS BIGINT) AS kth_min_hash "
         "FROM kth")
+
+
+# ---------------- Lorenz curve deciles ----------------
+
+LORENZ_K = 10
+
+
+def q_lorenz_deciles(sf_dir: str):
+    """Lorenz-curve table underlying the Gini coefficient
+    (q_gini_nation reports the scalar; this is the plot data): rank
+    customers by total spend, split into 10 equal-frequency groups,
+    and report each decile's customer count and EXACT cumulative spend
+    share as an integer (cum_cents, total_cents) pair — no division,
+    no float.  Ranks via the sorted-block rank carry, cumulative sums
+    via one pass over the tiny 10-row decile table."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(zero_copy_only=False),
+                             100.0)})
+
+    spend = orders.map_batches(pre, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("ck").aggregate(Sum("cents", alias_name="spend")) \
+        .map_batches(lambda b: pa.table({
+            "g": np.zeros(b.num_rows, np.int64),
+            "spend": b["spend"].cast(pa.int64()),
+            "ck": b["ck"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = spend.count()
+    ranked = rank_per_group(spend, key="g", order=["spend", "ck"],
+                            descending=[False, False])
+
+    agg = ranked.map_batches(
+        lambda b: (lambda r: pa.table({
+            "decile": (r - 1) * LORENZ_K // n + 1,
+            "spend": b["spend"],
+            "one": np.ones(len(r), np.int64)}))(
+            b["rank"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("decile").aggregate(Sum("one", alias_name="n_cust"),
+                                     Sum("spend", alias_name="dec_cents")) \
+        .to_pandas().sort_values("decile")
+    dec = agg["dec_cents"].to_numpy().astype(np.int64)
+    cum = np.cumsum(dec)
+    total = int(dec.sum())
+    return pa.table({
+        "decile": agg["decile"].to_numpy().astype(np.int64),
+        "n_cust": agg["n_cust"].to_numpy().astype(np.int64),
+        "cum_cents": cum,
+        "total_cents": np.full(len(dec), total, np.int64)})
+
+
+def sql_lorenz_deciles() -> str:
+    return (
+        "WITH s AS (SELECT o_custkey AS ck, "
+        "sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT)) AS spend "
+        "FROM orders GROUP BY o_custkey), "
+        f"t AS (SELECT spend, ntile({LORENZ_K}) OVER "
+        "(ORDER BY spend, ck) AS decile FROM s), "
+        "d AS (SELECT decile, count(*) AS n_cust, sum(spend) AS dc "
+        "FROM t GROUP BY decile) "
+        "SELECT CAST(decile AS BIGINT) AS decile, "
+        "CAST(n_cust AS BIGINT) AS n_cust, "
+        "CAST(sum(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum_cents, "
+        "CAST((SELECT sum(dc) FROM d) AS BIGINT) AS total_cents FROM d")
