@@ -687,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": r.q_kmv_distinct,
         "bipartite_check": g.q_bipartite_check,
         "lorenz_deciles": r.q_lorenz_deciles,
+        "median_nation": r.q_median_nation,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1002,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": r.sql_kmv_distinct(),
         "bipartite_check": g.sql_bipartite_check(),
         "lorenz_deciles": r.sql_lorenz_deciles(),
+        "median_nation": r.sql_median_nation(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -6070,3 +6070,90 @@ def sql_lorenz_deciles() -> str:
         "CAST(sum(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) "
         "AS BIGINT) AS cum_cents, "
         "CAST((SELECT sum(dc) FROM d) AS BIGINT) AS total_cents FROM d")
+
+
+# ---------------- exact per-group median (order statistics) ----------------
+
+def q_median_nation(sf_dir: str):
+    """Exact per-nation median of customer account balances as the
+    middle ORDER-STATISTIC PAIR (lo, hi) — for odd groups lo = hi, for
+    even groups they bracket the conventional average, which is left
+    to the consumer so everything stays int64 (no float .5 halves).
+    Plan: per-(nation) ranks via the sorted-block rank carry, group
+    sizes from one tiny groupby broadcast back, middle elements
+    selected vectorized — the per-group generalization of the global
+    quantile queries."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+    from ray.data.aggregate import Count
+    import ray as _ray
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"nat": b["c_nationkey"].cast(pa.int64()),
+                         "bal": scale_col(
+                             b["c_acctbal"].to_numpy(zero_copy_only=False),
+                             100.0),
+                         "ck": b["c_custkey"].cast(pa.int64())})
+
+    rows = cust.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    sizes = rows.groupby("nat").aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    nv = np.zeros(int(sizes["nat"].max()) + 1, np.int64)
+    nv[sizes["nat"].to_numpy()] = sizes["n"].to_numpy()
+    ref = _ray.put(nv)
+
+    ranked = rank_per_group(rows, key="nat", order=["bal", "ck"],
+                            descending=[False, False])
+
+    def mid(b: pa.Table, _ref=ref) -> pa.Table:
+        nvv = _ray.get(_ref)
+        nat = b["nat"].to_numpy(zero_copy_only=False)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        bal = b["bal"].to_numpy(zero_copy_only=False)
+        n = nvv[nat]
+        is_lo = r == (n + 1) // 2
+        is_hi = r == (n + 2) // 2
+        keep = is_lo | is_hi
+        return pa.table({"nat": nat[keep],
+                         "lo": np.where(is_lo[keep], bal[keep], 0),
+                         "hi": np.where(is_hi[keep], bal[keep], 0),
+                         "n": n[keep]})
+
+    agg = ranked.map_batches(mid, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("nat").aggregate(Sum("lo", alias_name="sl"),
+                                  Sum("hi", alias_name="sh"),
+                                  Max("n", alias_name="n"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sl = b["sl"].to_numpy(zero_copy_only=False)
+        sh = b["sh"].to_numpy(zero_copy_only=False)
+        # odd group: one row was both lo and hi -> sl==sh==value;
+        # even: two rows, each contributing one side
+        return pa.table({"nationkey": b["nat"], "n_cust": n,
+                         "med_lo_e2": sl, "med_hi_e2": sh})
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_median_nation() -> str:
+    return (
+        "WITH c AS (SELECT c_nationkey AS nat, "
+        "CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) AS bal, "
+        "c_custkey AS ck FROM customer), "
+        "r AS (SELECT nat, bal, row_number() OVER "
+        "(PARTITION BY nat ORDER BY bal, ck) AS rk, "
+        "count(*) OVER (PARTITION BY nat) AS n FROM c) "
+        "SELECT CAST(nat AS BIGINT) AS nationkey, "
+        "CAST(max(n) AS BIGINT) AS n_cust, "
+        "CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN bal ELSE 0 END) "
+        "AS BIGINT) AS med_lo_e2, "
+        "CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN bal ELSE 0 END) "
+        "AS BIGINT) AS med_hi_e2 "
+        "FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 "
+        "GROUP BY nat")
