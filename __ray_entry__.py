@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_check": g.q_bipartite_check,
         "lorenz_deciles": r.q_lorenz_deciles,
         "median_nation": r.q_median_nation,
+        "vertex_cover": g.q_vertex_cover,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1004,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": g.sql_bipartite_check(),
         "lorenz_deciles": r.sql_lorenz_deciles(),
         "median_nation": r.sql_median_nation(),
+        "vertex_cover": g.sql_vertex_cover(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4256,3 +4256,81 @@ def sql_bipartite_check() -> str:
         "CAST(odd AS BIGINT) AS n_odd_edges, "
         "CAST(CASE WHEN odd = 0 THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_bipartite FROM t")
+
+
+# ---------- greedy 2-approx vertex cover (matching endpoints) ----------
+
+def q_vertex_cover(sf_dir: str) -> pa.Table:
+    """Vertex cover from maximal-matching endpoints — the classic
+    2-approximation (every cover must pick >= 1 endpoint of each
+    matched edge, so |cover| = 2|M| <= 2 OPT): compose the bounded-
+    round distributed matching (q_matching) and take both endpoints
+    of every matched edge.  With bounded rounds a residue of live
+    edges can remain; they are counted honestly as uncovered (the
+    guarantee applies to the matched subgraph).  One distinct-
+    endpoints pass + one broadcast coverage count."""
+    import ray as _ray
+    from igpm_pem_ray.graph.matching import maximal_matching
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    matched = maximal_matching(edges, rounds=MATCH_ROUNDS)
+    mp = matched.to_pandas() if hasattr(matched, "to_pandas") else None
+    if mp is None or not len(mp):
+        cover = np.array([], np.int64)
+    else:
+        cover = np.unique(np.concatenate([
+            mp["src"].to_numpy().astype(np.int64),
+            mp["dst"].to_numpy().astype(np.int64)]))
+    ref = _ray.put(cover)
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        cv = _ray.get(_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        unc = ~(np.isin(s, cv) | np.isin(d, cv))
+        return pa.table({"n": pa.array([len(s)], pa.int64()),
+                         "u": pa.array([int(unc.sum())], pa.int64())})
+
+    p = edges.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    return pa.table({
+        "n_cover": pa.array([len(cover)], pa.int64()),
+        "n_edges": pa.array([int(p.sum("n") or 0)], pa.int64()),
+        "n_uncovered": pa.array([int(p.sum("u") or 0)], pa.int64())})
+
+
+def sql_vertex_cover() -> str:
+    A, B, C, M = 1_103_515_245, 69_069, 12_345, (1 << 31) - 1
+    parts = ["live0 AS (SELECT src, dst FROM edges)"]
+    for r in range(1, MATCH_ROUNDS + 1):
+        parts += [
+            f"p{r} AS (SELECT src, dst, ((src % {M}) * {A} + "
+            f"(dst % {M}) * {B} + {r} * {C}) % {M} AS pri "
+            f"FROM live{r - 1})",
+            f"i{r} AS (SELECT src AS v, pri, src, dst FROM p{r} "
+            f"UNION ALL SELECT dst AS v, pri, src, dst FROM p{r})",
+            f"c{r} AS (SELECT v, src, dst FROM (SELECT v, src, dst, "
+            "row_number() OVER (PARTITION BY v ORDER BY pri, src, dst) "
+            f"AS rn FROM i{r}) WHERE rn = 1)",
+            f"w{r} AS (SELECT p.src, p.dst FROM p{r} p "
+            f"JOIN c{r} a ON a.v = p.src AND a.src = p.src "
+            "AND a.dst = p.dst "
+            f"JOIN c{r} b ON b.v = p.dst AND b.src = p.src "
+            "AND b.dst = p.dst)",
+            f"mv{r} AS (SELECT src AS v FROM w{r} "
+            f"UNION SELECT dst AS v FROM w{r})",
+            f"live{r} AS (SELECT src, dst FROM p{r} "
+            f"WHERE src NOT IN (SELECT v FROM mv{r}) "
+            f"AND dst NOT IN (SELECT v FROM mv{r}))",
+        ]
+    mw = " UNION ALL ".join(
+        f"SELECT src, dst FROM w{r}" for r in range(1, MATCH_ROUNDS + 1))
+    return (
+        f"WITH edges AS ({EDGES_SQL}), {', '.join(parts)}, "
+        f"cov AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ({mw}) "
+        f"UNION ALL SELECT dst AS v FROM ({mw})) u) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM cov) AS n_cover, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM edges e "
+        "WHERE e.src NOT IN (SELECT v FROM cov) "
+        "AND e.dst NOT IN (SELECT v FROM cov)) AS n_uncovered")
