@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lorenz_deciles": r.q_lorenz_deciles,
         "median_nation": r.q_median_nation,
         "vertex_cover": g.q_vertex_cover,
+        "rrf_fusion": an.q_rrf_fusion,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1006,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "lorenz_deciles": r.sql_lorenz_deciles(),
         "median_nation": r.sql_median_nation(),
         "vertex_cover": g.sql_vertex_cover(),
+        "rrf_fusion": an.sql_rrf_fusion(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

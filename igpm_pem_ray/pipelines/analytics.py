@@ -4294,3 +4294,173 @@ def sql_minhash_acc() -> str:
         "FROM inter i JOIN sz sa ON sa.doc_id = i.da "
         "JOIN sz sb ON sb.doc_id = i.db "
         "LEFT JOIN est e ON e.da = i.da AND e.db = i.db")
+
+
+# -------- reciprocal-rank fusion (hybrid retrieval) --------
+#
+# Rank-aggregation class: fuse two rankings of the same corpus —
+# sparse BM25 (the q_bm25_topk scoring convention) and a query-term
+# DENSITY ranking (total query tf scaled by inverse doc length, the
+# length-bias-free signal BM25's saturation hides) — with Cormack's
+# reciprocal-rank fusion: rrf(d) = sum over lists of 1/(K + rank_d).
+# Kept exact-integer as RRF_SCALE // (K + rank) so the fused score is
+# identical in the kernel and the SQL oracle (no float fraction sums).
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_DEPTH = 50   # per-list candidate depth
+RRF_TOPK = 20
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval fusion of two rankings over documents for the
+    fixed BM25_TERMS query.  Plan: ONE tokenize pass emits per-doc
+    (dl, tf per term) — a doc lives in one row, no shuffle; the BM25
+    ranking reuses the q_bm25_topk float expression (fixed parse
+    order, e6 fixed point) and the density ranking is pure int64
+    (sum tf * 1e6 // dl); each list is a Dataset sort + limit(DEPTH)
+    whose tiny (doc_id, rank) head is merged driver-side (O(DEPTH));
+    the fused integer RRF scores re-rank, top TOPK returned."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def tf_dl(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "dl": []}
+        tf_cols = {t: [] for t in terms}
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (txt or "").split()
+            cols["doc_id"].append(did)
+            cols["dl"].append(len(toks))
+            if toks:
+                u, c = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+                lut = dict(zip(u.tolist(), c.tolist()))
+            else:
+                lut = {}
+            for t in terms:
+                tf_cols[t].append(int(lut.get(t, 0)))
+        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+               "dl": pa.array(cols["dl"], pa.int64())}
+        for t in terms:
+            out[f"tf_{t}"] = pa.array(tf_cols[t], pa.int64())
+        return pa.table(out)
+
+    stats_ds = docs.map_batches(tf_dl, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    pdf = stats_ds.map_batches(
+        lambda b: pa.table(
+            {"dl": b["dl"],
+             **{f"has_{t}": (b[f"tf_{t}"].to_numpy(zero_copy_only=False)
+                             > 0).astype(np.int64) for t in terms}}),
+        batch_format="pyarrow") \
+        .sum(["dl"] + [f"has_{t}" for t in terms])
+    total_tokens = float(pdf["sum(dl)"])
+    df = {t: float(pdf[f"sum(has_{t})"]) for t in terms}
+    n_docs = float(docs.count())
+    avgdl = total_tokens / n_docs
+
+    def score(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dli = b["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = None
+        tf_sum = np.zeros(len(dl), np.int64)
+        for t in terms:  # fixed order: s1 + s2 + s3
+            tfi = b[f"tf_{t}"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tf = tfi.astype(np.float64)
+            tf_sum = tf_sum + tfi
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            st = idf * (tf * (BM25_K1 + 1.0)) \
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            s = st if s is None else s + st
+        dens = np.where(dli > 0, tf_sum * 1_000_000 // np.maximum(dli, 1),
+                        np.int64(0))
+        return pa.table({"doc_id": b["doc_id"],
+                         "score_e6": scale_col(s, 1e6),
+                         "dens_e6": dens.astype(np.int64)})
+
+    scored = stats_ds.map_batches(score, batch_format="pyarrow") \
+        .materialize()
+    la = scored.sort(["score_e6", "doc_id"], descending=[True, False]) \
+        .limit(RRF_DEPTH).to_pandas()
+    lb = scored.sort(["dens_e6", "doc_id"], descending=[True, False]) \
+        .limit(RRF_DEPTH).to_pandas()
+
+    rrf: dict[int, list[int]] = {}
+    for lst, slot in ((la, 0), (lb, 1)):
+        for r, did in enumerate(lst["doc_id"].to_numpy(), start=1):
+            e = rrf.setdefault(int(did), [0, 0])
+            e[slot] = r
+    rows = []
+    for did, (ra, rb) in rrf.items():
+        sc = (RRF_SCALE // (RRF_K + ra) if ra else 0) \
+            + (RRF_SCALE // (RRF_K + rb) if rb else 0)
+        rows.append((did, ra, rb, sc))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    rows = rows[:RRF_TOPK]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank_bm25": pa.array([r[1] for r in rows], pa.int64()),
+        "rank_density": pa.array([r[2] for r in rows], pa.int64()),
+        "rrf_score": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def sql_rrf_fusion() -> str:
+    k1, bb = repr(BM25_K1), repr(BM25_B)
+    tok = (r"tok AS (SELECT doc_id, unnest(list_filter("
+           r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+           "FROM documents), "
+           "dl AS (SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) "
+           "AS dl, CAST(COALESCE(c.n, 0) AS BIGINT) AS dli "
+           "FROM documents d LEFT JOIN (SELECT doc_id, count(*) "
+           "AS n FROM tok GROUP BY doc_id) c ON c.doc_id = d.doc_id), "
+           "g AS (SELECT CAST(sum(dl) AS DOUBLE) AS total, "
+           "CAST(count(*) AS DOUBLE) AS n, "
+           "CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl "
+           "FROM dl)")
+    parts = [tok]
+    for t in BM25_TERMS:
+        parts.append(
+            f"tf_{t} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE token = '{t}' GROUP BY doc_id), "
+            f"df_{t} AS (SELECT CAST(count(*) AS DOUBLE) AS df "
+            f"FROM tf_{t})")
+    term_exprs = []
+    for t in BM25_TERMS:
+        term_exprs.append(
+            f"(((SELECT n FROM g) - (SELECT df FROM df_{t}) + 0.5)"
+            f"/((SELECT df FROM df_{t}) + 0.5)) "
+            f"* (COALESCE(tf_{t}.tf, 0.0) * ({k1} + 1.0)) "
+            f"/ (COALESCE(tf_{t}.tf, 0.0) + {k1} * (1.0 - {bb} "
+            f"+ {bb} * dl.dl / (SELECT avgdl FROM g)))")
+    joins = " ".join(
+        f"LEFT JOIN tf_{t} ON tf_{t}.doc_id = dl.doc_id"
+        for t in BM25_TERMS)
+    score = " + ".join(term_exprs)
+    tfsum = " + ".join(
+        f"CAST(COALESCE(tf_{t}.tf, 0.0) AS BIGINT)" for t in BM25_TERMS)
+    return (
+        f"WITH {', '.join(parts)}, "
+        f"sc AS (SELECT dl.doc_id, "
+        f"CAST(floor(({score})*1e6 + 0.5) AS BIGINT) AS score_e6, "
+        f"CASE WHEN dl.dli > 0 THEN ({tfsum}) * 1000000 // dl.dli "
+        f"ELSE 0 END AS dens_e6 FROM dl {joins}), "
+        "ra AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score_e6 DESC, doc_id) AS r FROM sc), "
+        "rb AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY dens_e6 DESC, doc_id) AS r FROM sc), "
+        f"raf AS (SELECT * FROM ra WHERE r <= {RRF_DEPTH}), "
+        f"rbf AS (SELECT * FROM rb WHERE r <= {RRF_DEPTH}), "
+        "u AS (SELECT doc_id FROM raf UNION SELECT doc_id FROM rbf), "
+        "f AS (SELECT u.doc_id, "
+        "CAST(COALESCE(raf.r, 0) AS BIGINT) AS rank_bm25, "
+        "CAST(COALESCE(rbf.r, 0) AS BIGINT) AS rank_density, "
+        f"(CASE WHEN raf.r IS NOT NULL THEN {RRF_SCALE} // ({RRF_K} + raf.r) "
+        "ELSE 0 END) + "
+        f"(CASE WHEN rbf.r IS NOT NULL THEN {RRF_SCALE} // ({RRF_K} + rbf.r) "
+        "ELSE 0 END) AS rrf_score "
+        "FROM u LEFT JOIN raf ON raf.doc_id = u.doc_id "
+        "LEFT JOIN rbf ON rbf.doc_id = u.doc_id) "
+        "SELECT doc_id, rank_bm25, rank_density, "
+        "CAST(rrf_score AS BIGINT) AS rrf_score FROM f "
+        f"ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}")
