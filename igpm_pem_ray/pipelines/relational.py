@@ -6157,3 +6157,123 @@ def sql_median_nation() -> str:
         "AS BIGINT) AS med_hi_e2 "
         "FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 "
         "GROUP BY nat")
+
+
+# -------- decision stump: exact best Gini split (supervised split search) --------
+
+STUMP_PACK = 1 << 31   # (n, n1) pair packed into one prefix-summable int64
+STUMP_S = 1_000_000    # fixed-point scale for the purity score
+
+
+def q_decision_stump(sf_dir: str):
+    """Exact best single-feature threshold split — the CART /
+    gradient-boosting inner loop: over all candidate thresholds t on
+    x = o_totalprice, maximize the weighted Gini purity of the
+    partition (x <= t | x > t) against the binary label
+    y = [o_orderstatus = 'F'].
+
+    Minimizing weighted Gini impurity is equivalent to maximizing
+    h(t) = (aL^2+bL^2)/nL + (aR^2+bR^2)/nR (a/b = class counts per
+    side), an exact rational with num <= 2n^3 and den = nL*nR <=
+    n^2/4 — int64-safe to n ~ 4e5 rows, and the fixed-point argmax
+    key floor(num*S/den) is computed WITHOUT overflow via the divmod
+    identity (num//den)*S + ((num%den)*S)//den, written identically
+    in the SQL oracle.  (At 10^12 rows the candidate set is first
+    quantile-bucketed — standard histogram-split practice — which
+    this plan expresses by feeding bucketed x; counts stay int64.)
+
+    Plan: one groupby on x -> per-value (n, n1) PACKED as n*2^31+n1
+    so ONE distributed prefix sum (stages/temporal.cumsum_per_key,
+    linear in the pack while total rows < 2^31) yields both
+    cumulative counts; a stateless map scores every candidate; the
+    argmax is a per-block partial best + sort/limit(1) merge."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice", "o_orderstatus"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = scale_col(b["o_totalprice"].to_numpy(zero_copy_only=False),
+                      100.0)
+        y = (np.asarray(b["o_orderstatus"].to_pylist(), dtype=object)
+             == "F").astype(np.int64)
+        return pa.table({"x": x, "y": y})
+
+    per_val = orders.map_batches(pre, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("x").aggregate(Count(alias_name="n"),
+                                Sum("y", alias_name="n1"))
+    packed = per_val.map_batches(
+        lambda b: pa.table({
+            "key": np.zeros(b.num_rows, np.int64),
+            "us": b["x"].cast(pa.int64()),
+            "x": b["x"].cast(pa.int64()),
+            "val": (b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    * STUMP_PACK
+                    + b["n1"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))}),
+        batch_format="pyarrow")
+    cum = cumsum_per_key(packed, payload_cols=["x"]).materialize()
+
+    tot = cum.max("cum_val")  # last prefix = global totals, same pack
+    nt = int(tot) >> 31
+    at = int(tot) & (STUMP_PACK - 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        cv = b["cum_val"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        nl = cv >> 31
+        al = cv & (STUMP_PACK - 1)
+        keep = nl < nt
+        nl, al, x = nl[keep], al[keep], x[keep]
+        if not len(x):
+            return pa.table({"threshold_e2": np.empty(0, np.int64),
+                             "purity_e6": np.empty(0, np.int64),
+                             "n_left": np.empty(0, np.int64),
+                             "n_right": np.empty(0, np.int64)})
+        nr = nt - nl
+        bl = nl - al
+        ar = at - al
+        br = nr - ar
+        num = (al * al + bl * bl) * nr + (ar * ar + br * br) * nl
+        den = nl * nr
+        q = (num // den) * STUMP_S + ((num % den) * STUMP_S) // den
+        i = np.lexsort((x, -q))[0]  # best q, then smallest threshold
+        return pa.table({"threshold_e2": x[i:i + 1].astype(np.int64),
+                         "purity_e6": q[i:i + 1].astype(np.int64),
+                         "n_left": nl[i:i + 1].astype(np.int64),
+                         "n_right": nr[i:i + 1].astype(np.int64)})
+
+    best = cum.map_batches(score, batch_format="pyarrow") \
+        .sort(["purity_e6", "threshold_e2"], descending=[True, False]) \
+        .limit(1)
+    return pa.Table.from_pandas(best.to_pandas(), preserve_index=False) \
+        .select(["threshold_e2", "purity_e6", "n_left", "n_right"])
+
+
+def sql_decision_stump() -> str:
+    return (
+        "WITH o AS (SELECT "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS x, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y "
+        "FROM orders), "
+        "g AS (SELECT x, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(y) AS BIGINT) AS n1 FROM o GROUP BY x), "
+        "c AS (SELECT x, CAST(sum(n) OVER w AS BIGINT) AS nl, "
+        "CAST(sum(n1) OVER w AS BIGINT) AS al FROM g "
+        "WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, "
+        "CAST(sum(n1) AS BIGINT) AS at FROM g), "
+        "s AS (SELECT x, nl, (SELECT nt FROM t) - nl AS nr, al, "
+        "nl - al AS bl, (SELECT at FROM t) - al AS ar, "
+        "((SELECT nt FROM t) - nl) - ((SELECT at FROM t) - al) AS br "
+        "FROM c WHERE nl < (SELECT nt FROM t)), "
+        "q AS (SELECT x, nl, nr, "
+        "(al*al + bl*bl) * nr + (ar*ar + br*br) * nl AS num, "
+        "nl * nr AS den FROM s) "
+        "SELECT CAST(x AS BIGINT) AS threshold_e2, "
+        f"CAST((num // den) * {STUMP_S} + "
+        f"((num % den) * {STUMP_S}) // den AS BIGINT) AS purity_e6, "
+        "CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right "
+        "FROM q "
+        f"ORDER BY purity_e6 DESC, x LIMIT 1")
