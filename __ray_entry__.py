@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": g.q_vertex_cover,
         "rrf_fusion": an.q_rrf_fusion,
         "decision_stump": r.q_decision_stump,
+        "allen_census": r.q_allen_census,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1010,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_cover": g.sql_vertex_cover(),
         "rrf_fusion": an.sql_rrf_fusion(),
         "decision_stump": r.sql_decision_stump(),
+        "allen_census": r.sql_allen_census(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -6277,3 +6277,120 @@ def sql_decision_stump() -> str:
         "CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right "
         "FROM q "
         f"ORDER BY purity_e6 DESC, x LIMIT 1")
+
+
+# -------- Allen interval-algebra census --------
+
+ALLEN_Q_US = 600_000_000  # 10-minute quantum: start snap + duration unit
+_AL_A, _AL_C, _AL_M = 1_103_515_245, 12_345, (1 << 31) - 1
+
+
+def q_allen_census(sf_dir: str):
+    """Census of Allen's 13 interval-algebra relations (before, meets,
+    overlaps, starts, during, finishes, their inverses, equals —
+    Allen CACM 1983) over per-user event intervals: start = ts
+    snapped to a 10-minute quantum (so boundary-coincident relations
+    are realizable), duration = (1 + event_id mod 13) quanta.  Pairs
+    are ordered by an affine hash of event_id (same expression in the
+    SQL oracle) rather than by id — event ids correlate with time, and
+    id-ordered pairs would never realize the six inverse relations.
+    The relation classifier is the temporal-reasoning primitive under
+    scheduling / conflict detection; the census is its corpus-level
+    fingerprint.
+
+    Scale shape: ONE equi hash self-join on user_id (per-user groups
+    are small, so fan-out is bounded; at web scale the join key
+    gains a coarse time bucket exactly like q_temporal_pairs); the
+    13-way classification is one vectorized np.select over the four
+    endpoint comparisons; per-block combiners + an O(13) groupby."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def side(prefix: str):
+        def f(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            s = us // ALLEN_Q_US * ALLEN_Q_US
+            dur = (eid % 13 + 1) * ALLEN_Q_US
+            hk = ((eid % _AL_M) * _AL_A + _AL_C) % _AL_M
+            return pa.table({f"u_{prefix}": b["user_id"],
+                             f"s_{prefix}": s,
+                             f"e_{prefix}": s + dur,
+                             f"h_{prefix}": hk,
+                             f"id_{prefix}": eid})
+        return f
+
+    a = ev.map_batches(side("a"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    bb = ev.map_batches(side("b"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    n_ev = ev.count()
+    np_join = 1 if n_ev < 65_536 else min(32, max(8, n_ev // 200_000))
+    j = a.join(bb, join_type="inner", num_partitions=np_join,
+               on=("u_a",), right_on=("u_b",))
+
+    NAMES = np.asarray(
+        ["before", "meets", "overlaps", "starts", "during", "finishes",
+         "equals", "finished_by", "contains", "started_by",
+         "overlapped_by", "met_by", "after"], dtype=object)
+
+    def classify(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        ha = t["h_a"].to_numpy(zero_copy_only=False)
+        hb = t["h_b"].to_numpy(zero_copy_only=False)
+        keep = (ha < hb) | ((ha == hb) & (ia < ib))
+        s1 = t["s_a"].to_numpy(zero_copy_only=False)[keep]
+        e1 = t["e_a"].to_numpy(zero_copy_only=False)[keep]
+        s2 = t["s_b"].to_numpy(zero_copy_only=False)[keep]
+        e2 = t["e_b"].to_numpy(zero_copy_only=False)[keep]
+        rel = np.select(
+            [e1 < s2,
+             e1 == s2,
+             (s1 < s2) & (s2 < e1) & (e1 < e2),
+             (s1 == s2) & (e1 < e2),
+             (s1 > s2) & (e1 < e2),
+             (s1 > s2) & (e1 == e2),
+             (s1 == s2) & (e1 == e2),
+             (s1 < s2) & (e1 == e2),
+             (s1 < s2) & (e1 > e2),
+             (s1 == s2) & (e1 > e2),
+             (s2 < s1) & (s1 < e2) & (e2 < e1),
+             e2 == s1,
+             e2 < s1],
+            np.arange(13), default=-1)
+        u, c = np.unique(rel, return_counts=True)
+        return pa.table({"relation": pa.array(NAMES[u], pa.string()),
+                         "n": c.astype(np.int64)})
+
+    return j.map_batches(classify, batch_format="pyarrow") \
+        .groupby("relation").aggregate(Sum("n", alias_name="n_pairs"))
+
+
+def sql_allen_census() -> str:
+    iv = ("SELECT user_id, event_id, "
+          f"((event_id % {_AL_M}) * {_AL_A} + {_AL_C}) % {_AL_M} AS hk, "
+          f"CAST(epoch_us(ts) AS BIGINT) // {ALLEN_Q_US} * {ALLEN_Q_US} "
+          "AS s, "
+          f"CAST(epoch_us(ts) AS BIGINT) // {ALLEN_Q_US} * {ALLEN_Q_US} "
+          f"+ (event_id % 13 + 1) * {ALLEN_Q_US} AS e FROM events")
+    return (
+        f"WITH iv AS ({iv}), "
+        "p AS (SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2 "
+        "FROM iv a JOIN iv b ON a.user_id = b.user_id "
+        "AND (a.hk < b.hk OR (a.hk = b.hk "
+        "AND a.event_id < b.event_id))) "
+        "SELECT CASE "
+        "WHEN e1 < s2 THEN 'before' "
+        "WHEN e1 = s2 THEN 'meets' "
+        "WHEN s1 < s2 AND s2 < e1 AND e1 < e2 THEN 'overlaps' "
+        "WHEN s1 = s2 AND e1 < e2 THEN 'starts' "
+        "WHEN s1 > s2 AND e1 < e2 THEN 'during' "
+        "WHEN s1 > s2 AND e1 = e2 THEN 'finishes' "
+        "WHEN s1 = s2 AND e1 = e2 THEN 'equals' "
+        "WHEN s1 < s2 AND e1 = e2 THEN 'finished_by' "
+        "WHEN s1 < s2 AND e1 > e2 THEN 'contains' "
+        "WHEN s1 = s2 AND e1 > e2 THEN 'started_by' "
+        "WHEN s2 < s1 AND s1 < e2 AND e2 < e1 THEN 'overlapped_by' "
+        "WHEN e2 = s1 THEN 'met_by' "
+        "ELSE 'after' END AS relation, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1")
