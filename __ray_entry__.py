@@ -692,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": an.q_rrf_fusion,
         "decision_stump": r.q_decision_stump,
         "allen_census": r.q_allen_census,
+        "influence_spread": g.q_influence_spread,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1012,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": an.sql_rrf_fusion(),
         "decision_stump": r.sql_decision_stump(),
         "allen_census": r.sql_allen_census(),
+        "influence_spread": g.sql_influence_spread(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4334,3 +4334,113 @@ def sql_vertex_cover() -> str:
         "(SELECT CAST(count(*) AS BIGINT) FROM edges e "
         "WHERE e.src NOT IN (SELECT v FROM cov) "
         "AND e.dst NOT IN (SELECT v FROM cov)) AS n_uncovered")
+
+
+# -------- independent-cascade influence spread --------
+
+IC_A1, IC_A2, IC_C, IC_M = 1_103_515_245, 69_069, 12_345, (1 << 31) - 1
+IC_PCT = 30      # per-edge activation probability, percent
+IC_SEEDS = 5     # top-degree seed set size
+IC_TRIALS = 3    # deterministic cascade realizations
+IC_ROUNDS = 4    # bounded diffusion rounds (SQL-unrollable)
+
+
+def q_influence_spread(sf_dir: str) -> pa.Table:
+    """Independent-cascade influence spread (Kempe-Kleinberg-Tardos
+    KDD 2003) from the top-degree seed set: each undirected edge
+    flips ONE deterministic hash coin per trial (the affine residue
+    convention shared with q_vertex_cover, percent threshold IC_PCT),
+    and activation BFS runs IC_ROUNDS bounded rounds on the kept
+    subgraph — the spread estimator inside every influence-
+    maximization loop, made reproducible by hash coins so the kernel
+    and the unrolled SQL oracle agree row for row.
+
+    Scale shape: seed selection is one endpoint-explode groupby
+    (top-K merge is O(K)); each trial filters edges with a stateless
+    vectorized map and runs the dense multi-source msg_pass(min)
+    sweep (V < 2^31 asserted at build; the V-unbounded sibling is the
+    msbfs_shuffle plan with seeds as one chunk).  Trials are
+    independent — at fleet scale they fan out as separate jobs."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.graph.dense import msg_pass
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    topd = ends.groupby("v").aggregate(Count(alias_name="d")) \
+        .sort(["d", "v"], descending=[True, False]).limit(IC_SEEDS) \
+        .to_pandas()
+    seeds = topd["v"].to_numpy().astype(np.int64)
+
+    UNREACHED = np.int64(1) << 40
+    rows = []
+    for t in range(IC_TRIALS):
+        def keep(b: pa.Table, _t=t) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = ((s % IC_M) * IC_A1 + (d % IC_M) * IC_A2
+                 + _t * IC_C) % IC_M % 100
+            m = h < IC_PCT
+            return pa.table({"src": s[m], "dst": d[m]})
+
+        kept = edges.map_batches(keep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        n_kept = kept.count()
+        if n_kept == 0:
+            rows.append((t, len(seeds), 0))
+            continue
+        g = build_dense_graph(kept)
+        dist = np.full(g.num_vertices, UNREACHED, np.int64)
+        pos = np.searchsorted(g.vids, seeds)
+        in_g = (pos < g.num_vertices)
+        in_g[in_g] = g.vids[pos[in_g]] == seeds[in_g]
+        dist[pos[in_g]] = 0
+        directions = "out" if g.symmetric else "both"
+        for _ in range(IC_ROUNDS):
+            msgs = msg_pass(g, dist, reduce="min", init=UNREACHED,
+                            directions=directions)
+            new = np.minimum(dist, msgs + 1)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        n_act = int((dist < UNREACHED).sum()) + int((~in_g).sum())
+        rows.append((t, n_act, n_kept))
+    return pa.table({
+        "trial": pa.array([r[0] for r in rows], pa.int64()),
+        "n_activated": pa.array([r[1] for r in rows], pa.int64()),
+        "n_kept_edges": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def sql_influence_spread() -> str:
+    parts = [
+        f"edges AS ({EDGES_SQL})",
+        "deg AS (SELECT v, count(*) AS d FROM (SELECT src AS v "
+        "FROM edges UNION ALL SELECT dst AS v FROM edges) GROUP BY v)",
+        f"seeds AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT {IC_SEEDS})",
+        f"tr AS (SELECT unnest(range({IC_TRIALS})) AS t)",
+        "keep AS (SELECT tr.t, e.src, e.dst FROM edges e, tr "
+        f"WHERE ((e.src % {IC_M}) * {IC_A1} + (e.dst % {IC_M}) * {IC_A2} "
+        f"+ tr.t * {IC_C}) % {IC_M} % 100 < {IC_PCT})",
+        "r0 AS (SELECT tr.t, s.v FROM seeds s, tr)",
+    ]
+    for i in range(1, IC_ROUNDS + 1):
+        parts.append(
+            f"r{i} AS (SELECT DISTINCT t, v FROM ("
+            f"SELECT p.t, k.dst AS v FROM r{i - 1} p "
+            "JOIN keep k ON k.t = p.t AND k.src = p.v "
+            f"UNION ALL SELECT p.t, k.src FROM r{i - 1} p "
+            "JOIN keep k ON k.t = p.t AND k.dst = p.v "
+            f"UNION ALL SELECT t, v FROM r{i - 1}))")
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(tr.t AS BIGINT) AS trial, "
+        f"CAST((SELECT count(*) FROM r{IC_ROUNDS} r WHERE r.t = tr.t) "
+        "AS BIGINT) AS n_activated, "
+        "CAST((SELECT count(*) FROM keep k WHERE k.t = tr.t) "
+        "AS BIGINT) AS n_kept_edges "
+        "FROM tr ORDER BY tr.t")
