@@ -693,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decision_stump": r.q_decision_stump,
         "allen_census": r.q_allen_census,
         "influence_spread": g.q_influence_spread,
+        "clique4_count": g.q_clique4_count,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1014,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "decision_stump": r.sql_decision_stump(),
         "allen_census": r.sql_allen_census(),
         "influence_spread": g.sql_influence_spread(),
+        "clique4_count": g.sql_clique4_count(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4444,3 +4444,79 @@ def sql_influence_spread() -> str:
         "CAST((SELECT count(*) FROM keep k WHERE k.t = tr.t) "
         "AS BIGINT) AS n_kept_edges "
         "FROM tr ORDER BY tr.t")
+
+
+# -------- exact 4-clique count --------
+
+def q_clique4_count(sf_dir: str) -> pa.Table:
+    """Exact K4 (4-clique) count — completes the graphlet census next
+    to triangles (K3), 4-cycles (q_quad_count), butterflies (K2,2)
+    and the triad census.  Identity: in a K4 {a<b<c<d} exactly one
+    PAIR of triangles shares the two smallest vertices ((a,b,c),
+    (a,b,d) on (a,b)), and the remaining pair (c,d) must close — so
+    count = |triangle pairs sharing (u,v), w1<w2, with (w1,w2) an
+    edge|, each K4 counted exactly once (no division).
+
+    Plan: pure Dataset joins on the canonical src<dst edge table —
+    wedge join (u,v)x(u,w) -> close (v,w) -> triangle table u<v<w;
+    triangle self-join on (u,v); closing-edge semi-join.  Each join
+    is an equi hash shuffle; skew rides on the codegree of (u,v)
+    pairs, bounded by the co-occurrence group sizes (at web scale the
+    wedge join is degree-oriented first, as in graph/triangles.py)."""
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    e_uv = edges.rename_columns({"src": "u", "dst": "v"})
+    e_uw = edges.rename_columns({"src": "u2", "dst": "w"})
+    n_e = edges.count()
+    np_join = 1 if n_e < 65_536 else min(32, max(8, n_e // 200_000))
+    wedge = e_uv.join(e_uw, join_type="inner", num_partitions=np_join,
+                      on=("u",), right_on=("u2",))
+
+    def vw(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        m = v < w
+        return pa.table({"u": b["u"].to_numpy(zero_copy_only=False)[m],
+                         "v": v[m], "w": w[m]})
+
+    wedges = wedge.map_batches(vw, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    e_close = edges.rename_columns({"src": "cv", "dst": "cw"})
+    tri = wedges.join(e_close, join_type="inner", num_partitions=np_join,
+                      on=("v", "w"), right_on=("cv", "cw")) \
+        .select_columns(["u", "v", "w"]).materialize()
+
+    t2 = tri.rename_columns({"u": "u2", "v": "v2", "w": "w2"})
+    pairs = tri.join(t2, join_type="inner", num_partitions=np_join,
+                     on=("u", "v"), right_on=("u2", "v2"))
+
+    def ordered(b: pa.Table) -> pa.Table:
+        w1 = b["w"].to_numpy(zero_copy_only=False)
+        w2 = b["w2"].to_numpy(zero_copy_only=False)
+        m = w1 < w2
+        return pa.table({"w1": w1[m], "w2": w2[m]})
+
+    cand = pairs.map_batches(ordered, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    e_fin = edges.rename_columns({"src": "w1f", "dst": "w2f"})
+    k4 = cand.join(e_fin, join_type="inner", num_partitions=np_join,
+                   on=("w1", "w2"), right_on=("w1f", "w2f"))
+    return pa.table({
+        "n_triangles": pa.array([tri.count()], pa.int64()),
+        "n_4cliques": pa.array([k4.count()], pa.int64())})
+
+
+def sql_clique4_count() -> str:
+    return (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w "
+        "FROM edges e1 JOIN edges e2 ON e1.src = e2.src "
+        "AND e1.dst < e2.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+        "k4 AS (SELECT t1.u, t1.v, t1.w AS w1, t2.w AS w2 "
+        "FROM tri t1 JOIN tri t2 ON t1.u = t2.u AND t1.v = t2.v "
+        "AND t1.w < t2.w "
+        "JOIN edges e ON e.src = t1.w AND e.dst = t2.w) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) "
+        "AS n_triangles, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM k4) AS n_4cliques")
