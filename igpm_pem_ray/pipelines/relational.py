@@ -6394,3 +6394,127 @@ def sql_allen_census() -> str:
         "WHEN e2 = s1 THEN 'met_by' "
         "ELSE 'after' END AS relation, "
         "CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1")
+
+
+# -------- U-shaped multi-touch attribution --------
+
+ATTR_BP_EDGE = 4_000   # basis points to first and to last touch
+ATTR_BP_MID = 2_000    # pool split across middle touches
+
+
+def q_attribution_u(sf_dir: str):
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution:
+    for each converting user, the touchpoint path is every
+    non-purchase event strictly before the user's FIRST purchase
+    ((ts, event_id) lexicographic), and the conversion's 10000 basis
+    points are split 40/20/40 — first and last touch get 4000 each,
+    the middle pool of 2000 is divided by exact floor division with
+    the REMAINDER credited to the first touch (single-touch paths
+    take all 10000; two-touch paths fold the whole pool into the
+    first).  The marketing-attribution operator class, kept in
+    integer basis points so credit sums are exact under any
+    reduction order.
+
+    Plan: the conversion row per user is two tiny aggregates (min ts
+    over purchases, then min event_id at that ts); touches reach
+    their conversion by ONE hash join on user_id; per-user path
+    ranks come from the sorted-block rank carry
+    (stages/ranked.rank_per_group) and path lengths from one
+    groupby joined back — every step an equi shuffle on user_id, no
+    driver state."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "eid": b["event_id"].cast(pa.int64()),
+                         "etype": b["event_type"]})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    pur = rows.filter(expr="etype == 'purchase'").materialize()
+    g1 = pur.groupby("user").aggregate(Min("us", alias_name="cus"))
+    j1 = pur.join(g1.rename_columns({"user": "user_g"}),
+                  join_type="inner", num_partitions=8,
+                  on=("user",), right_on=("user_g",))
+    conv = j1.filter(expr="us == cus") \
+        .groupby("user").aggregate(Min("eid", alias_name="cid"),
+                                   Min("us", alias_name="cus")) \
+        .rename_columns({"user": "cuser"})
+
+    touches = rows.filter(expr="etype != 'purchase'") \
+        .join(conv, join_type="inner", num_partitions=8,
+              on=("user",), right_on=("cuser",))
+
+    def before(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        eid = b["eid"].to_numpy(zero_copy_only=False)
+        cus = b["cus"].to_numpy(zero_copy_only=False)
+        cid = b["cid"].to_numpy(zero_copy_only=False)
+        m = (us < cus) | ((us == cus) & (eid < cid))
+        return pa.table({"user": b["user"].to_numpy(
+            zero_copy_only=False)[m], "us": us[m], "eid": eid[m],
+            "etype": b["etype"].filter(pa.array(m))})
+
+    tch = touches.map_batches(before, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    # forward + reverse path ranks (n = r + rr - 1) instead of a
+    # count-join back: one fewer shuffle, and it sidesteps the Ray
+    # 2.49 hash-join failure on empty right partitions (see README)
+    ranked = rank_per_group(tch, key="user", order=["us", "eid"],
+                            descending=[False, False]) \
+        .rename_columns({"rank": "r"})
+    full = rank_per_group(ranked, key="user", order=["us", "eid"],
+                          descending=[True, True])
+
+    def credit(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        rr = b["rank"].to_numpy(zero_copy_only=False)
+        n = r + rr - 1
+        mid_each = np.where(n > 2, ATTR_BP_MID // np.maximum(n - 2, 1),
+                            np.int64(0))
+        rem = np.where(n > 2, ATTR_BP_MID - (n - 2) * mid_each,
+                       np.int64(ATTR_BP_MID))
+        c = np.where(n == 1, np.int64(10_000),
+                     np.where(r == 1, ATTR_BP_EDGE + rem,
+                              np.where(rr == 1, np.int64(ATTR_BP_EDGE),
+                                       mid_each)))
+        return pa.table({"channel": b["etype"],
+                         "credit": c.astype(np.int64)})
+
+    return full.map_batches(credit, batch_format="pyarrow") \
+        .groupby("channel").aggregate(Sum("credit",
+                                          alias_name="credit_bp"),
+                                      Count(alias_name="n_touches"))
+
+
+def sql_attribution_u() -> str:
+    return (
+        "WITH e AS (SELECT user_id AS u, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us, event_id AS eid, "
+        "event_type AS etype FROM events), "
+        "c1 AS (SELECT u, min(us) AS cus FROM e "
+        "WHERE etype = 'purchase' GROUP BY u), "
+        "conv AS (SELECT e.u, min(e.eid) AS cid, min(e.us) AS cus "
+        "FROM e JOIN c1 ON c1.u = e.u AND c1.cus = e.us "
+        "WHERE e.etype = 'purchase' GROUP BY e.u), "
+        "t AS (SELECT e.u, e.us, e.eid, e.etype FROM e "
+        "JOIN conv ON conv.u = e.u WHERE e.etype <> 'purchase' "
+        "AND (e.us < conv.cus OR (e.us = conv.cus "
+        "AND e.eid < conv.cid))), "
+        "r AS (SELECT u, etype, row_number() OVER "
+        "(PARTITION BY u ORDER BY us, eid) AS rk, "
+        "count(*) OVER (PARTITION BY u) AS n FROM t), "
+        "cr AS (SELECT etype, CASE WHEN n = 1 THEN 10000 "
+        f"WHEN rk = 1 THEN {ATTR_BP_EDGE} + (CASE WHEN n > 2 "
+        f"THEN {ATTR_BP_MID} - (n - 2) * ({ATTR_BP_MID} // (n - 2)) "
+        f"ELSE {ATTR_BP_MID} END) "
+        f"WHEN rk = n THEN {ATTR_BP_EDGE} "
+        f"ELSE {ATTR_BP_MID} // (n - 2) END AS credit FROM r) "
+        "SELECT etype AS channel, "
+        "CAST(sum(credit) AS BIGINT) AS credit_bp, "
+        "CAST(count(*) AS BIGINT) AS n_touches "
+        "FROM cr GROUP BY etype")
