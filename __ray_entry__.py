@@ -695,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "influence_spread": g.q_influence_spread,
         "clique4_count": g.q_clique4_count,
         "attribution_u": r.q_attribution_u,
+        "activity_selection": r.q_activity_selection,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1018,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "influence_spread": g.sql_influence_spread(),
         "clique4_count": g.sql_clique4_count(),
         "attribution_u": r.sql_attribution_u(),
+        "activity_selection": r.sql_activity_selection(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

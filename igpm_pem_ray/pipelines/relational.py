@@ -6518,3 +6518,117 @@ def sql_attribution_u() -> str:
         "CAST(sum(credit) AS BIGINT) AS credit_bp, "
         "CAST(count(*) AS BIGINT) AS n_touches "
         "FROM cr GROUP BY etype")
+
+
+# -------- greedy interval scheduling (activity selection) --------
+
+ACT_Q_US = 600_000_000   # 10-minute quantum
+ACT_ROUNDS = 5           # bounded greedy picks per user (SQL-unrollable)
+
+
+def q_activity_selection(sf_dir: str):
+    """Per-user maximum non-overlapping interval set by the classic
+    earliest-finish-time greedy (activity selection / meeting-room
+    scheduling), intervals = events with start ts snapped to 10-min
+    quanta and duration (1 + event_id mod 13) quanta, capped at
+    ACT_ROUNDS picks so the greedy recurrence unrolls into the SQL
+    oracle round for round.  Greedy-on-sorted-finish is optimal for
+    the uncapped problem; the cap is the bounded-round convention the
+    matching/MIS/k-core oracles already use.
+
+    Scale shape: the pick in every round is `min over eligible
+    intervals per user` of the PACKED (finish, start, id) key — one
+    int64, so each round is ONE groupby-min (combiner-friendly, no
+    sort); eligibility (start >= current finish) is a stateless map
+    against the O(users) pick table of the previous round, broadcast
+    once via ray.put (at web scale the broadcast becomes a hash join
+    on user, same plan shape).  Pack bounds asserted: quanta < 2^21,
+    event_id < 2^20, finish < 2^22."""
+    import ray as _ray
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    base = int(ev.min("ts").timestamp() * 1_000_000) \
+        if hasattr(ev.min("ts"), "timestamp") else int(ev.min("ts"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        s_q = (us - base) // ACT_Q_US
+        e_q = s_q + (eid % 13 + 1)
+        assert int(s_q.max(initial=0)) < (1 << 21) \
+            and int(eid.max(initial=0)) < (1 << 20)
+        pack = (e_q << 41) | (s_q << 20) | eid
+        return pa.table({"user": b["user_id"].cast(pa.int64()),
+                         "s_q": s_q, "pack": pack})
+
+    iv = ev.map_batches(pre, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    users_sorted = None
+    cur_end = None   # per-user current finish quantum
+    n_sel = None
+    for rnd in range(ACT_ROUNDS):
+        if rnd == 0:
+            elig = iv
+        else:
+            ref = _ray.put((users_sorted, cur_end))
+
+            def keep(b: pa.Table, _ref=ref) -> pa.Table:
+                us_, ce_ = _ray.get(_ref)
+                u = b["user"].to_numpy(zero_copy_only=False)
+                s_q = b["s_q"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(us_, u)
+                m = s_q >= ce_[pos]
+                return pa.table({"user": u[m], "s_q": s_q[m],
+                                 "pack": b["pack"].to_numpy(
+                                     zero_copy_only=False)[m]})
+
+            elig = iv.map_batches(keep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        picks = elig.groupby("user").aggregate(
+            Min("pack", alias_name="p")).to_pandas()
+        if not len(picks):
+            break
+        pu = picks["user"].to_numpy().astype(np.int64)
+        pe = (picks["p"].to_numpy().astype(np.int64)) >> 41
+        if rnd == 0:
+            users_sorted = np.sort(pu)
+            cur_end = np.zeros(len(users_sorted), np.int64)
+            n_sel = np.zeros(len(users_sorted), np.int64)
+        pos = np.searchsorted(users_sorted, pu)
+        cur_end[pos] = pe
+        n_sel[pos] += 1
+    if users_sorted is None:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_meetings": pa.array([], pa.int64())})
+    return pa.table({"user_id": users_sorted.astype(np.int64),
+                     "n_meetings": n_sel.astype(np.int64)})
+
+
+def sql_activity_selection() -> str:
+    iv = ("SELECT user_id AS u, "
+          f"(CAST(epoch_us(ts) AS BIGINT) - (SELECT "
+          f"CAST(epoch_us(min(ts)) AS BIGINT) FROM events)) // {ACT_Q_US} "
+          "AS s_q, event_id AS eid FROM events")
+    parts = [
+        f"iv0 AS ({iv})",
+        "iv AS (SELECT u, s_q, s_q + (eid % 13 + 1) AS e_q, "
+        "((s_q + (eid % 13 + 1)) << 41) | (s_q << 20) | eid AS pack "
+        "FROM iv0)",
+        "s1 AS (SELECT u, min(pack) AS p FROM iv GROUP BY u)",
+        "c1 AS (SELECT u, p >> 41 AS cur FROM s1)",
+    ]
+    for r in range(2, ACT_ROUNDS + 1):
+        parts += [
+            f"s{r} AS (SELECT iv.u, min(iv.pack) AS p FROM iv "
+            f"JOIN c{r - 1} c ON c.u = iv.u WHERE iv.s_q >= c.cur "
+            "GROUP BY iv.u)",
+            f"c{r} AS (SELECT u, p >> 41 AS cur FROM s{r})",
+        ]
+    presence = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM s{r} WHERE s{r}.u = s1.u) "
+        "THEN 1 ELSE 0 END)" for r in range(2, ACT_ROUNDS + 1))
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(s1.u AS BIGINT) AS user_id, "
+        f"CAST(1 + {presence} AS BIGINT) AS n_meetings FROM s1")
