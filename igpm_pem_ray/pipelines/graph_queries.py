@@ -4520,3 +4520,115 @@ def sql_clique4_count() -> str:
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) "
         "AS n_triangles, "
         "(SELECT CAST(count(*) AS BIGINT) FROM k4) AS n_4cliques")
+
+
+# -------- landmark distance oracle (ALT bounds) --------
+
+LM_COUNT = 4    # top-degree landmarks
+LM_DEPTH = 6    # bounded BFS depth (SQL-unrollable)
+LM_TOPV = 12    # query pairs = all pairs of the top-LM_TOPV degree vertices
+
+
+def q_landmark_distance(sf_dir: str) -> pa.Table:
+    """ALT-style landmark distance oracle (Goldberg-Harrelson SODA
+    2005): precompute BFS distances from LM_COUNT top-degree
+    landmarks, then answer query pairs (u, v) with the triangle-
+    inequality sandwich  max_l |d(l,u) - d(l,v)|  <=  d(u,v)  <=
+    min_l d(l,u) + d(l,v)  — the distance-index class behind
+    point-to-point routing and shortest-path pruning at scales where
+    per-query BFS is unaffordable.  Landmarks that do not reach both
+    endpoints within LM_DEPTH hops contribute no bound; pairs no
+    landmark covers are omitted (both conventions shared with the
+    SQL oracle's unrolled BFS).
+
+    Scale shape: landmark selection is one endpoint-explode groupby;
+    each landmark BFS is the dense msg_pass(min) sweep (the
+    V-unbounded sibling is msbfs_shuffle with landmarks as one
+    chunk, which also carries all L distance lanes in ONE pass);
+    bound assembly touches only the O(TOPV^2) query pairs."""
+    from ray.data.aggregate import Count
+    from igpm_pem_ray.graph.bfs import bfs_levels_dense, _UNREACHED
+    from igpm_pem_ray.graph.dense import build_dense_graph
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    topd = ends.groupby("v").aggregate(Count(alias_name="d")) \
+        .sort(["d", "v"], descending=[True, False]).limit(LM_TOPV) \
+        .to_pandas()
+    topv = topd["v"].to_numpy().astype(np.int64)
+    landmarks = topv[:LM_COUNT]
+
+    g = build_dense_graph(edges)
+    pos = np.searchsorted(g.vids, topv)
+    ok = (pos < g.num_vertices)
+    ok[ok] = g.vids[pos[ok]] == topv[ok]
+    dmats = []   # per landmark: distances at the top vertices
+    for lm in landmarks:
+        dist = bfs_levels_dense(g, int(lm), max_depth=LM_DEPTH)
+        dv = np.full(len(topv), np.int64(_UNREACHED))
+        dv[ok] = dist[pos[ok]]
+        dmats.append(dv)
+    D = np.stack(dmats)          # (L, TOPV)
+
+    us, vs, lbs, ubs = [], [], [], []
+    for i in range(len(topv)):
+        for j in range(i + 1, len(topv)):
+            both = (D[:, i] < _UNREACHED) & (D[:, j] < _UNREACHED)
+            if not both.any():
+                continue
+            di, dj = D[both, i], D[both, j]
+            us.append(int(topv[i]) if topv[i] < topv[j]
+                      else int(topv[j]))
+            vs.append(int(topv[j]) if topv[i] < topv[j]
+                      else int(topv[i]))
+            lbs.append(int(np.abs(di - dj).max()))
+            ubs.append(int((di + dj).min()))
+    t = pa.table({"u": pa.array(us, pa.int64()),
+                  "v": pa.array(vs, pa.int64()),
+                  "dist_lb": pa.array(lbs, pa.int64()),
+                  "dist_ub": pa.array(ubs, pa.int64())})
+    return t
+
+
+def sql_landmark_distance() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges)",
+        "deg AS (SELECT v, count(*) AS d FROM (SELECT src AS v "
+        "FROM edges UNION ALL SELECT dst AS v FROM edges) GROUP BY v)",
+        f"topv AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT {LM_TOPV})",
+        "lms AS (SELECT v AS lm FROM (SELECT v, row_number() OVER "
+        "(ORDER BY d DESC, v) AS rn FROM deg) "
+        f"WHERE rn <= {LM_COUNT})",
+        "n0 AS (SELECT lm, lm AS v, 0 AS lvl FROM lms)",
+        "reach0 AS (SELECT lm, v FROM n0)",
+    ]
+    for i in range(1, LM_DEPTH + 1):
+        parts += [
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT p.lm, x.v "
+            f"FROM n{i - 1} p JOIN adj x ON x.u = p.v)",
+            f"n{i} AS MATERIALIZED (SELECT f.lm, f.v, {i} AS lvl "
+            f"FROM f{i} f "
+            f"WHERE NOT EXISTS (SELECT 1 FROM reach{i - 1} r "
+            "WHERE r.lm = f.lm AND r.v = f.v))",
+            f"reach{i} AS MATERIALIZED (SELECT lm, v FROM reach{i - 1} "
+            f"UNION ALL SELECT lm, v FROM n{i})",
+        ]
+    dist = " UNION ALL ".join(
+        f"SELECT lm, v, lvl FROM n{i}" for i in range(LM_DEPTH + 1))
+    parts.append(f"d AS ({dist})")
+    return (
+        f"WITH {', '.join(parts)}, "
+        "q AS (SELECT a.v AS u, b.v AS v FROM topv a "
+        "JOIN topv b ON a.v < b.v) "
+        "SELECT CAST(q.u AS BIGINT) AS u, CAST(q.v AS BIGINT) AS v, "
+        "CAST(max(abs(du.lvl - dv.lvl)) AS BIGINT) AS dist_lb, "
+        "CAST(min(du.lvl + dv.lvl) AS BIGINT) AS dist_ub "
+        "FROM q JOIN d du ON du.v = q.u "
+        "JOIN d dv ON dv.v = q.v AND dv.lm = du.lm "
+        "GROUP BY q.u, q.v")
