@@ -697,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_u": r.q_attribution_u,
         "activity_selection": r.q_activity_selection,
         "landmark_distance": g.q_landmark_distance,
+        "pointer_jump": g.q_pointer_jump,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1022,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_u": r.sql_attribution_u(),
         "activity_selection": r.sql_activity_selection(),
         "landmark_distance": g.sql_landmark_distance(),
+        "pointer_jump": g.sql_pointer_jump(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

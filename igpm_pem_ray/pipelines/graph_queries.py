@@ -4632,3 +4632,91 @@ def sql_landmark_distance() -> str:
         "FROM q JOIN d du ON du.v = q.u "
         "JOIN d dv ON dv.v = q.v AND dv.lm = du.lm "
         "GROUP BY q.u, q.v")
+
+
+# -------- pointer doubling (parallel path resolution) --------
+
+PJ_ROUNDS = 6   # 2^6 = 64-hop resolution per vertex
+
+
+def q_pointer_jump(sf_dir: str) -> pa.Table:
+    """Pointer jumping / path doubling — the classic PRAM list-
+    ranking primitive (Wyllie 1979) behind redirect-chain resolution,
+    union-find halving and parallel tree rooting: every vertex
+    follows succ(v) = min co-occurrence successor (src < dst, so the
+    functional graph is acyclic and chains strictly increase), sinks
+    self-loop, and PJ_ROUNDS doubling rounds resolve 2^PJ_ROUNDS
+    hops — pointer AND hop distance both double per round
+    (d' = d(v) + d(f(v)), f' = f(f(v))), so depth comes out exact.
+
+    Scale shape: succ is ONE groupby-min; the state stays a
+    Dataset-resident (v, nxt, d) table across rounds, each round ONE
+    hash self-join on nxt = v — log(diameter) shuffles total, the
+    doubling trick that turns O(chain-length) sequential chasing
+    into 6 rounds.  No driver state beyond the loop counter."""
+    from ray.data.aggregate import Min
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    succ = edges.groupby("src").aggregate(Min("dst", alias_name="nxt"))
+
+    # sinks (vertices with no outgoing edge) self-loop with d = 0
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    verts = ends.groupby("v").aggregate(Min("v", alias_name="vv")) \
+        .select_columns(["v"])
+    sm = succ.map_batches(
+        lambda b: pa.table({"sv": b["src"].cast(pa.int64()),
+                            "nxt": b["nxt"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    state = verts.join(sm, join_type="left_outer", num_partitions=8,
+                       on=("v",), right_on=("sv",))
+
+    def init(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        nxt = b["nxt"].to_numpy(zero_copy_only=False)
+        has = ~pa.compute.is_null(b["nxt"]).to_numpy(zero_copy_only=False)
+        nn = np.where(has, np.nan_to_num(nxt.astype(np.float64))
+                      .astype(np.int64), v)
+        return pa.table({"v": v.astype(np.int64), "nxt": nn,
+                         "d": has.astype(np.int64)})
+
+    st = state.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(PJ_ROUNDS):
+        other = st.map_batches(
+            lambda b: pa.table({"v2": b["v"], "nxt2": b["nxt"],
+                                "d2": b["d"]}), batch_format="pyarrow")
+        j = st.join(other, join_type="inner", num_partitions=8,
+                    on=("nxt",), right_on=("v2",))
+        st = j.map_batches(
+            lambda b: pa.table({
+                "v": b["v"],
+                "nxt": b["nxt2"],
+                "d": pa.compute.add(b["d"], b["d2"])}),
+            batch_format="pyarrow").materialize()
+    return st.rename_columns({"nxt": "root", "d": "depth"}) \
+        .sort("v")
+
+
+def sql_pointer_jump() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION ALL SELECT dst AS v FROM edges))",
+        "succ AS (SELECT src AS v, min(dst) AS nxt FROM edges "
+        "GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT verts.v, "
+        "COALESCE(succ.nxt, verts.v) AS nxt, "
+        "CASE WHEN succ.nxt IS NULL THEN 0 ELSE 1 END AS d "
+        "FROM verts LEFT JOIN succ ON succ.v = verts.v)",
+    ]
+    for i in range(1, PJ_ROUNDS + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a.v, b.nxt, a.d + b.d AS d "
+            f"FROM s{i - 1} a JOIN s{i - 1} b ON b.v = a.nxt)")
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(v AS BIGINT) AS v, CAST(nxt AS BIGINT) AS root, "
+        f"CAST(d AS BIGINT) AS depth FROM s{PJ_ROUNDS} ORDER BY v")
