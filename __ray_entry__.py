@@ -698,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_selection": r.q_activity_selection,
         "landmark_distance": g.q_landmark_distance,
         "pointer_jump": g.q_pointer_jump,
+        "semdedup": an.q_semdedup,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1024,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_selection": r.sql_activity_selection(),
         "landmark_distance": g.sql_landmark_distance(),
         "pointer_jump": g.sql_pointer_jump(),
+        "semdedup": an.sql_semdedup(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

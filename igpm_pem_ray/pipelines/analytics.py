@@ -4464,3 +4464,105 @@ def sql_rrf_fusion() -> str:
         "SELECT doc_id, rank_bm25, rank_density, "
         "CAST(rrf_score AS BIGINT) AS rrf_score FROM f "
         f"ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}")
+
+
+# -------- SemDeDup: cluster-then-dedup over embeddings --------
+
+SEM_K = 8            # centroid count (first-K-by-id seeds)
+SEM_E3 = 1_000.0     # per-component e3 quantization
+# cos >= 0.35 as the integer cross-multiplication 400*dot^2 >= 49*n2a*n2b
+SEM_NUM, SEM_DEN = 400, 49
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
+    deduplication that first buckets embeddings into K clusters, then
+    removes rows with a near-duplicate EARLIER row (smaller vec_id)
+    in the SAME cluster — the clustering bounds the pairwise scope
+    that makes naive semantic dedup quadratic.  Deterministic
+    convention: centroids = the K smallest vec_ids, assignment =
+    argmin integer squared L2 over e3-quantized components (ties to
+    the smaller centroid id), duplicate = exists earlier same-cluster
+    row with dot > 0 and cos >= 0.35 applied as the exact integer
+    cross-multiplication (no sqrt, no fixed-point boundary).
+
+    Scale shape: assignment is one broadcast (K x dim) matmul per
+    batch; the dup check broadcasts the quantized matrix once via
+    ray.put (ann/knn.py's brute-force baseline pattern) and runs one
+    (batch x N) int64 matmul per block — the corpus-scale path swaps
+    this for the per-cluster pair join exactly like embed_near_dup's
+    LSH route, which SemDeDup's clustering already bounds.  Output is
+    the per-cluster funnel summary."""
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    X = np.floor(np.stack(pdf["embedding"].to_numpy()) * SEM_E3
+                 + 0.5).astype(np.int64)
+    C = X[:SEM_K]
+    cids = ids[:SEM_K]
+    ref = _ray.put((ids, X, C, cids))
+
+    def flags(b: pa.Table, _ref=ref) -> pa.Table:
+        ids_, X_, C_, cids_ = _ray.get(_ref)
+        bid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids_, bid)
+        Y = X_[pos]                      # (b, dim)
+        # assignment: argmin squared L2 to centroids, tie -> smaller cid
+        d2 = ((Y[:, None, :] - C_[None, :, :]) ** 2).sum(2)  # (b, K)
+        asg = np.argmin(d2, axis=1)      # argmin takes first == smallest cid
+        # full-cluster assignment for the earlier-row check
+        d2all = ((X_[:, None, :] - C_[None, :, :]) ** 2).sum(2)
+        asg_all = np.argmin(d2all, axis=1)
+        n2 = (X_ * X_).sum(1)
+        dots = Y @ X_.T                  # (b, N)
+        same = asg[:, None] == asg_all[None, :]
+        earlier = ids_[None, :] < bid[:, None]
+        pos_dot = dots > 0
+        close = SEM_NUM * dots * dots >= SEM_DEN * n2[pos][:, None] \
+            * n2[None, :]
+        dup = (same & earlier & pos_dot & close).any(1)
+        return pa.table({"cluster": cids_[asg].astype(np.int64),
+                         "one": np.ones(len(bid), np.int64),
+                         "rm": dup.astype(np.int64)})
+
+    return emb.map_batches(flags, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("cluster").aggregate(_Sum("one", alias_name="n_items"),
+                                      _Sum("rm", alias_name="n_removed"))
+
+
+def sql_semdedup() -> str:
+    return (
+        "WITH e AS MATERIALIZED (SELECT vec_id, d.range + 1 AS d, "
+        "CAST(floor(embedding[CAST(d.range + 1 AS INT)]*1000.0+0.5) "
+        "AS BIGINT) AS x FROM embeddings, range(64) d), "
+        "cent AS MATERIALIZED (SELECT * FROM e WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {SEM_K})), "
+        "dist AS (SELECT e.vec_id, c.vec_id AS cid, "
+        "sum((e.x - c.x)*(e.x - c.x)) AS d2 FROM e "
+        "JOIN cent c ON c.d = e.d GROUP BY e.vec_id, c.vec_id), "
+        "asg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM "
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1), "
+        "n2 AS MATERIALIZED (SELECT vec_id, sum(x*x) AS n2 FROM e "
+        "GROUP BY vec_id), "
+        "dots AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, "
+        "sum(ea.x * eb.x) AS dot FROM asg a JOIN asg b "
+        "ON a.cluster = b.cluster AND b.vec_id < a.vec_id "
+        "JOIN e ea ON ea.vec_id = a.vec_id "
+        "JOIN e eb ON eb.vec_id = b.vec_id AND eb.d = ea.d "
+        "GROUP BY a.vec_id, b.vec_id), "
+        "rm AS (SELECT DISTINCT d.va AS vec_id FROM dots d "
+        "JOIN n2 na ON na.vec_id = d.va "
+        "JOIN n2 nb ON nb.vec_id = d.vb "
+        f"WHERE d.dot > 0 AND {SEM_NUM} * d.dot * d.dot >= "
+        f"{SEM_DEN} * na.n2 * nb.n2) "
+        "SELECT CAST(a.cluster AS BIGINT) AS cluster, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_removed "
+        "FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id "
+        "GROUP BY a.cluster")
