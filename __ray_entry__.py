@@ -699,6 +699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distance": g.q_landmark_distance,
         "pointer_jump": g.q_pointer_jump,
         "semdedup": an.q_semdedup,
+        "intersect_all": r.q_intersect_all,
+        "unpivot_measures": r.q_unpivot,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1026,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
         "landmark_distance": g.sql_landmark_distance(),
         "pointer_jump": g.sql_pointer_jump(),
         "semdedup": an.sql_semdedup(),
+        "intersect_all": r.sql_intersect_all(),
+        "unpivot_measures": r.sql_unpivot(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -6632,3 +6632,125 @@ def sql_activity_selection() -> str:
         f"WITH {', '.join(parts)} "
         "SELECT CAST(s1.u AS BIGINT) AS user_id, "
         f"CAST(1 + {presence} AS BIGINT) AS n_meetings FROM s1")
+
+
+# -------- INTERSECT ALL (multiset intersection) --------
+
+def q_intersect_all(sf_dir: str):
+    """Multiset intersection INTERSECT ALL between the two halves of
+    the order-date range over (custkey, priority) rows — completes
+    the bag-semantics set-op family next to q_except_all: surviving
+    multiplicity = min(c_first, c_second), zero-count rows dropped.
+    Same shuffle shape: ONE counting groupby, one vectorized min."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "prio": b["o_orderpriority"],
+                         "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    agg = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "ck": b["ck"], "prio": b["prio"],
+            "c1": (d <= mid).astype(np.int64),
+            "c2": (d > mid).astype(np.int64)}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["ck", "prio"]).aggregate(
+            Sum("c1", alias_name="n_first"),
+            Sum("c2", alias_name="n_second"))
+
+    def inter(b: pa.Table) -> pa.Table:
+        c1 = b["n_first"].to_numpy(zero_copy_only=False)
+        c2 = b["n_second"].to_numpy(zero_copy_only=False)
+        surv = np.minimum(c1, c2)
+        keep = surv > 0
+        return pa.table({"custkey": b["ck"].filter(pa.array(keep)),
+                         "prio": b["prio"].filter(pa.array(keep)),
+                         "multiplicity": surv[keep]})
+
+    return agg.map_batches(inter, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_intersect_all() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, o_orderpriority AS prio, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day "
+        "FROM orders), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM o), "
+        "c AS (SELECT ck, prio, "
+        "sum(CASE WHEN day <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS c1, "
+        "sum(CASE WHEN day > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS c2 FROM o GROUP BY ck, prio) "
+        "SELECT CAST(ck AS BIGINT) AS custkey, prio, "
+        "CAST(least(c1, c2) AS BIGINT) AS multiplicity FROM c "
+        "WHERE least(c1, c2) > 0")
+
+
+# -------- UNPIVOT (wide -> long melt) --------
+
+UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the four lineitem measure columns rotate into
+    (orderkey, linenumber, measure, value_e2) long form — the inverse
+    of q_pivot_status and the standard prep step before generic
+    per-measure aggregation.  Values share one e2 fixed point so a
+    single int64 value column carries all measures exactly.
+
+    Scale shape: a stateless per-batch column explode (4x row
+    replication, zero shuffle) followed by nothing — melt is
+    embarrassingly parallel; the groupby here is only the per-measure
+    count/sum summary that keeps the query output bounded."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"] + UNPIVOT_COLS)
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        names, vals = [], []
+        for c in UNPIVOT_COLS:
+            names.append(np.full(n, c, dtype=object))
+            vals.append(scale_col(
+                b[c].to_numpy(zero_copy_only=False), 100.0))
+        return pa.table({
+            "orderkey": np.tile(ok, len(UNPIVOT_COLS)),
+            "linenumber": np.tile(ln, len(UNPIVOT_COLS)),
+            "measure": pa.array(np.concatenate(names), pa.string()),
+            "value_e2": np.concatenate(vals)})
+
+    long = li.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return long.groupby("measure").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("value_e2", alias_name="total_e2"),
+        Min("value_e2", alias_name="min_e2"),
+        Max("value_e2", alias_name="max_e2"))
+
+
+def sql_unpivot() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS measure, "
+        f"CAST(floor({c}*100.0+0.5) AS BIGINT) AS v FROM lineitem"
+        for c in UNPIVOT_COLS)
+    return (
+        f"WITH long AS ({arms}) "
+        "SELECT measure, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(v) AS BIGINT) AS total_e2, "
+        "CAST(min(v) AS BIGINT) AS min_e2, "
+        "CAST(max(v) AS BIGINT) AS max_e2 "
+        "FROM long GROUP BY measure")
