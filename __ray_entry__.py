@@ -701,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": an.q_semdedup,
         "intersect_all": r.q_intersect_all,
         "unpivot_measures": r.q_unpivot,
+        "quality_classifier": an.q_quality_classifier,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1030,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": an.sql_semdedup(),
         "intersect_all": r.sql_intersect_all(),
         "unpivot_measures": r.sql_unpivot(),
+        "quality_classifier": an.sql_quality_classifier(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4566,3 +4566,75 @@ def sql_semdedup() -> str:
         "AS BIGINT) AS n_removed "
         "FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id "
         "GROUP BY a.cluster")
+
+
+# -------- hashing-trick linear quality classifier --------
+
+QC_F = 64                    # hashed feature buckets
+QC_A = 2_654_435_761         # Knuth multiplicative weight seed
+QC_MOD = 1_001               # weights in [-500, 500]
+
+
+def q_quality_classifier(sf_dir: str):
+    """FastText-style linear classifier INFERENCE with the hashing
+    trick (Weinberger et al. ICML 2009): every token hashes into one
+    of QC_F feature buckets (md5 prefix — the SQL-replicable hash
+    convention q_minhash_acc documents; the production sibling would
+    use hash_array), bucket weights are a fixed deterministic table
+    w_b = (b * QC_A) mod QC_MOD - 500, and a document's score is the
+    tf-weighted integer weight sum — the exact shape of applying a
+    trained linear quality model (CCNet / fastText lang-quality
+    filters) at corpus scale, with the model broadcast as a constant.
+
+    Scale shape: per-doc scores need NO shuffle (a doc lives in one
+    row; token loop + md5 inside the batch map); the only exchange is
+    the O(sources) summary groupby.  Empty-token docs are absent,
+    matching the SQL token-table groupby."""
+    import hashlib
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def score(b: pa.Table) -> pa.Table:
+        srcs, scs, pos = [], [], []
+        for src, txt in zip(b["source"].to_pylist(),
+                            b["text"].to_pylist()):
+            toks = [t for t in (txt or "").split() if t]
+            if not toks:
+                continue
+            s = 0
+            for t in toks:
+                bkt = int(hashlib.md5(t.encode()).hexdigest()[:12],
+                          16) % QC_F
+                s += (bkt * QC_A) % QC_MOD - 500
+            srcs.append(src)
+            scs.append(s)
+            pos.append(1 if s > 0 else 0)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "sc": pa.array(scs, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("sc", alias_name="sum_score"),
+            _Sum("pos", alias_name="n_positive"))
+
+
+def sql_quality_classifier() -> str:
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "w AS (SELECT doc_id, "
+        "(CAST(concat('0x', substr(md5(token), 1, 12)) AS BIGINT) "
+        f"% {QC_F} * {QC_A}) % {QC_MOD} - 500 AS w FROM tok), "
+        "d AS (SELECT doc_id, sum(w) AS sc FROM w GROUP BY doc_id) "
+        "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(d.sc) AS BIGINT) AS sum_score, "
+        "CAST(sum(CASE WHEN d.sc > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_positive "
+        "FROM d JOIN documents s ON s.doc_id = d.doc_id "
+        "GROUP BY s.source")
