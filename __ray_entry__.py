@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_all": r.q_intersect_all,
         "unpivot_measures": r.q_unpivot,
         "quality_classifier": an.q_quality_classifier,
+        "bom_explode": g.q_bom_explode,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1032,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_all": r.sql_intersect_all(),
         "unpivot_measures": r.sql_unpivot(),
         "quality_classifier": an.sql_quality_classifier(),
+        "bom_explode": g.sql_bom_explode(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4720,3 +4720,99 @@ def sql_pointer_jump() -> str:
         f"WITH {', '.join(parts)} "
         "SELECT CAST(v AS BIGINT) AS v, CAST(nxt AS BIGINT) AS root, "
         f"CAST(d AS BIGINT) AS depth FROM s{PJ_ROUNDS} ORDER BY v")
+
+
+# -------- bill-of-materials explosion (path-product DP) --------
+
+BOM_DEPTH = 4    # bounded explosion depth (SQL-unrollable)
+BOM_ROOTS = 3    # smallest vids with outgoing edges
+
+
+def q_bom_explode(sf_dir: str) -> pa.Table:
+    """Bill-of-materials requirements explosion: on the acyclic
+    co-occurrence DAG (src < dst) with deterministic per-edge
+    quantities q = 1 + (src + dst) mod 3, the total requirement of
+    component t for root r is  sum over r->t paths of the PRODUCT of
+    edge quantities — the (+, x) path semiring, the multiplicative
+    sibling of q_dag_paths (counting, q=1) and q_widest_path
+    ((max, min)).  Depth-bounded at BOM_DEPTH levels, roots = the
+    BOM_ROOTS smallest vids with outgoing edges (both conventions
+    shared with the unrolled SQL oracle).
+
+    Scale shape: classic relational DP — each level is ONE hash join
+    of the requirement frontier against the edge table on the
+    expansion key plus a (root, part) groupby-sum; quantities and
+    path products stay int64 (q <= 3, depth <= 4 => product <= 81,
+    path counts bounded by the DAG fan-out)."""
+    from ray.data.aggregate import Sum as _Sum, Min as _Min
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def with_q(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": s, "dst": d, "q": (s + d) % 3 + 1})
+
+    eq = edges.map_batches(with_q, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    roots = eq.groupby("src").aggregate(_Min("src", alias_name="r")) \
+        .sort("src").limit(BOM_ROOTS).to_pandas()["src"] \
+        .to_numpy().astype(np.int64)
+    rset = set(int(x) for x in roots)
+
+    def seed(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        m = np.isin(s, roots)
+        return pa.table({"root": s[m],
+                         "part": b["dst"].to_numpy(
+                             zero_copy_only=False)[m],
+                         "qty": b["q"].to_numpy(
+                             zero_copy_only=False)[m]})
+
+    frontier = eq.map_batches(seed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    levels = [frontier]
+    for _ in range(1, BOM_DEPTH):
+        nxt = frontier.join(
+            eq.rename_columns({"src": "esrc", "dst": "edst",
+                               "q": "eq_"}),
+            join_type="inner", num_partitions=8,
+            on=("part",), right_on=("esrc",))
+        frontier = nxt.map_batches(
+            lambda b: pa.table({
+                "root": b["root"],
+                "part": b["edst"],
+                "qty": pa.compute.multiply(b["qty"], b["eq_"])}),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        levels.append(frontier)
+    allv = levels[0]
+    for extra in levels[1:]:
+        allv = allv.union(extra)
+    return allv.groupby(["root", "part"]).aggregate(
+        _Sum("qty", alias_name="total_qty"))
+
+
+def sql_bom_explode() -> str:
+    parts = [
+        f"edges AS MATERIALIZED (SELECT src, dst, "
+        f"(src + dst) % 3 + 1 AS q FROM ({EDGES_SQL}))",
+        "roots AS (SELECT DISTINCT src AS r FROM edges "
+        f"ORDER BY r LIMIT {BOM_ROOTS})",
+        "l1 AS (SELECT e.src AS root, e.dst AS part, e.q AS qty "
+        "FROM edges e JOIN roots ON roots.r = e.src)",
+    ]
+    for i in range(2, BOM_DEPTH + 1):
+        parts.append(
+            f"l{i} AS (SELECT p.root, e.dst AS part, p.qty * e.q AS qty "
+            f"FROM l{i - 1} p JOIN edges e ON e.src = p.part)")
+    un = " UNION ALL ".join(
+        f"SELECT root, part, qty FROM l{i}"
+        for i in range(1, BOM_DEPTH + 1))
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(root AS BIGINT) AS root, "
+        "CAST(part AS BIGINT) AS part, "
+        f"CAST(sum(qty) AS BIGINT) AS total_qty FROM ({un}) "
+        "GROUP BY root, part")
