@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_measures": r.q_unpivot,
         "quality_classifier": an.q_quality_classifier,
         "bom_explode": g.q_bom_explode,
+        "ppr_push": g.q_ppr_push,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1034,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_measures": r.sql_unpivot(),
         "quality_classifier": an.sql_quality_classifier(),
         "bom_explode": g.sql_bom_explode(),
+        "ppr_push": g.sql_ppr_push(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

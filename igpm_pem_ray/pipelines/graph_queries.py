@@ -4816,3 +4816,106 @@ def sql_bom_explode() -> str:
         "CAST(part AS BIGINT) AS part, "
         f"CAST(sum(qty) AS BIGINT) AS total_qty FROM ({un}) "
         "GROUP BY root, part")
+
+
+# -------- local PPR push (Andersen-Chung-Lang) --------
+
+PUSH_SCALE = 4 ** 10   # seed residual mass (dyadic, exact under //4)
+PUSH_THETA = 16        # push threshold on the integer residual
+PUSH_ROUNDS = 4        # synchronous rounds (SQL-unrollable)
+
+
+def q_ppr_push(sf_dir: str) -> pa.Table:
+    """Local personalized-PageRank push (Andersen-Chung-Lang FOCS
+    2006) from the top-degree seed — the local-exploration primitive
+    behind seed-set expansion and local community detection, which
+    touches only the graph NEAR the seed instead of iterating
+    globally like q_pagerank / q_ppr_mc.  Synchronous integer
+    variant: every vertex with residual r >= PUSH_THETA pushes at
+    once — p += r//4 (alpha = 1/4 dyadic), half the remainder stays
+    lazily, the rest splits over neighbors by exact floor division
+    (the sub-divisor remainder is deliberately dropped; deterministic
+    and identical in the SQL oracle, which unrolls the rounds).
+
+    Scale shape: each round is ONE msg_pass(sum) over the dense
+    substrate (per-partition CSR gather + reduceat) with O(V) driver
+    vectors — the locality means the active set stays tiny; the
+    V-unbounded sibling is the pagerank_shuffle join plan restricted
+    to the active frontier."""
+    from ray.data.aggregate import Count as _Count
+    from igpm_pem_ray.graph.dense import build_dense_graph, msg_pass
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    topd = ends.groupby("v").aggregate(_Count(alias_name="d")) \
+        .sort(["d", "v"], descending=[True, False]).limit(1).to_pandas()
+    seed = int(topd["v"].iloc[0])
+
+    g = build_dense_graph(edges)
+    directions = "out" if g.symmetric else "both"
+    deg = msg_pass(g, np.ones(g.num_vertices, np.int64), reduce="sum",
+                   init=0, directions=directions)
+    p = np.zeros(g.num_vertices, np.int64)
+    r = np.zeros(g.num_vertices, np.int64)
+    spos = np.searchsorted(g.vids, seed)
+    r[spos] = PUSH_SCALE
+    for _ in range(PUSH_ROUNDS):
+        mask = r >= PUSH_THETA
+        if not mask.any():
+            break
+        a = np.where(mask, r // 4, 0)
+        left = np.where(mask, r - r // 4, 0)
+        stay = left // 2
+        share = np.where(deg > 0, (left - stay) // np.maximum(deg, 1), 0)
+        inc = msg_pass(g, share, reduce="sum", init=0,
+                       directions=directions)
+        p = p + a
+        r = np.where(mask, stay, r) + inc
+    keep = p > 0
+    order = np.lexsort((g.vids[keep], -p[keep]))[:20]
+    vs = g.vids[keep][order]
+    return pa.table({"v": vs.astype(np.int64),
+                     "p": p[keep][order].astype(np.int64),
+                     "residual": r[keep][order].astype(np.int64)})
+
+
+def sql_ppr_push() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges)",
+        "deg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj "
+        "GROUP BY u)",
+        "seed AS (SELECT u AS v FROM deg ORDER BY d DESC, u LIMIT 1)",
+        f"r0 AS (SELECT v, {PUSH_SCALE} AS r FROM seed)",
+    ]
+    acc = []
+    for i in range(1, PUSH_ROUNDS + 1):
+        parts += [
+            f"m{i} AS MATERIALIZED (SELECT v, r, r // 4 AS a, "
+            "(r - r // 4) // 2 AS stay, "
+            "(r - r // 4) - (r - r // 4) // 2 AS spread "
+            f"FROM r{i - 1} WHERE r >= {PUSH_THETA})",
+            f"k{i} AS (SELECT v, r FROM r{i - 1} WHERE r < {PUSH_THETA})",
+            f"inc{i} AS (SELECT adj.v AS v, "
+            f"sum(m.spread // d.d) AS r FROM m{i} m "
+            "JOIN deg d ON d.u = m.v JOIN adj ON adj.u = m.v "
+            "GROUP BY adj.v)",
+            f"r{i} AS MATERIALIZED (SELECT v, sum(r) AS r FROM ("
+            f"SELECT v, stay AS r FROM m{i} "
+            f"UNION ALL SELECT v, r FROM k{i} "
+            f"UNION ALL SELECT v, r FROM inc{i}) GROUP BY v)",
+        ]
+        acc.append(f"SELECT v, a FROM m{i}")
+    pacc = " UNION ALL ".join(acc)
+    return (
+        f"WITH {', '.join(parts)}, "
+        f"p AS (SELECT v, sum(a) AS p FROM ({pacc}) GROUP BY v) "
+        "SELECT CAST(p.v AS BIGINT) AS v, CAST(p.p AS BIGINT) AS p, "
+        f"CAST(COALESCE(r.r, 0) AS BIGINT) AS residual "
+        f"FROM p LEFT JOIN r{PUSH_ROUNDS} r ON r.v = p.v "
+        "WHERE p.p > 0 ORDER BY p.p DESC, p.v LIMIT 20")
