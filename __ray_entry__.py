@@ -704,6 +704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": an.q_quality_classifier,
         "bom_explode": g.q_bom_explode,
         "ppr_push": g.q_ppr_push,
+        "l_diversity": r.q_l_diversity,
+        "seasonal_naive": r.q_seasonal_naive,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1036,6 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": an.sql_quality_classifier(),
         "bom_explode": g.sql_bom_explode(),
         "ppr_push": g.sql_ppr_push(),
+        "l_diversity": r.sql_l_diversity(),
+        "seasonal_naive": r.sql_seasonal_naive(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

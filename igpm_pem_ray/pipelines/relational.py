@@ -6754,3 +6754,139 @@ def sql_unpivot() -> str:
         "CAST(min(v) AS BIGINT) AS min_e2, "
         "CAST(max(v) AS BIGINT) AS max_e2 "
         "FROM long GROUP BY measure")
+
+
+# -------- l-diversity audit --------
+
+LDIV_L = 3   # required distinct sensitive values per class
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al. ICDE 2006) — the
+    extension of q_k_anonymity that catches the homogeneity attack
+    k-anonymity misses: for each (nation, priority) quasi-identifier
+    class, the number of DISTINCT sensitive values (order status)
+    must be >= l, else the class leaks the sensitive attribute even
+    when it is large.  Same join + groupby shape as the k-anonymity
+    audit with a distinct-count aggregate: one join to attach the
+    nation, one (class, status) dedup groupby, one class groupby."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey",
+                                                   "c_nationkey"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_orderstatus"])
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    # distinct sensitive values per class: dedup groupby then count
+    dis = j.groupby(["c_nationkey", "o_orderpriority",
+                     "o_orderstatus"]).aggregate(
+        Count(alias_name="_n"))
+    counts = dis.groupby(["c_nationkey", "o_orderpriority"]).aggregate(
+        Count(alias_name="n_sensitive"),
+        Sum("_n", alias_name="class_size"))
+
+    def flag(b: pa.Table) -> pa.Table:
+        ns = b["n_sensitive"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "nationkey": b["c_nationkey"].cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+            "class_size": b["class_size"].cast(pa.int64()),
+            "n_sensitive": ns,
+            "violates": (ns < LDIV_L).astype(np.int64)})
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_l_diversity() -> str:
+    return (
+        "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+        "o.o_orderpriority, CAST(count(*) AS BIGINT) AS class_size, "
+        "CAST(count(DISTINCT o.o_orderstatus) AS BIGINT) "
+        "AS n_sensitive, "
+        "CAST(CASE WHEN count(DISTINCT o.o_orderstatus) "
+        f"< {LDIV_L} THEN 1 ELSE 0 END AS BIGINT) AS violates "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_nationkey, o.o_orderpriority")
+
+
+# -------- seasonal-naive forecast backtest (MASE) --------
+
+MASE_E6 = 1_000_000
+
+
+def q_seasonal_naive(sf_dir: str):
+    """Forecast backtest: the seasonal-naive model (y_hat(d) =
+    y(d-7)) evaluated per event type over the LAST 7 days of daily
+    event counts against the MASE yardstick's in-sample naive walk
+    (y_hat(d) = y(d-1)) — the standard baseline every production
+    forecast must beat (Hyndman-Koehler 2006), kept exact: both sums
+    of absolute errors are integers, and the MASE ratio is the e6
+    floor-division fixed point.  Days with no events count as zero
+    via the densified day range (shared with the SQL oracle's
+    generate_series).
+
+    Scale shape: ONE (type, day) counting groupby; the per-type
+    backtest joins the tiny (types x days) matrix to its own day-7
+    and day-1 lags by key shift — O(types * days) rows end to end."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "etype": b["event_type"],
+            "day": b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // DAY_US})
+
+    per_day = ev.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["etype", "day"]).aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    lo, hi = int(per_day["day"].min()), int(per_day["day"].max())
+    days = np.arange(lo, hi + 1)
+    types = sorted(per_day["etype"].unique())
+    # dense (types x days) count matrix: tiny, the heavy count above
+    # was the distributed part
+    M = np.zeros((len(types), len(days)), np.int64)
+    ti = {t: i for i, t in enumerate(types)}
+    M[[ti[t] for t in per_day["etype"]],
+      per_day["day"].to_numpy() - lo] = per_day["n"].to_numpy()
+    test = days >= hi - 6
+    rows = []
+    for t in types:
+        y = M[ti[t]]
+        sae_s = int(np.abs(y[test] - M[ti[t]][np.nonzero(test)[0] - 7])
+                    .sum())
+        idx = np.nonzero(test)[0]
+        sae_n = int(np.abs(y[idx] - y[idx - 1]).sum())
+        mase = (sae_s * MASE_E6 // sae_n) if sae_n > 0 else -1
+        rows.append((t, sae_s, sae_n, mase))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "sae_seasonal": pa.array([r[1] for r in rows], pa.int64()),
+        "sae_naive": pa.array([r[2] for r in rows], pa.int64()),
+        "mase_e6": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def sql_seasonal_naive() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, "
+        f"CAST(epoch_us(ts) AS BIGINT) // {DAY_US} AS day FROM events), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM e), "
+        "dn AS (SELECT t, day, count(*) AS n FROM e GROUP BY t, day), "
+        "grid AS (SELECT ty.t, d.day FROM "
+        "(SELECT DISTINCT t FROM e) ty, "
+        "(SELECT unnest(generate_series((SELECT lo FROM b), "
+        "(SELECT hi FROM b))) AS day) d), "
+        "y AS (SELECT g.t, g.day, COALESCE(dn.n, 0) AS n FROM grid g "
+        "LEFT JOIN dn ON dn.t = g.t AND dn.day = g.day), "
+        "t7 AS (SELECT a.t, abs(a.n - s.n) AS es, abs(a.n - p.n) AS en "
+        "FROM y a JOIN y s ON s.t = a.t AND s.day = a.day - 7 "
+        "JOIN y p ON p.t = a.t AND p.day = a.day - 1 "
+        "WHERE a.day >= (SELECT hi FROM b) - 6) "
+        "SELECT t AS event_type, "
+        "CAST(sum(es) AS BIGINT) AS sae_seasonal, "
+        "CAST(sum(en) AS BIGINT) AS sae_naive, "
+        "CAST(CASE WHEN sum(en) > 0 THEN "
+        f"sum(es) * {MASE_E6} // sum(en) ELSE -1 END AS BIGINT) "
+        "AS mase_e6 "
+        "FROM t7 GROUP BY t")
