@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_push": g.q_ppr_push,
         "l_diversity": r.q_l_diversity,
         "seasonal_naive": r.q_seasonal_naive,
+        "rank_corr": an.q_rank_corr,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1040,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_push": g.sql_ppr_push(),
         "l_diversity": r.sql_l_diversity(),
         "seasonal_naive": r.sql_seasonal_naive(),
+        "rank_corr": an.sql_rank_corr(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

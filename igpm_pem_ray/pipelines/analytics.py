@@ -4638,3 +4638,169 @@ def sql_quality_classifier() -> str:
         "AS n_positive "
         "FROM d JOIN documents s ON s.doc_id = d.doc_id "
         "GROUP BY s.source")
+
+
+# -------- rank correlation (Kendall tau / Spearman footrule) --------
+
+RC_TOP = 100   # evaluation slice: top-RC_TOP docs by BM25
+
+
+def q_rank_corr(sf_dir: str):
+    """Rank-correlation audit between two retrieval rankings — the
+    evaluation primitive behind 'did the cheap ranker approximate
+    the expensive one': Kendall concordant/discordant pair counts
+    and the Spearman footrule distance between the BM25 ranking and
+    the term-density ranking (q_rrf_fusion's two lists), computed on
+    the top-RC_TOP BM25 slice with both ranks re-assigned WITHIN the
+    slice (row_number order shared with the SQL oracle).  Kendall
+    tau is emitted as the shifted fixed point (C - D + P) * 1e6 //
+    (2P) in [0, 1e6] so no negative floor division exists in either
+    engine.
+
+    Scale shape: scoring is the q_bm25_topk no-shuffle tokenize map;
+    the slice is one sort + limit; the O(TOP^2) pair census runs on
+    the tiny driver-side slice (4950 pairs)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def tf_dl(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "dl": []}
+        tf_cols = {t: [] for t in terms}
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (txt or "").split()
+            cols["doc_id"].append(did)
+            cols["dl"].append(len(toks))
+            if toks:
+                u, c = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+                lut = dict(zip(u.tolist(), c.tolist()))
+            else:
+                lut = {}
+            for t in terms:
+                tf_cols[t].append(int(lut.get(t, 0)))
+        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+               "dl": pa.array(cols["dl"], pa.int64())}
+        for t in terms:
+            out[f"tf_{t}"] = pa.array(tf_cols[t], pa.int64())
+        return pa.table(out)
+
+    stats_ds = docs.map_batches(tf_dl, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    pdf = stats_ds.map_batches(
+        lambda b: pa.table(
+            {"dl": b["dl"],
+             **{f"has_{t}": (b[f"tf_{t}"].to_numpy(zero_copy_only=False)
+                             > 0).astype(np.int64) for t in terms}}),
+        batch_format="pyarrow") \
+        .sum(["dl"] + [f"has_{t}" for t in terms])
+    total_tokens = float(pdf["sum(dl)"])
+    df = {t: float(pdf[f"sum(has_{t})"]) for t in terms}
+    n_docs = float(docs.count())
+    avgdl = total_tokens / n_docs
+
+    def score(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dli = b["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = None
+        tf_sum = np.zeros(len(dl), np.int64)
+        for t in terms:
+            tfi = b[f"tf_{t}"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tf = tfi.astype(np.float64)
+            tf_sum = tf_sum + tfi
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            st = idf * (tf * (BM25_K1 + 1.0)) \
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            s = st if s is None else s + st
+        dens = np.where(dli > 0, tf_sum * 1_000_000 // np.maximum(dli, 1),
+                        np.int64(0))
+        return pa.table({"doc_id": b["doc_id"],
+                         "score_e6": scale_col(s, 1e6),
+                         "dens_e6": dens.astype(np.int64)})
+
+    top = stats_ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["score_e6", "doc_id"], descending=[True, False]) \
+        .limit(RC_TOP).to_pandas()
+
+    # within-slice ranks (deterministic total orders)
+    a = np.lexsort((top["doc_id"].to_numpy(),
+                    -top["score_e6"].to_numpy()))
+    b_ = np.lexsort((top["doc_id"].to_numpy(),
+                     -top["dens_e6"].to_numpy()))
+    n = len(top)
+    ra = np.empty(n, np.int64)
+    rb = np.empty(n, np.int64)
+    ra[a] = np.arange(1, n + 1)
+    rb[b_] = np.arange(1, n + 1)
+    da = ra[:, None] - ra[None, :]
+    db = rb[:, None] - rb[None, :]
+    iu = np.triu_indices(n, 1)
+    prod = da[iu] * db[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    foot = int(np.abs(ra - rb).sum())
+    P = n * (n - 1) // 2
+    tau_shift = (conc - disc + P) * 1_000_000 // (2 * P) if P else 0
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "concordant": pa.array([conc], pa.int64()),
+                     "discordant": pa.array([disc], pa.int64()),
+                     "footrule": pa.array([foot], pa.int64()),
+                     "tau_shift_e6": pa.array([tau_shift], pa.int64())})
+
+
+def sql_rank_corr() -> str:
+    k1, bb = repr(BM25_K1), repr(BM25_B)
+    tok = (r"tok AS (SELECT doc_id, unnest(list_filter("
+           r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+           "FROM documents), "
+           "dl AS (SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) "
+           "AS dl, CAST(COALESCE(c.n, 0) AS BIGINT) AS dli "
+           "FROM documents d LEFT JOIN (SELECT doc_id, count(*) "
+           "AS n FROM tok GROUP BY doc_id) c ON c.doc_id = d.doc_id), "
+           "g AS (SELECT CAST(sum(dl) AS DOUBLE) AS total, "
+           "CAST(count(*) AS DOUBLE) AS n, "
+           "CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl "
+           "FROM dl)")
+    parts = [tok]
+    for t in BM25_TERMS:
+        parts.append(
+            f"tf_{t} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE token = '{t}' GROUP BY doc_id), "
+            f"df_{t} AS (SELECT CAST(count(*) AS DOUBLE) AS df "
+            f"FROM tf_{t})")
+    term_exprs = []
+    for t in BM25_TERMS:
+        term_exprs.append(
+            f"(((SELECT n FROM g) - (SELECT df FROM df_{t}) + 0.5)"
+            f"/((SELECT df FROM df_{t}) + 0.5)) "
+            f"* (COALESCE(tf_{t}.tf, 0.0) * ({k1} + 1.0)) "
+            f"/ (COALESCE(tf_{t}.tf, 0.0) + {k1} * (1.0 - {bb} "
+            f"+ {bb} * dl.dl / (SELECT avgdl FROM g)))")
+    joins = " ".join(
+        f"LEFT JOIN tf_{t} ON tf_{t}.doc_id = dl.doc_id"
+        for t in BM25_TERMS)
+    score = " + ".join(term_exprs)
+    tfsum = " + ".join(
+        f"CAST(COALESCE(tf_{t}.tf, 0.0) AS BIGINT)" for t in BM25_TERMS)
+    return (
+        f"WITH {', '.join(parts)}, "
+        f"sc AS (SELECT dl.doc_id, "
+        f"CAST(floor(({score})*1e6 + 0.5) AS BIGINT) AS score_e6, "
+        f"CASE WHEN dl.dli > 0 THEN ({tfsum}) * 1000000 // dl.dli "
+        f"ELSE 0 END AS dens_e6 FROM dl {joins}), "
+        "top AS (SELECT * FROM sc "
+        f"ORDER BY score_e6 DESC, doc_id LIMIT {RC_TOP}), "
+        "rk AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score_e6 DESC, doc_id) AS ra, row_number() OVER "
+        "(ORDER BY dens_e6 DESC, doc_id) AS rb FROM top), "
+        "pairs AS (SELECT (a.ra - b.ra) * (a.rb - b.rb) AS prod "
+        "FROM rk a JOIN rk b ON a.doc_id < b.doc_id), "
+        "s AS (SELECT CAST(count(*) FILTER (prod > 0) AS BIGINT) AS c, "
+        "CAST(count(*) FILTER (prod < 0) AS BIGINT) AS d, "
+        "CAST(count(*) AS BIGINT) AS p FROM pairs) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM rk) AS n, "
+        "s.c AS concordant, s.d AS discordant, "
+        "(SELECT CAST(sum(abs(ra - rb)) AS BIGINT) FROM rk) "
+        "AS footrule, "
+        "CAST(CASE WHEN s.p > 0 THEN (s.c - s.d + s.p) * 1000000 "
+        "// (2 * s.p) ELSE 0 END AS BIGINT) AS tau_shift_e6 FROM s")
