@@ -707,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": r.q_l_diversity,
         "seasonal_naive": r.q_seasonal_naive,
         "rank_corr": an.q_rank_corr,
+        "ohlc_daily": r.q_ohlc_daily,
+        "transitive_reduce": g.q_transitive_reduce,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1042,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": r.sql_l_diversity(),
         "seasonal_naive": r.sql_seasonal_naive(),
         "rank_corr": an.sql_rank_corr(),
+        "ohlc_daily": r.sql_ohlc_daily(),
+        "transitive_reduce": g.sql_transitive_reduce(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

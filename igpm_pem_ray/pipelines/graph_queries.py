@@ -4919,3 +4919,51 @@ def sql_ppr_push() -> str:
         f"CAST(COALESCE(r.r, 0) AS BIGINT) AS residual "
         f"FROM p LEFT JOIN r{PUSH_ROUNDS} r ON r.v = p.v "
         "WHERE p.p > 0 ORDER BY p.p DESC, p.v LIMIT 20")
+
+
+# -------- transitive reduction (2-hop) --------
+
+def q_transitive_reduce(sf_dir: str) -> pa.Table:
+    """Depth-2 transitive reduction of the co-occurrence DAG: an edge
+    (u, v) is REDUNDANT when some 2-hop path u -> w -> v also exists
+    (reachability is unchanged by dropping it) — the DAG-minimization
+    operator behind dependency-graph simplification and Hasse-diagram
+    construction, depth-bounded the way the repo's other closure ops
+    are (full reduction iterates this plan to fixpoint).
+
+    Scale shape: ONE wedge self-join on the middle vertex (u,w)x(w,v)
+    builds the 2-path set, one dedup groupby, one hash semi-join
+    marks redundant edges; all equi shuffles on vertex keys."""
+    from ray.data.aggregate import Count as _Count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    e1 = edges.rename_columns({"src": "u", "dst": "w"})
+    e2 = edges.rename_columns({"src": "w2", "dst": "v"})
+    n_e = edges.count()
+    np_join = 1 if n_e < 65_536 else min(32, max(8, n_e // 200_000))
+    two = e1.join(e2, join_type="inner", num_partitions=np_join,
+                  on=("w",), right_on=("w2",)) \
+        .select_columns(["u", "v"]) \
+        .groupby(["u", "v"]).aggregate(_Count(alias_name="npath"))
+    red = edges.join(two.rename_columns({"u": "ru", "v": "rv"}),
+                     join_type="inner", num_partitions=np_join,
+                     on=("src", "dst"), right_on=("ru", "rv"))
+    n_red = red.count()
+    return pa.table({
+        "n_edges": pa.array([n_e], pa.int64()),
+        "n_redundant": pa.array([n_red], pa.int64()),
+        "n_kept": pa.array([n_e - n_red], pa.int64())})
+
+
+def sql_transitive_reduce() -> str:
+    return (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "two AS (SELECT DISTINCT a.src AS u, b.dst AS v FROM edges a "
+        "JOIN edges b ON b.src = a.dst), "
+        "red AS (SELECT e.src, e.dst FROM edges e "
+        "JOIN two t ON t.u = e.src AND t.v = e.dst) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) "
+        "AS n_edges, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM red) AS n_redundant, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM edges) - "
+        "(SELECT CAST(count(*) AS BIGINT) FROM red) AS n_kept")

@@ -6890,3 +6890,76 @@ def sql_seasonal_naive() -> str:
         f"sum(es) * {MASE_E6} // sum(en) ELSE -1 END AS BIGINT) "
         "AS mase_e6 "
         "FROM t7 GROUP BY t")
+
+
+# -------- OHLC candlestick aggregation --------
+
+def q_ohlc_daily(sf_dir: str):
+    """Daily OHLC (open / high / low / close) bars over event values —
+    the first/last-value-per-bucket aggregation class (financial
+    candlesticks, telemetry roll-ups): open = value of the first
+    event of the day, close = value of the last ((ts, event_id)
+    total order), high/low = max/min, all values in the e2 fixed
+    point.
+
+    Scale shape: ONE day groupby computes min/max/count directly and
+    open/close WITHOUT a sort — each block contributes its candidate
+    (packed (us, event_id) order key, value) pair and the groupby
+    takes the min/max pack; the matching value rides in the low bits
+    of a second packed column (order key << 20 | value index is
+    avoided — instead two aggregates of PACKED (key, value) pairs
+    where value occupies the low 21 bits, asserted < 2^21), so
+    first/last-per-group costs the same as min/max."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_id", "value"])
+    base = None
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = scale_col(b["value"].to_numpy(zero_copy_only=False), 100.0)
+        assert int(v.max(initial=0)) < (1 << 21) and int(v.min(initial=0)) >= 0
+        day = us // DAY_US
+        # order key: second-of-day (< 2^17) then event id (< 2^20) —
+        # a deterministic total order (ids unique) that fits the pack
+        okey = (us % DAY_US) // 1_000_000 << 20 | eid
+        assert int(eid.max(initial=0)) < (1 << 20)
+        pack = okey << 21 | v
+        return pa.table({"day": day, "v": v, "pack": pack})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = rows.groupby("day").aggregate(
+        Min("pack", alias_name="first_pack"),
+        Max("pack", alias_name="last_pack"),
+        Min("v", alias_name="low_e2"),
+        Max("v", alias_name="high_e2"),
+        Count(alias_name="n_events"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        m = (1 << 21) - 1
+        return pa.table({
+            "day": b["day"].cast(pa.int64()),
+            "open_e2": pa.compute.bit_wise_and(b["first_pack"], m),
+            "high_e2": b["high_e2"].cast(pa.int64()),
+            "low_e2": b["low_e2"].cast(pa.int64()),
+            "close_e2": pa.compute.bit_wise_and(b["last_pack"], m),
+            "n_events": b["n_events"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_ohlc_daily() -> str:
+    return (
+        "WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us, "
+        "event_id AS eid, "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS v FROM events), "
+        f"p AS (SELECT us // {DAY_US} AS day, v, "
+        f"((us % {DAY_US}) // 1000000 << 20 | eid) << 21 | v "
+        "AS pack FROM e) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        "CAST(min(pack) & ((1 << 21) - 1) AS BIGINT) AS open_e2, "
+        "CAST(max(v) AS BIGINT) AS high_e2, "
+        "CAST(min(v) AS BIGINT) AS low_e2, "
+        "CAST(max(pack) & ((1 << 21) - 1) AS BIGINT) AS close_e2, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM p GROUP BY day")
