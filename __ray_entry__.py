@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_corr": an.q_rank_corr,
         "ohlc_daily": r.q_ohlc_daily,
         "transitive_reduce": g.q_transitive_reduce,
+        "rfm_segments": r.q_rfm_segments,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1046,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_corr": an.sql_rank_corr(),
         "ohlc_daily": r.sql_ohlc_daily(),
         "transitive_reduce": g.sql_transitive_reduce(),
+        "rfm_segments": r.sql_rfm_segments(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -6963,3 +6963,100 @@ def sql_ohlc_daily() -> str:
         "CAST(max(pack) & ((1 << 21) - 1) AS BIGINT) AS close_e2, "
         "CAST(count(*) AS BIGINT) AS n_events "
         "FROM p GROUP BY day")
+
+
+# -------- RFM customer segmentation --------
+
+RFM_K = 5
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic customer-value census: per customer, days since
+    last order, order count and total spend, each discretized into
+    NTILE(5) bins ((rank-1)*k//n + 1, q_ntile_orders' exact SQL-NTILE
+    reproduction; recency ranks ascending — most recent = bin 1 —
+    frequency and monetary descending so bin 1 is always 'best'),
+    composed into the 3-digit segment code 100r+10f+m.
+
+    Scale shape: ONE per-customer groupby does all three aggregates
+    (the only pass over the fact table); the three quintile ranks run
+    on the O(customers) summary via the sorted-block rank carry, and
+    the segment census is an O(125) groupby."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"ck": b["o_custkey"].cast(pa.int64()),
+                         "day": day,
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(
+                                 zero_copy_only=False), 100.0)})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    maxday = int(rows.max("day"))
+    per_c = rows.groupby("ck").aggregate(
+        Max("day", alias_name="last_day"),
+        Count(alias_name="freq"),
+        Sum("cents", alias_name="mon")).materialize()
+    n = per_c.count()
+
+    cur = per_c.map_batches(
+        lambda b: pa.table({
+            "g": np.zeros(b.num_rows, np.int64),
+            "ck": b["ck"].cast(pa.int64()),
+            "rec": maxday - b["last_day"].to_numpy(zero_copy_only=False),
+            "freq": b["freq"].cast(pa.int64()),
+            "mon": b["mon"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    specs = [("rec", False, "rb"), ("freq", True, "fb"),
+             ("mon", True, "mb")]
+    for col, desc, out in specs:
+        ranked = rank_per_group(cur, key="g", order=[col, "ck"],
+                                descending=[desc, False])
+        cur = ranked.map_batches(
+            lambda b, _o=out: pa.table(
+                {**{c: b[c] for c in b.column_names if c != "rank"},
+                 _o: (b["rank"].to_numpy(zero_copy_only=False) - 1)
+                 * RFM_K // n + 1}),
+            batch_format="pyarrow").materialize()
+
+    return cur.map_batches(
+        lambda b: pa.table({
+            "segment": b["rb"].to_numpy(zero_copy_only=False) * 100
+            + b["fb"].to_numpy(zero_copy_only=False) * 10
+            + b["mb"].to_numpy(zero_copy_only=False),
+            "one": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow") \
+        .groupby("segment").aggregate(Sum("one", alias_name="n_customers"))
+
+
+def sql_rfm_segments() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "c AS (SELECT ck, max(day) AS last_day, count(*) AS freq, "
+        "sum(cents) AS mon FROM o GROUP BY ck), "
+        "m AS (SELECT max(day) AS maxday FROM o), "
+        "n AS (SELECT count(*) AS n FROM c), "
+        "r AS (SELECT ck, "
+        "row_number() OVER (ORDER BY (SELECT maxday FROM m) - last_day, "
+        "ck) AS rr, "
+        "row_number() OVER (ORDER BY freq DESC, ck) AS rf, "
+        "row_number() OVER (ORDER BY mon DESC, ck) AS rm FROM c), "
+        f"b AS (SELECT ((rr - 1) * {RFM_K} // (SELECT n FROM n) + 1) "
+        "* 100 + "
+        f"((rf - 1) * {RFM_K} // (SELECT n FROM n) + 1) * 10 + "
+        f"((rm - 1) * {RFM_K} // (SELECT n FROM n) + 1) AS segment "
+        "FROM r) "
+        "SELECT CAST(segment AS BIGINT) AS segment, "
+        "CAST(count(*) AS BIGINT) AS n_customers FROM b "
+        "GROUP BY segment")
