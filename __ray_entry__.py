@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily": r.q_ohlc_daily,
         "transitive_reduce": g.q_transitive_reduce,
         "rfm_segments": r.q_rfm_segments,
+        "fifo_allocation": r.q_fifo_allocation,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1048,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": r.sql_ohlc_daily(),
         "transitive_reduce": g.sql_transitive_reduce(),
         "rfm_segments": r.sql_rfm_segments(),
+        "fifo_allocation": r.sql_fifo_allocation(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

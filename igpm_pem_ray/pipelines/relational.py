@@ -7060,3 +7060,118 @@ def sql_rfm_segments() -> str:
         "SELECT CAST(segment AS BIGINT) AS segment, "
         "CAST(count(*) AS BIGINT) AS n_customers FROM b "
         "GROUP BY segment")
+
+
+# -------- FIFO lot allocation (cost-of-goods matching) --------
+
+def q_fifo_allocation(sf_dir: str):
+    """FIFO inventory allocation: per part, 'purchase' lots (first
+    half of the ship-date range) are consumed by 'sale' lots (second
+    half) in strict first-in-first-out order, and the allocation
+    matrix says how many units of each sale came from each purchase —
+    the cost-of-goods-sold / lot-genealogy operator.  The sequential
+    FIFO walk becomes PURE interval algebra: with per-part cumulative
+    quantity intervals [cumQ_prev, cumQ) on both sides, sale s draws
+    from purchase p exactly  overlap = max(0, min(hiP, hiS) -
+    max(loP, loS))  units — no loop, no state.
+
+    Scale shape: two cumulative prefix sums per part (ONE
+    cumsum_per_key pass each — the (key, ts, id)-sorted block carry),
+    one hash join on partkey (per-part groups are small; at depot
+    scale the join key gains a cum-quantity bucket exactly like
+    q_range_join), one vectorized overlap map, and a per-part summary
+    groupby.  Quantities stay int64 end to end."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_orderkey", "l_linenumber",
+                             "l_quantity", "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "pk": b["l_partkey"].cast(pa.int64()),
+            "us": us,
+            "lid": b["l_orderkey"].to_numpy(zero_copy_only=False)
+            * 8 + b["l_linenumber"].to_numpy(zero_copy_only=False),
+            "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    rows = li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("us")), int(rows.max("us"))
+    mid = (lo + hi) // 2
+
+    def side(which: str):
+        def f(b: pa.Table) -> pa.Table:
+            us = b["us"].to_numpy(zero_copy_only=False)
+            m = us <= mid if which == "p" else us > mid
+            return pa.table({"key": b["pk"].to_numpy(
+                zero_copy_only=False)[m], "us": us[m],
+                "lid": b["lid"].to_numpy(zero_copy_only=False)[m],
+                "val": b["qty"].to_numpy(zero_copy_only=False)[m]})
+        return f
+
+    def cum_iv(which: str, a: str):
+        c = cumsum_per_key(
+            rows.map_batches(side(which), batch_format="pyarrow",
+                             zero_copy_batch=True),
+            payload_cols=["lid", "val"], order_cols=("us", "lid"))
+        return c.map_batches(
+            lambda b: pa.table({
+                f"pk_{a}": b["key"].cast(pa.int64()),
+                f"lid_{a}": b["lid"].cast(pa.int64()),
+                f"lo_{a}": b["cum_val"].to_numpy(zero_copy_only=False)
+                - b["val"].to_numpy(zero_copy_only=False),
+                f"hi_{a}": b["cum_val"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    pur = cum_iv("p", "p")
+    sal = cum_iv("s", "s")
+    j = pur.join(sal, join_type="inner", num_partitions=8,
+                 on=("pk_p",), right_on=("pk_s",))
+
+    def alloc(b: pa.Table) -> pa.Table:
+        lop = b["lo_p"].to_numpy(zero_copy_only=False)
+        hip = b["hi_p"].to_numpy(zero_copy_only=False)
+        los = b["lo_s"].to_numpy(zero_copy_only=False)
+        his = b["hi_s"].to_numpy(zero_copy_only=False)
+        ov = np.minimum(hip, his) - np.maximum(lop, los)
+        m = ov > 0
+        return pa.table({"pk": b["pk_p"].to_numpy(
+            zero_copy_only=False)[m], "units": ov[m],
+            "one": np.ones(int(m.sum()), np.int64)})
+
+    return j.map_batches(alloc, batch_format="pyarrow") \
+        .groupby("pk").aggregate(
+            Sum("one", alias_name="n_allocations"),
+            Sum("units", alias_name="units_matched")) \
+        .rename_columns({"pk": "partkey"})
+
+
+def sql_fifo_allocation() -> str:
+    return (
+        "WITH l AS (SELECT l_partkey AS pk, "
+        "CAST(epoch_us(l_shipdate) AS BIGINT) AS us, "
+        "l_orderkey * 8 + l_linenumber AS lid, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+        "b AS (SELECT min(us) AS lo, max(us) AS hi FROM l), "
+        "p AS (SELECT pk, lid, "
+        "sum(qty) OVER w - qty AS lo_p, sum(qty) OVER w AS hi_p "
+        "FROM l WHERE us <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 WINDOW w AS (PARTITION BY pk ORDER BY us, lid "
+        "ROWS UNBOUNDED PRECEDING)), "
+        "s AS (SELECT pk, lid, "
+        "sum(qty) OVER w - qty AS lo_s, sum(qty) OVER w AS hi_s "
+        "FROM l WHERE us > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 WINDOW w AS (PARTITION BY pk ORDER BY us, lid "
+        "ROWS UNBOUNDED PRECEDING)), "
+        "a AS (SELECT p.pk, least(p.hi_p, s.hi_s) "
+        "- greatest(p.lo_p, s.lo_s) AS units FROM p "
+        "JOIN s ON s.pk = p.pk "
+        "WHERE least(p.hi_p, s.hi_s) - greatest(p.lo_p, s.lo_s) > 0) "
+        "SELECT CAST(pk AS BIGINT) AS partkey, "
+        "CAST(count(*) AS BIGINT) AS n_allocations, "
+        "CAST(sum(units) AS BIGINT) AS units_matched "
+        "FROM a GROUP BY pk")
