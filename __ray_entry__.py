@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitive_reduce": g.q_transitive_reduce,
         "rfm_segments": r.q_rfm_segments,
         "fifo_allocation": r.q_fifo_allocation,
+        "snapshot_asof": r.q_snapshot_asof,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1050,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "transitive_reduce": g.sql_transitive_reduce(),
         "rfm_segments": r.sql_rfm_segments(),
         "fifo_allocation": r.sql_fifo_allocation(),
+        "snapshot_asof": r.sql_snapshot_asof(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -7175,3 +7175,73 @@ def sql_fifo_allocation() -> str:
         "CAST(count(*) AS BIGINT) AS n_allocations, "
         "CAST(sum(units) AS BIGINT) AS units_matched "
         "FROM a GROUP BY pk")
+
+
+# -------- AS-OF snapshot (time travel) --------
+
+def q_snapshot_asof(sf_dir: str):
+    """Time-travel AS-OF snapshot: the state of every (user,
+    event_type) dimension key at T = the midpoint of the event range
+    — i.e. the latest observation at or before T under the
+    (second-of-range, event_id) total order.  The query side of the
+    CDC family: upsert_latest compacts to NOW, scd_intervals builds
+    the full history, this reads one historical instant.
+
+    Scale shape: a snapshot is ONE groupby-max of the PACKED (order
+    key, value) int64 (q_ohlc_daily's first/last-as-minmax trick:
+    rebased seconds < 2^22, event_id < 2^20, value_e2 < 2^21,
+    asserted), so time travel costs exactly one combiner-friendly
+    shuffle — no sort, no join, no window."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type", "value"])
+    lo = int(ev.min("ts").timestamp() * 1_000_000) \
+        if hasattr(ev.min("ts"), "timestamp") else int(ev.min("ts"))
+    hi = int(ev.max("ts").timestamp() * 1_000_000) \
+        if hasattr(ev.max("ts"), "timestamp") else int(ev.max("ts"))
+    t_us = (lo + hi) // 2
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = us <= t_us
+        eid = b["event_id"].to_numpy(zero_copy_only=False)[m]
+        v = scale_col(b["value"].to_numpy(zero_copy_only=False)[m],
+                      100.0)
+        sec = (us[m] - lo) // 1_000_000
+        assert int(sec.max(initial=0)) < (1 << 22) \
+            and int(eid.max(initial=0)) < (1 << 20) \
+            and int(v.max(initial=0)) < (1 << 21) \
+            and int(v.min(initial=0)) >= 0
+        pack = (sec << 20 | eid) << 21 | v
+        return pa.table({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)[m]
+            .astype(np.int64),
+            "event_type": b["event_type"].filter(pa.array(m)),
+            "pack": pack})
+
+    agg = ev.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Max("pack", alias_name="p"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "value_e2": pa.compute.bit_wise_and(b["p"],
+                                                (1 << 21) - 1)}),
+        batch_format="pyarrow")
+
+
+def sql_snapshot_asof() -> str:
+    return (
+        "WITH b AS (SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo, "
+        "CAST(epoch_us(max(ts)) AS BIGINT) AS hi FROM events), "
+        "e AS (SELECT user_id, event_type, "
+        "(((CAST(epoch_us(ts) AS BIGINT) - (SELECT lo FROM b)) "
+        "// 1000000) << 20 | event_id) << 21 | "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS pack "
+        "FROM events WHERE CAST(epoch_us(ts) AS BIGINT) <= "
+        "((SELECT lo FROM b) + (SELECT hi FROM b)) // 2) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
+        "CAST(max(pack) & ((1 << 21) - 1) AS BIGINT) AS value_e2 "
+        "FROM e GROUP BY user_id, event_type")
