@@ -787,3 +787,44 @@ def test_islands_runs_and_cross_batch_stitch():
     assert out["island_start"].tolist() == [0, 200]
     assert out["island_end"].tolist() == [99, 209]
     assert out["n_keys"].tolist() == [100, 10]
+
+
+# ---------------- schema-evolution union (sources/evolve.py) ----------------
+
+def test_union_by_name_schema_evolution(ray_session):
+    import pyarrow as pa_
+    from igpm_pem_ray.sources.evolve import (conform_block, union_by_name,
+                                             unify_schemas)
+
+    gen1 = rd.from_arrow(pa_.table({
+        "url": pa_.array(["a", "b"], pa_.string()),
+        "n_links": pa_.array([1, 2], pa_.int32())}))
+    gen2 = rd.from_arrow(pa_.table({
+        "url": pa_.array(["c"], pa_.string()),
+        "n_links": pa_.array([7], pa_.int64()),
+        "lang": pa_.array(["en"], pa_.string())}))
+
+    out = union_by_name([gen1, gen2])
+    t = pa_.Table.from_pandas(out.to_pandas().sort_values("url")
+                              .reset_index(drop=True),
+                              preserve_index=False)
+    # widened int32 -> int64, missing lang -> nulls
+    assert t["n_links"].type == pa_.int64()
+    assert t["url"].to_pylist() == ["a", "b", "c"]
+    assert t["n_links"].to_pylist() == [1, 2, 7]
+    assert t["lang"].to_pylist() == [None, None, "en"]
+
+    # explicit target: extra columns drop, order follows the target
+    target = pa_.schema([("lang", pa_.string()), ("url", pa_.string())])
+    t2 = union_by_name([gen1, gen2], target=target).to_pandas()
+    assert list(t2.columns) == ["lang", "url"]
+    assert len(t2) == 3
+
+    # conform_block alone: zero-copy-compatible pure-Arrow path
+    blk = conform_block(pa_.table({"url": ["x"]}), target)
+    assert blk.schema == target and blk["lang"].null_count == 1
+
+    # unify: conflicting-but-promotable types widen
+    s = unify_schemas([pa_.schema([("v", pa_.float32())]),
+                       pa_.schema([("v", pa_.float64())])])
+    assert s.field("v").type == pa_.float64()
