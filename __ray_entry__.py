@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": r.q_rfm_segments,
         "fifo_allocation": r.q_fifo_allocation,
         "snapshot_asof": r.q_snapshot_asof,
+        "shapley_attribution": r.q_shapley_attribution,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1052,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": r.sql_rfm_segments(),
         "fifo_allocation": r.sql_fifo_allocation(),
         "snapshot_asof": r.sql_snapshot_asof(),
+        "shapley_attribution": r.sql_shapley_attribution(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -7245,3 +7245,143 @@ def sql_snapshot_asof() -> str:
         "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
         "CAST(max(pack) & ((1 << 21) - 1) AS BIGINT) AS value_e2 "
         "FROM e GROUP BY user_id, event_type")
+
+
+# -------- Shapley-value channel attribution --------
+
+SHAP_CHANNELS = ["click", "error", "signup", "view"]  # bit order
+
+
+def q_shapley_attribution(sf_dir: str):
+    """Exact Shapley-value attribution (Shapley 1953, the
+    cooperative-game sibling of q_attribution_u's positional rule):
+    the characteristic function v(S) = number of converting users
+    whose pre-conversion touched-channel set is contained in S, and
+    each channel's credit is the exact Shapley sum over the 2^4
+    channel subsets, scaled by 4! = 24 so every weight
+    |S|!*(n-|S|-1)! is an integer — no probabilities, no floats.
+    Sum over channels of shapley_x24 equals 24*(v(all) - v(empty)),
+    the efficiency axiom, exactly.
+
+    Scale shape: conversions and touches reuse the attribution_u
+    join plan; the touched-set is ONE (user, channel) dedup groupby
+    folded to a 4-bit mask by a second sum groupby (distinct bits, so
+    sum == OR); the Shapley reduction runs on the <= 16-row mask
+    census — all the combinatorics happen on O(2^n) driver rows."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "eid": b["event_id"].cast(pa.int64()),
+                         "etype": b["event_type"]})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    pur = rows.filter(expr="etype == 'purchase'").materialize()
+    g1 = pur.groupby("user").aggregate(Min("us", alias_name="cus"))
+    j1 = pur.join(g1.rename_columns({"user": "user_g"}),
+                  join_type="inner", num_partitions=8,
+                  on=("user",), right_on=("user_g",))
+    conv = j1.filter(expr="us == cus") \
+        .groupby("user").aggregate(Min("eid", alias_name="cid"),
+                                   Min("us", alias_name="cus")) \
+        .rename_columns({"user": "cuser"})
+
+    touches = rows.filter(expr="etype != 'purchase'") \
+        .join(conv, join_type="inner", num_partitions=8,
+              on=("user",), right_on=("cuser",))
+
+    bit = {c: 1 << i for i, c in enumerate(SHAP_CHANNELS)}
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        eid = b["eid"].to_numpy(zero_copy_only=False)
+        cus = b["cus"].to_numpy(zero_copy_only=False)
+        cid = b["cid"].to_numpy(zero_copy_only=False)
+        m = (us < cus) | ((us == cus) & (eid < cid))
+        et = np.asarray(b["etype"].to_pylist(), dtype=object)[m]
+        bits = np.array([bit[t] for t in et], np.int64) \
+            if len(et) else np.empty(0, np.int64)
+        return pa.table({"user": b["user"].to_numpy(
+            zero_copy_only=False)[m], "b": bits})
+
+    masks = touches.map_batches(to_bits, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby(["user", "b"]).aggregate(Count(alias_name="_n")) \
+        .groupby("user").aggregate(Sum("b", alias_name="mask"))
+    cens = masks.groupby("mask").aggregate(
+        Count(alias_name="n")).to_pandas()
+    cnt = {int(m): int(n) for m, n in zip(cens["mask"], cens["n"])}
+    # converting users with zero pre-conversion touches -> mask 0
+    n_conv = conv.count()
+    cnt[0] = cnt.get(0, 0) + n_conv - sum(cnt.values())
+
+    def v(S: int) -> int:
+        return sum(n for m, n in cnt.items() if m & ~S == 0)
+
+    import math
+    n = len(SHAP_CHANNELS)
+    out = []
+    for i, c in enumerate(SHAP_CHANNELS):
+        others = [j for j in range(n) if j != i]
+        phi = 0
+        for sub in range(1 << (n - 1)):
+            S = 0
+            for k, j in enumerate(others):
+                if sub >> k & 1:
+                    S |= 1 << j
+            sz = bin(sub).count("1")
+            w = math.factorial(sz) * math.factorial(n - sz - 1)
+            phi += w * (v(S | (1 << i)) - v(S))
+        out.append((c, phi))
+    return pa.table({
+        "channel": pa.array([o[0] for o in out], pa.string()),
+        "shapley_x24": pa.array([o[1] for o in out], pa.int64())})
+
+
+def sql_shapley_attribution() -> str:
+    import math
+    n = len(SHAP_CHANNELS)
+    bits = {c: 1 << i for i, c in enumerate(SHAP_CHANNELS)}
+    bit_case = " ".join(
+        f"WHEN '{c}' THEN {b}" for c, b in bits.items())
+    base = (
+        "e AS (SELECT user_id AS u, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us, event_id AS eid, "
+        "event_type AS etype FROM events), "
+        "c1 AS (SELECT u, min(us) AS cus FROM e "
+        "WHERE etype = 'purchase' GROUP BY u), "
+        "conv AS (SELECT e.u, min(e.eid) AS cid, min(e.us) AS cus "
+        "FROM e JOIN c1 ON c1.u = e.u AND c1.cus = e.us "
+        "WHERE e.etype = 'purchase' GROUP BY e.u), "
+        "t AS (SELECT DISTINCT e.u, "
+        f"CASE e.etype {bit_case} ELSE 0 END AS b FROM e "
+        "JOIN conv ON conv.u = e.u WHERE e.etype <> 'purchase' "
+        "AND (e.us < conv.cus OR (e.us = conv.cus "
+        "AND e.eid < conv.cid))), "
+        "mk AS (SELECT conv.u, COALESCE(tm.mask, 0) AS mask FROM conv "
+        "LEFT JOIN (SELECT u, sum(b) AS mask FROM t GROUP BY u) tm "
+        "ON tm.u = conv.u), "
+        "cnt AS MATERIALIZED (SELECT mask, count(*) AS n FROM mk "
+        "GROUP BY mask)")
+    def v_expr(S: int) -> str:
+        return (f"(SELECT COALESCE(sum(n), 0) FROM cnt "
+                f"WHERE mask & {(~S) & ((1 << n) - 1)} = 0)")
+    selects = []
+    for i, c in enumerate(SHAP_CHANNELS):
+        others = [j for j in range(n) if j != i]
+        terms = []
+        for sub in range(1 << (n - 1)):
+            S = 0
+            for k, j in enumerate(others):
+                if sub >> k & 1:
+                    S |= 1 << j
+            sz = bin(sub).count("1")
+            w = math.factorial(sz) * math.factorial(n - sz - 1)
+            terms.append(f"{w} * ({v_expr(S | (1 << i))} - {v_expr(S)})")
+        selects.append(
+            f"SELECT '{c}' AS channel, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS shapley_x24")
+    return f"WITH {base} {' UNION ALL '.join(selects)}"
