@@ -713,6 +713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fifo_allocation": r.q_fifo_allocation,
         "snapshot_asof": r.q_snapshot_asof,
         "shapley_attribution": r.q_shapley_attribution,
+        "universe_sample": r.q_universe_sample,
+        "config_model": g.q_config_model,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1054,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
         "fifo_allocation": r.sql_fifo_allocation(),
         "snapshot_asof": r.sql_snapshot_asof(),
         "shapley_attribution": r.sql_shapley_attribution(),
+        "universe_sample": r.sql_universe_sample(),
+        "config_model": g.sql_config_model(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4967,3 +4967,64 @@ def sql_transitive_reduce() -> str:
         "(SELECT CAST(count(*) AS BIGINT) FROM red) AS n_redundant, "
         "(SELECT CAST(count(*) AS BIGINT) FROM edges) - "
         "(SELECT CAST(count(*) AS BIGINT) FROM red) AS n_kept")
+
+
+# -------- configuration-model triangle significance --------
+
+def q_config_model(sf_dir: str) -> pa.Table:
+    """Null-model significance audit for the triangle count: under
+    the configuration model (random graph with the SAME degree
+    sequence), E[triangles] ~= (1/6) * (sum d(d-1) / sum d)^3 — the
+    motif-significance check (Milo et al. Science 2002) that says
+    whether the observed clustering is structure or just degree
+    skew.  Exact arithmetic: the expectation is the integer rational
+    num = (sum d(d-1))^3, den = 6 * (sum d)^3 evaluated in Python
+    ints (HUGEINT in the oracle — num passes 2^63 at graph scale),
+    reported as the e6 floor-division fixed point next to the exact
+    wedge-join triangle count.
+
+    Scale shape: degree moments are one endpoint-explode groupby +
+    tiny sums; the triangle count reuses graph/triangles.py's
+    oriented wedge join."""
+    from ray.data.aggregate import Count as _Count
+    from igpm_pem_ray.graph.triangles import triangle_count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = ends.groupby("v").aggregate(_Count(alias_name="d"))
+    mom = deg.map_batches(
+        lambda b: (lambda d: pa.table({
+            "s1": d, "s2": d * (d - 1)}))(
+            b["d"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow").sum(["s1", "s2"])
+    s1, s2 = int(mom["sum(s1)"]), int(mom["sum(s2)"])
+    tri = triangle_count(edges)
+    num = s2 ** 3              # Python int: exact beyond 2^63
+    den = 6 * s1 ** 3
+    exp_e6 = num * 1_000_000 // den if den else 0
+    return pa.table({
+        "n_triangles": pa.array([tri], pa.int64()),
+        "sum_d": pa.array([s1], pa.int64()),
+        "sum_d2": pa.array([s2], pa.int64()),
+        "expected_e6": pa.array([exp_e6], pa.int64())})
+
+
+def sql_config_model() -> str:
+    return (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "deg AS (SELECT v, count(*) AS d FROM (SELECT src AS v "
+        "FROM edges UNION ALL SELECT dst AS v FROM edges) GROUP BY v), "
+        "m AS (SELECT CAST(sum(d) AS HUGEINT) AS s1, "
+        "CAST(sum(d*(d-1)) AS HUGEINT) AS s2 FROM deg), "
+        "tri AS (SELECT count(*) AS t FROM edges e1 "
+        "JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst) "
+        "SELECT (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles, "
+        "(SELECT CAST(s1 AS BIGINT) FROM m) AS sum_d, "
+        "(SELECT CAST(s2 AS BIGINT) FROM m) AS sum_d2, "
+        "(SELECT CAST(s2*s2*s2 * 1000000 // (6 * s1*s1*s1) AS BIGINT) "
+        "FROM m) AS expected_e6")

@@ -7385,3 +7385,68 @@ def sql_shapley_attribution() -> str:
             f"SELECT '{c}' AS channel, "
             f"CAST({' + '.join(terms)} AS BIGINT) AS shapley_x24")
     return f"WITH {base} {' UNION ALL '.join(selects)}"
+
+
+# -------- universe (join-consistent) sampling --------
+
+UNIV_MOD = 8   # 1/8 universe sample on the customer key
+
+
+def q_universe_sample(sf_dir: str):
+    """Universe sampling (the join-consistent sampling of BlinkDB /
+    Quickr): sample the KEY universe — customers with
+    custkey mod 8 == 0 — and take every orders row of a sampled
+    customer, so joins on the sampled key stay unbiased (per-row
+    Bernoulli sampling would quadratically thin join results).  The
+    query reports revenue per order priority on the sample, the x8
+    scale-up estimate, and the exact answer side by side — the
+    approximate-query-processing audit.
+
+    Scale shape: the sample predicate is a stateless hash filter
+    (NO coordination — any table sharing the key samples
+    consistently); one groupby each for sample and exact."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = scale_col(b["o_totalprice"].to_numpy(
+            zero_copy_only=False), 100.0)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ins = (ck % UNIV_MOD == 0).astype(np.int64)
+        return pa.table({"prio": b["o_orderpriority"],
+                         "cents": cents,
+                         "s_cents": cents * ins,
+                         "s_n": ins})
+
+    agg = orders.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("prio").aggregate(
+            Sum("cents", alias_name="exact_e2"),
+            Count(alias_name="n_exact"),
+            Sum("s_cents", alias_name="sample_e2"),
+            Sum("s_n", alias_name="n_sample"))
+
+    def est(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "prio": b["prio"],
+            "n_exact": b["n_exact"].cast(pa.int64()),
+            "n_sample": b["n_sample"].cast(pa.int64()),
+            "exact_e2": b["exact_e2"].cast(pa.int64()),
+            "estimate_e2": b["sample_e2"].to_numpy(
+                zero_copy_only=False) * UNIV_MOD})
+
+    return agg.map_batches(est, batch_format="pyarrow")
+
+
+def sql_universe_sample() -> str:
+    return (
+        "WITH o AS (SELECT o_orderpriority AS prio, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents, "
+        f"CASE WHEN o_custkey % {UNIV_MOD} = 0 THEN 1 ELSE 0 END AS ins "
+        "FROM orders) "
+        "SELECT prio, CAST(count(*) AS BIGINT) AS n_exact, "
+        "CAST(sum(ins) AS BIGINT) AS n_sample, "
+        "CAST(sum(cents) AS BIGINT) AS exact_e2, "
+        f"CAST(sum(cents * ins) * {UNIV_MOD} AS BIGINT) AS estimate_e2 "
+        "FROM o GROUP BY prio")
