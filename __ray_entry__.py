@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapley_attribution": r.q_shapley_attribution,
         "universe_sample": r.q_universe_sample,
         "config_model": g.q_config_model,
+        "diff_in_diff": r.q_diff_in_diff,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1058,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "shapley_attribution": r.sql_shapley_attribution(),
         "universe_sample": r.sql_universe_sample(),
         "config_model": g.sql_config_model(),
+        "diff_in_diff": r.sql_diff_in_diff(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

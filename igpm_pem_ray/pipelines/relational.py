@@ -7450,3 +7450,99 @@ def sql_universe_sample() -> str:
         "CAST(sum(cents) AS BIGINT) AS exact_e2, "
         f"CAST(sum(cents * ins) * {UNIV_MOD} AS BIGINT) AS estimate_e2 "
         "FROM o GROUP BY prio")
+
+
+# -------- difference-in-differences --------
+
+DID_E2 = 100
+
+
+def q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences estimate — the panel causal-
+    inference workhorse: treatment group = customers of even nations,
+    periods = the two order-date halves, outcome = mean order total.
+    DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre), each
+    cell mean computed as the overflow-free divmod fixed point
+    (sum // n) * 100 + ((sum % n) * 100) // n (the q_decision_stump
+    identity) so the estimate is bit-identical across engines, with
+    the four exact (sum, n) cells alongside for auditability.
+
+    Scale shape: ONE pass assigns (group, period) flags vectorized,
+    one 4-cell groupby-sum; the DiD arithmetic is O(1) driver work on
+    the four cells."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({
+            "treat": (b["c_nationkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 2 == 0).astype(np.int64),
+            "day": day,
+            "cents": scale_col(b["o_totalprice"].to_numpy(
+                zero_copy_only=False), 100.0)})
+
+    rows = j.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+    cells = rows.map_batches(
+        lambda b: pa.table({
+            "treat": b["treat"],
+            "post": (b["day"].to_numpy(zero_copy_only=False)
+                     > mid).astype(np.int64),
+            "cents": b["cents"]}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["treat", "post"]).aggregate(
+            Sum("cents", alias_name="s"),
+            Count(alias_name="n")).to_pandas()
+
+    def mean_e2(s: int, n: int) -> int:
+        return (s // n) * DID_E2 + ((s % n) * DID_E2) // n
+
+    m = {}
+    for _, row in cells.iterrows():
+        m[(int(row["treat"]), int(row["post"]))] = mean_e2(
+            int(row["s"]), int(row["n"]))
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    out = {"did_e4": pa.array([did], pa.int64())}
+    for (t, p), label in [((0, 0), "ctrl_pre"), ((0, 1), "ctrl_post"),
+                          ((1, 0), "treat_pre"), ((1, 1), "treat_post")]:
+        out[f"mean_{label}_e4"] = pa.array([m[(t, p)]], pa.int64())
+    return pa.table(out)
+
+
+def sql_diff_in_diff() -> str:
+    cell = ("SELECT CASE WHEN c.c_nationkey % 2 = 0 THEN 1 ELSE 0 END "
+            "AS treat, CASE WHEN "
+            f"CAST(epoch_us(o.o_orderdate) AS BIGINT) // {DAY_US} > "
+            "(SELECT (min(CAST(epoch_us(o_orderdate) AS BIGINT) "
+            f"// {DAY_US}) + max(CAST(epoch_us(o_orderdate) AS BIGINT) "
+            f"// {DAY_US})) // 2 FROM orders) THEN 1 ELSE 0 END AS post, "
+            "CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey")
+    mean = (f"(s // n) * {DID_E2} + ((s % n) * {DID_E2}) // n")
+    return (
+        f"WITH r AS ({cell}), "
+        "g AS (SELECT treat, post, CAST(sum(cents) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM r GROUP BY treat, post), "
+        f"mm AS (SELECT treat, post, {mean} AS m FROM g) "
+        "SELECT CAST(((SELECT m FROM mm WHERE treat=1 AND post=1) - "
+        "(SELECT m FROM mm WHERE treat=1 AND post=0)) - "
+        "((SELECT m FROM mm WHERE treat=0 AND post=1) - "
+        "(SELECT m FROM mm WHERE treat=0 AND post=0)) AS BIGINT) "
+        "AS did_e4, "
+        "(SELECT CAST(m AS BIGINT) FROM mm WHERE treat=0 AND post=0) "
+        "AS mean_ctrl_pre_e4, "
+        "(SELECT CAST(m AS BIGINT) FROM mm WHERE treat=0 AND post=1) "
+        "AS mean_ctrl_post_e4, "
+        "(SELECT CAST(m AS BIGINT) FROM mm WHERE treat=1 AND post=0) "
+        "AS mean_treat_pre_e4, "
+        "(SELECT CAST(m AS BIGINT) FROM mm WHERE treat=1 AND post=1) "
+        "AS mean_treat_post_e4")
