@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "universe_sample": r.q_universe_sample,
         "config_model": g.q_config_model,
         "diff_in_diff": r.q_diff_in_diff,
+        "profile_table": r.q_profile_table,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1060,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "universe_sample": r.sql_universe_sample(),
         "config_model": g.sql_config_model(),
         "diff_in_diff": r.sql_diff_in_diff(),
+        "profile_table": r.sql_profile_table(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -7546,3 +7546,82 @@ def sql_diff_in_diff() -> str:
         "AS mean_treat_pre_e4, "
         "(SELECT CAST(m AS BIGINT) FROM mm WHERE treat=1 AND post=1) "
         "AS mean_treat_post_e4")
+
+
+# -------- per-column table profiler --------
+
+PROFILE_COLS = [
+    ("o_orderkey", "int"), ("o_custkey", "int"),
+    ("o_orderstatus", "str"), ("o_totalprice", "e2"),
+    ("o_orderpriority", "str")]
+
+
+def q_profile_table(sf_dir: str):
+    """Column-level profiling of the orders table — the Deequ /
+    dbt-docs data-profiling operator: per column, row count, null
+    count, exact distinct count, and a numeric (lo, hi) facet —
+    values for integer columns, e2 cents for decimals, LENGTHS for
+    strings (string min/max themselves are collation-dependent;
+    lengths are engine-neutral).
+
+    Scale shape: profiling is inherently per-column — each column
+    gets one select + one distinct-count groupby over only that
+    column (columnar reads make this cheap; the five passes share
+    nothing and pipeline through the executor concurrently)."""
+    rows = []
+    for col, kind in PROFILE_COLS:
+        ds = read_table(sf_dir, "orders", columns=[col])
+
+        def facet(b: pa.Table, _c=col, _k=kind) -> pa.Table:
+            arr = b[_c]
+            nn = int(pc.count(arr, mode="only_null").as_py())
+            if _k == "int":
+                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            elif _k == "e2":
+                v = scale_col(arr.to_numpy(zero_copy_only=False), 100.0)
+            else:
+                v = np.asarray(
+                    [len(x) if x is not None else 0
+                     for x in arr.to_pylist()], np.int64)
+            out = {"v": v,
+                   "null": np.full(len(v), nn // max(len(v), 1),
+                                   np.int64)}
+            # distinct-count key: the VALUE itself (for strings the
+            # lo/hi facet is the length, but distinctness is real)
+            out["k"] = arr.cast(pa.string()) if _k == "str" \
+                else pa.array(v)
+            return pa.table(out)
+
+        proj = ds.map_batches(facet, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        n = proj.count()
+        lo, hi = int(proj.min("v")), int(proj.max("v"))
+        n_null = int(proj.sum("null") or 0)
+        nd = proj.groupby("k").aggregate(Count(alias_name="_n")).count()
+        rows.append((col, n, n_null, nd, lo, hi))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_null": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+        "lo": pa.array([r[4] for r in rows], pa.int64()),
+        "hi": pa.array([r[5] for r in rows], pa.int64())})
+
+
+def sql_profile_table() -> str:
+    sels = []
+    for col, kind in PROFILE_COLS:
+        if kind == "int":
+            ex = f"CAST({col} AS BIGINT)"
+        elif kind == "e2":
+            ex = f"CAST(floor({col}*100.0+0.5) AS BIGINT)"
+        else:
+            ex = f"CAST(length({col}) AS BIGINT)"
+        sels.append(
+            f"SELECT '{col}' AS column, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({ex}) AS BIGINT) AS lo, "
+            f"CAST(max({ex}) AS BIGINT) AS hi FROM orders")
+    return " UNION ALL ".join(sels)
