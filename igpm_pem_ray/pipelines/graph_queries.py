@@ -5028,3 +5028,93 @@ def sql_config_model() -> str:
         "(SELECT CAST(s2 AS BIGINT) FROM m) AS sum_d2, "
         "(SELECT CAST(s2*s2*s2 * 1000000 // (6 * s1*s1*s1) AS BIGINT) "
         "FROM m) AS expected_e6")
+
+
+# -------- parallel greedy dominating set --------
+
+DS_ROUNDS = 3
+_DS_A, _DS_C, _DS_M = 1_103_515_245, 12_345, (1 << 31) - 1
+
+
+def q_dominating_set(sf_dir: str) -> pa.Table:
+    """Luby-style parallel dominating set — the facility-placement /
+    monitor-coverage primitive next to MIS and matching: in each of
+    DS_ROUNDS rounds every still-undominated vertex whose per-round
+    hash key (pri * 2^31 + (2^31-1-v), unique because vids are) beats
+    ALL undominated neighbors joins the set; joiners dominate
+    themselves and their neighborhood.  Isolated undominated
+    vertices self-select — so each round is the symmetric-breaking
+    local-max rule the MIS kernel uses, applied to the domination
+    state.
+
+    Scale shape: two dense msg_pass(max) exchanges per round (one
+    for neighbor keys, one to spread the joiner wave) over the
+    V-bounded substrate; the V-unbounded sibling is two
+    groupby-max shuffles on the (vid, key) state, mis_shuffle-shaped.
+    The SQL oracle unrolls the identical rounds."""
+    from igpm_pem_ray.graph.dense import build_dense_graph, msg_pass
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    g = build_dense_graph(edges)
+    V = g.num_vertices
+    directions = "out" if g.symmetric else "both"
+    vids = g.vids.astype(np.int64)
+    dominated = np.zeros(V, bool)
+    in_set = np.zeros(V, bool)
+    for r in range(1, DS_ROUNDS + 1):
+        und = ~dominated
+        if not und.any():
+            break
+        pri = ((vids % _DS_M) * _DS_A + r * _DS_C) % _DS_M
+        key = pri * (np.int64(1) << 31) + ((np.int64(1) << 31) - 1 - vids)
+        kmask = np.where(und, key, np.int64(-1))
+        nmax = msg_pass(g, kmask, reduce="max", init=-1,
+                        directions=directions)
+        join = und & (key > nmax)
+        wave = msg_pass(g, join.astype(np.int64), reduce="max", init=0,
+                        directions=directions) > 0
+        in_set |= join
+        dominated |= join | wave
+    return pa.table({
+        "n_set": pa.array([int(in_set.sum())], pa.int64()),
+        "n_dominated": pa.array([int(dominated.sum())], pa.int64()),
+        "n_vertices": pa.array([V], pa.int64())})
+
+
+def sql_dominating_set() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges)",
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION ALL SELECT dst AS v FROM edges))",
+        "dom0 AS (SELECT v FROM verts WHERE 1 = 0)",
+        "set0 AS (SELECT v FROM verts WHERE 1 = 0)",
+    ]
+    for r in range(1, DS_ROUNDS + 1):
+        parts += [
+            f"u{r} AS MATERIALIZED (SELECT v FROM verts WHERE v NOT IN "
+            f"(SELECT v FROM dom{r - 1}))",
+            f"k{r} AS MATERIALIZED (SELECT v, "
+            f"(((v % {_DS_M}) * {_DS_A} + {r} * {_DS_C}) % {_DS_M}) "
+            f"* 2147483648 + (2147483647 - v) AS key FROM u{r})",
+            f"nm{r} AS (SELECT a.u AS v, max(k.key) AS mk FROM adj a "
+            f"JOIN k{r} k ON k.v = a.v WHERE a.u IN "
+            f"(SELECT v FROM u{r}) GROUP BY a.u)",
+            f"j{r} AS MATERIALIZED (SELECT k.v FROM k{r} k "
+            f"LEFT JOIN nm{r} m ON m.v = k.v "
+            "WHERE m.mk IS NULL OR k.key > m.mk)",
+            f"w{r} AS (SELECT DISTINCT a.v FROM adj a "
+            f"WHERE a.u IN (SELECT v FROM j{r}))",
+            f"dom{r} AS MATERIALIZED (SELECT v FROM dom{r - 1} "
+            f"UNION SELECT v FROM j{r} UNION SELECT v FROM w{r})",
+            f"set{r} AS (SELECT v FROM set{r - 1} "
+            f"UNION SELECT v FROM j{r})",
+        ]
+    return (
+        f"WITH {', '.join(parts)} "
+        f"SELECT (SELECT CAST(count(*) AS BIGINT) FROM set{DS_ROUNDS}) "
+        "AS n_set, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM dom{DS_ROUNDS}) "
+        "AS n_dominated, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices")
