@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_in_diff": r.q_diff_in_diff,
         "profile_table": r.q_profile_table,
         "dominating_set": g.q_dominating_set,
+        "chunk_overlap": an.q_chunk_overlap,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1064,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_in_diff": r.sql_diff_in_diff(),
         "profile_table": r.sql_profile_table(),
         "dominating_set": g.sql_dominating_set(),
+        "chunk_overlap": an.sql_chunk_overlap(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -4804,3 +4804,75 @@ def sql_rank_corr() -> str:
         "AS footrule, "
         "CAST(CASE WHEN s.p > 0 THEN (s.c - s.d + s.p) * 1000000 "
         "// (2 * s.p) ELSE 0 END AS BIGINT) AS tau_shift_e6 FROM s")
+
+
+# -------- RAG chunking: sliding token windows with overlap --------
+
+CHUNK_W = 32   # window length (tokens)
+CHUNK_S = 24   # stride (tokens) -> 8-token overlap
+
+
+def q_chunk_overlap(sf_dir: str):
+    """Retrieval-chunking operator: every document splits into
+    fixed-width token windows (W = 32) advanced by stride S = 24 so
+    adjacent chunks share W - S = 8 tokens of context — the RAG
+    ingestion shape (LangChain/LlamaIndex sliding splitter), distinct
+    from q_pack_docs (concat-then-chunk, no overlap, cross-doc).
+    Convention shared with the oracle: chunk starts at token offsets
+    0, S, 2S, ... while start < n_tokens; the tail chunk may be
+    short; docs with zero tokens emit nothing.
+
+    Scale shape: pure per-doc arithmetic — chunk counts and the
+    boundary checksum need only each doc's token count, so the map
+    is stateless and shuffle-free; the output is the per-source
+    chunking census (n_docs, n_chunks, n_tokens, padded token cost),
+    one O(sources) groupby."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        srcs, ntok, nchk, cost = [], [], [], []
+        for src, txt in zip(b["source"].to_pylist(),
+                            b["text"].to_pylist()):
+            n = len([t for t in (txt or "").split() if t])
+            if n == 0:
+                continue
+            k = (n + CHUNK_S - 1) // CHUNK_S  # starts: 0, S, ... < n
+            srcs.append(src)
+            ntok.append(n)
+            nchk.append(k)
+            # emitted token cost: full windows + the short tail
+            cost.append(sum(min(CHUNK_W, n - i * CHUNK_S)
+                            for i in range(k)))
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "n_tokens": pa.array(ntok, pa.int64()),
+                         "n_chunks": pa.array(nchk, pa.int64()),
+                         "emitted": pa.array(cost, pa.int64())})
+
+    return docs.map_batches(chunks, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("n_tokens", alias_name="n_tokens"),
+            _Sum("n_chunks", alias_name="n_chunks"),
+            _Sum("emitted", alias_name="emitted_tokens"))
+
+
+def sql_chunk_overlap() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, source, len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS n "
+        "FROM documents), "
+        "d AS (SELECT doc_id, source, n, "
+        f"(n + {CHUNK_S} - 1) // {CHUNK_S} AS k FROM t WHERE n > 0), "
+        "x AS (SELECT doc_id, n, k, "
+        "unnest(generate_series(0, k - 1)) AS i FROM d), "
+        f"e AS (SELECT doc_id, sum(least({CHUNK_W}, "
+        f"n - i * {CHUNK_S})) AS emitted FROM x GROUP BY doc_id) "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(d.n) AS BIGINT) AS n_tokens, "
+        "CAST(sum(d.k) AS BIGINT) AS n_chunks, "
+        "CAST(sum(e.emitted) AS BIGINT) AS emitted_tokens "
+        "FROM d JOIN e ON e.doc_id = d.doc_id GROUP BY d.source")
