@@ -7625,3 +7625,78 @@ def sql_profile_table() -> str:
             f"CAST(min({ex}) AS BIGINT) AS lo, "
             f"CAST(max({ex}) AS BIGINT) AS hi FROM orders")
     return " UNION ALL ".join(sels)
+
+
+# -------- running-peak max drawdown --------
+
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the signed running balance
+    (credits = event value, debits = 'error' events) — the
+    high-watermark risk statistic: max over time of (running peak -
+    current balance), exact in e2 cents.  The balance is the per-user
+    prefix SUM, the peak its per-user prefix MAX — both computed by
+    the sorted-block carry stages (stages/temporal.cumsum_per_key and
+    the new cummax_per_key sibling), so the whole query is two
+    sorts + two O(1)-per-boundary scans + one groupby, no windows on
+    a driver.
+
+    The (us, event_id) order is total, shared with the SQL oracle's
+    window ORDER BY."""
+    from igpm_pem_ray.stages.temporal import cummax_per_key, cumsum_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        v = scale_col(b["value"].to_numpy(zero_copy_only=False), 100.0)
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        sv = np.where(et == "error", -v, v)
+        return pa.table({"key": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "eid": b["event_id"].cast(pa.int64()),
+                         "val": sv})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    bal = cumsum_per_key(rows, payload_cols=["eid"],
+                         order_cols=("us", "eid"))
+    peak_in = bal.map_batches(
+        lambda b: pa.table({"key": b["key"], "us": b["us"],
+                            "eid": b["eid"],
+                            "bal": b["cum_val"],
+                            "val": b["cum_val"]}),
+        batch_format="pyarrow")
+    pk = cummax_per_key(peak_in, payload_cols=["eid", "bal"],
+                        order_cols=("us", "eid"))
+
+    def dd(b: pa.Table) -> pa.Table:
+        bal_ = b["bal"].to_numpy(zero_copy_only=False)
+        peak = b["cum_max"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["key"].cast(pa.int64()),
+                         "d": peak - bal_,
+                         "p": peak})
+
+    return pk.map_batches(dd, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Max("d", alias_name="max_drawdown_e2"),
+            Max("p", alias_name="peak_e2"))
+
+
+def sql_max_drawdown() -> str:
+    return (
+        "WITH e AS (SELECT user_id AS u, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us, event_id AS eid, "
+        "CASE WHEN event_type = 'error' THEN "
+        "-CAST(floor(value*100.0+0.5) AS BIGINT) "
+        "ELSE CAST(floor(value*100.0+0.5) AS BIGINT) END AS sv "
+        "FROM events), "
+        "c AS (SELECT u, us, eid, sum(sv) OVER w AS bal FROM e "
+        "WINDOW w AS (PARTITION BY u ORDER BY us, eid "
+        "ROWS UNBOUNDED PRECEDING)), "
+        "m AS (SELECT u, bal, max(bal) OVER w AS peak FROM c "
+        "WINDOW w AS (PARTITION BY u ORDER BY us, eid "
+        "ROWS UNBOUNDED PRECEDING)) "
+        "SELECT CAST(u AS BIGINT) AS user_id, "
+        "CAST(max(peak - bal) AS BIGINT) AS max_drawdown_e2, "
+        "CAST(max(peak) AS BIGINT) AS peak_e2 FROM m GROUP BY u")

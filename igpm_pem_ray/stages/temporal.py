@@ -847,3 +847,79 @@ def watermark_assign(ds, *, order_cols, ts_col: str = "us",
             run = m
     outs = [_wm_block.remote(r, ts_col, c) for r, c in zip(refs, carries)]
     return rd.from_arrow_refs(outs)
+
+
+@ray.remote(num_returns=2)
+def _cummax_block(tbl: pa.Table, payload_cols: list[str]):
+    n = tbl.num_rows
+    if n == 0 or "key" not in tbl.column_names:
+        out = pa.table({c: pa.array([], type=pa.int64())
+                        for c in (*payload_cols, "key", "us", "cum_max")})
+        return out, None
+    key = tbl["key"].to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    new_run = np.r_[True, key[1:] != key[:-1]]
+    run_id = np.cumsum(new_run) - 1
+    # segmented cummax: shift runs onto disjoint ASCENDING levels so
+    # one maximum.accumulate never carries across a run boundary (an
+    # earlier run's shifted max is strictly below the next run's
+    # level floor)
+    big = int(val.max()) - int(val.min()) + 1
+    shifted = val + big * run_id
+    cum = np.maximum.accumulate(shifted) - big * run_id
+    cols = {c: tbl[c] for c in payload_cols}
+    cols["key"] = pa.array(key.astype(np.int64))
+    cols["us"] = tbl["us"]
+    cols["cum_max"] = pa.array(cum.astype(np.int64))
+    summary = {"first_key": int(key[0]), "last_key": int(key[-1]),
+               "first_run_len": int(np.argmax(key != key[0]))
+               if (key != key[0]).any() else n,
+               "last_run_max": int(cum[-1])}
+    return pa.table(cols), summary
+
+
+@ray.remote
+def _cummax_patch(tbl: pa.Table, first_run_len: int,
+                  carry: int) -> pa.Table:
+    cum = tbl["cum_max"].to_numpy(zero_copy_only=False).copy()
+    cum[:first_run_len] = np.maximum(cum[:first_run_len], carry)
+    return tbl.set_column(tbl.column_names.index("cum_max"), "cum_max",
+                          pa.array(cum))
+
+
+def cummax_per_key(ds, *, payload_cols: list[str], order_cols=("us",),
+                   target_blocks: int | None = None):
+    """Running maximum of ``val`` per ``key`` in (key, *order_cols)
+    order — `max() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)` — the high-watermark sibling of
+    :func:`cumsum_per_key` with the same one-sort / per-block-
+    vectorized / O(1)-per-boundary-carry plan."""
+    srt = ds.sort(["key", *order_cols])
+    if target_blocks:
+        srt = srt.repartition(target_blocks)
+    srt = srt.materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {c: pa.nulls(0, pa.int64())
+             for c in (*payload_cols, "key", "us", "cum_max")}))
+    parts = [_cummax_block.remote(r, payload_cols) for r in refs]
+    tables = [p[0] for p in parts]
+    summaries = ray.get([p[1] for p in parts])
+
+    out_refs = []
+    carry = None  # (key, running_max)
+    for tref, s in zip(tables, summaries):
+        if s is None:
+            out_refs.append(tref)
+            continue
+        applied = carry is not None and carry[0] == s["first_key"]
+        if applied:
+            tref = _cummax_patch.remote(tref, s["first_run_len"],
+                                        carry[1])
+        out_max = s["last_run_max"]
+        if applied and s["first_key"] == s["last_key"]:
+            out_max = max(out_max, carry[1])
+        carry = (s["last_key"], out_max)
+        out_refs.append(tref)
+    return rd.from_arrow_refs(out_refs)

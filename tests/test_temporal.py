@@ -405,3 +405,31 @@ def test_watermark_assign_matches_pandas(ray_session, target_blocks):
     assert (out["us"].to_numpy() == ref["us"].to_numpy()).all()
     assert (out["wm"].to_numpy() == exp.to_numpy()).all()
     assert out["wm"].iloc[0] == WM_NONE
+
+
+def test_cummax_per_key_random(ray_session):
+    """cummax_per_key == pandas groupby cummax on randomized input
+    spread over 8 blocks (exercises the block-boundary max carry)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.stages.temporal import cummax_per_key
+
+    rng = np.random.RandomState(0)
+    n = 5000
+    key = rng.randint(0, 50, n).astype(np.int64)
+    us = rng.randint(0, 10**6, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    val = rng.randint(-1000, 1000, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"key": key, "us": us, "eid": eid,
+                                 "val": val})).repartition(8)
+    out = cummax_per_key(ds, payload_cols=["eid"],
+                         order_cols=("us", "eid")).to_pandas()
+    df = pd.DataFrame({"key": key, "us": us, "eid": eid, "val": val}) \
+        .sort_values(["key", "us", "eid"])
+    df["cm"] = df.groupby("key")["val"].cummax()
+    mg = out.merge(df, on=["key", "us", "eid"])
+    assert len(mg) == n
+    assert (mg["cum_max"] == mg["cm"]).all()
