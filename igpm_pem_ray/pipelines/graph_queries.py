@@ -3848,9 +3848,13 @@ def q_sssp_parents(sf_dir: str) -> pa.Table:
     from igpm_pem_ray.graph import sssp as sssp_mod
     from igpm_pem_ray.graph.sssp import WEIGHT_MOD
 
-    edges = cooccurrence_edges(sf_dir)
+    edges = cooccurrence_edges(sf_dir).materialize()
     dt = sssp_mod.sssp(edges, n_iters=SSSP_ITERS)
     dd = rd.from_arrow(dt).materialize()
+    # q_temporal_pairs join-partition convention: 1 below 65k rows —
+    # several concurrent hash joins each spawn num_partitions
+    # aggregator actors and deadlock a small CPU pool
+    npj = 1 if edges.count() < 65_536 else 8
 
     ue = edges.map_batches(
         lambda b: (lambda s, d: pa.table({
@@ -3860,14 +3864,14 @@ def q_sssp_parents(sf_dir: str) -> pa.Table:
             b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    cand = ue.join(dd, join_type="inner", num_partitions=8,
+    cand = ue.join(dd, join_type="inner", num_partitions=npj,
                    on=("x",), right_on=("vid",)) \
         .map_batches(lambda b: pa.table({
             "yv": b["y"],
             "du": b["dist"].to_numpy(zero_copy_only=False)
             + b["w"].to_numpy(zero_copy_only=False),
             "u": b["x"]}), batch_format="pyarrow", zero_copy_batch=True)
-    par = cand.join(dd, join_type="inner", num_partitions=8,
+    par = cand.join(dd, join_type="inner", num_partitions=npj,
                     on=("yv",), right_on=("vid",)) \
         .map_batches(lambda b: (lambda y, du, dv, u, m: pa.table({
             "vid": y[m], "parent": u[m]}))(
@@ -3880,7 +3884,7 @@ def q_sssp_parents(sf_dir: str) -> pa.Table:
             batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("vid").aggregate(Min("parent", alias_name="parent"))
 
-    out = dd.join(par, join_type="left_outer", num_partitions=8,
+    out = dd.join(par, join_type="left_outer", num_partitions=npj,
                   on=("vid",), right_on=("vid",))
     pdf = out.to_pandas().sort_values("vid")
     return pa.table({
@@ -4671,7 +4675,8 @@ def q_pointer_jump(sf_dir: str) -> pa.Table:
         lambda b: pa.table({"sv": b["src"].cast(pa.int64()),
                             "nxt": b["nxt"].cast(pa.int64())}),
         batch_format="pyarrow")
-    state = verts.join(sm, join_type="left_outer", num_partitions=8,
+    npj = 1 if edges.count() < 65_536 else 8
+    state = verts.join(sm, join_type="left_outer", num_partitions=npj,
                        on=("v",), right_on=("sv",))
 
     def init(b: pa.Table) -> pa.Table:
@@ -4688,7 +4693,7 @@ def q_pointer_jump(sf_dir: str) -> pa.Table:
         other = st.map_batches(
             lambda b: pa.table({"v2": b["v"], "nxt2": b["nxt"],
                                 "d2": b["d"]}), batch_format="pyarrow")
-        j = st.join(other, join_type="inner", num_partitions=8,
+        j = st.join(other, join_type="inner", num_partitions=npj,
                     on=("nxt",), right_on=("v2",))
         st = j.map_batches(
             lambda b: pa.table({
@@ -4773,10 +4778,11 @@ def q_bom_explode(sf_dir: str) -> pa.Table:
                               zero_copy_batch=True).materialize()
     levels = [frontier]
     for _ in range(1, BOM_DEPTH):
+        npj = 1 if eq.count() < 65_536 else 8
         nxt = frontier.join(
             eq.rename_columns({"src": "esrc", "dst": "edst",
                                "q": "eq_"}),
-            join_type="inner", num_partitions=8,
+            join_type="inner", num_partitions=npj,
             on=("part",), right_on=("esrc",))
         frontier = nxt.map_batches(
             lambda b: pa.table({

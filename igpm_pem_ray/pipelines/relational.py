@@ -6435,10 +6435,14 @@ def q_attribution_u(sf_dir: str):
 
     rows = ev.map_batches(pre, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+    # join partitions follow the q_temporal_pairs convention: 1 below
+    # 65k rows — each hash join spawns num_partitions aggregator
+    # actors, and several concurrent joins deadlock a small CPU pool
+    npj = 1 if rows.count() < 65_536 else 8
     pur = rows.filter(expr="etype == 'purchase'").materialize()
     g1 = pur.groupby("user").aggregate(Min("us", alias_name="cus"))
     j1 = pur.join(g1.rename_columns({"user": "user_g"}),
-                  join_type="inner", num_partitions=8,
+                  join_type="inner", num_partitions=npj,
                   on=("user",), right_on=("user_g",))
     conv = j1.filter(expr="us == cus") \
         .groupby("user").aggregate(Min("eid", alias_name="cid"),
@@ -6446,7 +6450,7 @@ def q_attribution_u(sf_dir: str):
         .rename_columns({"user": "cuser"})
 
     touches = rows.filter(expr="etype != 'purchase'") \
-        .join(conv, join_type="inner", num_partitions=8,
+        .join(conv, join_type="inner", num_partitions=npj,
               on=("user",), right_on=("cuser",))
 
     def before(b: pa.Table) -> pa.Table:
@@ -7129,7 +7133,8 @@ def q_fifo_allocation(sf_dir: str):
 
     pur = cum_iv("p", "p")
     sal = cum_iv("s", "s")
-    j = pur.join(sal, join_type="inner", num_partitions=8,
+    npj = 1 if rows.count() < 65_536 else 8
+    j = pur.join(sal, join_type="inner", num_partitions=npj,
                  on=("pk_p",), right_on=("pk_s",))
 
     def alloc(b: pa.Table) -> pa.Table:
@@ -7279,10 +7284,14 @@ def q_shapley_attribution(sf_dir: str):
 
     rows = ev.map_batches(pre, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+    # join partitions follow the q_temporal_pairs convention: 1 below
+    # 65k rows — each hash join spawns num_partitions aggregator
+    # actors, and several concurrent joins deadlock a small CPU pool
+    npj = 1 if rows.count() < 65_536 else 8
     pur = rows.filter(expr="etype == 'purchase'").materialize()
     g1 = pur.groupby("user").aggregate(Min("us", alias_name="cus"))
     j1 = pur.join(g1.rename_columns({"user": "user_g"}),
-                  join_type="inner", num_partitions=8,
+                  join_type="inner", num_partitions=npj,
                   on=("user",), right_on=("user_g",))
     conv = j1.filter(expr="us == cus") \
         .groupby("user").aggregate(Min("eid", alias_name="cid"),
@@ -7290,7 +7299,7 @@ def q_shapley_attribution(sf_dir: str):
         .rename_columns({"user": "cuser"})
 
     touches = rows.filter(expr="etype != 'purchase'") \
-        .join(conv, join_type="inner", num_partitions=8,
+        .join(conv, join_type="inner", num_partitions=npj,
               on=("user",), right_on=("cuser",))
 
     bit = {c: 1 << i for i, c in enumerate(SHAP_CHANNELS)}
