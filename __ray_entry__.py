@@ -720,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominating_set": g.q_dominating_set,
         "chunk_overlap": an.q_chunk_overlap,
         "max_drawdown": r.q_max_drawdown,
+        "ri_audit": r.q_ri_audit,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1068,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "dominating_set": g.sql_dominating_set(),
         "chunk_overlap": an.sql_chunk_overlap(),
         "max_drawdown": r.sql_max_drawdown(),
+        "ri_audit": r.sql_ri_audit(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

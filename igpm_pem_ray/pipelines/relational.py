@@ -7709,3 +7709,81 @@ def sql_max_drawdown() -> str:
         "SELECT CAST(u AS BIGINT) AS user_id, "
         "CAST(max(peak - bal) AS BIGINT) AS max_drawdown_e2, "
         "CAST(max(peak) AS BIGINT) AS peak_e2 FROM m GROUP BY u")
+
+
+# -------- referential-integrity audit --------
+
+RI_FKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit of every foreign-key edge in the
+    star schema: per FK, child row count, orphan count (child keys
+    with no parent), and distinct orphan keys — the constraint-
+    validation sweep warehouses run after every load (the FK side of
+    q_dq_checks' column rules).
+
+    Scale shape: each parent key set ships ONCE via ray.put and the
+    child side checks membership with a vectorized np.isin inside
+    map_batches — a broadcast anti-join, no shuffle (the repo's
+    small-side convention; a parent too big to broadcast flips to
+    the q_anti_join hash plan).  Parents here are dimension tables;
+    the fact-side scan is the only full pass."""
+    import ray as _ray
+
+    rows = []
+    for child, ck, parent, pk in RI_FKS:
+        par = read_table(sf_dir, parent, columns=[pk]).to_pandas()
+        keys = np.sort(par[pk].to_numpy().astype(np.int64))
+        ref = _ray.put(keys)
+
+        def check(b: pa.Table, _ref=ref, _ck=ck) -> pa.Table:
+            ks = _ray.get(_ref)
+            v = b[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+            orphan = ~np.isin(v, ks)
+            if orphan.any():
+                u = np.unique(v[orphan])
+            else:
+                u = np.empty(0, np.int64)
+            return pa.table({
+                "n": pa.array([len(v)], pa.int64()),
+                "n_orphan": pa.array([int(orphan.sum())], pa.int64()),
+                "keys": pa.array([u.tolist()],
+                                 pa.list_(pa.int64()))})
+
+        part = read_table(sf_dir, child, columns=[ck]) \
+            .map_batches(check, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+        n = int(part["n"].sum())
+        n_orph = int(part["n_orphan"].sum())
+        dist = len(np.unique(np.concatenate(
+            [np.asarray(x, np.int64) for x in part["keys"]]))) \
+            if n_orph else 0
+        rows.append((f"{child}.{ck}->{parent}.{pk}", n, n_orph, dist))
+    return pa.table({
+        "fk": pa.array([r[0] for r in rows], pa.string()),
+        "n_child_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+        "n_orphan_keys": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def sql_ri_audit() -> str:
+    sels = []
+    for child, ck, parent, pk in RI_FKS:
+        sels.append(
+            f"SELECT '{child}.{ck}->{parent}.{pk}' AS fk, "
+            f"CAST(count(*) AS BIGINT) AS n_child_rows, "
+            f"CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_orphans, "
+            f"CAST(count(DISTINCT CASE WHEN p.{pk} IS NULL "
+            f"THEN c.{ck} END) AS BIGINT) AS n_orphan_keys "
+            f"FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}")
+    return " UNION ALL ".join(sels)
