@@ -433,3 +433,54 @@ def test_cummax_per_key_random(ray_session):
     mg = out.merge(df, on=["key", "us", "eid"])
     assert len(mg) == n
     assert (mg["cum_max"] == mg["cm"]).all()
+
+
+def test_prefix_scan_stages_property(ray_session):
+    """Property-based check (hypothesis): cumsum_per_key and
+    cummax_per_key match the pandas window semantics for ANY key
+    layout, value range, duplicate order keys and block split — the
+    boundary-carry logic is exactly where example tests go stale."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from igpm_pem_ray.stages.temporal import cummax_per_key, cumsum_per_key
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(
+        st.tuples(st.integers(0, 5),           # key
+                  st.integers(0, 9),           # us (dups likely)
+                  st.integers(-10**9, 10**9)),  # val
+        min_size=1, max_size=120),
+        st.integers(1, 5))                     # block count
+    def check(rows, nblocks):
+        key = np.array([r[0] for r in rows], np.int64)
+        us = np.array([r[1] for r in rows], np.int64)
+        eid = np.arange(len(rows), dtype=np.int64)  # total order
+        val = np.array([r[2] for r in rows], np.int64)
+        ds = rd.from_arrow(pa.table(
+            {"key": key, "us": us, "eid": eid, "val": val})) \
+            .repartition(nblocks)
+        df = pd.DataFrame({"key": key, "us": us, "eid": eid,
+                           "val": val}) \
+            .sort_values(["key", "us", "eid"])
+        df["cs"] = df.groupby("key")["val"].cumsum()
+        df["cm"] = df.groupby("key")["val"].cummax()
+
+        cs = cumsum_per_key(ds, payload_cols=["eid"],
+                            order_cols=("us", "eid")).to_pandas()
+        mg = cs.merge(df, on=["key", "us", "eid"])
+        assert len(mg) == len(rows)
+        assert (mg["cum_val"] == mg["cs"]).all()
+
+        cm = cummax_per_key(ds, payload_cols=["eid"],
+                            order_cols=("us", "eid")).to_pandas()
+        mg2 = cm.merge(df, on=["key", "us", "eid"])
+        assert len(mg2) == len(rows)
+        assert (mg2["cum_max"] == mg2["cm"]).all()
+
+    check()
