@@ -721,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_overlap": an.q_chunk_overlap,
         "max_drawdown": r.q_max_drawdown,
         "ri_audit": r.q_ri_audit,
+        "systematic_sample": r.q_systematic_sample,
+        "moments_quantity": r.q_moments_quantity,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1070,6 +1072,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_overlap": an.sql_chunk_overlap(),
         "max_drawdown": r.sql_max_drawdown(),
         "ri_audit": r.sql_ri_audit(),
+        "systematic_sample": r.sql_systematic_sample(),
+        "moments_quantity": r.sql_moments_quantity(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

@@ -7787,3 +7787,105 @@ def sql_ri_audit() -> str:
             f"THEN c.{ck} END) AS BIGINT) AS n_orphan_keys "
             f"FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}")
     return " UNION ALL ".join(sels)
+
+
+# -------- systematic sampling --------
+
+SYS_K = 10   # take every K-th row of the sorted order
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every K-th) sampling of orders in (totalprice,
+    orderkey) sorted order — the equal-spacing design survey
+    statistics prefers over Bernoulli when the sort key correlates
+    with the measure (it stratifies implicitly).  Global 1-based
+    ranks come from the sorted-block rank carry; the K-th predicate
+    is a stateless map; the output summary proves the spacing
+    (count, sum) without shipping the sample.
+
+    Completes the sampling family: Bernoulli (q_sample), weighted
+    (q_weighted_sample), stratified, universe (q_universe_sample),
+    half-sample replicates — this is the ordered design."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"g": np.zeros(b.num_rows, np.int64),
+                         "cents": scale_col(
+                             b["o_totalprice"].to_numpy(
+                                 zero_copy_only=False), 100.0),
+                         "okey": b["o_orderkey"].cast(pa.int64())})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranked = rank_per_group(rows, key="g", order=["cents", "okey"],
+                            descending=[False, False])
+
+    def pick(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        m = r % SYS_K == 0
+        return pa.table({"okey": b["okey"].to_numpy(
+            zero_copy_only=False)[m],
+            "cents": b["cents"].to_numpy(zero_copy_only=False)[m]})
+
+    sam = ranked.map_batches(pick, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    return pa.table({
+        "n_sample": pa.array([sam.count()], pa.int64()),
+        "sum_e2": pa.array([int(sam.sum("cents") or 0)], pa.int64()),
+        "min_okey": pa.array([int(sam.min("okey"))], pa.int64()),
+        "max_okey": pa.array([int(sam.max("okey"))], pa.int64())})
+
+
+def sql_systematic_sample() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey AS okey, "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents "
+        "FROM orders), "
+        "r AS (SELECT okey, cents, row_number() OVER "
+        "(ORDER BY cents, okey) AS rk FROM o), "
+        f"s AS (SELECT * FROM r WHERE rk % {SYS_K} = 0) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sample, "
+        "CAST(sum(cents) AS BIGINT) AS sum_e2, "
+        "CAST(min(okey) AS BIGINT) AS min_okey, "
+        "CAST(max(okey) AS BIGINT) AS max_okey FROM s")
+
+
+# -------- exact higher-moment sums (skewness/kurtosis inputs) --------
+
+def q_moments_quantity(sf_dir: str):
+    """Exact raw-moment sums S1..S4 of lineitem quantity per return
+    flag — the sufficient statistics for skewness and kurtosis, kept
+    as INTEGER sums (quantity <= 50, so x^4 <= 6.25e6 and the sums
+    stay well inside int64 at any scale factor) the way q_group_stats
+    keeps the variance moments: the float skew/kurt derive downstream
+    with no cross-engine ulp exposure.  ONE pass, one groupby — the
+    distributed-moments pattern (parallel Welford's raw-sum form)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"flag": b["l_returnflag"],
+                         "s1": q, "s2": q * q, "s3": q * q * q,
+                         "s4": q * q * q * q})
+
+    return li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("flag").aggregate(
+            Count(alias_name="n"),
+            Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"), Sum("s4", alias_name="s4"))
+
+
+def sql_moments_quantity() -> str:
+    return (
+        "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)**2) AS BIGINT) AS s2, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)**3) AS BIGINT) AS s3, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)**4) AS BIGINT) AS s4 "
+        "FROM lineitem GROUP BY l_returnflag")
