@@ -723,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ri_audit": r.q_ri_audit,
         "systematic_sample": r.q_systematic_sample,
         "moments_quantity": r.q_moments_quantity,
+        "seeded_labelprop": g.q_seeded_labelprop,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1074,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "ri_audit": r.sql_ri_audit(),
         "systematic_sample": r.sql_systematic_sample(),
         "moments_quantity": r.sql_moments_quantity(),
+        "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),
         "matching": g.sql_matching(),
         "local_bridges": g.sql_local_bridges(),

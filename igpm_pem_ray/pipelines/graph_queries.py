@@ -5124,3 +5124,145 @@ def sql_dominating_set() -> str:
         f"(SELECT CAST(count(*) AS BIGINT) FROM dom{DS_ROUNDS}) "
         "AS n_dominated, "
         "(SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices")
+
+
+# -------- seeded (semi-supervised) label propagation --------
+
+SLP_ROUNDS = 3
+SLP_SEED_MOD = 5   # parts with partkey % MOD == 0 are clamped seeds
+
+
+def q_seeded_labelprop(sf_dir: str) -> pa.Table:
+    """Semi-supervised label propagation with CLAMPED seeds (Zhu-
+    Ghahramani 2002) — node classification, distinct from the
+    community-detection LP kernel (K3): every SLP_SEED_MOD-th part
+    is clamped to its brand number, and each round every still-
+    unlabeled vertex adopts the majority label among its LABELED
+    neighbors (ties to the smaller label; no labeled neighbor =
+    stay unlabeled).  Output is the label census after SLP_ROUNDS
+    rounds with the still-unlabeled count as label -1.
+
+    Scale shape: per round ONE adjacency-state hash join + ONE
+    (v, label) counting groupby + ONE groupby-max of the packed
+    (count, label) key (count * 2^20 + (2^20-1-label) — argmax-with-
+    tie-break as a plain max, the q_ohlc_daily trick); labels stay a
+    Dataset end to end.  The SQL oracle unrolls identical rounds."""
+    from ray.data.aggregate import Count as _Count, Max as _Max
+
+    from igpm_pem_ray.pipelines.common import read_table
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    npj = 1 if edges.count() < 65_536 else 8
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def seed(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = pk % SLP_SEED_MOD == 0
+        br = np.asarray(
+            [int(x.split("#", 1)[1]) for x in b["p_brand"].to_pylist()],
+            np.int64)
+        return pa.table({"v": pk[m], "lab": br[m]})
+
+    labels = part.map_batches(seed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    adj = edges.map_batches(
+        lambda b: (lambda s, d: pa.table({
+            "u": np.concatenate([s, d]),
+            "w": np.concatenate([d, s])}))(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(SLP_ROUNDS):
+        lab_set = labels.to_pandas()  # O(labeled) driver set for the
+        # unlabeled filter; at web scale this filter is an anti-join
+        have = np.sort(lab_set["v"].to_numpy().astype(np.int64))
+        import ray as _ray
+        ref = _ray.put(have)
+        cand = adj.join(
+            labels.rename_columns({"v": "lv", "lab": "llab"}),
+            join_type="inner", num_partitions=npj,
+            on=("u",), right_on=("lv",))
+
+        def unl(b: pa.Table, _ref=ref) -> pa.Table:
+            hv = _ray.get(_ref)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hv, w)
+            pos = np.minimum(pos, max(len(hv) - 1, 0))
+            m = ~(hv[pos] == w) if len(hv) else np.ones(len(w), bool)
+            return pa.table({"v": w[m],
+                             "lab": b["llab"].to_numpy(
+                                 zero_copy_only=False)[m]})
+
+        newl = cand.map_batches(unl, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby(["v", "lab"]).aggregate(_Count(alias_name="c")) \
+            .map_batches(
+                lambda b: pa.table({
+                    "v": b["v"],
+                    "pk": b["c"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) * (1 << 20)
+                    + ((1 << 20) - 1
+                       - b["lab"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))}),
+                batch_format="pyarrow") \
+            .groupby("v").aggregate(_Max("pk", alias_name="pk")) \
+            .map_batches(
+                lambda b: pa.table({
+                    "v": b["v"].cast(pa.int64()),
+                    "lab": (1 << 20) - 1
+                    - (b["pk"].to_numpy(zero_copy_only=False)
+                       & ((1 << 20) - 1))}),
+                batch_format="pyarrow")
+        labels = labels.union(newl).materialize()
+
+    cens = labels.groupby("lab").aggregate(_Count(alias_name="n"))
+    ends = edges.map_batches(
+        lambda b: pa.table({"v": pa.concat_arrays(
+            [b["src"].cast(pa.int64()).combine_chunks(),
+             b["dst"].cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    n_verts = ends.groupby("v").aggregate(
+        _Count(alias_name="_d")).count()
+    n_lab = labels.count()
+    out = cens.to_pandas().sort_values("lab")
+    labs = out["lab"].to_numpy().astype(np.int64).tolist() + [-1]
+    ns = out["n"].to_numpy().astype(np.int64).tolist() \
+        + [n_verts - n_lab]
+    return pa.table({"label": pa.array(labs, pa.int64()),
+                     "n_vertices": pa.array(ns, pa.int64())})
+
+
+def sql_seeded_labelprop() -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS w FROM edges "
+        "UNION ALL SELECT dst AS u, src AS w FROM edges)",
+        "verts AS (SELECT DISTINCT u AS v FROM adj)",
+        "lab0 AS (SELECT p_partkey AS v, "
+        "CAST(substr(p_brand, 7) AS BIGINT) AS lab FROM part "
+        f"WHERE p_partkey % {SLP_SEED_MOD} = 0 "
+        "AND p_partkey IN (SELECT v FROM verts))",
+    ]
+    for r in range(1, SLP_ROUNDS + 1):
+        parts += [
+            f"cand{r} AS (SELECT a.w AS v, l.lab FROM adj a "
+            f"JOIN lab{r - 1} l ON l.v = a.u "
+            f"WHERE a.w NOT IN (SELECT v FROM lab{r - 1}))",
+            f"cnt{r} AS (SELECT v, lab, count(*) AS c FROM cand{r} "
+            "GROUP BY v, lab)",
+            f"best{r} AS (SELECT v, (1 << 20) - 1 - "
+            "(max(c * (1 << 20) + ((1 << 20) - 1 - lab)) "
+            f"& ((1 << 20) - 1)) AS lab FROM cnt{r} GROUP BY v)",
+            f"lab{r} AS MATERIALIZED (SELECT v, lab FROM lab{r - 1} "
+            f"UNION ALL SELECT v, lab FROM best{r})",
+        ]
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(lab AS BIGINT) AS label, "
+        f"CAST(count(*) AS BIGINT) AS n_vertices FROM lab{SLP_ROUNDS} "
+        "GROUP BY lab "
+        "UNION ALL SELECT -1, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM verts) - "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM lab{SLP_ROUNDS})")
