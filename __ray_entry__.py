@@ -97,6 +97,29 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         return build.pages_to_extracted(pages, concurrency=4, batch_size=256) \
             .select_columns(["url", "text", "n_links"])
 
+    def link_warc_ingest(sf_dir: str):
+        """Common-Crawl-shaped ingestion: pages -> WARC shards ->
+        read_warc -> extractor -> edge table (sources/warc.py); the
+        WARC hop must be lossless, so the edge table equals the
+        parquet-path edge table (asserted in tests)."""
+        import os
+        from igpm_pem_ray.graph import build
+        from igpm_pem_ray.sources.warc import read_warc, write_warc
+
+        pdir = _pages_dir(2_000)
+        wdir = os.path.join(_PAGES_CACHE, "warc_n2000_s42")
+        marker = os.path.join(wdir, "_DONE")
+        if not os.path.exists(marker):
+            write_warc(rd.read_parquet(pdir)
+                       .select_columns(["url", "warc_ts", "html"]), wdir)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        pages = read_warc([os.path.join(wdir, f)
+                           for f in sorted(os.listdir(wdir))
+                           if f.endswith(".warc")])
+        return build.pages_to_edges(pages, concurrency=4,
+                                    batch_size=256)
+
     def link_anchor_terms(sf_dir: str):
         from igpm_pem_ray.graph import build
 
@@ -215,6 +238,7 @@ def _link_graph_queries() -> dict[str, Callable[[str], Any]]:
         "link_extract_text": link_text,
         "link_host_graph": link_host_graph,
         "link_anchor_terms": link_anchor_terms,
+        "link_warc_ingest": link_warc_ingest,
         "link_surt_index": link_surt_index,
         "link_host_stats": link_host_stats,
         "link_host_rank": link_host_rank,

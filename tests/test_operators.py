@@ -828,3 +828,54 @@ def test_union_by_name_schema_evolution(ray_session):
     s = unify_schemas([pa_.schema([("v", pa_.float32())]),
                        pa_.schema([("v", pa_.float64())])])
     assert s.field("v").type == pa_.float64()
+
+
+# ---------------- WARC source/sink (sources/warc.py) ----------------
+
+def test_warc_roundtrip(ray_session, tmp_path):
+    """pages -> write_warc -> read_warc reproduces (url, warc_ts,
+    html) exactly, including microsecond timestamps, empty bodies and
+    non-UTF-8 payload bytes; extraction over the WARC-read Dataset
+    yields the same edges as over the parquet pages."""
+    import pyarrow as pa_
+
+    from igpm_pem_ray.graph import build
+    from igpm_pem_ray.sources.pages import write_pages_parquet
+    from igpm_pem_ray.sources.warc import read_warc, record_bytes, write_warc
+
+    pdir = str(tmp_path / "pages")
+    wdir = str(tmp_path / "warc")
+    write_pages_parquet(pdir, n_pages=200, seed=11, rows_per_file=64)
+    pages = rd.read_parquet(pdir)
+    n = write_warc(pages.select_columns(["url", "warc_ts", "html"]), wdir)
+    assert n == 200
+
+    back = read_warc(wdir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    orig = pages.select_columns(["url", "warc_ts", "html"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert (back["url"] == orig["url"]).all()
+    assert (back["warc_ts"].astype("int64")
+            == orig["warc_ts"].astype("int64")).all()
+    assert all(bytes(a or b"") == bytes(b_ or b"")
+               for a, b_ in zip(back["html"], orig["html"]))
+
+    # same edge table through the extractor either way
+    e1 = build.pages_to_edges(rd.read_parquet(pdir), concurrency=2,
+                              batch_size=64).to_pandas()
+    e2 = build.pages_to_edges(read_warc(wdir), concurrency=2,
+                              batch_size=64).to_pandas()
+    k1 = sorted(map(tuple, e1[["src", "dst"]].to_numpy().tolist()))
+    k2 = sorted(map(tuple, e2[["src", "dst"]].to_numpy().tolist()))
+    assert k1 == k2
+
+    # tolerant parse: non-response records are skipped
+    extra = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+             b"Content-Length: 4\r\n\r\nabcd\r\n\r\n")
+    mixed = extra + record_bytes("https://x.example/p0",
+                                 1_704_067_200_000_000, b"<html></html>")
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(mixed)
+    got = read_warc(str(p)).to_pandas()
+    assert list(got["url"]) == ["https://x.example/p0"]
