@@ -879,3 +879,32 @@ def test_warc_roundtrip(ray_session, tmp_path):
     p.write_bytes(mixed)
     got = read_warc(str(p)).to_pandas()
     assert list(got["url"]) == ["https://x.example/p0"]
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    """Dataset -> Arrow IPC shards -> Dataset preserves schema and
+    values (binary, string, timestamp columns included)."""
+    import pyarrow as pa_
+
+    from igpm_pem_ray.sources.ipc import read_ipc, write_ipc
+
+    t = pa_.table({
+        "k": pa_.array([1, 2, 3, 4], pa_.int64()),
+        "s": pa_.array(["a", None, "c", "d"], pa_.string()),
+        "b": pa_.array([b"\xff\x00", b"", None, b"xyz"], pa_.binary()),
+        "ts": pa_.array([1, 2, 3, 4], pa_.timestamp("us"))})
+    ds = rd.from_arrow(t).repartition(3)
+    out = str(tmp_path / "ipc")
+    assert write_ipc(ds, out) == 4
+    back = read_ipc(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    orig = t.to_pandas()
+    assert (back["k"] == orig["k"]).all()
+    assert back["s"].fillna("~").tolist() == orig["s"].fillna("~").tolist()
+    assert [x if x is None else bytes(x) for x in back["b"]] == \
+        [x if x is None else bytes(x) for x in orig["b"]]
+    assert (back["ts"].astype("int64") == orig["ts"].astype("int64")).all()
+    # idempotent re-run: same content hash -> same files, no dupes
+    n_files = len(list((tmp_path / "ipc").glob("*.arrow")))
+    write_ipc(rd.from_arrow(t).repartition(3), out)
+    assert len(list((tmp_path / "ipc").glob("*.arrow"))) >= n_files
