@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": r.q_systematic_sample,
         "moments_quantity": r.q_moments_quantity,
         "seeded_labelprop": g.q_seeded_labelprop,
+        "doc_compress_ratio": an.q_doc_compress_ratio,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,

@@ -255,7 +255,10 @@ def run_bench() -> dict:
                      ("filter_project", r.q_filter_project),
                      ("topk_orders", r.q_topk_orders),
                      ("gopher_quality", r.q_gopher_quality),
-                     ("span_dedup", r.q_span_dedup)]:
+                     ("span_dedup", r.q_span_dedup),
+                     ("fifo_allocation", r.q_fifo_allocation),
+                     ("max_drawdown", r.q_max_drawdown),
+                     ("snapshot_asof", r.q_snapshot_asof)]:
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         timings[name] = time.perf_counter() - t0

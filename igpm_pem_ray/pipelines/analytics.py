@@ -4876,3 +4876,48 @@ def sql_chunk_overlap() -> str:
         "CAST(sum(d.k) AS BIGINT) AS n_chunks, "
         "CAST(sum(e.emitted) AS BIGINT) AS emitted_tokens "
         "FROM d JOIN e ON e.doc_id = d.doc_id GROUP BY d.source")
+
+
+# -------- compression-ratio quality signal (rows-only) --------
+
+COMP_E6 = 1_000_000
+COMP_REPETITIVE_E6 = 300_000   # ratio below this = highly repetitive
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    """Per-source compression-ratio profile: ratio = zlib(text) bytes
+    * 1e6 // raw bytes — the classic repetition / boilerplate signal
+    (a cousin of the Gopher repetition rules in q_gopher_quality:
+    zlib catches LONG-range duplication the n-gram ratios miss).
+    Rows-only: no SQL engine exposes deflate, so the oracle is a
+    direct single-process zlib replay in tests/test_text.py.
+
+    Scale shape: zlib is called once per doc inside the batch map
+    (CPU-bound C code, the kind of per-doc work actor pools exist
+    for), followed by ONE O(sources) groupby; ratios stay int64."""
+    import zlib
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        srcs, rats, reps = [], [], []
+        for src, txt in zip(b["source"].to_pylist(),
+                            b["text"].to_pylist()):
+            raw = (txt or "").encode("utf-8")
+            if not raw:
+                continue
+            r = len(zlib.compress(raw, 6)) * COMP_E6 // len(raw)
+            srcs.append(src)
+            rats.append(r)
+            reps.append(1 if r < COMP_REPETITIVE_E6 else 0)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "r": pa.array(rats, pa.int64()),
+                         "rep": pa.array(reps, pa.int64())})
+
+    return docs.map_batches(ratio, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("r", alias_name="sum_ratio_e6"),
+            _Sum("rep", alias_name="n_repetitive"))

@@ -846,3 +846,38 @@ def test_lev_le1_all_edit_classes():
             d = lev_le1(pd.Series([names[i]]), pd.Series([names[j]]))[0]
             if d >= 0:
                 assert (i, j) in cand, (names[i], names[j])
+
+
+def test_doc_compress_ratio_oracle(ray_session):
+    """q_doc_compress_ratio == a direct single-process zlib replay
+    over the same parquet (the rows-only oracle)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from igpm_pem_ray.pipelines.analytics import (COMP_E6,
+                                                  COMP_REPETITIVE_E6,
+                                                  q_doc_compress_ratio)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_compress_ratio(sf).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["text", "source"]).to_pandas()
+    rows = []
+    for src, txt in zip(t["source"], t["text"]):
+        raw = (txt or "").encode("utf-8")
+        if not raw:
+            continue
+        r = len(zlib.compress(raw, 6)) * COMP_E6 // len(raw)
+        rows.append((src, r, 1 if r < COMP_REPETITIVE_E6 else 0))
+    exp = pd.DataFrame(rows, columns=["source", "r", "rep"]) \
+        .groupby("source", as_index=False) \
+        .agg(n_docs=("r", "size"), sum_ratio_e6=("r", "sum"),
+             n_repetitive=("rep", "sum")) \
+        .sort_values("source").reset_index(drop=True)
+    assert (got["n_docs"] == exp["n_docs"]).all()
+    assert (got["sum_ratio_e6"] == exp["sum_ratio_e6"]).all()
+    assert (got["n_repetitive"] == exp["n_repetitive"]).all()
