@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_quantity": r.q_moments_quantity,
         "seeded_labelprop": g.q_seeded_labelprop,
         "doc_compress_ratio": an.q_doc_compress_ratio,
+        "nest_orders": r.q_nest_orders,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1099,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown": r.sql_max_drawdown(),
         "ri_audit": r.sql_ri_audit(),
         "systematic_sample": r.sql_systematic_sample(),
+        "nest_orders": r.sql_nest_orders(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

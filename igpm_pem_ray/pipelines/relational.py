@@ -7889,3 +7889,162 @@ def sql_moments_quantity() -> str:
         "CAST(sum(CAST(l_quantity AS BIGINT)**3) AS BIGINT) AS s3, "
         "CAST(sum(CAST(l_quantity AS BIGINT)**4) AS BIGINT) AS s4 "
         "FROM lineitem GROUP BY l_returnflag")
+
+
+# -------- one-to-many nesting (document building) --------
+
+def nest_per_key(ds, *, key: str, order: list[str],
+                 pack_cols: list[str]):
+    """Collect each key's rows (in ``order``) into LIST columns — the
+    one-to-many nesting operator behind document export (orders with
+    their line items as nested arrays, pages with their links).
+    Plan: one sort by (key, *order); each sorted block packs its
+    complete key runs vectorized (np.split on run boundaries); the
+    single possibly-split run at each block edge is repaired by ONE
+    tiny boundary pass over the O(blocks) first/last fragments — the
+    sorted-block-carry pattern of rank_per_group/cumsum_per_key
+    applied to list building.  Returns (key, <col>_list ...,
+    n_items)."""
+    import ray as _ray
+
+    srt = ds.sort([key, *order]).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({key: pa.array([], pa.int64())}))
+
+    @_ray.remote(num_returns=2)
+    def pack_block(tbl: pa.Table):
+        n = tbl.num_rows
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            **{f"{c}_list": pa.array([], pa.list_(pa.int64()))
+               for c in pack_cols},
+            "n_items": pa.array([], pa.int64())})
+        if n == 0:
+            return empty, None
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_run)
+        # interior runs = complete; first and last run go to the
+        # boundary pass (they may continue in neighbor blocks)
+        cols = {c: tbl[c].to_numpy(zero_copy_only=False)
+                for c in pack_cols}
+        first_end = starts[1] if len(starts) > 1 else n
+        last_start = starts[-1]
+        inner = {}
+        if len(starts) > 2:
+            mids = starts[1:-1]
+            bounds = np.r_[mids, last_start]
+            inner[key] = k[mids].astype(np.int64)
+            for c in pack_cols:
+                inner[f"{c}_list"] = [
+                    cols[c][bounds[i]:bounds[i + 1]].tolist()
+                    for i in range(len(mids))]
+            inner["n_items"] = (bounds[1:] - bounds[:-1]).astype(np.int64)
+            inner_t = pa.table({
+                key: pa.array(inner[key]),
+                **{f"{c}_list": pa.array(inner[f"{c}_list"],
+                                         pa.list_(pa.int64()))
+                   for c in pack_cols},
+                "n_items": pa.array(inner["n_items"])})
+        else:
+            inner_t = pa.table({
+                key: pa.array([], pa.int64()),
+                **{f"{c}_list": pa.array([], pa.list_(pa.int64()))
+                   for c in pack_cols},
+                "n_items": pa.array([], pa.int64())})
+        edge = {
+            "first_key": int(k[0]),
+            "first": {c: cols[c][:first_end].tolist()
+                      for c in pack_cols},
+            "last_key": int(k[-1]),
+            "last": {c: cols[c][last_start:].tolist()
+                     for c in pack_cols},
+            "one_run": bool(len(starts) == 1),
+        }
+        return inner_t, edge
+
+    parts = [pack_block.remote(r) for r in refs]
+    inner_tables = [p[0] for p in parts]
+    edges = _ray.get([p[1] for p in parts])
+
+    # boundary repair: stitch fragments of runs split across blocks
+    frag_rows = []
+    cur_key, cur = None, None
+    for e in edges:
+        if e is None:
+            continue
+        segs = ([(e["first_key"], e["first"])]
+                if e["one_run"]
+                else [(e["first_key"], e["first"]),
+                      (e["last_key"], e["last"])])
+        for kk, data in segs:
+            if cur_key is not None and kk == cur_key:
+                for c in pack_cols:
+                    cur[c].extend(data[c])
+            else:
+                if cur_key is not None:
+                    frag_rows.append((cur_key, cur))
+                cur_key, cur = kk, {c: list(data[c])
+                                    for c in pack_cols}
+    if cur_key is not None:
+        frag_rows.append((cur_key, cur))
+    frag_t = pa.table({
+        key: pa.array([r[0] for r in frag_rows], pa.int64()),
+        **{f"{c}_list": pa.array([r[1][c] for r in frag_rows],
+                                 pa.list_(pa.int64()))
+           for c in pack_cols},
+        "n_items": pa.array([len(r[1][pack_cols[0]])
+                             for r in frag_rows], pa.int64())})
+    out = rd.from_arrow_refs(inner_tables)
+    return out.union(rd.from_arrow(frag_t))
+
+
+def q_nest_orders(sf_dir: str):
+    """Order documents: each order's line items nested as list
+    columns (linenumber, quantity) in line order — the one-to-many
+    document-building export (q_unpivot's inverse direction).  The
+    SQL-hashable surface is the per-order summary (n_items, checksum
+    of the packed quantities with positional weights, so ORDER inside
+    the list is verified, not just membership)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": b["l_orderkey"].cast(pa.int64()),
+            "ln": b["l_linenumber"].cast(pa.int64()),
+            "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    rows = li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # (okey, ln) is NOT unique in the synthetic lineitem — qty joins
+    # the order key so the within-list order is total (equal (ln,
+    # qty) rows are interchangeable for the checksum)
+    nested = nest_per_key(rows, key="okey", order=["ln", "qty"],
+                          pack_cols=["ln", "qty"])
+
+    def summ(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        ck = []
+        for lst in b["qty_list"].to_pylist():
+            a = np.asarray(lst, np.int64)
+            ck.append(int(((np.arange(len(a)) + 1) * a).sum()))
+        return pa.table({"orderkey": b["okey"].cast(pa.int64()),
+                         "n_items": b["n_items"].cast(pa.int64()),
+                         "qty_checksum": pa.array(ck, pa.int64())})
+
+    return nested.map_batches(summ, batch_format="pyarrow")
+
+
+def sql_nest_orders() -> str:
+    return (
+        "WITH l AS (SELECT l_orderkey AS okey, l_linenumber AS ln, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+        "r AS (SELECT okey, qty, row_number() OVER "
+        "(PARTITION BY okey ORDER BY ln, qty) AS pos FROM l) "
+        "SELECT CAST(okey AS BIGINT) AS orderkey, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(pos * qty) AS BIGINT) AS qty_checksum "
+        "FROM r GROUP BY okey")
