@@ -750,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_labelprop": g.q_seeded_labelprop,
         "doc_compress_ratio": an.q_doc_compress_ratio,
         "nest_orders": r.q_nest_orders,
+        "ego_2hop": g.q_ego_2hop,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1101,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "ri_audit": r.sql_ri_audit(),
         "systematic_sample": r.sql_systematic_sample(),
         "nest_orders": r.sql_nest_orders(),
+        "ego_2hop": g.sql_ego_2hop(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

@@ -5266,3 +5266,68 @@ def sql_seeded_labelprop() -> str:
         "UNION ALL SELECT -1, "
         "(SELECT CAST(count(*) AS BIGINT) FROM verts) - "
         f"(SELECT CAST(count(*) AS BIGINT) FROM lab{SLP_ROUNDS})")
+
+
+# -------- 2-hop ego-network sizes --------
+
+EGO_TOPK = 50
+
+
+def q_ego_2hop(sf_dir: str) -> pa.Table:
+    """Exact 2-hop ego-network size per vertex — |{u : dist(v,u) <=
+    2}| minus v itself — the feature behind friend-of-friend reach
+    and GNN receptive-field sizing, and the per-vertex refinement of
+    q_two_hop's global pair count.  Top-EGO_TOPK by (size desc, vid)
+    keeps the output bounded.
+
+    Scale shape: one adjacency self-join on the middle vertex emits
+    2-paths, a union with the 1-hop pairs and ONE (v, u) dedup
+    groupby collapses multiplicity (a vertex reached both at hop 1
+    and hop 2 counts once), then a per-v counting groupby; joins
+    follow the small-input single-partition convention."""
+    from ray.data.aggregate import Count as _Count
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    npj = 1 if edges.count() < 65_536 else 8
+    adj = edges.map_batches(
+        lambda b: (lambda s, d: pa.table({
+            "u": np.concatenate([s, d]),
+            "w": np.concatenate([d, s])}))(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    two = adj.join(adj.rename_columns({"u": "u2", "w": "w2"}),
+                   join_type="inner", num_partitions=npj,
+                   on=("w",), right_on=("u2",))
+
+    def drop_self(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        w2 = b["w2"].to_numpy(zero_copy_only=False)
+        m = u != w2
+        return pa.table({"v": u[m], "t": w2[m]})
+
+    pairs = two.map_batches(drop_self, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .union(adj.map_batches(
+            lambda b: pa.table({"v": b["u"], "t": b["w"]}),
+            batch_format="pyarrow"))
+    sizes = pairs.groupby(["v", "t"]).aggregate(_Count(alias_name="_m")) \
+        .groupby("v").aggregate(_Count(alias_name="ego2"))
+    top = sizes.sort(["ego2", "v"], descending=[True, False]) \
+        .limit(EGO_TOPK).to_pandas()
+    return pa.table({"v": top["v"].to_numpy().astype(np.int64),
+                     "ego2": top["ego2"].to_numpy().astype(np.int64)})
+
+
+def sql_ego_2hop() -> str:
+    return (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS w FROM edges "
+        "UNION ALL SELECT dst AS u, src AS w FROM edges), "
+        "r AS (SELECT DISTINCT v, t FROM ("
+        "SELECT a.u AS v, b.w AS t FROM adj a "
+        "JOIN adj b ON b.u = a.w AND b.w <> a.u "
+        "UNION ALL SELECT u AS v, w AS t FROM adj)) "
+        "SELECT CAST(v AS BIGINT) AS v, "
+        "CAST(count(*) AS BIGINT) AS ego2 FROM r GROUP BY v "
+        f"ORDER BY ego2 DESC, v LIMIT {EGO_TOPK}")
