@@ -5281,11 +5281,16 @@ def q_ego_2hop(sf_dir: str) -> pa.Table:
     keeps the output bounded.
 
     Scale shape: one adjacency self-join on the middle vertex emits
-    2-paths, a union with the 1-hop pairs and ONE (v, u) dedup
-    groupby collapses multiplicity (a vertex reached both at hop 1
-    and hop 2 counts once), then a per-v counting groupby; joins
-    follow the small-input single-partition convention."""
-    from ray.data.aggregate import Count as _Count
+    2-paths; each block DEDUPES its pairs vectorized (np.unique on
+    the packed (v << 32 | t) key — vids < 2^31 asserted) so the
+    Sigma deg^2 fan-out collapses block-locally, and the partials
+    finish in ONE vectorized reduce task (unique + bincount + top-k)
+    — the measured pair-merge strategy (BASELINE.md: Ray's
+    sort-based two-key groupby on multi-million-row partials is
+    ~50x a single reduce task; above the single-task envelope the
+    reduce shards by v-hash exactly like text/dedup's bucketed
+    closure)."""
+    import ray as _ray
 
     edges = cooccurrence_edges(sf_dir).materialize()
     npj = 1 if edges.count() < 65_536 else 8
@@ -5300,25 +5305,35 @@ def q_ego_2hop(sf_dir: str) -> pa.Table:
                    join_type="inner", num_partitions=npj,
                    on=("w",), right_on=("u2",))
 
-    def drop_self(b: pa.Table) -> pa.Table:
+    def pack_unique(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
         w2 = b["w2"].to_numpy(zero_copy_only=False)
         m = u != w2
-        return pa.table({"v": u[m], "t": w2[m]})
+        u, w2 = u[m], w2[m]
+        assert (len(u) == 0
+                or (u.max() < (1 << 31) and w2.max() < (1 << 31)))
+        return pa.table({"pk": np.unique((u << 32) | w2)})
 
-    pairs = two.map_batches(drop_self, batch_format="pyarrow",
-                            zero_copy_batch=True) \
+    partials = two.map_batches(pack_unique, batch_format="pyarrow",
+                               zero_copy_batch=True) \
         .union(adj.map_batches(
-            lambda b: pa.table({"v": b["u"], "t": b["w"]}),
-            batch_format="pyarrow"))
-    sizes = pairs.groupby(["v", "t"]).aggregate(_Count(alias_name="_m")) \
-        .groupby("v").aggregate(_Count(alias_name="ego2"))
-    top = sizes.sort(["ego2", "v"], descending=[True, False]) \
-        .limit(EGO_TOPK).to_pandas()
-    return pa.table({"v": top["v"].to_numpy().astype(np.int64),
-                     "ego2": top["ego2"].to_numpy().astype(np.int64)})
+            lambda b: pa.table({"pk": np.unique(
+                (b["u"].to_numpy(zero_copy_only=False) << 32)
+                | b["w"].to_numpy(zero_copy_only=False))}),
+            batch_format="pyarrow")).materialize()
 
+    @_ray.remote
+    def reduce_topk(*parts: pa.Table) -> pa.Table:
+        pk = np.unique(np.concatenate(
+            [p["pk"].to_numpy(zero_copy_only=False) for p in parts]))
+        v = pk >> 32
+        uniq, cnt = np.unique(v, return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:EGO_TOPK]
+        return pa.table({"v": uniq[order].astype(np.int64),
+                         "ego2": cnt[order].astype(np.int64)})
 
+    t = _ray.get(reduce_topk.remote(*partials.to_arrow_refs()))
+    return t
 def sql_ego_2hop() -> str:
     return (
         f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
