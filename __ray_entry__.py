@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio": an.q_doc_compress_ratio,
         "nest_orders": r.q_nest_orders,
         "ego_2hop": g.q_ego_2hop,
+        "seq_match": r.q_seq_match,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1103,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": r.sql_systematic_sample(),
         "nest_orders": r.sql_nest_orders(),
         "ego_2hop": g.sql_ego_2hop(),
+        "seq_match": r.sql_seq_match(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

@@ -8048,3 +8048,86 @@ def sql_nest_orders() -> str:
         "CAST(count(*) AS BIGINT) AS n_items, "
         "CAST(sum(pos * qty) AS BIGINT) AS qty_checksum "
         "FROM r GROUP BY okey")
+
+
+# -------- sequence pattern matching (MATCH_RECOGNIZE analog) --------
+
+SEQ_PATTERNS = [
+    ("click_views_purchase", "cv+p"),
+    ("signup_then_purchase", "s[cve]*p"),
+    ("error_retry_error", "e[cvs]?e"),
+]
+
+
+def q_seq_match(sf_dir: str):
+    """Row-pattern matching over event sequences — the
+    MATCH_RECOGNIZE / complex-event-processing class: each user's
+    events in (ts, event_id) order become a symbol string (first
+    letter of the event type), and each registered regex pattern is
+    counted per user with standard non-overlapping leftmost
+    semantics (identical in Python re and DuckDB's RE2 for these
+    patterns — alternation-free, greedy quantifiers).
+
+    Scale shape: the ordered symbol string per user comes from the
+    one-to-many nesting stage (nest_per_key — one sort + boundary
+    repair, no window state); pattern scanning is then a stateless
+    per-user map over strings whose lengths are bounded by per-user
+    event counts.  Output: per pattern, matching-user count and
+    total match count."""
+    import re as _re
+    from igpm_pem_ray.stages.temporal import cumsum_per_key  # noqa: F401
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = np.asarray(
+            [t[0] for t in b["event_type"].to_pylist()], dtype=object)
+        # symbol = first letter, encoded as its byte so the nested
+        # list stays int64 (nest_per_key packs int64 columns)
+        sym = np.asarray([ord(c) for c in et], np.int64)
+        return pa.table({"okey": b["user_id"].cast(pa.int64()),
+                         "us": b["ts"].cast(pa.int64()),
+                         "eid": b["event_id"].cast(pa.int64()),
+                         "sym": sym})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    nested = nest_per_key(rows, key="okey", order=["us", "eid"],
+                          pack_cols=["sym"])
+    pats = [(name, _re.compile(rx)) for name, rx in SEQ_PATTERNS]
+
+    def scan(b: pa.Table) -> pa.Table:
+        names, users, matches = [], [], []
+        for lst in b["sym_list"].to_pylist():
+            s = "".join(chr(x) for x in lst)
+            for name, rx in pats:
+                m = len(rx.findall(s))
+                names.append(name)
+                users.append(1 if m else 0)
+                matches.append(m)
+        return pa.table({"pattern": pa.array(names, pa.string()),
+                         "u": pa.array(users, pa.int64()),
+                         "m": pa.array(matches, pa.int64())})
+
+    return nested.map_batches(scan, batch_format="pyarrow") \
+        .groupby("pattern").aggregate(
+            Sum("u", alias_name="n_users_matched"),
+            Sum("m", alias_name="n_matches"))
+
+
+def sql_seq_match() -> str:
+    seq = ("WITH s AS (SELECT user_id, "
+           "string_agg(substr(event_type, 1, 1), '' "
+           "ORDER BY epoch_us(ts), event_id) AS seq "
+           "FROM events GROUP BY user_id)")
+    sels = []
+    for name, rx in SEQ_PATTERNS:
+        sels.append(
+            f"SELECT '{name}' AS pattern, "
+            "CAST(sum(CASE WHEN len(regexp_extract_all(seq, "
+            f"'{rx}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_users_matched, "
+            f"CAST(sum(len(regexp_extract_all(seq, '{rx}'))) "
+            "AS BIGINT) AS n_matches FROM s")
+    return f"{seq} {' UNION ALL '.join(sels)}"
