@@ -417,6 +417,35 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         }))
         return decode_images(media, concurrency=2, batch_size=16)
 
+    def video_scene_cuts(sf_dir: str):
+        """Shot-boundary detection over deterministic synthetic
+        multi-frame videos with planted hard cuts (multimodal/
+        decode.SceneCuts: exact integer SAD over the NPNG container;
+        planted-cut recovery is pytest-pinned)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from igpm_pem_ray.multimodal.codec import encode_frames
+        from igpm_pem_ray.multimodal.decode import scene_cuts
+
+        rng = np.random.RandomState(5)
+        vids = []
+        for _ in range(12):
+            frames = []
+            level = int(rng.randint(0, 200))
+            for scene in range(3):
+                for j in range(4):
+                    img = np.full((8, 8, 3), level, np.uint8)
+                    img[0, 0, 0] = (level + j) % 256
+                    frames.append(img)
+                level = (level + 97) % 256
+            vids.append(encode_frames(frames))
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array(range(len(vids)), pa.int64()),
+            "payload": pa.array(vids, pa.binary())}))
+        return scene_cuts(media, concurrency=2, batch_size=4)
+
     def audio_near_dup(sf_dir: str):
         """Spectral-fingerprint audio near-dup pairs over a
         deterministic synthetic WAV corpus with planted gain-scaled
@@ -488,6 +517,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "pattern_match_approx": pattern_match_approx,
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
+        "video_scene_cuts": video_scene_cuts,
         "image_phash_near_dup": image_phash_near_dup,
         "audio_near_dup": audio_near_dup,
         "pattern_match": pattern_match,

@@ -191,3 +191,66 @@ def audio_features(media_ds, *, concurrency=2, batch_size: int = 32,
         AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs={"strict": strict},
         concurrency=concurrency, num_cpus=0.5, zero_copy_batch=True)
+
+
+class SceneCuts:
+    """Shot-boundary (scene-cut) detection over the NPNG multi-frame
+    container: successive decoded frames are compared by exact
+    integer sum-of-absolute-differences, and a frame starts a new
+    shot when SAD * 1000 > threshold_permille * n_pixel_channels *
+    255 — the classic hard-cut detector (the first stage of every
+    video-curation pipeline), kept integer so results are
+    reproducible bit for bit.
+
+    Per-actor state is only the codec (frames of ONE media row are
+    decoded inside one __call__ row loop — no cross-row state), so
+    the stage scales as a plain actor-pool map; corrupt rows follow
+    SampleFrames' skip-and-log convention."""
+
+    def __init__(self, *, threshold_permille: int = 120,
+                 strict: bool = False) -> None:
+        self.threshold_permille = threshold_permille
+        self.strict = strict
+        self.skipped = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, sads, cuts = [], [], [], []
+        batch_skipped = 0
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            try:
+                prev = None
+                for i, png in codec.iter_frames(p or b""):
+                    arr = codec.decode_png(png).astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(arr - prev).sum())
+                        lim = self.threshold_permille * arr.size * 255
+                        ids.append(mid)
+                        frames.append(i)
+                        sads.append(sad)
+                        cuts.append(1 if sad * 1000 > lim else 0)
+                    prev = arr
+            except ValueError:
+                if self.strict:
+                    raise
+                batch_skipped += 1
+        if batch_skipped:
+            self.skipped += batch_skipped
+            _LOG.warning("SceneCuts: %d corrupt media row(s) skipped "
+                         "(cumulative %d on this actor)",
+                         batch_skipped, self.skipped)
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "frame": pa.array(frames, type=pa.int32()),
+                         "sad": pa.array(sads, type=pa.int64()),
+                         "is_cut": pa.array(cuts, type=pa.int64())})
+
+
+def scene_cuts(media_ds, *, threshold_permille: int = 120,
+               concurrency=2, batch_size: int = 8, strict: bool = False):
+    """media Dataset (media_id, payload NPNG) -> per-frame-transition
+    (media_id, frame, sad, is_cut) via the SceneCuts actor pool."""
+    return media_ds.map_batches(
+        SceneCuts, fn_constructor_kwargs={
+            "threshold_permille": threshold_permille, "strict": strict},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -881,3 +881,43 @@ def test_doc_compress_ratio_oracle(ray_session):
     assert (got["n_docs"] == exp["n_docs"]).all()
     assert (got["sum_ratio_e6"] == exp["sum_ratio_e6"]).all()
     assert (got["n_repetitive"] == exp["n_repetitive"]).all()
+
+
+def test_scene_cuts_planted(ray_session):
+    """SceneCuts recovers exactly the planted shot boundaries of
+    synthetic constant-intensity scene videos (integer SAD detector,
+    zero false positives inside scenes)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    from igpm_pem_ray.multimodal.codec import encode_frames
+    from igpm_pem_ray.multimodal.decode import scene_cuts
+
+    rng = np.random.RandomState(3)
+    vids, truth = [], {}
+    for mid in range(6):
+        frames, cuts = [], []
+        level = int(rng.randint(0, 200))
+        fidx = 0
+        for scene in range(3):
+            for _ in range(4):
+                img = np.full((8, 8, 3), level, np.uint8)
+                img[0, 0, 0] = (level + fidx) % 256  # tiny in-scene jitter
+                frames.append(img)
+                fidx += 1
+            if scene < 2:
+                cuts.append(fidx)  # next appended frame starts a new scene
+                level = (level + 97) % 256
+        vids.append(encode_frames(frames))
+        truth[mid] = cuts
+    media = rd_.from_arrow(pa_.table({
+        "media_id": pa_.array(range(len(vids)), pa_.int64()),
+        "payload": pa_.array(vids, pa_.binary())}))
+    out = scene_cuts(media, concurrency=2, batch_size=2).to_pandas()
+    for mid, cuts in truth.items():
+        got = sorted(out[(out["media_id"] == mid) & (out["is_cut"] == 1)]
+                     ["frame"].tolist())
+        assert got == cuts, (mid, got, cuts)
+    # every transition row accounted for: 11 per video
+    assert (out.groupby("media_id").size() == 11).all()
