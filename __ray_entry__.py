@@ -782,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nest_orders": r.q_nest_orders,
         "ego_2hop": g.q_ego_2hop,
         "seq_match": r.q_seq_match,
+        "retrieval_eval": an.q_retrieval_eval,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1135,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "nest_orders": r.sql_nest_orders(),
         "ego_2hop": g.sql_ego_2hop(),
         "seq_match": r.sql_seq_match(),
+        "retrieval_eval": an.sql_retrieval_eval(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

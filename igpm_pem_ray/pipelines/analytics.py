@@ -4921,3 +4921,155 @@ def q_doc_compress_ratio(sf_dir: str):
             _Count(alias_name="n_docs"),
             _Sum("r", alias_name="sum_ratio_e6"),
             _Sum("rep", alias_name="n_repetitive"))
+
+
+# -------- retrieval evaluation (P@k, recall, MRR) --------
+
+REVAL_K = 10
+REVAL_E6 = 1_000_000
+
+
+def q_retrieval_eval(sf_dir: str):
+    """Retrieval-effectiveness evaluation — precision@k, recall@k and
+    MRR for the BM25 ranking against the conjunctive ground truth
+    (relevant = documents containing ALL query terms, the
+    q_bool_and_search set): the ranking-quality half the rank_corr /
+    auc family doesn't cover.  MRR's 1/rank is kept exact as the
+    floor fixed point REVAL_E6 // rank (one query, so MRR = that of
+    the single reciprocal rank; the convention matches the oracle).
+
+    Scale shape: scoring is the q_bm25_topk no-shuffle tokenize map;
+    relevance is a vectorized all-terms flag in the same pass; the
+    top-k slice is one sort + limit and the metrics are O(k) driver
+    arithmetic plus one scalar relevant-count aggregate."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def tf_dl(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "dl": []}
+        tf_cols = {t: [] for t in terms}
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (txt or "").split()
+            cols["doc_id"].append(did)
+            cols["dl"].append(len(toks))
+            if toks:
+                u, c = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+                lut = dict(zip(u.tolist(), c.tolist()))
+            else:
+                lut = {}
+            for t in terms:
+                tf_cols[t].append(int(lut.get(t, 0)))
+        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+               "dl": pa.array(cols["dl"], pa.int64())}
+        for t in terms:
+            out[f"tf_{t}"] = pa.array(tf_cols[t], pa.int64())
+        return pa.table(out)
+
+    stats_ds = docs.map_batches(tf_dl, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    pdf = stats_ds.map_batches(
+        lambda b: pa.table(
+            {"dl": b["dl"],
+             **{f"has_{t}": (b[f"tf_{t}"].to_numpy(zero_copy_only=False)
+                             > 0).astype(np.int64) for t in terms}}),
+        batch_format="pyarrow") \
+        .sum(["dl"] + [f"has_{t}" for t in terms])
+    total_tokens = float(pdf["sum(dl)"])
+    df = {t: float(pdf[f"sum(has_{t})"]) for t in terms}
+    n_docs = float(docs.count())
+    avgdl = total_tokens / n_docs
+
+    def score(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = None
+        rel = np.ones(len(dl), bool)
+        for t in terms:
+            tfi = b[f"tf_{t}"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rel &= tfi > 0
+            tf = tfi.astype(np.float64)
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            st = idf * (tf * (BM25_K1 + 1.0)) \
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            s = st if s is None else s + st
+        return pa.table({"doc_id": b["doc_id"],
+                         "score_e6": scale_col(s, 1e6),
+                         "rel": rel.astype(np.int64)})
+
+    scored = stats_ds.map_batches(score, batch_format="pyarrow") \
+        .materialize()
+    n_rel = int(scored.sum("rel") or 0)
+    top = scored.sort(["score_e6", "doc_id"], descending=[True, False]) \
+        .limit(REVAL_K).to_pandas()
+    rels = top["rel"].to_numpy().astype(np.int64)
+    hits = int(rels.sum())
+    first = int(np.argmax(rels)) + 1 if hits else 0
+    mrr = REVAL_E6 // first if first else 0
+    prec = hits * REVAL_E6 // REVAL_K
+    rec = hits * REVAL_E6 // n_rel if n_rel else 0
+    return pa.table({
+        "k": pa.array([REVAL_K], pa.int64()),
+        "n_relevant": pa.array([n_rel], pa.int64()),
+        "hits_at_k": pa.array([hits], pa.int64()),
+        "precision_e6": pa.array([prec], pa.int64()),
+        "recall_e6": pa.array([rec], pa.int64()),
+        "mrr_e6": pa.array([mrr], pa.int64())})
+
+
+def sql_retrieval_eval() -> str:
+    k1, bb = repr(BM25_K1), repr(BM25_B)
+    tok = (r"tok AS (SELECT doc_id, unnest(list_filter("
+           r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+           "FROM documents), "
+           "dl AS (SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) "
+           "AS dl FROM documents d LEFT JOIN (SELECT doc_id, count(*) "
+           "AS n FROM tok GROUP BY doc_id) c ON c.doc_id = d.doc_id), "
+           "g AS (SELECT CAST(sum(dl) AS DOUBLE) AS total, "
+           "CAST(count(*) AS DOUBLE) AS n, "
+           "CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl "
+           "FROM dl)")
+    parts = [tok]
+    for t in BM25_TERMS:
+        parts.append(
+            f"tf_{t} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE token = '{t}' GROUP BY doc_id), "
+            f"df_{t} AS (SELECT CAST(count(*) AS DOUBLE) AS df "
+            f"FROM tf_{t})")
+    term_exprs = []
+    for t in BM25_TERMS:
+        term_exprs.append(
+            f"(((SELECT n FROM g) - (SELECT df FROM df_{t}) + 0.5)"
+            f"/((SELECT df FROM df_{t}) + 0.5)) "
+            f"* (COALESCE(tf_{t}.tf, 0.0) * ({k1} + 1.0)) "
+            f"/ (COALESCE(tf_{t}.tf, 0.0) + {k1} * (1.0 - {bb} "
+            f"+ {bb} * dl.dl / (SELECT avgdl FROM g)))")
+    joins = " ".join(
+        f"LEFT JOIN tf_{t} ON tf_{t}.doc_id = dl.doc_id"
+        for t in BM25_TERMS)
+    score = " + ".join(term_exprs)
+    relflag = " AND ".join(
+        f"COALESCE(tf_{t}.tf, 0.0) > 0" for t in BM25_TERMS)
+    return (
+        f"WITH {', '.join(parts)}, "
+        f"sc AS (SELECT dl.doc_id, "
+        f"CAST(floor(({score})*1e6 + 0.5) AS BIGINT) AS score_e6, "
+        f"CASE WHEN {relflag} THEN 1 ELSE 0 END AS rel "
+        f"FROM dl {joins}), "
+        "nr AS (SELECT CAST(sum(rel) AS BIGINT) AS n_rel FROM sc), "
+        "top AS (SELECT rel, row_number() OVER "
+        "(ORDER BY score_e6 DESC, doc_id) AS rk FROM sc "
+        f"ORDER BY score_e6 DESC, doc_id LIMIT {REVAL_K}), "
+        "h AS (SELECT CAST(sum(rel) AS BIGINT) AS hits, "
+        "CAST(min(CASE WHEN rel = 1 THEN rk END) AS BIGINT) AS fr "
+        "FROM top) "
+        f"SELECT CAST({REVAL_K} AS BIGINT) AS k, "
+        "(SELECT n_rel FROM nr) AS n_relevant, "
+        "h.hits AS hits_at_k, "
+        f"CAST(h.hits * {REVAL_E6} // {REVAL_K} AS BIGINT) "
+        "AS precision_e6, "
+        f"CAST(CASE WHEN (SELECT n_rel FROM nr) > 0 THEN "
+        f"h.hits * {REVAL_E6} // (SELECT n_rel FROM nr) ELSE 0 END "
+        "AS BIGINT) AS recall_e6, "
+        f"CAST(CASE WHEN h.fr IS NOT NULL THEN {REVAL_E6} // h.fr "
+        "ELSE 0 END AS BIGINT) AS mrr_e6 FROM h")
