@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ego_2hop": g.q_ego_2hop,
         "seq_match": r.q_seq_match,
         "retrieval_eval": an.q_retrieval_eval,
+        "orbit_counts": g.q_orbit_counts,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1137,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "ego_2hop": g.sql_ego_2hop(),
         "seq_match": r.sql_seq_match(),
         "retrieval_eval": an.sql_retrieval_eval(),
+        "orbit_counts": g.sql_orbit_counts(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

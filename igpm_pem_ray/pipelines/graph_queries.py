@@ -5346,3 +5346,93 @@ def sql_ego_2hop() -> str:
         "SELECT CAST(v AS BIGINT) AS v, "
         "CAST(count(*) AS BIGINT) AS ego2 FROM r GROUP BY v "
         f"ORDER BY ego2 DESC, v LIMIT {EGO_TOPK}")
+
+
+# -------- per-vertex graphlet orbit counts --------
+
+def q_orbit_counts(sf_dir: str) -> pa.Table:
+    """Per-vertex graphlet degree vector for the 2-3-node graphlets
+    (Przulj's orbits 0-3): degree (orbit 0), wedge-END count (orbit
+    1, = sum over neighbors of (deg(u) - 1) minus 2*triangles — paths
+    u-v-w through a NEIGHBOR as midpoint, triangle corrections keep
+    it induced), wedge-CENTER count (orbit 2, = C(deg, 2) -
+    triangles, induced), and triangle count (orbit 3) — the
+    structural-role features under graphlet-kernel ML and network
+    alignment, all exact integers.
+
+    Scale shape: degree + per-vertex triangles come from the
+    existing oriented wedge-join kernel (graph/triangles.py); the
+    neighbor-degree sum is ONE adjacency-degree hash join + one
+    groupby-sum.  Everything else is stateless arithmetic."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    from igpm_pem_ray.graph.triangles import per_vertex_triangles
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    npj = 1 if edges.count() < 65_536 else 8
+    pvt = per_vertex_triangles(edges).materialize()
+
+    adj = edges.map_batches(
+        lambda b: (lambda s, d: pa.table({
+            "u": np.concatenate([s, d]),
+            "w": np.concatenate([d, s])}))(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    degs = pvt.map_batches(
+        lambda b: pa.table({"dv": b["vid"], "deg": b["degree"]}),
+        batch_format="pyarrow")
+    nd = adj.join(degs, join_type="inner", num_partitions=npj,
+                  on=("w",), right_on=("dv",)) \
+        .map_batches(
+            lambda b: pa.table({
+                "v": b["u"],
+                "nm1": b["deg"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) - 1}),
+            batch_format="pyarrow") \
+        .groupby("v").aggregate(_Sum("nm1", alias_name="snm1")) \
+        .rename_columns({"v": "nv"})
+
+    full = pvt.join(nd, join_type="left_outer", num_partitions=npj,
+                    on=("vid",), right_on=("nv",))
+
+    def orbits(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["n_triangles"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pc.fill_null(b["snm1"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "vid": b["vid"].cast(pa.int64()),
+            "orbit0_deg": d,
+            "orbit1_wedge_end": s - 2 * t,
+            "orbit2_wedge_center": d * (d - 1) // 2 - t,
+            "orbit3_triangle": t})
+
+    return full.map_batches(orbits, batch_format="pyarrow")
+
+
+def sql_orbit_counts() -> str:
+    return (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "adj AS MATERIALIZED (SELECT src AS u, dst AS w FROM edges "
+        "UNION ALL SELECT dst AS u, src AS w FROM edges), "
+        "deg AS MATERIALIZED (SELECT u AS v, count(*) AS d FROM adj "
+        "GROUP BY u), "
+        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM edges e1 JOIN edges e2 ON e1.src = e2.src "
+        "AND e1.dst < e2.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+        "tv AS (SELECT v, count(*) AS t FROM (SELECT a AS v FROM tri "
+        "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+        "GROUP BY v), "
+        "nd AS (SELECT a.u AS v, sum(d.d - 1) AS snm1 FROM adj a "
+        "JOIN deg d ON d.v = a.w GROUP BY a.u) "
+        "SELECT CAST(deg.v AS BIGINT) AS vid, "
+        "CAST(deg.d AS BIGINT) AS orbit0_deg, "
+        "CAST(COALESCE(nd.snm1, 0) - 2 * COALESCE(tv.t, 0) AS BIGINT) "
+        "AS orbit1_wedge_end, "
+        "CAST(deg.d * (deg.d - 1) // 2 - COALESCE(tv.t, 0) AS BIGINT) "
+        "AS orbit2_wedge_center, "
+        "CAST(COALESCE(tv.t, 0) AS BIGINT) AS orbit3_triangle "
+        "FROM deg LEFT JOIN nd ON nd.v = deg.v "
+        "LEFT JOIN tv ON tv.v = deg.v")
