@@ -7627,7 +7627,7 @@ def sql_profile_table() -> str:
         else:
             ex = f"CAST(length({col}) AS BIGINT)"
         sels.append(
-            f"SELECT '{col}' AS column, "
+            f"SELECT '{col}' AS \"column\", "
             "CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
             f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
@@ -8131,3 +8131,92 @@ def sql_seq_match() -> str:
             f"CAST(sum(len(regexp_extract_all(seq, '{rx}'))) "
             "AS BIGINT) AS n_matches FROM s")
     return f"{seq} {' UNION ALL '.join(sels)}"
+
+
+# -------- columnar encoding advisor --------
+
+ENC_COLS = ["l_orderkey", "l_partkey", "l_quantity"]
+
+
+def q_encoding_advisor(sf_dir: str):
+    """Storage-layout encoding advisor — the write-path optimization
+    every columnar store runs per column chunk: in physical row
+    order, count value RUNS (RLE viability), the maximum absolute
+    successive DELTA (delta-encoding width), and exact distinct
+    counts (dictionary viability), then recommend rle / delta /
+    dict / plain by the same deterministic rule in both engines.
+
+    Scale shape: runs and deltas are per-block vectorized diffs plus
+    an O(blocks) boundary stitch (each block ships only its first
+    and last value — the sorted-block-carry pattern applied to
+    PHYSICAL order, no sort at all since file order is the layout
+    being measured); distinct counts are one groupby per column."""
+    import ray as _ray
+
+    rows = []
+    for col in ENC_COLS:
+        ds = read_table(sf_dir, "lineitem", columns=[col]).materialize()
+
+        @_ray.remote
+        def block_stats(t: pa.Table, _c=col):
+            v = t[_c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(v):
+                return None
+            d = np.abs(np.diff(v))
+            return {"n": len(v), "runs": int((np.diff(v) != 0).sum()) + 1,
+                    "maxd": int(d.max()) if len(d) else 0,
+                    "first": int(v[0]), "last": int(v[-1])}
+
+        parts = [s for s in _ray.get(
+            [block_stats.remote(r) for r in ds.to_arrow_refs()])
+            if s is not None]
+        n = sum(p["n"] for p in parts)
+        runs = sum(p["runs"] for p in parts)
+        maxd = max((p["maxd"] for p in parts), default=0)
+        # boundary stitch: adjacent blocks merge a run / add a delta
+        for a, b in zip(parts, parts[1:]):
+            gap = abs(b["first"] - a["last"])
+            maxd = max(maxd, gap)
+            if gap == 0:
+                runs -= 1
+        nd = ds.groupby(col).aggregate(Count(alias_name="_n")).count()
+        if runs * 4 < n:
+            rec = "rle"
+        elif maxd < 65_536:
+            rec = "delta"
+        elif nd * 16 < n:
+            rec = "dict"
+        else:
+            rec = "plain"
+        rows.append((col, n, runs, maxd, nd, rec))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_runs": pa.array([r[2] for r in rows], pa.int64()),
+        "max_abs_delta": pa.array([r[3] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[4] for r in rows], pa.int64()),
+        "encoding": pa.array([r[5] for r in rows], pa.string())})
+
+
+def sql_encoding_advisor() -> str:
+    sels = []
+    for col in ENC_COLS:
+        ex = f"CAST({col} AS BIGINT)"
+        sels.append(
+            'SELECT "column", n_rows, n_runs, max_abs_delta, '
+            "n_distinct, "
+            "CASE WHEN n_runs * 4 < n_rows THEN 'rle' "
+            "WHEN max_abs_delta < 65536 THEN 'delta' "
+            "WHEN n_distinct * 16 < n_rows THEN 'dict' "
+            "ELSE 'plain' END AS encoding FROM ("
+            f"SELECT '{col}' AS \"column\", "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CASE WHEN v <> pv OR pv IS NULL THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_runs, "
+            "CAST(COALESCE(max(abs(v - pv)), 0) AS BIGINT) "
+            "AS max_abs_delta, "
+            "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM ("
+            f"SELECT {ex} AS v, lag({ex}) OVER (ORDER BY rid) AS pv "
+            f"FROM (SELECT {ex} AS {col}, row_number() OVER () AS rid "
+            "FROM lineitem)) )")
+    return " UNION ALL ".join(sels)
