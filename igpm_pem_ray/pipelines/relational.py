@@ -8220,3 +8220,70 @@ def sql_encoding_advisor() -> str:
             f"FROM (SELECT {ex} AS {col}, row_number() OVER () AS rid "
             "FROM lineitem)) )")
     return " UNION ALL ".join(sels)
+
+
+# -------- FD-based data repair --------
+
+def q_fd_repair(sf_dir: str):
+    """Functional-dependency REPAIR — the cleaning step after
+    q_fd_discovery's detection: enforce l_orderkey -> l_returnflag by
+    rewriting every minority row to its group's majority flag
+    (ties to the lexicographically smallest flag, the deterministic
+    Holoclean-style convention), and report the per-flag census of
+    the repaired column with kept/repaired row counts — g3 made
+    concrete.
+
+    Scale shape: one (key, value) counting groupby; the per-key
+    majority is ONE packed groupby-max (count << 8 | (255 -
+    ascii(flag)) — argmax-with-tie-break as a plain max); the census
+    is an O(flags) groupby.  No row-level rewrite is materialized
+    here (the census is the value-hashable surface); the rewrite
+    itself is the same broadcast join every repair writer runs."""
+    t = read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_returnflag"])
+    xy = t.groupby(["l_orderkey", "l_returnflag"]).aggregate(
+        Count(alias_name="c"))
+
+    def packed(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = np.asarray([ord(x) for x in
+                         b["l_returnflag"].to_pylist()], np.int64)
+        return pa.table({"okey": b["l_orderkey"].cast(pa.int64()),
+                         "pk": c << 8 | (255 - fl),
+                         "c": c})
+
+    per_key = xy.map_batches(packed, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("okey").aggregate(Max("pk", alias_name="pk"),
+                                   Sum("c", alias_name="n_rows"))
+
+    def census(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        maj = pk >> 8
+        fl = 255 - (pk & 255)
+        flags = np.asarray([chr(int(x)) for x in fl], dtype=object)
+        n = b["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"flag": pa.array(flags, pa.string()),
+                         "n_rows_after": n,
+                         "n_kept": maj.astype(np.int64),
+                         "n_repaired": (n - maj).astype(np.int64)})
+
+    return per_key.map_batches(census, batch_format="pyarrow") \
+        .groupby("flag").aggregate(
+            Sum("n_rows_after", alias_name="n_rows_after"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_repaired", alias_name="n_repaired"))
+
+
+def sql_fd_repair() -> str:
+    return (
+        "WITH xy AS (SELECT l_orderkey AS okey, l_returnflag AS fl, "
+        "count(*) AS c FROM lineitem GROUP BY 1, 2), "
+        "pk AS (SELECT okey, max(c * 256 + (255 - ascii(fl))) AS p, "
+        "sum(c) AS n FROM xy GROUP BY okey), "
+        "m AS (SELECT chr(CAST(255 - (p % 256) AS INT)) AS flag, "
+        "p // 256 AS maj, n FROM pk) "
+        "SELECT flag, CAST(sum(n) AS BIGINT) AS n_rows_after, "
+        "CAST(sum(maj) AS BIGINT) AS n_kept, "
+        "CAST(sum(n - maj) AS BIGINT) AS n_repaired "
+        "FROM m GROUP BY flag")
