@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orbit_counts": g.q_orbit_counts,
         "encoding_advisor": r.q_encoding_advisor,
         "fd_repair": r.q_fd_repair,
+        "anonymize_lattice": r.q_anonymize_lattice,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1143,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "orbit_counts": g.sql_orbit_counts(),
         "encoding_advisor": r.sql_encoding_advisor(),
         "fd_repair": r.sql_fd_repair(),
+        "anonymize_lattice": r.sql_anonymize_lattice(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

@@ -8287,3 +8287,106 @@ def sql_fd_repair() -> str:
         "CAST(sum(maj) AS BIGINT) AS n_kept, "
         "CAST(sum(n - maj) AS BIGINT) AS n_repaired "
         "FROM m GROUP BY flag")
+
+
+# -------- k-anonymity generalization search --------
+
+ANON_K = 10
+
+
+def q_anonymize_lattice(sf_dir: str):
+    """k-anonymization SYNTHESIS (Samarati's generalization lattice,
+    the step after q_k_anonymity's audit): walk the 2x2 lattice of
+    quasi-identifier generalizations — nation either raw or coarsened
+    to its region, priority either raw or coarsened to its urgency
+    digit — in fixed minimal-first order, and report for EVERY level
+    the equivalence-class count, minimum class size, suppressed rows
+    (classes below k) and whether the level satisfies k-anonymity
+    with zero suppression; the chosen level is the first satisfying
+    one.  Exact integers; the census per level is one groupby.
+
+    Scale shape: all four lattice levels share ONE joined scan
+    (orders |x| customer |x| nation), each level is an independent
+    two-key counting groupby over it — the lattice walk fans out as
+    four parallel aggregations, not four scans."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    import ray as _ray
+    n2r = np.full(int(nat["n_nationkey"].max()) + 1, -1, np.int64)
+    n2r[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+    ref = _ray.put(n2r)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def qi(b: pa.Table, _ref=ref) -> pa.Table:
+        lut = _ray.get(_ref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pr = np.asarray(b["o_orderpriority"].to_pylist(), dtype=object)
+        urg = np.asarray([int(p.split("-", 1)[0]) for p in pr],
+                         np.int64)
+        return pa.table({"nat": nk, "reg": lut[nk],
+                         "prio": pa.array(pr, pa.string()),
+                         "urg": urg})
+
+    base = j.map_batches(qi, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    levels = [("nat+prio", "nat", "prio"), ("nat+urg", "nat", "urg"),
+              ("reg+prio", "reg", "prio"), ("reg+urg", "reg", "urg")]
+    out = []
+    chosen_done = False
+    for name, a, bcol in levels:
+        cls = base.groupby([a, bcol]).aggregate(
+            Count(alias_name="n")).to_pandas()
+        sizes = cls["n"].to_numpy().astype(np.int64)
+        n_cls = len(sizes)
+        mn = int(sizes.min()) if n_cls else 0
+        supp = int(sizes[sizes < ANON_K].sum())
+        ok = 1 if (n_cls and mn >= ANON_K) else 0
+        chosen = 1 if (ok and not chosen_done) else 0
+        if chosen:
+            chosen_done = True
+        out.append((name, n_cls, mn, supp, ok, chosen))
+    return pa.table({
+        "level": pa.array([o[0] for o in out], pa.string()),
+        "n_classes": pa.array([o[1] for o in out], pa.int64()),
+        "min_class": pa.array([o[2] for o in out], pa.int64()),
+        "n_suppressed": pa.array([o[3] for o in out], pa.int64()),
+        "satisfies_k": pa.array([o[4] for o in out], pa.int64()),
+        "chosen": pa.array([o[5] for o in out], pa.int64())})
+
+
+def sql_anonymize_lattice() -> str:
+    base = ("b AS (SELECT c.c_nationkey AS nat, n.n_regionkey AS reg, "
+            "o.o_orderpriority AS prio, "
+            "CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS urg "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey)")
+    lv = []
+    for name, a, bcol in [("nat+prio", "nat", "prio"),
+                          ("nat+urg", "nat", "urg"),
+                          ("reg+prio", "reg", "prio"),
+                          ("reg+urg", "reg", "urg")]:
+        lv.append(
+            f"SELECT '{name}' AS level, "
+            "CAST(count(*) AS BIGINT) AS n_classes, "
+            "CAST(min(n) AS BIGINT) AS min_class, "
+            f"CAST(sum(CASE WHEN n < {ANON_K} THEN n ELSE 0 END) "
+            "AS BIGINT) AS n_suppressed, "
+            f"CAST(CASE WHEN min(n) >= {ANON_K} THEN 1 ELSE 0 END "
+            "AS BIGINT) AS satisfies_k "
+            f"FROM (SELECT {a}, {bcol}, count(*) AS n FROM b "
+            f"GROUP BY {a}, {bcol})")
+    order = ("CASE level WHEN 'nat+prio' THEN 1 WHEN 'nat+urg' THEN 2 "
+             "WHEN 'reg+prio' THEN 3 ELSE 4 END")
+    return (
+        f"WITH {base}, lv AS ({' UNION ALL '.join(lv)}), "
+        f"r AS (SELECT *, {order} AS ord FROM lv), "
+        "f AS (SELECT min(ord) AS first_ok FROM r WHERE satisfies_k = 1) "
+        "SELECT level, n_classes, min_class, n_suppressed, satisfies_k, "
+        "CAST(CASE WHEN satisfies_k = 1 AND ord = (SELECT first_ok "
+        "FROM f) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM r")
