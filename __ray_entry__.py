@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_advisor": r.q_encoding_advisor,
         "fd_repair": r.q_fd_repair,
         "anonymize_lattice": r.q_anonymize_lattice,
+        "critical_path": g.q_critical_path,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1145,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_advisor": r.sql_encoding_advisor(),
         "fd_repair": r.sql_fd_repair(),
         "anonymize_lattice": r.sql_anonymize_lattice(),
+        "critical_path": g.sql_critical_path(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

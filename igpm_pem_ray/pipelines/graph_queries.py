@@ -5436,3 +5436,85 @@ def sql_orbit_counts() -> str:
         "CAST(COALESCE(tv.t, 0) AS BIGINT) AS orbit3_triangle "
         "FROM deg LEFT JOIN nd ON nd.v = deg.v "
         "LEFT JOIN tv ON tv.v = deg.v")
+
+
+# -------- critical path (longest weighted DAG path) --------
+
+CP_ROUNDS = 5
+
+
+def q_critical_path(sf_dir: str) -> pa.Table:
+    """Critical-path lengths on the co-occurrence DAG — the (max, +)
+    path semiring, completing the family next to q_dag_paths
+    (count, (+, x) with q=1), q_bom_explode ((+, x)) and
+    q_widest_path ((max, min)): longest weighted path ending at each
+    vertex within CP_ROUNDS hops, deterministic integer weights
+    w = 1 + (src + dst) mod 7 (the q_sssp convention).  The
+    project-scheduling primitive (PERT/CPM) — on a dependency DAG
+    this IS the schedule length.
+
+    Scale shape: relational DP — per round ONE hash join of the
+    frontier against the edge table + a groupby-max; src < dst makes
+    termination structural (paths strictly increase), and the
+    bounded unroll is shared with the SQL oracle.  Top-20 by
+    (length desc, vid) bounds the output."""
+    from ray.data.aggregate import Max as _Max
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    npj = 1 if edges.count() < 65_536 else 8
+
+    def with_w(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": s, "dst": d, "w": (s + d) % 7 + 1})
+
+    ew = edges.map_batches(with_w, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    # dist after 1 hop
+    best = ew.map_batches(
+        lambda b: pa.table({"v": b["dst"], "dist": b["w"]}),
+        batch_format="pyarrow") \
+        .groupby("v").aggregate(_Max("dist", alias_name="dist")) \
+        .materialize()
+    acc = best
+    for _ in range(1, CP_ROUNDS):
+        nxt = best.join(
+            ew.rename_columns({"src": "esrc", "dst": "edst",
+                               "w": "ew"}),
+            join_type="inner", num_partitions=npj,
+            on=("v",), right_on=("esrc",))
+        if nxt.count() == 0:
+            break
+        best = nxt.map_batches(
+            lambda b: pa.table({
+                "v": b["edst"],
+                "dist": pa.compute.add(b["dist"], b["ew"])}),
+            batch_format="pyarrow") \
+            .groupby("v").aggregate(_Max("dist", alias_name="dist")) \
+            .materialize()
+        acc = acc.union(best)
+    final = acc.groupby("v").aggregate(_Max("dist", alias_name="dist"))
+    top = final.sort(["dist", "v"], descending=[True, False]) \
+        .limit(20).to_pandas()
+    return pa.table({"v": top["v"].to_numpy().astype(np.int64),
+                     "dist": top["dist"].to_numpy().astype(np.int64)})
+
+
+def sql_critical_path() -> str:
+    parts = [
+        f"edges AS MATERIALIZED (SELECT src, dst, "
+        f"(src + dst) % 7 + 1 AS w FROM ({EDGES_SQL}))",
+        "d1 AS (SELECT dst AS v, max(w) AS dist FROM edges GROUP BY dst)",
+    ]
+    for i in range(2, CP_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS (SELECT e.dst AS v, max(p.dist + e.w) AS dist "
+            f"FROM d{i - 1} p JOIN edges e ON e.src = p.v "
+            "GROUP BY e.dst)")
+    un = " UNION ALL ".join(
+        f"SELECT v, dist FROM d{i}" for i in range(1, CP_ROUNDS + 1))
+    return (
+        f"WITH {', '.join(parts)} "
+        "SELECT CAST(v AS BIGINT) AS v, "
+        f"CAST(max(dist) AS BIGINT) AS dist FROM ({un}) GROUP BY v "
+        "ORDER BY dist DESC, v LIMIT 20")
