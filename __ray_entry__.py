@@ -788,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_repair": r.q_fd_repair,
         "anonymize_lattice": r.q_anonymize_lattice,
         "critical_path": g.q_critical_path,
+        "queue_delay": r.q_queue_delay,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1147,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_repair": r.sql_fd_repair(),
         "anonymize_lattice": r.sql_anonymize_lattice(),
         "critical_path": g.sql_critical_path(),
+        "queue_delay": r.sql_queue_delay(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

@@ -8390,3 +8390,88 @@ def sql_anonymize_lattice() -> str:
         "SELECT level, n_classes, min_class, n_suppressed, satisfies_k, "
         "CAST(CASE WHEN satisfies_k = 1 AND ord = (SELECT first_ok "
         "FROM f) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM r")
+
+
+# -------- queueing-delay replay (Lindley recurrence) --------
+
+QD_SVC_US = 60_000_000  # service-time unit (1 minute)
+
+
+def q_queue_delay(sf_dir: str):
+    """Single-server queueing replay per event type — arrivals are
+    the type's events in (ts, event_id) order, service times are the
+    deterministic (1 + event_id mod 5) minutes, and each job starts
+    at max(arrival, previous finish) (the Lindley recurrence).  The
+    sequential recurrence VECTORIZES exactly: with C = prefix sum of
+    service and M = prefix max of (arrival - C_prev),
+    finish_i = C_i + M_i — so the whole simulation is one
+    cumsum_per_key + one cummax_per_key + stateless arithmetic,
+    the same two scan stages the drawdown query uses.  Output per
+    type: job count, total and max waiting time (exact microseconds).
+
+    The replay class behind latency SLO what-ifs ('what if this
+    stream were processed by one worker') — analytical M/M/1 gives
+    means; the replay gives the exact trajectory."""
+    from igpm_pem_ray.stages.temporal import cummax_per_key, cumsum_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        tk = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": tk % 1_000_003,
+                         "etype": b["event_type"],
+                         "us": b["ts"].cast(pa.int64()),
+                         "eid": eid,
+                         "val": (eid % 5 + 1) * QD_SVC_US})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    c = cumsum_per_key(rows, payload_cols=["etype", "eid", "val"],
+                       order_cols=("us", "eid"))
+    m_in = c.map_batches(
+        lambda b: pa.table({
+            "key": b["key"], "us": b["us"], "eid": b["eid"],
+            "etype": b["etype"],
+            "arr": b["us"],
+            "c_i": b["cum_val"],
+            "svc": b["val"],
+            "val": pa.compute.subtract(
+                b["us"], pa.compute.subtract(b["cum_val"], b["val"]))}),
+        batch_format="pyarrow")
+    m = cummax_per_key(m_in, payload_cols=["etype", "arr", "c_i", "svc"],
+                       order_cols=("us", "eid"))
+
+    def wait(b: pa.Table) -> pa.Table:
+        fin = b["c_i"].to_numpy(zero_copy_only=False) \
+            + b["cum_max"].to_numpy(zero_copy_only=False)
+        w = fin - b["svc"].to_numpy(zero_copy_only=False) \
+            - b["arr"].to_numpy(zero_copy_only=False)
+        return pa.table({"etype": b["etype"], "w": w.astype(np.int64)})
+
+    return m.map_batches(wait, batch_format="pyarrow") \
+        .groupby("etype").aggregate(
+            Count(alias_name="n_jobs"),
+            Sum("w", alias_name="total_wait_us"),
+            Max("w", alias_name="max_wait_us")) \
+        .rename_columns({"etype": "event_type"})
+
+
+def sql_queue_delay() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, "
+        "CAST(epoch_us(ts) AS BIGINT) AS a, event_id AS eid, "
+        f"(event_id % 5 + 1) * {QD_SVC_US} AS s FROM events), "
+        "c AS (SELECT t, a, eid, s, sum(s) OVER w AS ci FROM e "
+        "WINDOW w AS (PARTITION BY t ORDER BY a, eid "
+        "ROWS UNBOUNDED PRECEDING)), "
+        "m AS (SELECT t, a, s, ci, max(a - (ci - s)) OVER w AS mi "
+        "FROM c WINDOW w AS (PARTITION BY t ORDER BY a, eid "
+        "ROWS UNBOUNDED PRECEDING)) "
+        "SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_jobs, "
+        "CAST(sum(ci + mi - s - a) AS BIGINT) AS total_wait_us, "
+        "CAST(max(ci + mi - s - a) AS BIGINT) AS max_wait_us "
+        "FROM m GROUP BY t")
