@@ -8475,3 +8475,104 @@ def sql_queue_delay() -> str:
         "CAST(sum(ci + mi - s - a) AS BIGINT) AS total_wait_us, "
         "CAST(max(ci + mi - s - a) AS BIGINT) AS max_wait_us "
         "FROM m GROUP BY t")
+
+
+# -------- two-sample Kolmogorov-Smirnov (exact integer D) --------
+
+KS_PACK = 1 << 31
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift test between the order-
+    total distributions of the two order-date halves — the
+    continuous-distribution sibling of q_score_drift's binned chi2,
+    and EXACT: D = max |F1 - F2| evaluated as the integer numerator
+    max |c1*n2 - c2*n1| over the pooled sorted support (denominator
+    n1*n2 reported alongside, ks_e6 as the floor fixed point).  No
+    binning, no floats, no ties ambiguity (D is evaluated at
+    distinct values, counts are cumulative-inclusive in both
+    engines).
+
+    Scale shape: one per-value counting groupby packs (c1, c2) into
+    one int64 (c1 * 2^31 + c2, both halves < 2^31 rows); ONE
+    distributed prefix sum (cumsum_per_key, constant key) yields
+    both cumulative counts; the max is a stateless map + tiny
+    aggregate — the decision_stump plan shape applied to
+    distribution testing."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"cents": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    packed = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "cents": b["cents"],
+            "p": np.where(d <= mid, np.int64(KS_PACK), np.int64(1))}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("cents").aggregate(Sum("p", alias_name="p")) \
+        .map_batches(
+            lambda b: pa.table({
+                "key": np.zeros(b.num_rows, np.int64),
+                "us": b["cents"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+                "val": b["p"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    cum = cumsum_per_key(packed, payload_cols=["cents"]).materialize()
+    tot = int(cum.max("cum_val"))
+    n1, n2 = tot >> 31, tot & (KS_PACK - 1)
+
+    def dnum(b: pa.Table) -> pa.Table:
+        cv = b["cum_val"].to_numpy(zero_copy_only=False)
+        c1 = cv >> 31
+        c2 = cv & (KS_PACK - 1)
+        d = np.abs(c1 * n2 - c2 * n1)
+        return pa.table({"d": d.astype(np.int64)})
+
+    dmax = int(cum.map_batches(dnum, batch_format="pyarrow")
+               .max("d"))
+    ks_e6 = dmax * 1_000_000 // (n1 * n2) if n1 and n2 else 0
+    return pa.table({
+        "n_first": pa.array([n1], pa.int64()),
+        "n_second": pa.array([n2], pa.int64()),
+        "d_numerator": pa.array([dmax], pa.int64()),
+        "ks_e6": pa.array([ks_e6], pa.int64())})
+
+
+def sql_ks_test() -> str:
+    return (
+        "WITH o AS (SELECT "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day "
+        "FROM orders), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM o), "
+        "g AS (SELECT cents, "
+        "sum(CASE WHEN day <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a1, "
+        "sum(CASE WHEN day > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a2 FROM o GROUP BY cents), "
+        "c AS (SELECT cents, CAST(sum(a1) OVER w AS BIGINT) AS c1, "
+        "CAST(sum(a2) OVER w AS BIGINT) AS c2 FROM g "
+        "WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)), "
+        "t AS (SELECT CAST(sum(a1) AS BIGINT) AS n1, "
+        "CAST(sum(a2) AS BIGINT) AS n2 FROM g), "
+        "d AS (SELECT max(abs(c1 * (SELECT n2 FROM t) "
+        "- c2 * (SELECT n1 FROM t))) AS dm FROM c) "
+        "SELECT (SELECT n1 FROM t) AS n_first, "
+        "(SELECT n2 FROM t) AS n_second, "
+        "(SELECT CAST(dm AS BIGINT) FROM d) AS d_numerator, "
+        "CAST((SELECT dm FROM d) * 1000000 // "
+        "((SELECT n1 FROM t) * (SELECT n2 FROM t)) AS BIGINT) "
+        "AS ks_e6")
