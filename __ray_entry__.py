@@ -417,6 +417,33 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         }))
         return decode_images(media, concurrency=2, batch_size=16)
 
+    def schema_evolution_union(sf_dir: str):
+        """UNION BY NAME over two drifted page-table generations
+        (sources/evolve.py): gen1 lacks lang and carries int32
+        n_links, gen2 has the full schema — the merged Dataset
+        promotes types and null-fills, then one groupby proves the
+        rows survived."""
+        import pyarrow as pa
+        import ray.data as rd
+        from igpm_pem_ray.sources.evolve import union_by_name
+        from ray.data.aggregate import Count
+
+        pages = rd.read_parquet(_pages_dir(2_000))
+        gen1 = pages.select_columns(["url", "text"]) \
+            .map_batches(lambda b: pa.table({
+                "url": b["url"],
+                "n_links": pa.array([len(t or "") % 7 for t in
+                                     b["text"].to_pylist()],
+                                    pa.int32())}),
+                batch_format="pyarrow")
+        gen2 = pages.select_columns(["url", "lang"]) \
+            .map_batches(lambda b: pa.table({
+                "url": b["url"], "lang": b["lang"],
+                "n_links": pa.array([0] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+        u = union_by_name([gen1, gen2])
+        return u.groupby("lang").aggregate(Count(alias_name="n"))
+
     def video_scene_cuts(sf_dir: str):
         """Shot-boundary detection over deterministic synthetic
         multi-frame videos with planted hard cuts (multimodal/
@@ -518,6 +545,7 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_steps": incremental_steps,
         "multimodal_features": multimodal_features,
         "video_scene_cuts": video_scene_cuts,
+        "schema_evolution_union": schema_evolution_union,
         "image_phash_near_dup": image_phash_near_dup,
         "audio_near_dup": audio_near_dup,
         "pattern_match": pattern_match,
