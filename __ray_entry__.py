@@ -442,7 +442,12 @@ def _text_queries() -> dict[str, Callable[[str], Any]]:
                 "n_links": pa.array([0] * b.num_rows, pa.int64())}),
                 batch_format="pyarrow")
         u = union_by_name([gen1, gen2])
-        return u.groupby("lang").aggregate(Count(alias_name="n"))
+        filled = u.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("lang"), "lang",
+                pa.compute.fill_null(b["lang"], "unknown")),
+            batch_format="pyarrow")
+        return filled.groupby("lang").aggregate(Count(alias_name="n"))
 
     def video_scene_cuts(sf_dir: str):
         """Shot-boundary detection over deterministic synthetic
