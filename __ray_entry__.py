@@ -823,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "critical_path": g.q_critical_path,
         "queue_delay": r.q_queue_delay,
         "ks_test": r.q_ks_test,
+        "cvm_test": r.q_cvm_test,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1184,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "critical_path": g.sql_critical_path(),
         "queue_delay": r.sql_queue_delay(),
         "ks_test": r.sql_ks_test(),
+        "cvm_test": r.sql_cvm_test(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

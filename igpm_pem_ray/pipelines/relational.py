@@ -8576,3 +8576,105 @@ def sql_ks_test() -> str:
         "CAST((SELECT dm FROM d) * 1000000 // "
         "((SELECT n1 FROM t) * (SELECT n2 FROM t)) AS BIGINT) "
         "AS ks_e6")
+
+
+# -------- two-sample Cramer-von Mises (two-limb exact sum) --------
+
+CVM_LIMB = 1 << 32
+
+
+def q_cvm_test(sf_dir: str):
+    """Two-sample Cramer-von Mises drift statistic over the same
+    split as q_ks_test — the EDF test that integrates ALL the CDF
+    gap, not just its max: T_num = sum over pooled distinct values of
+    (c1*n2 - c2*n1)^2.  The squares pass 2^63 in aggregate, so the
+    sum is carried EXACTLY in two int64 limbs (lo = sum of x^2 mod
+    2^32, hi = sum of x^2 >> 32; x^2 <= 5.1e16 keeps both limb sums
+    in range to ~10^5 distinct values, asserted) — the big-integer-
+    free exact-accumulation trick, hash-comparable as two BIGINT
+    columns with the identical limb arithmetic in the oracle.
+
+    Scale shape: identical to q_ks_test — one counting groupby, one
+    packed prefix sum, one stateless map + two scalar sums."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"cents": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    packed = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "cents": b["cents"],
+            "p": np.where(d <= mid, np.int64(KS_PACK), np.int64(1))}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("cents").aggregate(Sum("p", alias_name="p")) \
+        .map_batches(
+            lambda b: pa.table({
+                "key": np.zeros(b.num_rows, np.int64),
+                "us": b["cents"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+                "val": b["p"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    cum = cumsum_per_key(packed, payload_cols=["cents"]).materialize()
+    tot = int(cum.max("cum_val"))
+    n1, n2 = tot >> 31, tot & (KS_PACK - 1)
+
+    def limbs(b: pa.Table) -> pa.Table:
+        cv = b["cum_val"].to_numpy(zero_copy_only=False)
+        c1 = cv >> 31
+        c2 = cv & (KS_PACK - 1)
+        x = np.abs(c1 * n2 - c2 * n1)
+        x2 = x * x
+        return pa.table({"lo": (x2 % CVM_LIMB).astype(np.int64),
+                         "hi": (x2 // CVM_LIMB).astype(np.int64)})
+
+    t = cum.map_batches(limbs, batch_format="pyarrow").materialize()
+    s_lo = int(t.sum("lo") or 0)
+    s_hi = int(t.sum("hi") or 0)
+    # normalize: carry lo overflow into hi so the limb pair is unique
+    s_hi += s_lo // CVM_LIMB
+    s_lo = s_lo % CVM_LIMB
+    return pa.table({
+        "n_first": pa.array([n1], pa.int64()),
+        "n_second": pa.array([n2], pa.int64()),
+        "cvm_hi": pa.array([s_hi], pa.int64()),
+        "cvm_lo": pa.array([s_lo], pa.int64())})
+
+
+def sql_cvm_test() -> str:
+    return (
+        "WITH o AS (SELECT "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day "
+        "FROM orders), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM o), "
+        "g AS (SELECT cents, "
+        "sum(CASE WHEN day <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a1, "
+        "sum(CASE WHEN day > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a2 FROM o GROUP BY cents), "
+        "c AS (SELECT CAST(sum(a1) OVER w AS BIGINT) AS c1, "
+        "CAST(sum(a2) OVER w AS BIGINT) AS c2 FROM g "
+        "WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)), "
+        "t AS (SELECT CAST(sum(a1) AS BIGINT) AS n1, "
+        "CAST(sum(a2) AS BIGINT) AS n2 FROM g), "
+        "x AS (SELECT abs(c1 * (SELECT n2 FROM t) "
+        "- c2 * (SELECT n1 FROM t)) AS v FROM c), "
+        f"s AS (SELECT CAST(sum((v*v) % {CVM_LIMB}) AS BIGINT) AS lo, "
+        f"CAST(sum((v*v) // {CVM_LIMB}) AS BIGINT) AS hi FROM x) "
+        "SELECT (SELECT n1 FROM t) AS n_first, "
+        "(SELECT n2 FROM t) AS n_second, "
+        f"CAST(s.hi + s.lo // {CVM_LIMB} AS BIGINT) AS cvm_hi, "
+        f"CAST(s.lo % {CVM_LIMB} AS BIGINT) AS cvm_lo FROM s")
