@@ -8678,3 +8678,126 @@ def sql_cvm_test() -> str:
         "(SELECT n2 FROM t) AS n_second, "
         f"CAST(s.hi + s.lo // {CVM_LIMB} AS BIGINT) AS cvm_hi, "
         f"CAST(s.lo % {CVM_LIMB} AS BIGINT) AS cvm_lo FROM s")
+
+
+# -------- 1-D Wasserstein-1 distance (exact two-limb sum) --------
+
+def q_wasserstein1(sf_dir: str):
+    """Two-sample 1-D Wasserstein-1 (earth mover's) distance over the
+    q_ks_test split — completing the EDF-distance trio (KS = max gap,
+    Cramer-von Mises = squared gaps, W1 = gap mass x transport
+    distance): W1_num = sum over consecutive pooled support values of
+    |c1*n2 - c2*n1| * (v_next - v), with denominator n1*n2 —
+    the distribution-shift measure optimal-transport courses start
+    from, exact via the q_cvm_test two-limb int64 accumulation.
+
+    Scale shape: the ks plan + one per-block next-value diff with an
+    O(blocks) boundary carry (each term needs its successor value, so
+    blocks ship only their first row — the lead()-window sibling of
+    the cumsum carry)."""
+    import ray as _ray
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"cents": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    packed = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "cents": b["cents"],
+            "p": np.where(d <= mid, np.int64(KS_PACK), np.int64(1))}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("cents").aggregate(Sum("p", alias_name="p")) \
+        .map_batches(
+            lambda b: pa.table({
+                "key": np.zeros(b.num_rows, np.int64),
+                "us": b["cents"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+                "val": b["p"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    cum = cumsum_per_key(packed, payload_cols=["cents"]).materialize()
+    tot = int(cum.max("cum_val"))
+    n1, n2 = tot >> 31, tot & (KS_PACK - 1)
+
+    # per-block terms; the last row of each block needs the NEXT
+    # block's first value -> O(blocks) first-value carry
+    refs = cum.to_arrow_refs()
+    firsts = _ray.get([_ray.remote(
+        lambda t: (int(t["cents"][0].as_py()), t.num_rows)
+        if t.num_rows else None).remote(r) for r in refs])
+
+    @_ray.remote
+    def block_limbs(t: pa.Table, next_first):
+        if not t.num_rows:
+            return 0, 0
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        cv = t["cum_val"].to_numpy(zero_copy_only=False)
+        c1 = cv >> 31
+        c2 = cv & (KS_PACK - 1)
+        gap = np.abs(c1 * n2 - c2 * n1)
+        nxt = np.empty_like(v)
+        nxt[:-1] = v[1:]
+        nxt[-1] = next_first if next_first is not None else v[-1]
+        term = gap * (nxt - v)
+        return int((term % CVM_LIMB).sum()), int((term // CVM_LIMB).sum())
+
+    nxt_first = []
+    for i in range(len(refs)):
+        nf = None
+        for j in range(i + 1, len(refs)):
+            if firsts[j] is not None:
+                nf = firsts[j][0]
+                break
+        nxt_first.append(nf)
+    parts = _ray.get([block_limbs.remote(r, nf)
+                      for r, nf in zip(refs, nxt_first)])
+    s_lo = sum(p[0] for p in parts)
+    s_hi = sum(p[1] for p in parts)
+    s_hi += s_lo // CVM_LIMB
+    s_lo = s_lo % CVM_LIMB
+    return pa.table({
+        "n_first": pa.array([n1], pa.int64()),
+        "n_second": pa.array([n2], pa.int64()),
+        "w1_hi": pa.array([s_hi], pa.int64()),
+        "w1_lo": pa.array([s_lo], pa.int64())})
+
+
+def sql_wasserstein1() -> str:
+    return (
+        "WITH o AS (SELECT "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day "
+        "FROM orders), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM o), "
+        "g AS (SELECT cents, "
+        "sum(CASE WHEN day <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a1, "
+        "sum(CASE WHEN day > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a2 FROM o GROUP BY cents), "
+        "c AS (SELECT cents, CAST(sum(a1) OVER w AS BIGINT) AS c1, "
+        "CAST(sum(a2) OVER w AS BIGINT) AS c2, "
+        "lead(cents) OVER (ORDER BY cents) AS nxt FROM g "
+        "WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)), "
+        "t AS (SELECT CAST(sum(a1) AS BIGINT) AS n1, "
+        "CAST(sum(a2) AS BIGINT) AS n2 FROM g), "
+        "x AS (SELECT abs(c1 * (SELECT n2 FROM t) "
+        "- c2 * (SELECT n1 FROM t)) "
+        "* (COALESCE(nxt, cents) - cents) AS v FROM c), "
+        f"s AS (SELECT CAST(sum(v % {CVM_LIMB}) AS BIGINT) AS lo, "
+        f"CAST(sum(v // {CVM_LIMB}) AS BIGINT) AS hi FROM x) "
+        "SELECT (SELECT n1 FROM t) AS n_first, "
+        "(SELECT n2 FROM t) AS n_second, "
+        f"CAST(s.hi + s.lo // {CVM_LIMB} AS BIGINT) AS w1_hi, "
+        f"CAST(s.lo % {CVM_LIMB} AS BIGINT) AS w1_lo FROM s")
