@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": r.q_ks_test,
         "cvm_test": r.q_cvm_test,
         "wasserstein1": r.q_wasserstein1,
+        "dispersion_index": r.q_dispersion_index,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1188,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": r.sql_ks_test(),
         "cvm_test": r.sql_cvm_test(),
         "wasserstein1": r.sql_wasserstein1(),
+        "dispersion_index": r.sql_dispersion_index(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

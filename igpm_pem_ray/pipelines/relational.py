@@ -8801,3 +8801,74 @@ def sql_wasserstein1() -> str:
         "(SELECT n2 FROM t) AS n_second, "
         f"CAST(s.hi + s.lo // {CVM_LIMB} AS BIGINT) AS w1_hi, "
         f"CAST(s.lo % {CVM_LIMB} AS BIGINT) AS w1_lo FROM s")
+
+
+# -------- dispersion index (count-data overdispersion) --------
+
+HOUR_US = 3_600_000_000
+
+
+def q_dispersion_index(sf_dir: str):
+    """Index of dispersion (variance-to-mean ratio) of hourly event
+    counts per type — the Poisson-ness / burstiness diagnostic
+    (D = 1 for a Poisson stream, > 1 overdispersed): with n = the
+    global hour-span (zero hours count, as in the SQL densified
+    grid), S1 = sum of counts and S2 = sum of squared counts,
+    D = (n*S2 - S1^2) / ((n-1)*S1) exactly, emitted as the e6
+    floor fixed point next to the raw sufficient statistics.
+
+    Scale shape: ONE (type, hour) counting groupby + one per-type
+    sum — the empty grid hours contribute only to the scalar n, so
+    no densification rows are materialized at all (unlike
+    q_densify_hours, which is the point when the grid is the
+    output)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"etype": b["event_type"],
+                         "hr": b["ts"].cast(pa.int64()).to_numpy(
+                             zero_copy_only=False) // HOUR_US})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("hr")), int(rows.max("hr"))
+    n = hi - lo + 1
+    per_hr = rows.groupby(["etype", "hr"]).aggregate(
+        Count(alias_name="c"))
+    sums = per_hr.map_batches(
+        lambda b: (lambda c: pa.table({
+            "etype": b["etype"], "s1": c, "s2": c * c}))(
+            b["c"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow") \
+        .groupby("etype").aggregate(Sum("s1", alias_name="s1"),
+                                    Sum("s2", alias_name="s2"))
+
+    def disp(b: pa.Table) -> pa.Table:
+        s1 = b["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = b["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * s2 - s1 * s1
+        den = (n - 1) * s1
+        d = np.where(den > 0, num * 1_000_000 // np.maximum(den, 1),
+                     np.int64(-1))
+        return pa.table({"event_type": b["etype"],
+                         "n_hours": np.full(len(s1), n, np.int64),
+                         "s1": s1, "s2": s2,
+                         "dispersion_e6": d.astype(np.int64)})
+
+    return sums.map_batches(disp, batch_format="pyarrow")
+
+
+def sql_dispersion_index() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, "
+        f"CAST(epoch_us(ts) AS BIGINT) // {HOUR_US} AS hr FROM events), "
+        "b AS (SELECT max(hr) - min(hr) + 1 AS n FROM e), "
+        "g AS (SELECT t, hr, count(*) AS c FROM e GROUP BY t, hr), "
+        "s AS (SELECT t, CAST(sum(c) AS BIGINT) AS s1, "
+        "CAST(sum(c*c) AS BIGINT) AS s2 FROM g GROUP BY t) "
+        "SELECT t AS event_type, "
+        "CAST((SELECT n FROM b) AS BIGINT) AS n_hours, s1, s2, "
+        "CAST(CASE WHEN ((SELECT n FROM b) - 1) * s1 > 0 THEN "
+        "((SELECT n FROM b) * s2 - s1 * s1) * 1000000 "
+        "// (((SELECT n FROM b) - 1) * s1) ELSE -1 END AS BIGINT) "
+        "AS dispersion_e6 FROM s")
