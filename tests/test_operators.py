@@ -908,3 +908,42 @@ def test_ipc_roundtrip(ray_session, tmp_path):
     n_files = len(list((tmp_path / "ipc").glob("*.arrow")))
     write_ipc(rd.from_arrow(t).repartition(3), out)
     assert len(list((tmp_path / "ipc").glob("*.arrow"))) >= n_files
+
+
+def test_nest_per_key_property(ray_session):
+    """Property-based check of the one-to-many nesting stage: for ANY
+    key layout and block split, every key gets exactly one nested row
+    whose lists equal the (key, order)-sorted values — the sorted-
+    block boundary repair is where example tests go stale."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa_
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from igpm_pem_ray.pipelines.relational import nest_per_key
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 50)),
+                    min_size=1, max_size=100),
+           st.integers(1, 5))
+    def check(rows, nblocks):
+        key = np.array([r[0] for r in rows], np.int64)
+        val = np.array([r[1] for r in rows], np.int64)
+        ln = np.arange(len(rows), dtype=np.int64)  # total order
+        ds = rd.from_arrow(pa_.table(
+            {"okey": key, "ln": ln, "qty": val})).repartition(nblocks)
+        out = nest_per_key(ds, key="okey", order=["ln"],
+                           pack_cols=["qty"]).to_pandas()
+        df = pd.DataFrame({"okey": key, "ln": ln, "qty": val}) \
+            .sort_values(["okey", "ln"])
+        exp = df.groupby("okey")["qty"].apply(list)
+        assert len(out) == len(exp)
+        got = dict(zip(out["okey"], out["qty_list"]))
+        for k, lst in exp.items():
+            assert list(got[k]) == lst, (k, list(got[k]), lst)
+        assert (out["n_items"].to_numpy()
+                == [len(exp[k]) for k in out["okey"]]).all()
+
+    check()
