@@ -826,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cvm_test": r.q_cvm_test,
         "wasserstein1": r.q_wasserstein1,
         "dispersion_index": r.q_dispersion_index,
+        "conformal_coverage": r.q_conformal_coverage,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1190,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "cvm_test": r.sql_cvm_test(),
         "wasserstein1": r.sql_wasserstein1(),
         "dispersion_index": r.sql_dispersion_index(),
+        "conformal_coverage": r.sql_conformal_coverage(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

@@ -8872,3 +8872,179 @@ def sql_dispersion_index() -> str:
         "((SELECT n FROM b) * s2 - s1 * s1) * 1000000 "
         "// (((SELECT n FROM b) - 1) * s1) ELSE -1 END AS BIGINT) "
         "AS dispersion_e6 FROM s")
+
+
+# -------- split-conformal prediction coverage --------
+
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10   # 90% target coverage
+
+
+def q_conformal_coverage(sf_dir: str):
+    """Split-conformal prediction (Vovk; the distribution-free
+    uncertainty-quantification recipe): calibration half = events
+    with even event_id, point predictor = the calibration LOWER
+    MEDIAN value per event type (rank (n+1)//2 order statistic),
+    nonconformity = |value - prediction|, and the interval radius is
+    the ceil((n_cal+1) * 9/10)-th smallest calibration score — the
+    finite-sample-valid quantile.  Reported per type with the exact
+    covered-count on the held-out odd half (coverage_e6 as floor
+    fixed point).  Everything is rank selection + counting — no
+    distributional assumption and no floats, which is the point of
+    conformal.
+
+    Scale shape: two rank_per_group passes over the calibration half
+    (median, then score quantile) + one broadcast of the O(types)
+    cutoff table to score the test half statelessly."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+    import ray as _ray
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "event_id", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"etype": b["event_type"],
+                         "eid": eid,
+                         "v": scale_col(b["value"].to_numpy(
+                             zero_copy_only=False), 100.0),
+                         "cal": (eid % 2 == 0).astype(np.int64)})
+
+    rows = ev.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    cal = rows.filter(expr="cal == 1").materialize()
+
+    # per-type lower median of the calibration half
+    et_key = cal.map_batches(
+        lambda b: pa.table({
+            "key": pd.util.hash_array(
+                np.asarray(b["etype"].to_pylist(), dtype=object)
+                .astype(str).astype(object)).astype(np.int64) >> 1,
+            "etype": b["etype"], "v": b["v"], "eid": b["eid"]}),
+        batch_format="pyarrow").materialize()
+    sizes = et_key.groupby("key").aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    nmap = dict(zip(sizes["key"].astype(np.int64),
+                    sizes["n"].astype(np.int64)))
+    ranked = rank_per_group(et_key, key="key", order=["v", "eid"],
+                            descending=[False, False])
+    nref = _ray.put(nmap)
+
+    def med_pick(b: pa.Table, _r=nref) -> pa.Table:
+        nm = _ray.get(_r)
+        k = b["key"].to_numpy(zero_copy_only=False)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        tgt = np.asarray([(nm[int(x)] + 1) // 2 for x in k], np.int64)
+        m = r == tgt
+        return pa.table({"mkey": k[m], "med": b["v"].to_numpy(
+            zero_copy_only=False)[m],
+            "metype": b["etype"].filter(pa.array(m))})
+
+    meds = ranked.map_batches(med_pick, batch_format="pyarrow") \
+        .to_pandas()
+    medmap = dict(zip(meds["mkey"].astype(np.int64),
+                      meds["med"].astype(np.int64)))
+    mref = _ray.put(medmap)
+
+    # calibration nonconformity scores -> per-type conformal cutoff
+    def scores(b: pa.Table, _m=mref) -> pa.Table:
+        mm = _ray.get(_m)
+        k = b["key"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        med = np.asarray([mm[int(x)] for x in k], np.int64)
+        return pa.table({"key": k, "etype": b["etype"],
+                         "eid": b["eid"],
+                         "v": np.abs(v - med)})
+
+    sc = et_key.map_batches(scores, batch_format="pyarrow") \
+        .materialize()
+    rk2 = rank_per_group(sc, key="key", order=["v", "eid"],
+                         descending=[False, False])
+
+    def cut_pick(b: pa.Table, _r=nref) -> pa.Table:
+        nm = _ray.get(_r)
+        k = b["key"].to_numpy(zero_copy_only=False)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        # ceil((n+1) * 9/10) via the positive-only (a + b - 1) // b
+        # form (negative floor-division ceil tricks differ across
+        # engines), capped at n
+        tgt = np.asarray(
+            [min(((nm[int(x)] + 1) * CONF_ALPHA_NUM
+                  + CONF_ALPHA_DEN - 1) // CONF_ALPHA_DEN,
+                 nm[int(x)]) for x in k],
+            np.int64)
+        m = r == tgt
+        return pa.table({"ckey": k[m],
+                         "cut": b["v"].to_numpy(
+                             zero_copy_only=False)[m]})
+
+    cuts = rk2.map_batches(cut_pick, batch_format="pyarrow").to_pandas()
+    cutmap = dict(zip(cuts["ckey"].astype(np.int64),
+                      cuts["cut"].astype(np.int64)))
+    cref = _ray.put((medmap, cutmap))
+
+    def cover(b: pa.Table, _r=cref) -> pa.Table:
+        mm, cm = _ray.get(_r)
+        et = np.asarray(b["etype"].to_pylist(), dtype=object)
+        k = pd.util.hash_array(et.astype(str).astype(object)) \
+            .astype(np.int64) >> 1
+        v = b["v"].to_numpy(zero_copy_only=False)
+        cal = b["cal"].to_numpy(zero_copy_only=False)
+        m = cal == 0
+        med = np.asarray([mm[int(x)] for x in k], np.int64)
+        cut = np.asarray([cm[int(x)] for x in k], np.int64)
+        cov = (np.abs(v - med) <= cut) & m
+        return pa.table({"etype": b["etype"],
+                         "t": m.astype(np.int64),
+                         "c": cov.astype(np.int64),
+                         "cut": np.where(m, cut, 0)})
+
+    agg = rows.map_batches(cover, batch_format="pyarrow") \
+        .groupby("etype").aggregate(
+            Sum("t", alias_name="n_test"),
+            Sum("c", alias_name="n_covered"),
+            Max("cut", alias_name="cutoff_e2"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = b["n_test"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["n_covered"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "event_type": b["etype"],
+            "n_test": t, "n_covered": c,
+            "cutoff_e2": b["cutoff_e2"].cast(pa.int64()),
+            "coverage_e6": np.where(
+                t > 0, c * 1_000_000 // np.maximum(t, 1),
+                np.int64(-1)).astype(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_conformal_coverage() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, event_id AS eid, "
+        "CAST(floor(value*100.0+0.5) AS BIGINT) AS v, "
+        "CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS cal "
+        "FROM events), "
+        "calset AS (SELECT * FROM e WHERE cal = 1), "
+        "mr AS (SELECT t, v, row_number() OVER "
+        "(PARTITION BY t ORDER BY v, eid) AS rk, "
+        "count(*) OVER (PARTITION BY t) AS n FROM calset), "
+        "med AS (SELECT t, v AS med FROM mr WHERE rk = (n + 1) // 2), "
+        "sc AS (SELECT c.t, c.eid, abs(c.v - m.med) AS s "
+        "FROM calset c JOIN med m ON m.t = c.t), "
+        "sr AS (SELECT t, s, row_number() OVER "
+        "(PARTITION BY t ORDER BY s, eid) AS rk, "
+        "count(*) OVER (PARTITION BY t) AS n FROM sc), "
+        "cut AS (SELECT t, s AS cut FROM sr WHERE rk = least("
+        f"((n + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN} - 1) "
+        f"// {CONF_ALPHA_DEN}, n)), "
+        "tst AS (SELECT e.t, "
+        "CASE WHEN abs(e.v - m.med) <= c.cut THEN 1 ELSE 0 END AS cov, "
+        "c.cut FROM e JOIN med m ON m.t = e.t "
+        "JOIN cut c ON c.t = e.t WHERE e.cal = 0) "
+        "SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_test, "
+        "CAST(sum(cov) AS BIGINT) AS n_covered, "
+        "CAST(max(cut) AS BIGINT) AS cutoff_e2, "
+        "CAST(CASE WHEN count(*) > 0 THEN sum(cov) * 1000000 "
+        "// count(*) ELSE -1 END AS BIGINT) AS coverage_e6 "
+        "FROM tst GROUP BY t")
