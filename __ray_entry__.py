@@ -827,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein1": r.q_wasserstein1,
         "dispersion_index": r.q_dispersion_index,
         "conformal_coverage": r.q_conformal_coverage,
+        "energy_distance": r.q_energy_distance,
         "ppr_mc": g.q_ppr_mc,
         "matching": g.q_matching,
         "local_bridges": g.q_local_bridges,
@@ -1192,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein1": r.sql_wasserstein1(),
         "dispersion_index": r.sql_dispersion_index(),
         "conformal_coverage": r.sql_conformal_coverage(),
+        "energy_distance": r.sql_energy_distance(),
         "moments_quantity": r.sql_moments_quantity(),
         "seeded_labelprop": g.sql_seeded_labelprop(),
         "ppr_mc": g.sql_ppr_mc(),

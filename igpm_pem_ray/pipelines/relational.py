@@ -9048,3 +9048,147 @@ def sql_conformal_coverage() -> str:
         "CAST(CASE WHEN count(*) > 0 THEN sum(cov) * 1000000 "
         "// count(*) ELSE -1 END AS BIGINT) AS coverage_e6 "
         "FROM tst GROUP BY t")
+
+
+# -------- energy distance (exact inter-point two-sample statistic) --------
+
+def q_energy_distance(sf_dir: str):
+    """Two-sample energy-distance numerators (Szekely-Rizzo) over the
+    q_ks_test split — the INTER-POINT-distance statistic (E = 2 E|X-Y|
+    - E|X-X'| - E|Y-Y'|) that detects differences EDF sups can miss,
+    computed exactly: each pairwise-distance sum collapses to one
+    pass over the sorted support, where the gap between consecutive
+    values contributes gap * (#pairs straddling it) — cross pairs
+    c1*(n1-c1)... no, cross = c1*(n2-c2) + c2*(n1-c1), within-X =
+    c1*(n1-c1), within-Y = c2*(n2-c2) — all from the SAME packed
+    prefix-sum table as ks/cvm/w1, accumulated in the two-limb int64
+    convention (outputs are the three raw pair-distance sums as
+    (hi, lo) limb pairs; the normalized statistic divides by
+    n1*n2, C(n1,2), C(n2,2) downstream).
+
+    Scale shape: identical to q_wasserstein1 — counting groupby,
+    packed prefix sum, per-block lead-value carry, tiny limb sums."""
+    import ray as _ray
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        return pa.table({"cents": scale_col(
+            b["o_totalprice"].to_numpy(zero_copy_only=False), 100.0),
+            "day": day})
+
+    rows = orders.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    lo, hi = int(rows.min("day")), int(rows.max("day"))
+    mid = (lo + hi) // 2
+
+    packed = rows.map_batches(
+        lambda b: (lambda d: pa.table({
+            "cents": b["cents"],
+            "p": np.where(d <= mid, np.int64(KS_PACK), np.int64(1))}))(
+            b["day"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("cents").aggregate(Sum("p", alias_name="p")) \
+        .map_batches(
+            lambda b: pa.table({
+                "key": np.zeros(b.num_rows, np.int64),
+                "us": b["cents"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+                "val": b["p"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    cum = cumsum_per_key(packed, payload_cols=["cents"]).materialize()
+    tot = int(cum.max("cum_val"))
+    n1, n2 = tot >> 31, tot & (KS_PACK - 1)
+
+    refs = cum.to_arrow_refs()
+    firsts = _ray.get([_ray.remote(
+        lambda t: int(t["cents"][0].as_py()) if t.num_rows else None)
+        .remote(r) for r in refs])
+
+    @_ray.remote
+    def block_limbs(t: pa.Table, next_first):
+        if not t.num_rows:
+            return (0,) * 6
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        cv = t["cum_val"].to_numpy(zero_copy_only=False)
+        c1 = cv >> 31
+        c2 = cv & (KS_PACK - 1)
+        nxt = np.empty_like(v)
+        nxt[:-1] = v[1:]
+        nxt[-1] = next_first if next_first is not None else v[-1]
+        gap = nxt - v
+        cross = c1 * (n2 - c2) + c2 * (n1 - c1)
+        wx = c1 * (n1 - c1)
+        wy = c2 * (n2 - c2)
+        out = []
+        for w in (cross, wx, wy):
+            term = w * gap
+            out += [int((term % CVM_LIMB).sum()),
+                    int((term // CVM_LIMB).sum())]
+        return tuple(out)
+
+    nxt_first = []
+    for i in range(len(refs)):
+        nf = None
+        for j in range(i + 1, len(refs)):
+            if firsts[j] is not None:
+                nf = firsts[j]
+                break
+        nxt_first.append(nf)
+    parts = _ray.get([block_limbs.remote(r, nf)
+                      for r, nf in zip(refs, nxt_first)])
+    sums = [sum(p[i] for p in parts) for i in range(6)]
+    cols = {"n_first": n1, "n_second": n2}
+    for name, (i_lo, i_hi) in [("cross", (0, 1)), ("within_x", (2, 3)),
+                               ("within_y", (4, 5))]:
+        s_lo, s_hi = sums[i_lo], sums[i_hi]
+        s_hi += s_lo // CVM_LIMB
+        s_lo = s_lo % CVM_LIMB
+        cols[f"{name}_hi"] = s_hi
+        cols[f"{name}_lo"] = s_lo
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in cols.items()})
+
+
+def sql_energy_distance() -> str:
+    return (
+        "WITH o AS (SELECT "
+        "CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS cents, "
+        f"CAST(epoch_us(o_orderdate) AS BIGINT) // {DAY_US} AS day "
+        "FROM orders), "
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM o), "
+        "g AS (SELECT cents, "
+        "sum(CASE WHEN day <= ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a1, "
+        "sum(CASE WHEN day > ((SELECT lo FROM b) + (SELECT hi FROM b)) "
+        "// 2 THEN 1 ELSE 0 END) AS a2 FROM o GROUP BY cents), "
+        "c AS (SELECT cents, CAST(sum(a1) OVER w AS BIGINT) AS c1, "
+        "CAST(sum(a2) OVER w AS BIGINT) AS c2, "
+        "lead(cents) OVER (ORDER BY cents) AS nxt FROM g "
+        "WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)), "
+        "t AS (SELECT CAST(sum(a1) AS BIGINT) AS n1, "
+        "CAST(sum(a2) AS BIGINT) AS n2 FROM g), "
+        "x AS (SELECT (COALESCE(nxt, cents) - cents) AS gap, "
+        "c1 * ((SELECT n2 FROM t) - c2) "
+        "+ c2 * ((SELECT n1 FROM t) - c1) AS wc, "
+        "c1 * ((SELECT n1 FROM t) - c1) AS wx, "
+        "c2 * ((SELECT n2 FROM t) - c2) AS wy FROM c), "
+        f"s AS (SELECT "
+        f"CAST(sum((wc*gap) % {CVM_LIMB}) AS BIGINT) AS c_lo, "
+        f"CAST(sum((wc*gap) // {CVM_LIMB}) AS BIGINT) AS c_hi, "
+        f"CAST(sum((wx*gap) % {CVM_LIMB}) AS BIGINT) AS x_lo, "
+        f"CAST(sum((wx*gap) // {CVM_LIMB}) AS BIGINT) AS x_hi, "
+        f"CAST(sum((wy*gap) % {CVM_LIMB}) AS BIGINT) AS y_lo, "
+        f"CAST(sum((wy*gap) // {CVM_LIMB}) AS BIGINT) AS y_hi FROM x) "
+        "SELECT (SELECT n1 FROM t) AS n_first, "
+        "(SELECT n2 FROM t) AS n_second, "
+        f"CAST(s.c_hi + s.c_lo // {CVM_LIMB} AS BIGINT) AS cross_hi, "
+        f"CAST(s.c_lo % {CVM_LIMB} AS BIGINT) AS cross_lo, "
+        f"CAST(s.x_hi + s.x_lo // {CVM_LIMB} AS BIGINT) AS within_x_hi, "
+        f"CAST(s.x_lo % {CVM_LIMB} AS BIGINT) AS within_x_lo, "
+        f"CAST(s.y_hi + s.y_lo // {CVM_LIMB} AS BIGINT) AS within_y_hi, "
+        f"CAST(s.y_lo % {CVM_LIMB} AS BIGINT) AS within_y_lo FROM s")
