@@ -5155,10 +5155,25 @@ def q_seeded_labelprop(sf_dir: str) -> pa.Table:
     npj = 1 if edges.count() < 65_536 else 8
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
-    def seed(b: pa.Table) -> pa.Table:
+    # seeds must be GRAPH VERTICES (the oracle's `AND p_partkey IN
+    # (SELECT v FROM verts)`) — a seeded part outside the graph would
+    # inflate the census and deflate the -1 row.  The vertex set is
+    # O(distinct parts) — broadcast once, np.isin per batch (at
+    # 10^12 V this becomes a semi-join, J1 shape).
+    import ray as _ray_mod
+    vset = np.unique(np.concatenate([
+        np.concatenate([b["src"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        b["dst"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)])
+        for b in edges.iter_batches(batch_format="pyarrow")]
+        or [np.zeros(0, np.int64)]))
+    vref = _ray_mod.put(vset)
+
+    def seed(b: pa.Table, _vref=vref) -> pa.Table:
         pk = b["p_partkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        m = pk % SLP_SEED_MOD == 0
+        m = (pk % SLP_SEED_MOD == 0) & np.isin(pk, _ray_mod.get(_vref))
         br = np.asarray(
             [int(x.split("#", 1)[1]) for x in b["p_brand"].to_pylist()],
             np.int64)

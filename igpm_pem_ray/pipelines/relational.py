@@ -6855,12 +6855,18 @@ def q_seasonal_naive(sf_dir: str):
     M[[ti[t] for t in per_day["etype"]],
       per_day["day"].to_numpy() - lo] = per_day["n"].to_numpy()
     test = days >= hi - 6
+    # the oracle's INNER joins require BOTH lags (day-7 and day-1) to
+    # exist inside the densified range — a test day with idx < 7 is
+    # dropped from BOTH sums (negative indices would otherwise wrap)
+    idx = np.nonzero(test)[0]
+    idx = idx[idx >= 7]
+    # all test days dropped -> the oracle's GROUP BY over an empty
+    # join emits NO rows at all
+    types = types if len(idx) else []
     rows = []
     for t in types:
         y = M[ti[t]]
-        sae_s = int(np.abs(y[test] - M[ti[t]][np.nonzero(test)[0] - 7])
-                    .sum())
-        idx = np.nonzero(test)[0]
+        sae_s = int(np.abs(y[idx] - y[idx - 7]).sum())
         sae_n = int(np.abs(y[idx] - y[idx - 1]).sum())
         mase = (sae_s * MASE_E6 // sae_n) if sae_n > 0 else -1
         rows.append((t, sae_s, sae_n, mase))
@@ -7581,31 +7587,44 @@ def q_profile_table(sf_dir: str):
     for col, kind in PROFILE_COLS:
         ds = read_table(sf_dir, "orders", columns=[col])
 
-        def facet(b: pa.Table, _c=col, _k=kind) -> pa.Table:
-            arr = b[_c]
-            nn = int(pc.count(arr, mode="only_null").as_py())
+        # nulls are EXCLUDED from min/max/distinct (SQL semantics) but
+        # counted exactly: one projection ships the NON-NULL facet
+        # values + keys for the distinct groupby, a second reduces
+        # each batch to ONE summary row of (rows, nulls) partials —
+        # exact for partial-null and all-null batches alike
+        def _facet_v(arr: pa.ChunkedArray, _k: str) -> np.ndarray:
+            valid = ~np.asarray(
+                pc.is_null(arr).to_numpy(zero_copy_only=False), bool)
             if _k == "int":
-                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            elif _k == "e2":
-                v = scale_col(arr.to_numpy(zero_copy_only=False), 100.0)
-            else:
-                v = np.asarray(
-                    [len(x) if x is not None else 0
-                     for x in arr.to_pylist()], np.int64)
-            out = {"v": v,
-                   "null": np.full(len(v), nn // max(len(v), 1),
-                                   np.int64)}
+                return arr.to_numpy(zero_copy_only=False)[valid] \
+                    .astype(np.int64)
+            if _k == "e2":
+                return scale_col(
+                    arr.to_numpy(zero_copy_only=False)[valid], 100.0)
+            return np.asarray(
+                [len(x) for x, ok in zip(arr.to_pylist(), valid)
+                 if ok], np.int64)
+
+        def vals(b: pa.Table, _c=col, _k=kind) -> pa.Table:
+            v = _facet_v(b[_c], _k)
             # distinct-count key: the VALUE itself (for strings the
             # lo/hi facet is the length, but distinctness is real)
-            out["k"] = arr.cast(pa.string()) if _k == "str" \
+            k = b[_c].drop_null().cast(pa.string()) if _k == "str" \
                 else pa.array(v)
-            return pa.table(out)
+            return pa.table({"v": pa.array(v, pa.int64()), "k": k})
 
-        proj = ds.map_batches(facet, batch_format="pyarrow",
+        def summ(b: pa.Table, _c=col) -> pa.Table:
+            nn = int(pc.count(b[_c], mode="only_null").as_py())
+            return pa.table({"rows": pa.array([len(b)], pa.int64()),
+                             "null": pa.array([nn], pa.int64())})
+
+        proj = ds.map_batches(vals, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-        n = proj.count()
+        cnts = ds.map_batches(summ, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        n = int(cnts.sum("rows") or 0)
+        n_null = int(cnts.sum("null") or 0)
         lo, hi = int(proj.min("v")), int(proj.max("v"))
-        n_null = int(proj.sum("null") or 0)
         nd = proj.groupby("k").aggregate(Count(alias_name="_n")).count()
         rows.append((col, n, n_null, nd, lo, hi))
     return pa.table({
@@ -8429,7 +8448,17 @@ def q_queue_delay(sf_dir: str):
                          "val": (eid % 5 + 1) * QD_SVC_US})
 
     rows = ev.map_batches(pre, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True).materialize()
+    # collision guard: key = hash % 1_000_003 — a collision between
+    # two distinct event types would silently merge their queues.
+    # O(types) check: #distinct (key, etype) pairs == #distinct keys.
+    kt = rows.groupby(["key", "etype"]).aggregate(
+        Count(alias_name="_n")).materialize()
+    nk = kt.groupby("key").aggregate(Count(alias_name="_n")).count()
+    if kt.count() != nk:
+        raise RuntimeError(
+            "event_type hash collision in queue_delay "
+            f"({kt.count()} (key,type) pairs vs {nk} keys)")
     c = cumsum_per_key(rows, payload_cols=["etype", "eid", "val"],
                        order_cols=("us", "eid"))
     m_in = c.map_batches(
@@ -8923,6 +8952,15 @@ def q_conformal_coverage(sf_dir: str):
         batch_format="pyarrow").materialize()
     sizes = et_key.groupby("key").aggregate(Count(alias_name="n")) \
         .to_pandas()
+    # collision guard: a 63-bit hash collision between two distinct
+    # types would silently merge their calibration sets — fail loudly
+    # instead (O(types) check)
+    n_pairs = et_key.groupby(["key", "etype"]).aggregate(
+        Count(alias_name="_n")).count()
+    if n_pairs != len(sizes):
+        raise RuntimeError(
+            "event_type hash collision in conformal_coverage "
+            f"({n_pairs} (key,type) pairs vs {len(sizes)} keys)")
     nmap = dict(zip(sizes["key"].astype(np.int64),
                     sizes["n"].astype(np.int64)))
     ranked = rank_per_group(et_key, key="key", order=["v", "eid"],
@@ -8989,6 +9027,14 @@ def q_conformal_coverage(sf_dir: str):
             .astype(np.int64) >> 1
         v = b["v"].to_numpy(zero_copy_only=False)
         cal = b["cal"].to_numpy(zero_copy_only=False)
+        # a type with ZERO calibration rows has no median/cutoff —
+        # the oracle's inner joins drop it; mask before lookup
+        # instead of KeyError-ing
+        known = np.asarray([int(x) in mm and int(x) in cm for x in k],
+                           bool)
+        if not known.all():
+            b = b.filter(pa.array(known))
+            k, v, cal = k[known], v[known], cal[known]
         m = cal == 0
         med = np.asarray([mm[int(x)] for x in k], np.int64)
         cut = np.asarray([cm[int(x)] for x in k], np.int64)
