@@ -4486,52 +4486,66 @@ def q_semdedup(sf_dir: str):
     row with dot > 0 and cos >= 0.35 applied as the exact integer
     cross-multiplication (no sqrt, no fixed-point boundary).
 
-    Scale shape: assignment is one broadcast (K x dim) matmul per
-    batch; the dup check broadcasts the quantized matrix once via
-    ray.put (ann/knn.py's brute-force baseline pattern) and runs one
-    (batch x N) int64 matmul per block — the corpus-scale path swaps
-    this for the per-cluster pair join exactly like embed_near_dup's
-    LSH route, which SemDeDup's clustering already bounds.  Output is
-    the per-cluster funnel summary."""
+    Scale shape (distributed end to end — this is the point of
+    SemDeDup): centroids are the O(K) `sort.limit(K)` head, broadcast
+    once via ray.put; assignment is ONE (batch x K) int64 matmul per
+    block (squared-L2 via the |y|^2 - 2yC + |c|^2 expansion, exact in
+    int64); the duplicate check then runs INSIDE each cluster via
+    groupby(cluster).map_groups — a (g x g) int64 matmul per group,
+    never a whole-table driver materialization or an all-pairs
+    broadcast.  Partitioning assumption (standard for SemDeDup): K is
+    chosen so a cluster's (g x dim) matrix fits one worker; at corpus
+    scale K grows with N (the paper uses ~N/1000 clusters)."""
     import ray as _ray
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from igpm_pem_ray.ann.knn import _batch_matrix
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pdf = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    X = np.floor(np.stack(pdf["embedding"].to_numpy()) * SEM_E3
+    # centroids = the K smallest vec_ids — O(K) driver rows only
+    cent = emb.sort("vec_id").limit(SEM_K).to_pandas()
+    cids = cent["vec_id"].to_numpy().astype(np.int64)
+    C = np.floor(np.stack(cent["embedding"].to_numpy()) * SEM_E3
                  + 0.5).astype(np.int64)
-    C = X[:SEM_K]
-    cids = ids[:SEM_K]
-    ref = _ray.put((ids, X, C, cids))
+    cref = _ray.put((cids, C))
+    dim = C.shape[1]
 
-    def flags(b: pa.Table, _ref=ref) -> pa.Table:
-        ids_, X_, C_, cids_ = _ray.get(_ref)
-        bid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(ids_, bid)
-        Y = X_[pos]                      # (b, dim)
-        # assignment: argmin squared L2 to centroids, tie -> smaller cid
-        d2 = ((Y[:, None, :] - C_[None, :, :]) ** 2).sum(2)  # (b, K)
-        asg = np.argmin(d2, axis=1)      # argmin takes first == smallest cid
-        # full-cluster assignment for the earlier-row check
-        d2all = ((X_[:, None, :] - C_[None, :, :]) ** 2).sum(2)
-        asg_all = np.argmin(d2all, axis=1)
-        n2 = (X_ * X_).sum(1)
-        dots = Y @ X_.T                  # (b, N)
-        same = asg[:, None] == asg_all[None, :]
-        earlier = ids_[None, :] < bid[:, None]
-        pos_dot = dots > 0
-        close = SEM_NUM * dots * dots >= SEM_DEN * n2[pos][:, None] \
-            * n2[None, :]
-        dup = (same & earlier & pos_dot & close).any(1)
-        return pa.table({"cluster": cids_[asg].astype(np.int64),
-                         "one": np.ones(len(bid), np.int64),
-                         "rm": dup.astype(np.int64)})
+    def assign(b: pa.Table, _r=cref) -> pa.Table:
+        cids_, C_ = _ray.get(_r)
+        Y = np.floor(_batch_matrix(b) * SEM_E3 + 0.5).astype(np.int64)
+        # argmin squared L2, tie -> first index == smallest cid
+        # (centroids are id-sorted); exact int64 expansion
+        d2 = (Y * Y).sum(1)[:, None] - 2 * (Y @ C_.T) \
+            + (C_ * C_).sum(1)[None, :]
+        asg = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(cids_[asg], pa.int64()),
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array(Y.ravel(), pa.int64()), Y.shape[1])})
 
-    return emb.map_batches(flags, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby("cluster").aggregate(_Sum("one", alias_name="n_items"),
-                                      _Sum("rm", alias_name="n_removed"))
+    assigned = emb.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        X = g["x"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            .reshape(len(ids), dim)[order]
+        dots = X @ X.T                           # (g, g)
+        n2 = (X * X).sum(1)
+        close = (dots > 0) & (SEM_NUM * dots * dots
+                              >= SEM_DEN * n2[:, None] * n2[None, :])
+        # earlier = strictly smaller vec_id = lower triangle after sort
+        dup = (close & np.tri(len(ids), k=-1, dtype=bool)).any(1)
+        return pa.table({
+            "cluster": pa.array([int(g["cluster"][0].as_py())],
+                                pa.int64()),
+            "n_items": pa.array([len(ids)], pa.int64()),
+            "n_removed": pa.array([int(dup.sum())], pa.int64())})
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pyarrow")
 
 
 def sql_semdedup() -> str:
@@ -4587,40 +4601,78 @@ def q_quality_classifier(sf_dir: str):
     filters) at corpus scale, with the model broadcast as a constant.
 
     Scale shape: per-doc scores need NO shuffle (a doc lives in one
-    row; token loop + md5 inside the batch map); the only exchange is
-    the O(sources) summary groupby.  Empty-token docs are absent,
-    matching the SQL token-table groupby."""
-    import hashlib
+    row); the tokenize/explode/segment-sum path is vectorized pandas +
+    numpy, and md5 runs only on DISTINCT tokens per batch with a
+    per-ACTOR vocab cache (stateful actor-pool stage) — Zipf makes
+    the distinct set a tiny fraction of the token stream, so the hash
+    cost amortizes to vocabulary size, not corpus size.  The only
+    exchange is the O(sources) summary groupby.  Empty-token docs are
+    absent, matching the SQL token-table groupby."""
     from ray.data.aggregate import Count as _Count, Sum as _Sum
 
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "text", "source"])
-
-    def score(b: pa.Table) -> pa.Table:
-        srcs, scs, pos = [], [], []
-        for src, txt in zip(b["source"].to_pylist(),
-                            b["text"].to_pylist()):
-            toks = [t for t in (txt or "").split() if t]
-            if not toks:
-                continue
-            s = 0
-            for t in toks:
-                bkt = int(hashlib.md5(t.encode()).hexdigest()[:12],
-                          16) % QC_F
-                s += (bkt * QC_A) % QC_MOD - 500
-            srcs.append(src)
-            scs.append(s)
-            pos.append(1 if s > 0 else 0)
-        return pa.table({"source": pa.array(srcs, pa.string()),
-                         "sc": pa.array(scs, pa.int64()),
-                         "pos": pa.array(pos, pa.int64())})
-
-    return docs.map_batches(score, batch_format="pyarrow",
+    # autoscaling pool (min 1): a FIXED pool of 4 would reserve every
+    # CPU of a 4-CPU session before the read produced a block —
+    # deadlock (read backpressured forever)
+    return docs.map_batches(_QCScorer, concurrency=(1, 4),
+                            batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("source").aggregate(
             _Count(alias_name="n_docs"),
             _Sum("sc", alias_name="sum_score"),
             _Sum("pos", alias_name="n_positive"))
+
+
+class _QCScorer:
+    """Actor-pool scorer: token->weight vocab cache built once per
+    actor and reused across batches (the 'model state' of the hashing
+    trick); per batch everything is vectorized except one md5 per
+    CACHE-MISS distinct token."""
+
+    _CACHE_CAP = 1_000_000   # vocab entries per actor before reset
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _weights(self, uniq: np.ndarray) -> np.ndarray:
+        import hashlib
+        cache = self._cache
+        if len(cache) > self._CACHE_CAP:
+            cache.clear()
+        w = np.empty(len(uniq), np.int64)
+        for i, t in enumerate(uniq):
+            v = cache.get(t)
+            if v is None:
+                bkt = int(hashlib.md5(t.encode()).hexdigest()[:12],
+                          16) % QC_F
+                v = (bkt * QC_A) % QC_MOD - 500
+                cache[t] = v
+            w[i] = v
+        return w
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        txt = b["text"].to_pandas().fillna("").reset_index(drop=True)
+        tok = txt.str.split().explode()
+        keep = tok.notna().to_numpy() & (tok != "").to_numpy()
+        doc_idx = tok.index.to_numpy()[keep]          # nondecreasing
+        flat = tok.to_numpy()[keep].astype(object)
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "sc": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        w_tok = self._weights(uniq)[inv]
+        # segment sum over the sorted doc index (docs with no tokens
+        # produce no segment — absent, like the SQL groupby)
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(doc_idx))[0] + 1])
+        sc = np.add.reduceat(w_tok, starts)
+        seg_docs = doc_idx[starts]
+        return pa.table({
+            "source": b["source"].take(pa.array(seg_docs, pa.int64())),
+            "sc": pa.array(sc, pa.int64()),
+            "pos": (sc > 0).astype(np.int64)})
 
 
 def sql_quality_classifier() -> str:

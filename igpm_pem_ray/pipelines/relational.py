@@ -770,15 +770,20 @@ EMBED_DUP_T = 0.4  # testdata embeddings are random (max sim ~0.51)
 
 def q_embed_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (driver-spec dedup variant):
-    exact all-pairs over the threshold, streamed block x broadcast."""
+    exact all-pairs over the threshold, streamed block x broadcast;
+    the pair table stays a Dataset end to end (Dataset.sort, the
+    q_doc_dedup_exact convention — no full-result driver pandas)."""
     from igpm_pem_ray.ann.embed_dedup import cosine_pairs
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = cosine_pairs(emb, threshold=EMBED_DUP_T).to_pandas() \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.table({"id_a": pairs["id_a"].to_numpy(),
-                     "id_b": pairs["id_b"].to_numpy(),
-                     "sim_e4": scale_col(pairs["sim"].to_numpy(), 1e4)})
+    return cosine_pairs(emb, threshold=EMBED_DUP_T).map_batches(
+        lambda b: pa.table({
+            "id_a": b["id_a"].cast(pa.int64()),
+            "id_b": b["id_b"].cast(pa.int64()),
+            "sim_e4": scale_col(
+                b["sim"].to_numpy(zero_copy_only=False), 1e4)}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["id_a", "id_b"])
 
 
 def sql_embed_near_dup() -> str:
