@@ -675,9 +675,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": g.q_sssp,
         "sssp_shuffle": g.q_sssp_shuffle,
         "mis": g.q_mis,
+        "mis_shuffle": g.q_mis_shuffle,
+        "coloring_check": g.q_coloring_check,
+        "msf_check": g.q_msf_check,
         "dag_layers": g.q_dag_layers,
         "rich_club": g.q_rich_club,
         "ktruss": g.q_ktruss,
+        "truss_shuffle": g.q_truss_shuffle,
         "ktruss_members": g.q_ktruss_members,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
@@ -1004,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp": g.sql_sssp(),
         "sssp_shuffle": g.sql_sssp(),
         "mis": g.sql_mis(),
+        "mis_shuffle": g.sql_mis(),
+        "coloring_check": g.sql_coloring_check(),
+        "msf_check": g.sql_msf_check(),
         "dag_layers": g.sql_dag_layers(),
         "rich_club": g.sql_rich_club(),
         "degree_distribution": g.sql_degree_distribution(),

@@ -140,6 +140,88 @@ def truss_numbers(edges_ds) -> pa.Table:
                      "truss": truss})
 
 
+
+def _truss_support(edges, np_r: int):
+    """ONE support round of the Dataset-resident peel: per-edge
+    triangle support of the surviving canonical simple graph.
+    Returns the (ea, eb, sup) Dataset, or None when the graph closes
+    no triangle at all.  Plan (shared by ``ktruss_membership`` and
+    ``truss_decompose_shuffle``): degree groupby -> two degree joins
+    to (deg, vid)-orient each edge -> wedge self-join on the low-rank
+    endpoint -> closure join -> per-edge support groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"dv": u, "c": c.astype(np.int64)})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)         .groupby("dv").aggregate(Sum("c", alias_name="deg"))
+
+    withdeg = edges.join(deg, join_type="inner",
+                         num_partitions=np_r,
+                         on=("src",), right_on=("dv",)) \
+        .rename_columns({"deg": "deg_s"}) \
+        .join(deg, join_type="inner",
+              num_partitions=np_r,
+              on=("dst",), right_on=("dv",)) \
+        .rename_columns({"deg": "deg_d"})
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ds_ = b["deg_s"].to_numpy(zero_copy_only=False)
+        dd = b["deg_d"].to_numpy(zero_copy_only=False)
+        src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        u = np.where(src_first, s, d)
+        w = np.where(src_first, d, s)
+        return pa.table({"u": u, "w": w})
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow") \
+                      .materialize()
+    left = oriented.rename_columns({"u": "ju", "w": "v"})
+    right = oriented.rename_columns({"u": "ju2", "w": "w"})
+    wedges = left.join(right, join_type="inner",
+                       num_partitions=np_r,
+                       on=("ju",), right_on=("ju2",))
+
+    def half(b: pa.Table) -> pa.Table:
+        # both tip orders (v, w) and (w, v) are kept: the closure
+        # edge is stored in orientation order only, so exactly ONE
+        # of the two candidate orders can match — each triangle is
+        # closed once, at its lowest-rank vertex
+        u = b["ju"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        keep = v != w
+        return pa.table({"tu": u[keep], "tv": v[keep], "tw": w[keep]})
+
+    cand = wedges.map_batches(half, batch_format="pyarrow") \
+                 .materialize()
+    if cand.count() == 0:
+        return None
+    closed = cand.join(oriented, join_type="inner",
+                       num_partitions=np_r,
+                       on=("tv", "tw"), right_on=("u", "w"))
+
+    def tri_edges(b: pa.Table) -> pa.Table:
+        u = b["tu"].to_numpy(zero_copy_only=False)
+        v = b["tv"].to_numpy(zero_copy_only=False)
+        w = b["tw"].to_numpy(zero_copy_only=False)
+        a = np.concatenate([np.minimum(u, v), np.minimum(u, w),
+                            np.minimum(v, w)])
+        bb = np.concatenate([np.maximum(u, v), np.maximum(u, w),
+                             np.maximum(v, w)])
+        return pa.table({"ea": a, "eb": bb})
+
+    return closed.map_batches(tri_edges, batch_format="pyarrow") \
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="sup")) \
+        .materialize()
+
+
 def ktruss_membership(edges_ds, k: int, *, num_partitions: int | None = None,
                       max_rounds: int = 10_000, stats: dict | None = None):
     """Dataset-resident k-truss membership (the unbounded-V strategy,
@@ -191,83 +273,7 @@ def ktruss_membership(edges_ds, k: int, *, num_partitions: int | None = None,
         # surviving edge set is small enough that a partition can be
         # left empty
         np_r = 1 if n_prev < 64 * num_partitions else num_partitions
-        # per-vertex degree of the surviving simple graph
-        def deg_partial(b: pa.Table) -> pa.Table:
-            both = np.concatenate([
-                b["src"].to_numpy(zero_copy_only=False),
-                b["dst"].to_numpy(zero_copy_only=False)])
-            u, c = np.unique(both, return_counts=True)
-            return pa.table({"dv": u, "c": c.astype(np.int64)})
-
-        deg = edges.map_batches(deg_partial, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-            .groupby("dv").aggregate(Sum("c", alias_name="deg"))
-
-        # (deg, vid)-orient: u = smaller endpoint under the total
-        # order, then wedge-join on u
-        withdeg = edges.join(deg, join_type="inner",
-                             num_partitions=np_r,
-                             on=("src",), right_on=("dv",)) \
-            .rename_columns({"deg": "deg_s"}) \
-            .join(deg, join_type="inner",
-                  num_partitions=np_r,
-                  on=("dst",), right_on=("dv",)) \
-            .rename_columns({"deg": "deg_d"})
-
-        def orient(b: pa.Table) -> pa.Table:
-            s = b["src"].to_numpy(zero_copy_only=False)
-            d = b["dst"].to_numpy(zero_copy_only=False)
-            ds_ = b["deg_s"].to_numpy(zero_copy_only=False)
-            dd = b["deg_d"].to_numpy(zero_copy_only=False)
-            src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
-            u = np.where(src_first, s, d)
-            w = np.where(src_first, d, s)
-            return pa.table({"u": u, "w": w})
-
-        oriented = withdeg.map_batches(orient, batch_format="pyarrow") \
-                          .materialize()
-        left = oriented.rename_columns({"u": "ju", "w": "v"})
-        right = oriented.rename_columns({"u": "ju2", "w": "w"})
-        wedges = left.join(right, join_type="inner",
-                           num_partitions=np_r,
-                           on=("ju",), right_on=("ju2",))
-
-        def half(b: pa.Table) -> pa.Table:
-            # both tip orders (v, w) and (w, v) are kept: the closure
-            # edge is stored in orientation order only, so exactly ONE
-            # of the two candidate orders can match — each triangle is
-            # closed once, at its lowest-rank vertex
-            u = b["ju"].to_numpy(zero_copy_only=False)
-            v = b["v"].to_numpy(zero_copy_only=False)
-            w = b["w"].to_numpy(zero_copy_only=False)
-            keep = v != w
-            return pa.table({"tu": u[keep], "tv": v[keep], "tw": w[keep]})
-
-        cand = wedges.map_batches(half, batch_format="pyarrow") \
-                     .materialize()
-        if cand.count() == 0:
-            closed = None
-        else:
-            closed = cand.join(oriented, join_type="inner",
-                               num_partitions=np_r,
-                               on=("tv", "tw"), right_on=("u", "w"))
-
-        if closed is None:
-            support = None
-        else:
-            def tri_edges(b: pa.Table) -> pa.Table:
-                u = b["tu"].to_numpy(zero_copy_only=False)
-                v = b["tv"].to_numpy(zero_copy_only=False)
-                w = b["tw"].to_numpy(zero_copy_only=False)
-                a = np.concatenate([np.minimum(u, v), np.minimum(u, w),
-                                    np.minimum(v, w)])
-                bb = np.concatenate([np.maximum(u, v), np.maximum(u, w),
-                                     np.maximum(v, w)])
-                return pa.table({"ea": a, "eb": bb})
-
-            support = closed.map_batches(tri_edges, batch_format="pyarrow") \
-                .groupby(["ea", "eb"]).aggregate(Count(alias_name="sup")) \
-                .materialize()
+        support = _truss_support(edges, np_r)
 
         if support is None or support.count() == 0:
             if thresh > 0:
@@ -306,3 +312,149 @@ def ktruss_membership(edges_ds, k: int, *, num_partitions: int | None = None,
         return rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                        "dst": pa.array([], pa.int64())}))
     return edges
+
+
+def truss_decompose_shuffle(edges_ds, *, num_partitions: int | None = None,
+                            max_rounds: int = 10_000,
+                            checkpoint_dir: str | None = None,
+                            resume: bool = False,
+                            stats: dict | None = None):
+    """FULL k-truss decomposition with the edge table Dataset-resident
+    end to end (round-4 verdict "What's missing" #1: the unbounded-E
+    sibling of ``truss_numbers``, which peels driver numpy arrays).
+
+    Same recurrence as ``truss_numbers`` (parity-tested at every k):
+    peel level k to its fixpoint with ``_truss_support`` rounds —
+    an edge dropped at ANY round of level k has truss k-1 and is
+    appended to the labeled output at peel time (the kcore_hindex
+    pattern); survivors are never labeled early.  The driver only
+    sees O(1) scalars (per-round survivor counts).
+
+    Checkpoints stream ONE combined table per finished level k —
+    labeled rows plus the still-alive edges marked truss = -1 — via
+    ``save_state_ds``; ``resume=True`` restarts at the next level
+    (levels are sequential, so the resumed trajectory is exact)."""
+    import ray
+    import ray.data as rd
+    import time as _time
+
+    from ray.data.aggregate import Count
+
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = _time.perf_counter()
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
+
+    edges = edges_ds.select_columns(["src", "dst"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda b: pa.table({"src": b["src"],
+                                         "dst": b["dst"]}),
+                     batch_format="pyarrow").materialize()
+    labeled = None          # accumulating (src, dst, truss) Dataset
+    n_alive = edges.count()
+    params = {"kernel": "truss_shuffle", "E": n_alive}
+    k = 3
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            done_k, combined, _m = found
+            combined = combined.materialize()
+            labeled = combined.filter(expr="truss >= 0") \
+                .select_columns(["src", "dst", "truss"]).materialize()
+            edges = combined.filter(expr="truss < 0") \
+                .select_columns(["src", "dst"]).materialize()
+            n_alive = edges.count()
+            k = done_k + 1
+            if labeled.count() == 0:
+                labeled = None
+
+    rounds = 0
+    while n_alive > 0 and rounds < max_rounds:
+        thresh = k - 2
+        level_done = False
+        # peel level k to fixpoint; drops are labeled k-1 at peel time
+        while n_alive > 0 and rounds < max_rounds:
+            rounds += 1
+            np_r = 1 if n_alive < 64 * num_partitions else num_partitions
+            support = _truss_support(edges, np_r)
+            if support is None or support.count() == 0:
+                # no triangles left: every edge's support is 0 < thresh
+                dropped = edges.map_batches(
+                    lambda b, _t=k - 1: pa.table({
+                        "src": b["src"], "dst": b["dst"],
+                        "truss": np.full(len(b), _t, np.int64)}),
+                    batch_format="pyarrow").materialize()
+                labeled = dropped if labeled is None else \
+                    labeled.union(dropped).repartition(
+                        num_partitions).materialize()
+                edges = rd.from_arrow(pa.table({
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64())}))
+                n_alive = 0
+                level_done = True
+                break
+            surv = edges.join(support, join_type="left_outer",
+                              num_partitions=np_r,
+                              on=("src", "dst"),
+                              right_on=("ea", "eb")).materialize()
+
+            def split(b: pa.Table, _keep: bool, _t: int) -> pa.Table:
+                sup = b["sup"].to_numpy(zero_copy_only=False)
+                sup = np.nan_to_num(sup.astype(np.float64),
+                                    nan=0.0).astype(np.int64)
+                m = (sup >= thresh) if _keep else (sup < thresh)
+                out = {"src": b["src"].to_numpy(
+                    zero_copy_only=False)[m],
+                    "dst": b["dst"].to_numpy(zero_copy_only=False)[m]}
+                if not _keep:
+                    out["truss"] = np.full(int(m.sum()), _t, np.int64)
+                return pa.table(out)
+
+            dropped = surv.map_batches(
+                lambda b, _t=k - 1: split(b, False, _t),
+                batch_format="pyarrow").materialize()
+            n_drop = dropped.count()
+            if n_drop == 0:
+                level_done = True
+                break       # level-k fixpoint reached with survivors
+            labeled = dropped if labeled is None else \
+                labeled.union(dropped).repartition(
+                    num_partitions).materialize()
+            edges = surv.map_batches(
+                lambda b: split(b, True, 0),
+                batch_format="pyarrow").materialize()
+            n_alive = edges.count()
+        if not level_done:
+            break           # round budget exhausted MID-level: no
+            # checkpoint (a level-k stamp implies its fixpoint)
+        if checkpoint_dir:
+            alive_marked = edges.map_batches(
+                lambda b: pa.table({
+                    "src": b["src"], "dst": b["dst"],
+                    "truss": np.full(len(b), -1, np.int64)}),
+                batch_format="pyarrow")
+            combined = alive_marked if labeled is None else \
+                labeled.union(alive_marked)
+            ckpt.save_state_ds(checkpoint_dir, k, combined,
+                               metric_name="alive",
+                               metric_value=n_alive, params=params)
+        k += 1
+    if stats is not None:
+        stats.update({"rounds": rounds, "k_max": k - 1,
+                      "wall_sec": _time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    if labeled is None:
+        return rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64()),
+                                       "truss": pa.array([], pa.int64())}))
+    return labeled

@@ -820,7 +820,14 @@ def _frontier_join(sym, frontier, *, num_partitions: int):
     if fr.count() == 0:
         return None
     if fr.size_bytes() <= _BROADCAST_FRONTIER_BYTES:
-        tbl = pa.concat_tables([ray.get(r) for r in fr.to_arrow_refs()])
+        # drop 0-row blocks before concat: Ray's re-batching can emit
+        # SCHEMA-LESS empty blocks (0 columns) that poison
+        # concat_tables with a schema mismatch
+        tbls = [t for t in (ray.get(r) for r in fr.to_arrow_refs())
+                if t.num_rows > 0]
+        if not tbls:
+            return None
+        tbl = pa.concat_tables(tbls)
         tbl = tbl.sort_by("vid")  # unique vids (post-reduce state rows)
         ref = ray.put(tbl)
         payload = [c for c in tbl.column_names if c != "vid"]
@@ -1755,3 +1762,360 @@ def msf_shuffle(edges_ds, *, num_partitions: int | None = None,
                       "wall_sec": time.perf_counter() - t0,
                       "strategy": "shuffle"})
     return forest
+
+
+
+# ---------------------------------------------------------------------------
+# Symmetry-breaking family: Luby MIS and Jones-Plassmann coloring with ALL
+# per-vertex state Dataset-resident (the 10^12-V siblings of graph/mis.py
+# and graph/coloring.py — VERDICT r4 "What's missing" #2).  Both share the
+# packed (hash, rank) priority of graph/mis._priorities: the global 0-based
+# vid rank is computed ONCE by the sorted-block ranker (stages/ranked.py,
+# constant key — no driver V-array), so the priorities — and therefore the
+# outputs — are bit-identical to the dense kernels (parity-tested).
+#
+# Exchange design: NO per-round hash joins at all.  Late rounds shrink the
+# winner/frontier sets to a handful of rows, exactly the shape that trips
+# Ray 2.49's zero-right-side-block join hazard (see _frontier_join) — so
+# neighbor messages go through the adaptive _frontier_join (broadcast when
+# small, shuffle join when big) and every state/winner combination is a
+# UNION + groupby-Max: each row kind carries -1 fillers in the columns it
+# does not own, and one Max-aggregate per column reassembles the row.  One
+# groupby replaces two joins, and a groupby has no empty-partition hazard.
+# ---------------------------------------------------------------------------
+
+_SB_A, _SB_B, _SB_M = 1_103_515_245, 12_345, (1 << 31) - 1
+
+
+def _sb_state_init(edges_ds, num_partitions: int, n_blocks: int):
+    """(symmetric self-loop-free edge Dataset, (vid, rank0) Dataset
+    with the global 0-based vid rank).  Self-loops are dropped (a
+    self-looped vertex would see its OWN priority as a neighbor and
+    never win)."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = _np_col(b, "src"), _np_col(b, "dst")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    edges = edges_ds.select_columns(["src", "dst"]) \
+        .map_batches(sym, batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(n_blocks).materialize()
+    verts = _vertices_ds(edges, num_partitions).map_batches(
+        lambda b: pa.table({"vid": b["vid"], "_g": np.zeros(
+            len(b), np.int64)}), batch_format="pyarrow")
+    state = rank_per_group(verts, key="_g", order=["vid"],
+                           descending=[False]) \
+        .map_batches(lambda b: pa.table({
+            "vid": b["vid"].cast(pa.int64()),
+            "rank0": pc.subtract(b["rank"].cast(pa.int64()), 1)}),
+            batch_format="pyarrow") \
+        .repartition(n_blocks).materialize()
+    return edges, state
+
+
+def _sb_pri(vid: np.ndarray, rank0: np.ndarray,
+            round_no: int) -> np.ndarray:
+    """graph/mis._priorities, columnar: packed (affine hash, rank)."""
+    h = ((vid.astype(np.int64) % _SB_M) * _SB_A
+         + round_no * _SB_B) % _SB_M
+    return (h << 31) | rank0.astype(np.int64)
+
+
+def _sb_winners(edges, frontier, num_partitions: int):
+    """Winner frontier (vid,) of one symmetry-breaking round: the
+    frontier rows (vid, pri) whose pri exceeds every frontier
+    NEIGHBOR's pri.  One _frontier_join + one union-groupby — the
+    self row carries (selfp=pri, nbrp=-1), each message (selfp=-1,
+    nbrp=pri); Max over both columns reassembles the comparison."""
+    selfp = frontier.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "selfp": b["pri"],
+                            "nbrp": np.full(len(b), -1, np.int64)}),
+        batch_format="pyarrow")
+    msgs = _frontier_join(edges, frontier, num_partitions=num_partitions)
+    both = selfp if msgs is None else selfp.union(
+        msgs.map_batches(
+            lambda b: pa.table({
+                "vid": b["vid"],
+                "selfp": np.full(len(b), -1, np.int64),
+                "nbrp": b["pri"]}), batch_format="pyarrow"))
+    return both.groupby("vid").aggregate(
+        Max("selfp", alias_name="selfp"),
+        Max("nbrp", alias_name="nbrp")) \
+        .map_batches(lambda b: pa.table({
+            "vid": b["vid"].cast(pa.int64())}).filter(
+                pc.and_(pc.greater_equal(b["selfp"], np.int64(0)),
+                        pc.greater(b["selfp"], b["nbrp"]))),
+            batch_format="pyarrow").materialize()
+
+
+def mis_shuffle(edges_ds, *, max_rounds: int | None = None,
+                num_partitions: int | None = None,
+                checkpoint_dir: str | None = None,
+                checkpoint_every: int = 5,
+                resume: bool = False,
+                stats: dict | None = None):
+    """Dataset-resident Luby MIS — identical recurrence and priorities
+    to ``graph/mis.maximal_independent_set`` (parity-tested), state
+    (vid, rank0, state 0/1/2) as a Dataset end to end.
+
+    Per round: the undecided-priority winner wave, the exclusion wave
+    over winner neighbors (both _frontier_join message passes), and
+    ONE union-groupby state apply; the driver sees only O(1) scalars.
+    Unique packed priorities guarantee >=1 winner per round, so
+    rounds are O(log V) expected (Luby 1985)."""
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    edges, state = _sb_state_init(edges_ds, num_partitions, n_blocks)
+    state = state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "rank0": b["rank0"],
+                            "state": np.zeros(len(b), np.int64)}),
+        batch_format="pyarrow").materialize()
+
+    params = {"kernel": "mis_shuffle", "V": state.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, st2, _m = found
+            state = st2.materialize()
+
+    def _n_undecided(st) -> int:
+        return int(st.map_batches(
+            lambda b: pa.table({"c": (_np_col(b, "state") == 0)
+                                .astype(np.int64)}),
+            batch_format="pyarrow").sum("c") or 0)
+
+    rounds = start_round
+    undecided = _n_undecided(state)
+    while undecided > 0:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
+        r = rounds
+        und = state.map_batches(
+            lambda b, _r=r: (lambda m: pa.table({
+                "vid": _np_col(b, "vid")[m],
+                "pri": _sb_pri(_np_col(b, "vid")[m],
+                               _np_col(b, "rank0")[m], _r)}))(
+                _np_col(b, "state") == 0),
+            batch_format="pyarrow").materialize()
+        winners = _sb_winners(edges, und, num_partitions)
+        # exclusion wave: neighbors of new members
+        hit = _frontier_join(
+            edges, winners.map_batches(
+                lambda b: pa.table({"vid": b["vid"],
+                                    "h": np.ones(len(b), np.int64)}),
+                batch_format="pyarrow"),
+            num_partitions=num_partitions)
+        # union-groupby apply: state rows + winner rows + hit rows
+        srows = state.map_batches(
+            lambda b: pa.table({"vid": b["vid"], "rank0": b["rank0"],
+                                "state": b["state"],
+                                "w": np.full(len(b), -1, np.int64),
+                                "h": np.full(len(b), -1, np.int64)}),
+            batch_format="pyarrow")
+        wrows = winners.map_batches(
+            lambda b: pa.table({"vid": b["vid"],
+                                "rank0": np.full(len(b), -1, np.int64),
+                                "state": np.full(len(b), -1, np.int64),
+                                "w": np.ones(len(b), np.int64),
+                                "h": np.full(len(b), -1, np.int64)}),
+            batch_format="pyarrow")
+        both = srows.union(wrows)
+        if hit is not None:
+            both = both.union(hit.map_batches(
+                lambda b: pa.table({
+                    "vid": b["vid"],
+                    "rank0": np.full(len(b), -1, np.int64),
+                    "state": np.full(len(b), -1, np.int64),
+                    "w": np.full(len(b), -1, np.int64),
+                    "h": b["h"]}), batch_format="pyarrow"))
+        state = both.groupby("vid").aggregate(
+            Max("rank0", alias_name="rank0"),
+            Max("state", alias_name="state"),
+            Max("w", alias_name="w"),
+            Max("h", alias_name="h")) \
+            .map_batches(lambda b: pa.table({
+                "vid": b["vid"].cast(pa.int64()),
+                "rank0": b["rank0"].cast(pa.int64()),
+                "state": np.where(
+                    _np_col(b, "state") != 0, _np_col(b, "state"),
+                    np.where(_np_col(b, "w") == 1, np.int64(1),
+                             np.where(_np_col(b, "h") == 1,
+                                      np.int64(2), np.int64(0))))
+                .astype(np.int64)}),
+                batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+        undecided = _n_undecided(state)
+        if checkpoint_dir and (rounds % checkpoint_every == 0
+                               or undecided == 0):
+            ckpt.save_state_ds(checkpoint_dir, rounds, state,
+                               metric_name="undecided",
+                               metric_value=undecided, params=params)
+    if stats is not None:
+        stats.update({"rounds": rounds,
+                      "wall_sec": time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    return state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "state": b["state"]}),
+        batch_format="pyarrow")
+
+
+def coloring_shuffle(edges_ds, *, max_rounds: int | None = None,
+                     num_partitions: int | None = None,
+                     checkpoint_dir: str | None = None,
+                     checkpoint_every: int = 5,
+                     resume: bool = False,
+                     stats: dict | None = None):
+    """Dataset-resident Jones-Plassmann greedy coloring — identical
+    recurrence and static priorities to
+    ``graph/coloring.greedy_coloring`` (parity-tested), state
+    (vid, rank0, color) Dataset end to end.
+
+    Per round: the winner wave over uncolored vertices, ONE colored-
+    color message pass, then the smallest-absent-color (mex) for all
+    receivers as pure shuffle algebra — distinct (vid, color) pairs
+    -> per-vid color rank (sorted-block ranker) -> the rank-identity
+    gap test (color > rank-1 marks the first hole) -> one Min/Count
+    groupby — and ONE union-groupby apply that colors exactly the
+    winners.  No per-group Python, no driver arrays, no per-round
+    hash joins."""
+    from igpm_pem_ray.stages.ranked import rank_per_group
+    from igpm_pem_ray.state import checkpoint as ckpt
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(8, cpus // 4))
+    t0 = time.perf_counter()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(num_partitions, cpus // 2)
+    edges, state = _sb_state_init(edges_ds, num_partitions, n_blocks)
+    state = state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "rank0": b["rank0"],
+                            "color": np.full(len(b), -1, np.int64)}),
+        batch_format="pyarrow").materialize()
+
+    params = {"kernel": "coloring_shuffle", "V": state.count()}
+    start_round = 0
+    if resume and checkpoint_dir:
+        found = ckpt.latest_state_ds(checkpoint_dir, params)
+        if found is not None:
+            start_round, st2, _m = found
+            state = st2.materialize()
+
+    def _n_uncolored(st) -> int:
+        return int(st.map_batches(
+            lambda b: pa.table({"c": (_np_col(b, "color") < 0)
+                                .astype(np.int64)}),
+            batch_format="pyarrow").sum("c") or 0)
+
+    rounds = start_round
+    uncolored = _n_uncolored(state)
+    while uncolored > 0:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
+        unc = state.map_batches(
+            lambda b: (lambda m: pa.table({
+                "vid": _np_col(b, "vid")[m],
+                "pri": _sb_pri(_np_col(b, "vid")[m],
+                               _np_col(b, "rank0")[m], 0)}))(
+                _np_col(b, "color") < 0),
+            batch_format="pyarrow").materialize()
+        winners = _sb_winners(edges, unc, num_partitions)
+        # colored-color messages -> mex per RECEIVER (a superset of
+        # the winners; the apply below colors only winners)
+        colored = state.map_batches(
+            lambda b: (lambda m: pa.table({
+                "vid": _np_col(b, "vid")[m],
+                "ncol": _np_col(b, "color")[m]}))(
+                _np_col(b, "color") >= 0),
+            batch_format="pyarrow")
+        cmsgs = _frontier_join(edges, colored,
+                               num_partitions=num_partitions)
+        mex = None
+        if cmsgs is not None:
+            pairs = cmsgs.groupby(["vid", "ncol"]).aggregate(
+                Min("ncol", alias_name="_d"))
+            ranked = rank_per_group(pairs.drop_columns(["_d"]),
+                                    key="vid", order=["ncol"],
+                                    descending=[False])
+            mex = ranked.map_batches(
+                lambda b: (lambda c, p: pa.table({
+                    "vid": b["vid"],
+                    "gap": np.where(c > p, p, np.int64(1) << 40),
+                    "one": np.ones(len(b), np.int64)}))(
+                    _np_col(b, "ncol").astype(np.int64),
+                    _np_col(b, "rank").astype(np.int64) - 1),
+                batch_format="pyarrow") \
+                .groupby("vid").aggregate(
+                    Min("gap", alias_name="fgap"),
+                    Sum("one", alias_name="ncols")) \
+                .map_batches(lambda b: pa.table({
+                    "vid": b["vid"].cast(pa.int64()),
+                    "m": np.minimum(
+                        _np_col(b, "fgap").astype(np.int64),
+                        _np_col(b, "ncols").astype(np.int64))}),
+                    batch_format="pyarrow")
+        # union-groupby apply: state + winner-flag + mex rows; only
+        # (uncolored & winner) rows take max(mex, 0)
+        srows = state.map_batches(
+            lambda b: pa.table({"vid": b["vid"], "rank0": b["rank0"],
+                                "color": b["color"],
+                                "w": np.full(len(b), -1, np.int64),
+                                "m": np.full(len(b), -1, np.int64)}),
+            batch_format="pyarrow")
+        wrows = winners.map_batches(
+            lambda b: pa.table({"vid": b["vid"],
+                                "rank0": np.full(len(b), -1, np.int64),
+                                "color": np.full(len(b), -2, np.int64),
+                                "w": np.ones(len(b), np.int64),
+                                "m": np.full(len(b), -1, np.int64)}),
+            batch_format="pyarrow")
+        both = srows.union(wrows)
+        if mex is not None:
+            both = both.union(mex.map_batches(
+                lambda b: pa.table({
+                    "vid": b["vid"],
+                    "rank0": np.full(len(b), -1, np.int64),
+                    "color": np.full(len(b), -2, np.int64),
+                    "w": np.full(len(b), -1, np.int64),
+                    "m": b["m"]}), batch_format="pyarrow"))
+        state = both.groupby("vid").aggregate(
+            Max("rank0", alias_name="rank0"),
+            Max("color", alias_name="color"),
+            Max("w", alias_name="w"),
+            Max("m", alias_name="m")) \
+            .map_batches(lambda b: pa.table({
+                "vid": b["vid"].cast(pa.int64()),
+                "rank0": b["rank0"].cast(pa.int64()),
+                "color": np.where(
+                    _np_col(b, "color") >= 0, _np_col(b, "color"),
+                    np.where(_np_col(b, "w") == 1,
+                             np.maximum(_np_col(b, "m"), np.int64(0)),
+                             np.int64(-1))).astype(np.int64)}),
+                batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+        uncolored = _n_uncolored(state)
+        if checkpoint_dir and (rounds % checkpoint_every == 0
+                               or uncolored == 0):
+            ckpt.save_state_ds(checkpoint_dir, rounds, state,
+                               metric_name="uncolored",
+                               metric_value=uncolored, params=params)
+    if stats is not None:
+        stats.update({"rounds": rounds,
+                      "wall_sec": time.perf_counter() - t0,
+                      "strategy": "shuffle"})
+    return state.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "color": b["color"]}),
+        batch_format="pyarrow")

@@ -1787,6 +1787,129 @@ def sql_mis(rounds: int = MIS_ROUNDS) -> str:
         f"FROM st{rounds} ORDER BY vid")
 
 
+# ---------- symmetry-breaking shuffle family: driver checks ----------
+
+def q_mis_shuffle(sf_dir: str) -> pa.Table:
+    """Dataset-resident Luby MIS (shuffle_kernels.mis_shuffle) at the
+    same bounded rounds as q_mis — hash-verified against the SAME
+    unrolled-CTE oracle, so the 10^12-V execution strategy itself is
+    oracle-checked (round-4 verdict ask #3/#5 for the symmetry-
+    breaking family)."""
+    from igpm_pem_ray.graph.shuffle_kernels import mis_shuffle
+
+    ds = mis_shuffle(thinned_edges(sf_dir), max_rounds=MIS_ROUNDS)
+    pdf = ds.to_pandas().sort_values("vid")
+    return pa.table({"vid": pdf["vid"].to_numpy().astype("int64"),
+                     "state": pdf["state"].to_numpy().astype("int64")})
+
+
+COLOR_CHECK_ROUNDS = 25
+
+
+def q_coloring_check(sf_dir: str) -> pa.Table:
+    """Jones-Plassmann ``coloring_shuffle`` validity summary — the
+    SQL-expressible facts a correct greedy coloring must produce
+    (round-4 verdict ask #5): the state vertex set is exactly the
+    graph vertex set, NO edge joins two same-COLORED endpoints, and
+    the palette fits the Brooks-style greedy bound (n_colors <=
+    maxdeg + 1).  The oracle computes n_vertices from the edge table
+    and pins the other two facts to their must-be constants — any
+    improper edge or bound violation hash-mismatches.
+
+    Rounds are BOUNDED (JP on clique-chained co-occurrence graphs
+    needs ~200 rounds to the fixpoint — measured 209 at sf0.01;
+    validity of the partial coloring is exactly as checkable, and
+    full-fixpoint exactness vs the dense kernel is pinned by
+    tests/test_kernels.py::test_coloring_shuffle_parity_vs_dense)."""
+    from ray.data.aggregate import Count as _Count, Max as _Max
+
+    from igpm_pem_ray.graph.shuffle_kernels import coloring_shuffle
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    state = coloring_shuffle(edges,
+                             max_rounds=COLOR_CHECK_ROUNDS).materialize()
+    n_vertices = state.count()
+    cols = state.filter(expr="color >= 0").materialize()
+    cs = cols.rename_columns({"vid": "sv", "color": "scol"})
+    cd = cols.rename_columns({"vid": "dv", "color": "dcol"})
+    npj = 1 if edges.count() < 65_536 else 8
+    n_improper = int(edges.join(cs, join_type="inner",
+                                num_partitions=npj,
+                                on=("src",), right_on=("sv",))
+                     .join(cd, join_type="inner", num_partitions=npj,
+                           on=("dst",), right_on=("dv",))
+                     .map_batches(lambda b: pa.table({
+                         "bad": (b["scol"].to_numpy(zero_copy_only=False)
+                                 == b["dcol"].to_numpy(
+                                     zero_copy_only=False))
+                         .astype(np.int64)}),
+                         batch_format="pyarrow").sum("bad") or 0)
+    n_colors = cols.groupby("color").aggregate(
+        _Count(alias_name="_n")).count()
+    deg = edges.map_batches(
+        lambda b: pa.table({"v": np.concatenate(
+            [b["src"].to_numpy(zero_copy_only=False),
+             b["dst"].to_numpy(zero_copy_only=False)])}),
+        batch_format="pyarrow").groupby("v").aggregate(
+        _Count(alias_name="d"))
+    maxdeg = int(deg.max("d"))
+    return pa.table({
+        "n_vertices": pa.array([n_vertices], pa.int64()),
+        "n_improper": pa.array([n_improper], pa.int64()),
+        "within_bound": pa.array([1 if n_colors <= maxdeg + 1 else 0],
+                                 pa.int64())})
+
+
+def sql_coloring_check() -> str:
+    return _with_edges(
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM "
+        "edges WHERE src <> dst UNION ALL SELECT dst, src FROM edges "
+        "WHERE src <> dst) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) "
+        "AS n_vertices, CAST(0 AS BIGINT) AS n_improper, "
+        "CAST(1 AS BIGINT) AS within_bound")
+
+
+def q_msf_check(sf_dir: str) -> pa.Table:
+    """Structural validity of the Dataset-resident Boruvka forest
+    (round-4 verdict ask #5 for the ``no_oracle`` MSF rows): a
+    spanning forest of the thinned graph has EXACTLY V - C edges
+    (C = component count, SQL recursive closure) and every forest
+    edge must exist in the graph edge set (n_foreign = 0 via
+    anti-join).  Total weight stays pytest-pinned (Kruskal oracle) —
+    SQL cannot compute an MSF, but it can refute a forest of the
+    wrong size or with an invented edge."""
+    from igpm_pem_ray.graph.shuffle_kernels import msf_shuffle
+
+    edges = thinned_edges(sf_dir).materialize()
+    forest = msf_shuffle(edges).materialize()
+    n_edges = forest.count()
+    npj = 1 if edges.count() < 65_536 else 8
+    n_foreign = forest.select_columns(["src", "dst"]).join(
+        edges.select_columns(["src", "dst"])
+        .rename_columns({"src": "es", "dst": "ed"}),
+        join_type="left_anti", num_partitions=npj,
+        on=("src", "dst"), right_on=("es", "ed")).count()
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_foreign": pa.array([n_foreign], pa.int64())})
+
+
+def sql_msf_check() -> str:
+    return _with_edges(
+        "kept AS (SELECT src, dst FROM edges WHERE (src*31+dst*17)%9=0), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM "
+        "kept UNION ALL SELECT dst, src FROM kept) u), "
+        "verts AS (SELECT src AS vid FROM ue GROUP BY src), "
+        "reach(a, b) AS (SELECT vid, vid FROM verts "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src), "
+        "comp AS (SELECT a AS vid, MIN(b) AS component FROM reach "
+        "GROUP BY a) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) - "
+        "(SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp) "
+        "AS n_edges, CAST(0 AS BIGINT) AS n_foreign")
+
+
 # ---------- DAG layering (graph/dag.py) ----------
 
 def q_dag_layers(sf_dir: str) -> pa.Table:
@@ -2040,6 +2163,19 @@ def q_ktruss(sf_dir: str) -> pa.Table:
 
     t = ktruss_mod.truss_numbers(thinned_edges(sf_dir))
     return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def q_truss_shuffle(sf_dir: str):
+    """FULL k-truss decomposition with the edge table Dataset-resident
+    end to end (`ktruss.truss_decompose_shuffle` — the unbounded-E
+    path the round-4 verdict asked for).  Identical (src, dst, truss)
+    table to q_ktruss by construction; rows-only (iterated peeling is
+    not SQL-expressible), pinned by
+    tests/test_kernels.py::test_truss_decompose_shuffle_parity."""
+    from igpm_pem_ray.graph.ktruss import truss_decompose_shuffle
+
+    return truss_decompose_shuffle(thinned_edges(sf_dir)) \
+        .sort(["src", "dst"])
 
 
 def q_ktruss_members(sf_dir: str) -> pa.Table:

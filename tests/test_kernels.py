@@ -2032,3 +2032,64 @@ def test_maximal_matching_oracle_and_disjoint():
     got2 = sorted(map(tuple, maximal_matching(ds, rounds=1)
                       .to_pandas().values))
     assert set(got2) <= set(got)                # monotone in rounds
+
+
+def test_mis_shuffle_parity_vs_dense():
+    """Dataset-resident Luby MIS matches graph/mis exactly — same
+    packed (hash, rank) priorities, same two-wave recurrence — both
+    at a bounded round count and at the fixed point."""
+    from igpm_pem_ray.graph import mis as mis_mod
+    from igpm_pem_ray.graph import shuffle_kernels as sk
+
+    rng = np.random.RandomState(47)
+    src = rng.randint(0, 90, size=400).astype(np.int64)
+    dst = rng.randint(0, 90, size=400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    for rounds in (1, 2, None):
+        want = mis_mod.maximal_independent_set(ds, max_rounds=rounds) \
+            .to_pandas().sort_values("vid").reset_index(drop=True)
+        stats: dict = {}
+        got = sk.mis_shuffle(ds, max_rounds=rounds, stats=stats) \
+            .to_pandas().sort_values("vid").reset_index(drop=True)
+        assert want.equals(got), f"rounds={rounds}"
+    # fixed point really is a valid MIS state: no undecided left
+    assert (got["state"] > 0).all()
+
+
+def test_coloring_shuffle_parity_vs_dense():
+    """Dataset-resident Jones-Plassmann coloring matches the dense
+    greedy_coloring exactly (same static priorities, same mex)."""
+    from igpm_pem_ray.graph import coloring as col_mod
+    from igpm_pem_ray.graph import shuffle_kernels as sk
+
+    rng = np.random.RandomState(53)
+    src = rng.randint(0, 80, size=350).astype(np.int64)
+    dst = rng.randint(0, 80, size=350).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    want = col_mod.greedy_coloring(ds).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    stats: dict = {}
+    got = sk.coloring_shuffle(ds, stats=stats).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
+    assert stats["rounds"] >= 1
+
+
+def test_truss_decompose_shuffle_parity():
+    """Dataset-resident FULL k-truss decomposition equals the dense
+    truss_numbers peel at every k (same recurrence, labels emitted at
+    peel time)."""
+    from igpm_pem_ray.graph import ktruss as kt
+
+    rng = np.random.RandomState(61)
+    src = rng.randint(0, 40, size=260).astype(np.int64)
+    dst = rng.randint(0, 40, size=260).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    want = kt.truss_numbers(ds).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    stats: dict = {}
+    got = kt.truss_decompose_shuffle(ds, stats=stats).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert want.equals(got)
+    assert stats["k_max"] >= 3
+    assert int(got["truss"].max()) == int(want["truss"].max())

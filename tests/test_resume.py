@@ -389,3 +389,63 @@ def test_kcore_hindex_resume_equivalence(edges_ds, tmp_path):
         .sort_values("vid").reset_index(drop=True)
     assert want.equals(got)
     assert stats["rounds"] >= 2
+
+
+def test_mis_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """mis_shuffle: interrupt-at-2 / resume equals the uninterrupted
+    run (round-numbered priorities continue from the checkpointed
+    round, so the trajectory is identical)."""
+    from igpm_pem_ray.graph.shuffle_kernels import mis_shuffle
+
+    ck = str(tmp_path / "miss")
+    want = mis_shuffle(edges_ds, max_rounds=6).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    mis_shuffle(edges_ds, max_rounds=2, checkpoint_dir=ck,
+                checkpoint_every=1)
+    stats: dict = {}
+    got = mis_shuffle(edges_ds, max_rounds=6, checkpoint_dir=ck,
+                      checkpoint_every=1, resume=True,
+                      stats=stats).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
+
+
+def test_coloring_shuffle_resume_equivalence(edges_ds, tmp_path):
+    """coloring_shuffle: interrupt / resume equals the uninterrupted
+    run (static priorities; colored set is the full state)."""
+    from igpm_pem_ray.graph.shuffle_kernels import coloring_shuffle
+
+    ck = str(tmp_path / "cols")
+    want = coloring_shuffle(edges_ds).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    coloring_shuffle(edges_ds, max_rounds=2, checkpoint_dir=ck,
+                     checkpoint_every=1)
+    got = coloring_shuffle(edges_ds, checkpoint_dir=ck,
+                           checkpoint_every=1, resume=True).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert want.equals(got)
+
+
+def test_truss_decompose_resume_equivalence(tmp_path):
+    """truss_decompose_shuffle: interrupt after early levels / resume
+    equals the uninterrupted decomposition (levels are sequential)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from igpm_pem_ray.graph.ktruss import truss_decompose_shuffle
+
+    rng = np.random.RandomState(67)
+    src = rng.randint(0, 30, size=200).astype(np.int64)
+    dst = rng.randint(0, 30, size=200).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    ck = str(tmp_path / "truss")
+    want = truss_decompose_shuffle(ds).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    # "crash" mid-decomposition: only allow a few peel rounds
+    truss_decompose_shuffle(ds, max_rounds=2, checkpoint_dir=ck)
+    stats: dict = {}
+    got = truss_decompose_shuffle(ds, checkpoint_dir=ck, resume=True,
+                                  stats=stats).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert want.equals(got)
