@@ -39,6 +39,20 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+def _sample_vids(edges_ds, n: int):
+    """n real vids, evenly spaced in the sorted distinct-src set —
+    deterministic, O(n) driver rows (sort + evenly-spaced limit)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
+    vs = edges_ds.groupby("src").aggregate(Min("src", alias_name="_m")) \
+        .drop_columns(["_m"]).sort("src").limit(n).to_pandas()["src"] \
+        .to_numpy().astype(np.int64)
+    return vs
+
+
 def run_bench() -> dict:
     import ray
 
@@ -207,6 +221,24 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     core_numbers_hindex(edges, max_rounds=3)
     timings["kcore_hindex_3r"] = time.perf_counter() - t0
+
+    # Dataset-resident Brandes betweenness at bounded depth (the
+    # 10^12-V sibling), 8 sampled sources x depth 4 so the bench
+    # stays bounded; single-shot like the other long-tail shuffles
+    from igpm_pem_ray.graph.shuffle_kernels import betweenness_shuffle
+
+    t0 = time.perf_counter()
+    betweenness_shuffle(edges, max_depth=4, chunk_span=8,
+                        sources=_sample_vids(edges, 8))
+    timings["betweenness_shuffle_d4_s8"] = time.perf_counter() - t0
+
+    # Dataset-resident Luby MIS, fixed 3 rounds (same boundedness
+    # convention as the other shuffle kernels)
+    from igpm_pem_ray.graph.shuffle_kernels import mis_shuffle
+
+    t0 = time.perf_counter()
+    mis_shuffle(edges, max_rounds=3)
+    timings["mis_shuffle_3r"] = time.perf_counter() - t0
 
     # incremental batch-dynamic replay (graph reuse + O(batch)
     # invariants + warm starts; fixture-scaled, sf-independent)
