@@ -377,12 +377,13 @@ def run_scaling_worker(ncpu: int) -> dict:
     vids = np.sort(urls_to_vids([page_url(i) for i in range(SCALING_PAGES)]))
 
     t0 = time.perf_counter()
-    # concurrency == admitted CPUs: the round-5 sweep (BASELINE.md,
-    # 1M pages, 16 pinned CPUs) measured conc=16 41.5 s, conc=24
-    # 42.3 s, and conc=32 WEDGED (a fixed actor pool larger than the
-    # CPU budget leaves Ray Data waiting on actors that can never
-    # schedule); batch_size was flat 64/256/1024
-    edges = build.pages_to_edges(pages, concurrency=ncpu,
+    # 1.5x actor oversubscription, pinned by the round-5 sweeps
+    # (BASELINE.md): extraction ALONE is fastest at conc == CPUs
+    # (41.5 s vs 42.3 s at 16 CPUs), but in the FULL job the extra
+    # actors overlap the downstream edge-build tasks and win the A/B
+    # (19.5k vs 19.1k pages/s); a 2x fixed pool WEDGES outright
+    # (actors that can never schedule).  batch_size flat 64-1024.
+    edges = build.pages_to_edges(pages, concurrency=ncpu + ncpu // 2,
                                  batch_size=256)
     g = build_dense_graph(edges, vids=vids)
     t_build = time.perf_counter() - t0
