@@ -162,3 +162,49 @@ def test_queue_delay_collision_guard(ray_session, tmp_path):
                   np.arange(20) * 1_000_000, np.ones(20))
     with pytest.raises(RuntimeError, match="collision"):
         q_queue_delay(str(tmp_path)).materialize()
+
+
+def test_semdedup_cluster_scoping_planted(ray_session, tmp_path):
+    """The distributed SemDeDup must remove a near-dup pair only when
+    both rows land in the SAME cluster — a planted cross-cluster
+    near-dup pair must survive, and exactly ONE removal happens.
+    Cross-checked against the SQL oracle on the same planted table."""
+    from igpm_pem_ray.pipelines.analytics import (
+        q_semdedup, sql_semdedup, SEM_K)
+
+    dim = 64
+    rows = []
+    # SEM_K centroid seeds (ids 0..K-1 = the sort.limit(K) head):
+    # strongly separated axis directions on dims 0..K-1
+    for i in range(SEM_K):
+        v = np.zeros(dim); v[i] = 10.0
+        rows.append((i, v))
+    # planted points carry their mass on NON-centroid dims (>= K), so
+    # none is a near-dup of its own centroid (cos ~= 0.11 < 0.35):
+    # same-cluster pair -> cluster 0, cosine ~= 1 -> one removal
+    p100 = np.zeros(dim); p100[0] = 1.0; p100[8] = 9.0
+    rows.append((100, p100))
+    rows.append((101, p100 * 1.001))
+    # cross-cluster pair: cosine 81/82 ~= 0.99 with each other but the
+    # unit anchor on dims 2 vs 3 assigns them to DIFFERENT clusters
+    p200 = np.zeros(dim); p200[2] = 1.0; p200[9] = 9.0
+    p201 = np.zeros(dim); p201[3] = 1.0; p201[9] = 9.0
+    rows.append((200, p200))
+    rows.append((201, p201))
+    ids = [r[0] for r in rows]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r[1].astype("float32").tolist()
+                               for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = q_semdedup(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    exp = con.execute(sql_semdedup()).fetchdf()
+    _cmp(got, exp)
+    # exactly the same-cluster dup is removed; the cross-cluster
+    # near-dup pair survives (clustering bounds the pair scope)
+    assert int(got["n_removed"].sum()) == 1
