@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": g.q_rich_club,
         "ktruss": g.q_ktruss,
         "truss_shuffle": g.q_truss_shuffle,
+        "truss_peel": g.q_truss_peel,
         "ktruss_members": g.q_ktruss_members,
         "degree_distribution": g.q_degree_distribution,
         # relational / streaming / text-table operators
@@ -1257,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": an.sql_dsir_weights(),
         "domain_mix_sample": an.sql_domain_mix_sample(),
         "kcore_peel": g.sql_kcore_peel(),
+        "truss_peel": g.sql_truss_peel(),
         "eigen_walks": g.sql_eigen_walks(),
         "triad_census": g.sql_triad_census(),
         "simrank_mc": g.sql_simrank_mc(),

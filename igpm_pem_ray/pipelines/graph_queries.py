@@ -2178,6 +2178,50 @@ def q_truss_shuffle(sf_dir: str):
         .sort(["src", "dst"])
 
 
+TRUSS_PEEL_ROUNDS = 3
+
+
+def q_truss_peel(sf_dir: str) -> pa.Table:
+    """Bounded 3-truss peel (exactly <= TRUSS_PEEL_ROUNDS support-
+    filter rounds) over the thinned graph — bounding the rounds makes
+    the iterative edge deletion SQL-expressible (one unrolled
+    common-neighbor-count CTE per round, the edge analog of
+    sql_kcore_peel), giving the truss family an exact hash-checked
+    driver entry alongside the rows-only full decomposition.  Ray
+    side is the Dataset-resident `ktruss_membership` at the same
+    round cap; past the fixpoint extra rounds are the identity, so
+    converged-early and bounded runs agree by construction."""
+    from igpm_pem_ray.graph.ktruss import ktruss_membership
+
+    keep = ktruss_membership(thinned_edges(sf_dir), 3,
+                             max_rounds=TRUSS_PEEL_ROUNDS)
+    pdf = keep.to_pandas().sort_values(["src", "dst"])
+    return pa.table({"src": pdf["src"].to_numpy().astype("int64"),
+                     "dst": pdf["dst"].to_numpy().astype("int64")})
+
+
+def sql_truss_peel(rounds: int = TRUSS_PEEL_ROUNDS) -> str:
+    parts = [
+        "e0 AS (SELECT DISTINCT src, dst FROM edges "
+        "WHERE (src*31+dst*17)%9=0 AND src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f"u{i} AS (SELECT src AS a, dst AS b FROM {p} "
+            f"UNION ALL SELECT dst, src FROM {p}), "
+            f"t{i} AS (SELECT e.src, e.dst, count(*) AS sup FROM {p} e "
+            f"JOIN u{i} x ON x.a = e.src "
+            f"JOIN u{i} y ON y.a = e.dst AND y.b = x.b "
+            "GROUP BY e.src, e.dst), "
+            f"e{i} AS (SELECT e.src, e.dst FROM {p} e "
+            f"JOIN t{i} t ON t.src = e.src AND t.dst = e.dst "
+            "WHERE t.sup >= 1)")
+    return _with_edges(
+        ", ".join(parts) +
+        f" SELECT src, dst FROM e{rounds} ORDER BY src, dst")
+
+
 def q_ktruss_members(sf_dir: str) -> pa.Table:
     """Dataset-resident 3-truss membership (the unbounded-E alternate
     to q_ktruss, `ktruss.ktruss_membership`) — rows-only; pinned to
