@@ -5125,3 +5125,92 @@ def sql_retrieval_eval() -> str:
         "AS BIGINT) AS recall_e6, "
         f"CAST(CASE WHEN h.fr IS NOT NULL THEN {REVAL_E6} // h.fr "
         "ELSE 0 END AS BIGINT) AS mrr_e6 FROM h")
+
+
+# -------- token-window document chunking (training-data prep) --------
+
+CHUNK_C = 128       # tokens per chunk
+CHUNK_S = 96        # stride (overlap = C - S = 32 tokens)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-token-window chunking with overlap — the context-window
+    packing step every LLM training-data pipeline runs before
+    tokenization proper (chunk c of a doc covers token positions
+    [c*S, c*S + C); the final partial window is kept; empty docs
+    produce no chunks).  Output per (doc_id, chunk_id): token count
+    and an exact position-weighted length checksum
+    sum over the window of len(tok) * (pos_in_chunk + 1) — a
+    content-and-order fingerprint both engines compute exactly.
+
+    Scale shape: a doc lives in one row, so chunking is per-batch
+    vectorized numpy — token lengths -> two prefix sums (W1 = cumsum
+    len, W2 = cumsum len*(pos+1)) turn every window checksum into two
+    subtractions; chunk rows stream out with NO shuffle at all (the
+    output is already keyed by doc)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_pandas().fillna("").reset_index(drop=True)
+        tok = txt.str.split().explode()
+        keep = tok.notna().to_numpy() & (tok != "").to_numpy()
+        doc_idx = tok.index.to_numpy()[keep]
+        tlen = tok.str.len().to_numpy()[keep].astype(np.int64)
+        dids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_d, out_c, out_n, out_s = [], [], [], []
+        if len(doc_idx):
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(doc_idx))[0] + 1])
+            ends = np.concatenate([starts[1:], [len(doc_idx)]])
+            for st, en in zip(starts, ends):
+                n = en - st
+                ln = tlen[st:en]
+                w1 = np.concatenate([[0], np.cumsum(ln)])
+                w2 = np.concatenate(
+                    [[0], np.cumsum(ln * (np.arange(n) + 1))])
+                n_chunks = 1 + max(0, -(-(n - CHUNK_C) // CHUNK_S)) \
+                    if n > CHUNK_C else 1
+                cs = np.arange(n_chunks, dtype=np.int64) * CHUNK_S
+                ce = np.minimum(cs + CHUNK_C, n)
+                ntok = ce - cs
+                # sum len*(p - start + 1) over [start, end)
+                csum = (w2[ce] - w2[cs]) - cs * (w1[ce] - w1[cs])
+                out_d.append(np.full(n_chunks, dids[doc_idx[st]],
+                                     np.int64))
+                out_c.append(np.arange(n_chunks, dtype=np.int64))
+                out_n.append(ntok.astype(np.int64))
+                out_s.append(csum.astype(np.int64))
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "csum": pa.array([], pa.int64())})
+        return pa.table({"doc_id": np.concatenate(out_d),
+                         "chunk_id": np.concatenate(out_c),
+                         "n_tok": np.concatenate(out_n),
+                         "csum": np.concatenate(out_s)})
+
+    return docs.map_batches(chunks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_doc_chunks() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, list_filter(string_split_regex("
+        r"text, '\s+'), x -> x <> '') AS toks FROM documents), "
+        "tok AS (SELECT doc_id, "
+        "CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS p, "
+        "CAST(length(unnest(toks)) AS BIGINT) AS ln FROM t), "
+        "n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id), "
+        "ch AS (SELECT n.doc_id, "
+        "unnest(generate_series(0, CAST(CASE WHEN n.nt > "
+        f"{CHUNK_C} THEN (n.nt - {CHUNK_C} + {CHUNK_S} - 1) "
+        f"// {CHUNK_S} ELSE 0 END AS BIGINT))) AS cid FROM n) "
+        "SELECT c.doc_id, CAST(c.cid AS BIGINT) AS chunk_id, "
+        "CAST(count(*) AS BIGINT) AS n_tok, "
+        f"CAST(sum(k.ln * (k.p - c.cid * {CHUNK_S} + 1)) AS BIGINT) "
+        "AS csum "
+        "FROM ch c JOIN tok k ON k.doc_id = c.doc_id "
+        f"AND k.p >= c.cid * {CHUNK_S} "
+        f"AND k.p < c.cid * {CHUNK_S} + {CHUNK_C} "
+        "GROUP BY c.doc_id, c.cid")
