@@ -914,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": an.q_containment_pairs,
         "top_tokens": an.q_top_tokens,
         "doc_chunks": an.q_doc_chunks,
+        "pack_windows": an.q_pack_windows,
         "doc_tokens_bpe": an.q_doc_tokens_bpe,
         "tfidf_terms": an.q_tfidf_terms,
         "bm25_topk": an.q_bm25_topk,
@@ -1072,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": an.sql_containment_pairs(),
         "top_tokens": an.sql_top_tokens(),
         "doc_chunks": an.sql_doc_chunks(),
+        "pack_windows": an.sql_pack_windows(),
         "doc_tokens_bpe": an.sql_doc_tokens_bpe(),
         "tfidf_terms": an.sql_tfidf_terms(),
         "bm25_topk": an.sql_bm25_topk(),

@@ -5214,3 +5214,74 @@ def sql_doc_chunks() -> str:
         f"AND k.p >= c.cid * {CHUNK_S} "
         f"AND k.p < c.cid * {CHUNK_S} + {CHUNK_C} "
         "GROUP BY c.doc_id, c.cid")
+
+
+# -------- concat-then-split sequence packing (sample packing) --------
+
+PACK_W = 2048       # context-window size in tokens
+
+
+def q_pack_windows(sf_dir: str):
+    """GPT-style sequence packing: concatenate every document's token
+    stream in doc_id order and split at fixed PACK_W-token context
+    windows — each doc lands at global token offset P(d) (the exact
+    prefix sum of earlier docs' token counts) and so touches packs
+    P//W .. (P+len-1)//W.  Output per doc: token count, first pack,
+    offset inside it, and packs spanned — the exact bookkeeping a
+    packed-pretraining dataloader needs.
+
+    Scale shape: per-doc token counts are a stateless batch map; the
+    GLOBAL ordered prefix sum is ONE sorted-block carry pass
+    (stages/temporal.cumsum_per_key with a constant key — O(blocks)
+    boundary stitch on the driver, never a whole-corpus array); the rest
+    is stateless arithmetic."""
+    from igpm_pem_ray.stages.temporal import cumsum_per_key
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_pandas().fillna("")
+        nt = txt.str.split().map(
+            lambda l: sum(1 for t in l if t)).to_numpy()
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": np.zeros(len(did), np.int64),
+                         "us": did, "doc_id": did,
+                         "val": nt.astype(np.int64)})
+
+    rows = docs.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    c = cumsum_per_key(rows, payload_cols=["doc_id", "val"],
+                       order_cols=("us",))
+
+    def pack(b: pa.Table) -> pa.Table:
+        cum = b["cum_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = cum - n                        # prefix sum BEFORE this doc
+        first = p // PACK_W
+        last = np.where(n > 0, (p + n - 1) // PACK_W, first)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_tok": n,
+            "pack_first": first,
+            "pack_off": p % PACK_W,
+            "n_packs": last - first + 1})
+
+    return c.map_batches(pack, batch_format="pyarrow")
+
+
+def sql_pack_windows() -> str:
+    return (
+        r"WITH t AS (SELECT doc_id, CAST(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n FROM documents), "
+        "c AS (SELECT doc_id, n, "
+        "CAST(COALESCE(sum(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS p FROM t) "
+        "SELECT doc_id, n AS n_tok, "
+        f"p // {PACK_W} AS pack_first, "
+        f"p % {PACK_W} AS pack_off, "
+        f"CAST(CASE WHEN n > 0 THEN (p + n - 1) // {PACK_W} "
+        f"ELSE p // {PACK_W} END - p // {PACK_W} + 1 AS BIGINT) "
+        "AS n_packs "
+        "FROM c")
